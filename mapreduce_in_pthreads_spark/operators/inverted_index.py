@@ -1,0 +1,174 @@
+"""Flagship operator: the inverted index — the reference's one end-to-end
+query (mapreduce.c R1→R11, SURVEY.md §2.1), Spark-first.
+
+Reference plan (record-at-a-time, hand-threaded):
+    scan → lowercase → leading-alnum trim → drop-empty →
+    hash(word)%NC exchange → per-reducer collect-list → format → print
+
+Spark plan (declarative; Catalyst fuses the narrow section into one
+WholeStageCodegen stage, the groupBy is the one shuffle — the exact
+analogue of the reference's single producer→consumer exchange):
+    read → posexplode(split) → lower/regexp_extract → filter ≠ '' →
+    groupBy(word).agg(collect_list)
+
+Determinism contract (SURVEY.md §2.2): the key set and per-key multiset
+of occurrences are deterministic; arrival order is NOT. The reference
+itself interleaves files nondeterministically, so we pin a canonical
+order with ``sort_array`` — within-file ascending order (the part the
+reference does guarantee) is preserved by the sort.
+
+Scale notes: ``collect_list`` has no map-side combine (neither does the
+reference — every occurrence crosses the exchange, mapreduce.c:117-131).
+At 100 TB you cap posting lists (``index_top_docs``) or store the index
+bucketed by word; the derived count-style queries (word_count, doc
+frequency) DO combine map-side and are the preferred scale surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.normalize import normalize_word
+from ..sources.tables import load_table
+
+
+def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → (doc_id, pos, word), normalized.
+
+    ``pos`` is the 1-based token ordinal assigned BEFORE the empty-word
+    filter — the positional analogue of the reference's pre-filter
+    linenum (increment at mapreduce.c:109 precedes the skip at 112-114).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "raw"),
+    )
+    return (
+        tok.select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            normalize_word("raw").alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+
+
+# DuckDB twin of tokens(); parallel unnest zips the token list with its
+# 1-based ordinal list. Shared by every oracle that tokenizes documents.
+TOKENS_SQL = """
+SELECT doc_id, pos, regexp_extract(lower(raw), '^[a-z0-9]*', 0) AS word
+FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS raw,
+           unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+    FROM documents
+)
+"""
+TOKENS_FILTERED_SQL = f"SELECT * FROM ({TOKENS_SQL}) t WHERE word <> ''"
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word → n_occurrences + canonical occurrence string
+    ``(doc: pos), (doc: pos), …`` — the reference's output line format
+    (sprintf at mapreduce.c:171,180,218) with a pinned sort order."""
+    occ = F.sort_array(F.collect_list(F.struct("doc_id", "pos")))
+    return tokens(spark, sf_dir).groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.concat_ws(
+            ", ",
+            F.transform(occ, lambda o: F.format_string(
+                "(%s: %s)", o["doc_id"], o["pos"])),
+        ).alias("occurrences"),
+    )
+
+
+INVERTED_INDEX_SQL = f"""
+SELECT word,
+       count(*) AS n_occurrences,
+       string_agg('(' || doc_id || ': ' || pos || ')', ', '
+                  ORDER BY doc_id, pos) AS occurrences
+FROM ({TOKENS_FILTERED_SQL}) w
+GROUP BY word
+"""
+
+
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived query: word → total occurrences. Unlike the index this
+    is map-side combinable — the 100 TB-preferred aggregation shape."""
+    return tokens(spark, sf_dir).groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences"))
+
+
+WORD_COUNT_SQL = f"""
+SELECT word, count(*) AS n_occurrences
+FROM ({TOKENS_FILTERED_SQL}) w GROUP BY word
+"""
+
+
+def doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word → number of distinct documents containing it (the IDF
+    denominator; SURVEY.md §2.1 'derived query surface')."""
+    return tokens(spark, sf_dir).groupBy("word").agg(
+        F.countDistinct("doc_id").alias("doc_freq"))
+
+
+DOC_FREQUENCY_SQL = f"""
+SELECT word, count(DISTINCT doc_id) AS doc_freq
+FROM ({TOKENS_FILTERED_SQL}) w GROUP BY word
+"""
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row corpus invariants — the numbers the reference's golden
+    output pins (22,271 lines → 21,322 occurrences → 4,135 words for its
+    own corpus; SURVEY.md Appendix A) computed for the documents table."""
+    t = tokens(spark, sf_dir)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("word").alias("n_distinct_words"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+CORPUS_STATS_SQL = f"""
+SELECT count(*) AS n_occurrences,
+       count(DISTINCT word) AS n_distinct_words,
+       count(DISTINCT doc_id) AS n_docs
+FROM ({TOKENS_FILTERED_SQL}) w
+"""
+
+
+def index_top_docs(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Scale-capped index: per word keep only the k lowest-doc_id
+    postings (deterministic tie-break) plus the true total count.
+    This is the 100 TB answer to unbounded collect_list: bounded state
+    per key via window top-k instead of a full posting list."""
+    from pyspark.sql import Window
+
+    t = tokens(spark, sf_dir).groupBy("word", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("word").orderBy(F.col("doc_id"))
+    total = Window.partitionBy("word")
+    return (
+        t.withColumn("rn", F.row_number().over(w))
+        .withColumn("doc_freq", F.count(F.lit(1)).over(total))
+        .filter(F.col("rn") <= k)
+        .select("word", "doc_id", "tf", "rn", "doc_freq")
+    )
+
+
+INDEX_TOP_DOCS_SQL = f"""
+WITH tf AS (
+    SELECT word, doc_id, count(*) AS tf
+    FROM ({TOKENS_FILTERED_SQL}) w
+    GROUP BY word, doc_id
+)
+SELECT word, doc_id, tf, rn, doc_freq FROM (
+    SELECT word, doc_id, tf,
+           row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn,
+           count(*) OVER (PARTITION BY word) AS doc_freq
+    FROM tf
+) WHERE rn <= 5
+"""

@@ -1,0 +1,39 @@
+"""Parquet table sources for the driver's synthetic star schema.
+
+The reference's only source is a line-oriented text scan
+(mapreduce.c:97-138, producer()); the relational surface here reads
+the driver-generated parquet tables (TESTDATA.md). Parquet scans are
+the scale path: columnar, splittable, and Catalyst pushes predicates
+and prunes columns into the scan (``.explain`` shows PushedFilters /
+ReadSchema), which the reference could never do (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor —
+# region/nation are fixed-size (5/25 rows at 100 TB too).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table; missing file tolerance mirrors the
+    reference's missing-input behavior (mapreduce.c:100-103 prints
+    'no such file' and the task becomes a no-op) by raising a clear
+    error instead of a cryptic one."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no such table file: {path}")
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

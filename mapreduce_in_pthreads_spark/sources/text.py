@@ -1,0 +1,79 @@
+"""Word-per-line text corpus source with per-file 1-based line numbers.
+
+Reference semantics being reproduced (verified golden-exact, SURVEY.md
+Appendix A): the producer reads one file sequentially (mapreduce.c:107),
+stamps each record with the verbatim filename (mapreduce.c:121) and a
+1-based line ordinal that is incremented for EVERY physical line,
+including lines later dropped as empty (increment at mapreduce.c:109
+precedes the skip at 112-114).
+
+DataFrames have no row order, so per-file ordinals are the one place
+the reference's semantics need deliberate engineering (SURVEY.md §7):
+
+- default path: ``spark.read.text(wholeText=True)`` — one row per
+  file — then ``posexplode`` over the split lines. The ordinal is the
+  explode position, computed *before* any filtering, exactly like the
+  reference. One file = one row = one task; parallelism = #files,
+  which is precisely the reference's map-side DOP (``-p`` spawns one
+  producer per file, mapreduce.c:307-313).
+- ``big_files=True`` path: per-file RDD ``zipWithIndex`` for corpora
+  whose individual files don't fit in one task's memory. Scale note:
+  at 100 TB you'd use the default path over many files (the normal
+  shape for training corpora), not few giant ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+CORPUS_SCHEMA = StructType([
+    StructField("filename", StringType(), False),
+    StructField("linenum", IntegerType(), False),
+    StructField("raw_line", StringType(), True),
+])
+
+
+def read_word_per_line(spark: SparkSession, paths: str | list[str],
+                       big_files: bool = False) -> DataFrame:
+    """Read text file(s) → DataFrame[filename, linenum, raw_line].
+
+    ``linenum`` is the 1-based physical line ordinal per file and is
+    assigned BEFORE any normalization/filtering (mapreduce.c:109).
+    A single trailing newline does not create a phantom final line
+    (fgets never yields one, mapreduce.c:107).
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    if big_files:
+        return _read_big_files(spark, paths)
+    whole = spark.read.text(paths, wholeText=True).select(
+        F.input_file_name().alias("filename"),
+        # strip exactly one trailing newline so "a\n" is 1 line, as fgets sees it
+        F.split(F.regexp_replace("value", r"\n$", ""), "\n").alias("lines"),
+    )
+    return whole.select(
+        "filename",
+        F.posexplode("lines").alias("pos0", "raw_line"),
+    ).select(
+        "filename",
+        (F.col("pos0") + 1).cast("int").alias("linenum"),
+        "raw_line",
+    )
+
+
+def _read_big_files(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """RDD zipWithIndex per file — line numbers without materializing a
+    whole file in one task. One sc.textFile per path keeps ordinals
+    per-file (zipWithIndex is ordered within a single file's splits)."""
+    sc = spark.sparkContext
+    dfs = []
+    for p in paths:
+        rdd = sc.textFile(p).zipWithIndex().map(
+            lambda t, _p=p: (_p, t[1] + 1, t[0]))
+        dfs.append(spark.createDataFrame(rdd, CORPUS_SCHEMA))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionAll(d)
+    return out
