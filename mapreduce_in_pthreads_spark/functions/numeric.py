@@ -35,6 +35,34 @@ def davg(col: Column | str, alias: str) -> Column:
     return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias(alias)
 
 
+MONEY = "decimal(12,2)"
+RATE = "decimal(4,2)"
+
+
+def money(col: Column | str) -> Column:
+    """Exact decimal view of a 2-dp monetary double column. The source
+    data carries exactly 2 decimal digits, so this cast is EXACT in
+    both Spark and DuckDB (no tie-rounding) — products/sums built on it
+    are bit-identical across engines. Products of doubles cast to
+    decimal are NOT safe: Spark rounds the shortest string repr
+    (HALF_UP) while DuckDB rounds the binary value, and they disagree
+    on x.xxxx5 ties."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(MONEY)
+
+
+def rate(col: Column | str) -> Column:
+    """Exact decimal view of a 2-dp ratio column (discount/tax)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(RATE)
+
+
+def one() -> Column:
+    """Decimal literal 1.00 — a function because Column construction
+    needs an active SparkContext (import-time lit() would fail)."""
+    return F.lit(1).cast("decimal(3,2)")
+
+
 def sql_dsum(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST({expr} AS {SQL_DEC})) AS DOUBLE) AS {alias}"
 

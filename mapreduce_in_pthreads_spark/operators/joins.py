@@ -1,0 +1,214 @@
+"""Join surface: broadcast/shuffle equi, semi, anti, outer, range/theta
+(SURVEY.md §2.3 'Joins'). The reference has no join operator at all —
+this is pure north-star extension.
+
+Scale strategy, made explicit per query:
+- dimension joins (region/nation/customer-side lookups) are DECLARED
+  broadcast with ``F.broadcast`` — at 100 TB the fact side never
+  shuffles for a lookup join;
+- fact-fact joins (orders ⋈ lineitem) shuffle on the join key; AQE
+  handles skew splitting (session.py);
+- the event-sequence range join pre-partitions both sides by user so
+  the theta condition only runs within a key group, never as a global
+  cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, sql_dsum
+from ..sources.tables import load_table
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: lineitem ⋈ orders (shuffle) ⋈ customer ⋈
+    nation ⋈ region (broadcast dims), ASIA only, revenue per nation.
+    The two tiny dims are broadcast explicitly; customer is small
+    relative to facts so it broadcasts under the session threshold too."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01")))
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+REVENUE_BY_NATION_SQL = f"""
+SELECT n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join: every customer with order count (0 preserved)
+    and total spend (0.0 preserved) — the null-handling contract."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,4)")).alias("spend"))
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey", "c_mktsegment",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("spend"), F.lit(0)).cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+CUSTOMER_ORDER_STATS_SQL = """
+SELECT c_custkey, c_mktsegment,
+       coalesce(cnt, 0) AS n_orders,
+       CAST(coalesce(spend, 0) AS DOUBLE) AS total_spend
+FROM customer
+LEFT JOIN (
+    SELECT o_custkey, count(*) AS cnt,
+           SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS spend
+    FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey
+"""
+
+
+def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers having at least one order over
+    the threshold. Semi joins ship only the keys — at scale this beats
+    inner-join+distinct by the width of the probe side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000.0)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+CUSTOMERS_WITH_BIG_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def orders_with_heavy_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join fact→fact (TPC-H Q4 shape): orders having ≥1 heavy
+    lineitem, counted per priority."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORDERS_WITH_HEAVY_ITEMS_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+def purchases_with_prior_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join: for each purchase, count same-user clicks in
+    the preceding hour. Equi key (user_id) first so the shuffle
+    co-locates users; the time-range theta predicate then runs within
+    each key group only — the scalable shape for event-sequence joins
+    (a bare theta join would be a cross product)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.col("c_user")).alias("n_prior_clicks"))
+
+
+PURCHASES_WITH_PRIOR_CLICKS_SQL = """
+SELECT p.event_id AS purchase_id, count(c.user_id) AS n_prior_clicks
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <  p.ts
+GROUP BY p.event_id
+"""
+
+
+def self_join_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self equi-join with inequality dedup: same-brand same-size part
+    pairs (p1 < p2). Demonstrates alias discipline + pair semantics."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
+               & (F.col("a.p_size") == F.col("b.p_size"))
+               & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .groupBy(F.col("a.p_brand").alias("brand"),
+                 F.col("a.p_size").alias("size"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+SELF_JOIN_PART_PAIRS_SQL = """
+SELECT a.p_brand AS brand, a.p_size AS size, count(*) AS n_pairs
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+GROUP BY a.p_brand, a.p_size
+"""

@@ -1,0 +1,391 @@
+"""Core relational surface: scan → project/filter → aggregate → sort/top-k,
+grouping sets, set ops, scalar functions (SURVEY.md §2.3 rows 1-4, 7-9).
+
+The reference has exactly one projection (lowercase+trim, mapreduce.c:
+110-111), one predicate (drop-empty, :112-114) and one aggregation
+(collect-list, :168-185); this module is the full relational
+generalization of those three shapes, expressed declaratively so
+Catalyst gets predicate pushdown / column pruning / partial aggregation
+— none of which the reference could do (SURVEY.md §4.2).
+
+Scale notes: every aggregate here is map-side combinable (sums/counts/
+min/max over decimals); filters sit directly on the parquet scan
+(PushedFilters); top-k is `orderBy().limit(k)` which Spark executes as
+TakeOrderedAndProject — per-partition heaps, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import davg, dsum, money, one, rate, sql_davg, sql_dsum
+from ..sources.tables import load_table
+
+
+# --- TPC-H Q1 shape: big scan, few groups, many partial aggregates -----
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary over lineitem (TPC-H Q1 shape). The classic
+    map-side-combine showcase: 4 groups regardless of data size, so the
+    shuffle carries only #partitions × 4 rows at any scale."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02"))
+    # exact decimal arithmetic on the 2-dp sources (see numeric.money):
+    # (12,2) * (5,2) → (18,4); * (5,2) → (24,6); all exact, no ties.
+    disc_price = money("l_extendedprice") * (one() - rate("l_discount"))
+    charge = disc_price * (one() + rate("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_dsum('l_extendedprice', 'sum_base_price')},
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
+            AS DOUBLE) AS sum_charge,
+       {sql_davg('l_quantity', 'avg_qty')},
+       {sql_davg('l_extendedprice', 'avg_price')},
+       {sql_davg('l_discount', 'avg_disc')},
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highly selective scan-filter-sum (TPC-H Q6 shape) — all three
+    predicates push into the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q6_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (per-partition
+    heaps, no full sort). Tie-broken on the key for determinism."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+TOP_K_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group-by + HAVING: nations with enough customers, with a
+    decimal-stable average balance."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             davg("c_acctbal", "avg_acctbal"),
+             F.min("c_acctbal").alias("min_acctbal"),
+             F.max("c_acctbal").alias("max_acctbal"))
+        .filter(F.col("n_customers") > 20)
+    )
+
+
+GROUP_HAVING_SQL = f"""
+SELECT c_nationkey, count(*) AS n_customers,
+       {sql_davg('c_acctbal', 'avg_acctbal')},
+       min(c_acctbal) AS min_acctbal,
+       max(c_acctbal) AS max_acctbal
+FROM customer GROUP BY c_nationkey HAVING count(*) > 20
+"""
+
+
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — expands to a two-phase aggregate,
+    both phases partial-aggregable."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"),
+             F.countDistinct("o_orderpriority").alias("n_priorities"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+DISTINCT_AGG_SQL = """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the sketch the reference
+    could never afford to skip (it kept every occurrence in memory,
+    mapreduce.c:170-174). Approximate ⇒ no SQL oracle; the driver
+    records the rows-only check, and the unit test bounds the error
+    against the exact count."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+             F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    )
+
+
+def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + conditional aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = (
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .otherwise("large")
+    )
+    return (
+        li.withColumn("qty_bucket", bucket)
+        .groupBy("qty_bucket")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue"),
+             F.count(F.when(F.col("l_returnflag") == "R", 1))
+             .alias("n_returned"))
+    )
+
+
+CASE_WHEN_SQL = f"""
+SELECT CASE WHEN l_quantity < 10 THEN 'small'
+            WHEN l_quantity < 30 THEN 'medium'
+            ELSE 'large' END AS qty_bucket,
+       count(*) AS n_items,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned
+FROM lineitem GROUP BY 1
+"""
+
+
+def in_between_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list + BETWEEN + null-safe predicates, all pushdown-eligible."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            & F.col("c_acctbal").between(100.0, 5000.0)
+            & F.col("c_name").isNotNull()
+        )
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    )
+
+
+IN_BETWEEN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  AND c_acctbal BETWEEN 100.0 AND 5000.0
+  AND c_name IS NOT NULL
+"""
+
+
+def scalar_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: upper/substr/concat_ws/split/regexp/
+    length/lpad — all codegen'd JVM expressions."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_brand", "[^0-9]", "").alias("brand_num"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_first"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+    )
+
+
+SCALAR_STRING_SQL = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substring(p_name, 1, 5) AS name_prefix,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       regexp_replace(p_brand, '[^0-9]', '', 'g') AS brand_num,
+       string_split(p_type, ' ')[1] AS type_first,
+       length(p_name) AS name_len,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded
+FROM part
+"""
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface: extract, trunc, diff, format. Output kept in
+    engine-neutral types (ints + strings) so the oracle hash is stable."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+        .alias("month_start"),
+        F.datediff(F.lit("2002-01-01"), F.col("o_orderdate"))
+        .alias("days_to_2002"),
+    )
+
+
+DATE_FUNCTIONS_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+       CAST(day(o_orderdate) AS INT) AS order_day,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT)
+           AS days_to_2002
+FROM orders
+"""
+
+
+# --- grouping sets -------------------------------------------------------
+
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over orders: subtotals + grand total; GROUPING() columns
+    disambiguate rollup nulls from data nulls."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum("o_totalprice", "sum_price"),
+             F.grouping("o_orderstatus").cast("int").alias("g_status"),
+             F.grouping("o_orderpriority").cast("int").alias("g_priority"))
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       {sql_dsum('o_totalprice', 'sum_price')},
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over lineitem return flag × line status."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             dsum("l_quantity", "sum_qty"),
+             F.grouping("l_returnflag").cast("int").alias("g_flag"),
+             F.grouping("l_linestatus").cast("int").alias("g_status"))
+    )
+
+
+CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --- set operations ------------------------------------------------------
+
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of tagged key sets (customer vs supplier nations)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit("customer").alias("side"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.lit("supplier").alias("side"))
+    return c.unionAll(s).groupBy("nationkey", "side").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+SET_UNION_SQL = """
+SELECT nationkey, side, count(*) AS n FROM (
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+) GROUP BY nationkey, side
+"""
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): nations having both customers
+    and suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+SET_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics): nations with customers but no
+    suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    # subtract == EXCEPT DISTINCT (exceptAll would only remove one
+    # occurrence per right row from the left multiset)
+    return c.subtract(s)
+
+
+SET_EXCEPT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+"""

@@ -1,0 +1,166 @@
+"""Event-time operators over the stream-shaped ``events`` table:
+tumbling / sliding / session windows, event-time dedup, JSON prop
+extraction (SURVEY.md §2.3 'Streaming-shaped', 'Scalar fns/JSON').
+
+Batch-first per the driver contract (the oracle is batch DuckDB); the
+``streaming`` package reuses these same transformations on a
+``readStream`` source, which is the Structured Streaming design point:
+one logical query, two execution modes. Late-data policy for the
+streaming twin: 10-minute watermark, drop-late (documented there).
+
+Window starts are returned as integer epoch-microseconds
+(``unix_micros`` ↔ DuckDB ``epoch_us``) — engine-neutral, no timestamp
+precision skew in the oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, sql_dsum
+from ..sources.tables import load_table
+
+
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type: count + stable sum.
+    ``F.window`` is the native op; hour-aligned tumbling ≡ date_trunc
+    in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value", "sum_value"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+TUMBLING_HOURLY_SQL = f"""
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       {sql_dsum('value', 'sum_value')}
+FROM events GROUP BY 1, 2
+"""
+
+
+def sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 2-hour length, 1-hour slide — every event lands
+    in exactly two windows. Oracle replays the window assignment by
+    unnesting the two hour-aligned starts each event belongs to."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value", "sum_value"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                "n_events", "sum_value")
+    )
+
+
+SLIDING_2H_1H_SQL = f"""
+WITH assigned AS (
+    SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                   date_trunc('hour', ts)]) AS window_start,
+           value
+    FROM events
+)
+SELECT epoch_us(window_start) AS window_start_us,
+       count(*) AS n_events,
+       {sql_dsum('value', 'sum_value')}
+FROM assigned GROUP BY 1
+"""
+
+
+def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap per user — Spark's native
+    ``session_window``. Oracle reconstructs identical sessions with the
+    lag-gap-cumsum idiom: a new session starts when the gap since the
+    previous event is ≥ the timeout (session end = last event + gap,
+    chained), which is exactly session_window's merge rule."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value", "sum_value"))
+        .select("user_id",
+                F.unix_micros(F.col("w.start")).alias("session_start_us"),
+                "n_events", "sum_value")
+    )
+
+
+SESSION_WINDOWS_30M_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       count(*) AS n_events,
+       {sql_dsum('value', 'sum_value')}
+FROM sessioned GROUP BY user_id, session_id
+"""
+
+
+def dedup_events_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time dedup: keep the FIRST event per (user, type) within
+    each tumbling hour — deterministic via (ts, event_id) ordering.
+    The streaming twin of this is dropDuplicates with a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    w = Window.partitionBy(hour, "user_id", "event_type").orderBy(
+        "ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type",
+                F.unix_micros(hour).alias("hour_us"))
+    )
+
+
+DEDUP_EVENTS_SQL = """
+SELECT event_id, user_id, event_type,
+       epoch_us(date_trunc('hour', ts)) AS hour_us
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY date_trunc('hour', ts), user_id, event_type
+        ORDER BY ts, event_id) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: pull ``k`` out of the JSON ``props``
+    column and aggregate it per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"),
+             F.sum("k").alias("sum_k"))
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       min(k) AS min_k, max(k) AS max_k, sum(k) AS sum_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events)
+GROUP BY event_type
+"""

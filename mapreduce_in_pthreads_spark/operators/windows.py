@@ -1,0 +1,163 @@
+"""Window-function surface: ranking, analytic (lag/lead), running and
+framed aggregates (SURVEY.md §2.3 'Window fns').
+
+Determinism rule applied throughout: every ORDER BY inside a window
+carries a unique tie-breaker key — window results over ties are
+engine-dependent otherwise, the same nondeterminism the reference
+exhibits in its output ordering (SURVEY.md §2.2).
+
+Scale: a window shuffles once on partitionBy and sorts within
+partitions; skewed partition keys (one giant customer) are the hazard
+— partition keys here are high-cardinality (custkey, user_id).
+Running double sums are routed through decimal so partition order
+can't perturb low bits (functions/numeric.py rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+DEC = "decimal(25,4)"
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank: top-3 orders per customer by price."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rk,
+           dense_rank() OVER w AS drk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rn <= 3
+"""
+
+
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per customer in order-date order —
+    decimal-summed so the result is identical regardless of physical
+    partition order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+        .alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("order_seq"),
+    )
+
+
+RUNNING_CUSTOMER_SPEND_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER w AS DOUBLE)
+           AS running_spend,
+       count(*) OVER w AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def event_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + inter-event gap per user. Gap computed in integer
+    microseconds (unix_micros ↔ epoch_us) — exact in both engines,
+    no float time arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+        .alias("gap_us"),
+    )
+
+
+EVENT_LAG_LEAD_SQL = """
+SELECT user_id, event_id, event_type,
+       lag(event_type)  OVER w AS prev_type,
+       lead(event_type) OVER w AS next_type,
+       epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def moving_avg_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame: 3-row moving average of order price per
+    customer (current + 2 preceding)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(-2, 0))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        (F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+         / F.count(F.lit(1)).over(w)).alias("moving_avg_price"),
+        F.min("o_totalprice").over(w).alias("frame_min"),
+        F.max("o_totalprice").over(w).alias("frame_max"),
+    )
+
+
+MOVING_AVG_SPEND_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) OVER w AS DOUBLE)
+           / count(*) OVER w AS moving_avg_price,
+       min(o_totalprice) OVER w AS frame_min,
+       max(o_totalprice) OVER w AS frame_max
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window over aggregate: each nation's customer count as a share
+    of its region total (partition-wide frame, no ORDER BY)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    return per_nation.select(
+        "n_regionkey", "n_name", "n_customers",
+        (F.col("n_customers") / F.sum("n_customers").over(w))
+        .alias("region_share"),
+    )
+
+
+NATION_SHARE_OF_REGION_SQL = """
+WITH per_nation AS (
+    SELECT n_regionkey, n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_regionkey, n_name
+)
+SELECT n_regionkey, n_name, n_customers,
+       n_customers / CAST(SUM(n_customers) OVER (PARTITION BY n_regionkey)
+                          AS DOUBLE) AS region_share
+FROM per_nation
+"""

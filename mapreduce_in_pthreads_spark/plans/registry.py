@@ -22,6 +22,10 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import inverted_index as ii
+from ..operators import joins as jn
+from ..operators import relational as rel
+from ..operators import timeseries as ts
+from ..operators import windows as win
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -53,3 +57,79 @@ register("corpus_stats", ii.corpus_stats, ii.CORPUS_STATS_SQL,
          "derived: corpus invariants (occurrences/words/docs)")
 register("index_top_docs", ii.index_top_docs, ii.INDEX_TOP_DOCS_SQL,
          "scale-capped index: bounded top-k postings per word")
+
+# --- core relational (SURVEY §2.3 rows 1-4, 7-9) -------------------------
+register("q1_pricing_summary", rel.q1_pricing_summary, rel.Q1_SQL,
+         "TPC-H Q1 shape: scan-filter-group, map-side combinable")
+register("q6_forecast_revenue", rel.q6_forecast_revenue, rel.Q6_SQL,
+         "TPC-H Q6 shape: selective pushdown filters + sum")
+register("top_k_orders", rel.top_k_orders, rel.TOP_K_ORDERS_SQL,
+         "global top-k via TakeOrderedAndProject")
+register("group_having", rel.group_having, rel.GROUP_HAVING_SQL,
+         "group-by + HAVING with stable avg")
+register("distinct_agg", rel.distinct_agg, rel.DISTINCT_AGG_SQL,
+         "COUNT(DISTINCT) per group")
+register("approx_distinct", rel.approx_distinct, None,
+         "HLL++ approx_count_distinct (rows-only: approximate)")
+register("case_when_buckets", rel.case_when_buckets, rel.CASE_WHEN_SQL,
+         "CASE WHEN bucketing + conditional agg")
+register("in_between_predicates", rel.in_between_predicates,
+         rel.IN_BETWEEN_SQL, "IN / BETWEEN / IS NOT NULL pushdown")
+register("scalar_string_fns", rel.scalar_string_fns, rel.SCALAR_STRING_SQL,
+         "string function surface")
+register("date_functions", rel.date_functions, rel.DATE_FUNCTIONS_SQL,
+         "date/time extract-trunc-diff surface")
+register("rollup_status_priority", rel.rollup_status_priority,
+         rel.ROLLUP_SQL, "GROUP BY ROLLUP + GROUPING()")
+register("cube_flag_status", rel.cube_flag_status, rel.CUBE_SQL,
+         "GROUP BY CUBE + GROUPING()")
+register("set_union_all", rel.set_union_all, rel.SET_UNION_SQL,
+         "UNION ALL of tagged sources")
+register("set_intersect", rel.set_intersect, rel.SET_INTERSECT_SQL,
+         "INTERSECT distinct semantics")
+register("set_except", rel.set_except, rel.SET_EXCEPT_SQL,
+         "EXCEPT distinct semantics")
+
+# --- joins (SURVEY §2.3 'Joins') -----------------------------------------
+register("revenue_by_nation", jn.revenue_by_nation,
+         jn.REVENUE_BY_NATION_SQL,
+         "TPC-H Q5 shape: broadcast dims + shuffle fact join")
+register("customer_order_stats", jn.customer_order_stats,
+         jn.CUSTOMER_ORDER_STATS_SQL, "left outer join, zero-preserving")
+register("customers_with_big_orders", jn.customers_with_big_orders,
+         jn.CUSTOMERS_WITH_BIG_ORDERS_SQL, "left semi join (EXISTS)")
+register("customers_without_orders", jn.customers_without_orders,
+         jn.CUSTOMERS_WITHOUT_ORDERS_SQL, "left anti join (NOT EXISTS)")
+register("orders_with_heavy_items", jn.orders_with_heavy_items,
+         jn.ORDERS_WITH_HEAVY_ITEMS_SQL, "fact-fact semi join (Q4 shape)")
+register("purchases_with_prior_clicks", jn.purchases_with_prior_clicks,
+         jn.PURCHASES_WITH_PRIOR_CLICKS_SQL,
+         "range/theta join keyed by user (event sequences)")
+register("self_join_part_pairs", jn.self_join_part_pairs,
+         jn.SELF_JOIN_PART_PAIRS_SQL, "self equi-join with pair dedup")
+
+# --- window functions (SURVEY §2.3 'Window fns') -------------------------
+register("top_orders_per_customer", win.top_orders_per_customer,
+         win.TOP_ORDERS_PER_CUSTOMER_SQL,
+         "row_number/rank/dense_rank top-N per group")
+register("running_customer_spend", win.running_customer_spend,
+         win.RUNNING_CUSTOMER_SPEND_SQL, "cumulative sum window")
+register("event_lag_lead", win.event_lag_lead, win.EVENT_LAG_LEAD_SQL,
+         "lag/lead + integer-µs event gaps")
+register("moving_avg_spend", win.moving_avg_spend, win.MOVING_AVG_SPEND_SQL,
+         "explicit ROWS frame moving aggregate")
+register("nation_share_of_region", win.nation_share_of_region,
+         win.NATION_SHARE_OF_REGION_SQL,
+         "window-over-aggregate share-of-total")
+
+# --- event time / semi-structured (SURVEY §2.3 'Streaming-shaped') -------
+register("tumbling_hourly", ts.tumbling_hourly, ts.TUMBLING_HOURLY_SQL,
+         "tumbling 1h event-time windows")
+register("sliding_2h_1h", ts.sliding_2h_1h, ts.SLIDING_2H_1H_SQL,
+         "sliding 2h/1h event-time windows")
+register("session_windows_30m", ts.session_windows_30m,
+         ts.SESSION_WINDOWS_30M_SQL, "session windows, 30m gap")
+register("dedup_events_in_window", ts.dedup_events_in_window,
+         ts.DEDUP_EVENTS_SQL, "event-time dedup within tumbling hour")
+register("json_props_extract", ts.json_props_extract, ts.JSON_PROPS_SQL,
+         "JSON prop extraction + aggregation")

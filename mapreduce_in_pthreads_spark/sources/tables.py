@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -32,6 +33,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
         raise FileNotFoundError(f"no such table file: {path}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which the vectorized
+        # reader rejects (PARQUET_TYPE_ILLEGAL). Read it as raw int64
+        # nanoseconds and truncate to a microsecond timestamp — the
+        # same ns→µs truncation DuckDB applies, so oracle comparisons
+        # align. Integer `div`, not float division: ns epoch values
+        # exceed 2^53.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(path)
 
 
