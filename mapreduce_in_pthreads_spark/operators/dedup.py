@@ -1,0 +1,302 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, shingle-Jaccard similarity join, embedding
+near-dup (north-star BASELINE.json; SURVEY.md §2.3 'Exact dedup' /
+'Fuzzy dedup').
+
+Everything except SimHash is fully oracle-expressible because the hash
+primitive is md5 (identical hex output in Spark and DuckDB) and the
+set math is integer-exact. SimHash uses xxhash64 (no DuckDB twin) →
+rows-only check.
+
+Scale design:
+- exact dedup = hash-groupBy on the content key (or md5 fingerprint to
+  avoid shuffling full text) — map-side combinable;
+- MinHash/LSH: signatures are one aggregation over the shingle
+  explosion; candidate generation joins on band buckets, so the
+  shuffle is per-bucket, never all-pairs;
+- the verify step computes true Jaccard ONLY for candidate pairs —
+  the LSH contract that keeps 100 TB feasible;
+- the plain Jaccard join exists as the exact baseline; its token-join
+  blowup on hot shingles is the thing LSH avoids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+N_HASHES = 8          # minhash signature length
+N_BANDS = 4           # bands of 2 rows each: P(candidate) = 1-(1-j^2)^4
+SHINGLE_K = 3         # word-trigram shingles
+JACCARD_THRESHOLD = 0.5
+
+
+# --- shared shingle pipeline --------------------------------------------
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → exploded DISTINCT word-3-shingles. Positions are not
+    needed for set similarity, so dedup early (shrinks every downstream
+    shuffle — the earlier the distinct, the cheaper the pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - SHINGLE_K),
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+    )
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+# doc_id → distinct shingles (DuckDB twin; 1-indexed list access)
+SHINGLES_SQL = """
+SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2])) AS shingle
+    FROM documents
+)
+"""
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: group by text, keep the lowest doc_id
+    (deterministic survivor — dropDuplicates' arbitrary pick would not
+    hash-match any oracle). At scale: group by md5(text) instead to
+    avoid shuffling full documents; both shown via fingerprint col."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS fingerprint,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def jaccard_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard similarity join (the LSH baseline):
+    pairs sharing ≥1 shingle, J = |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
+    Intersections come from a shingle-keyed self-join (inverted-index
+    join), never an all-pairs cross product; integer division in double
+    is exact in both engines."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn("jaccard",
+                    F.col("shared")
+                    / (F.col("na") + F.col("nb") - F.col("shared")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )
+
+
+JACCARD_JOIN_SQL = f"""
+WITH sh AS ({SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM sh a JOIN sh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       shared / CAST(na.n + nb.n - shared AS DOUBLE) AS jaccard
+FROM shared
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE shared / CAST(na.n + nb.n - shared AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → N_HASHES minhash values. Hash family: md5(seed:shingle)
+    (hex strings compare lexicographically — identical in DuckDB, so
+    the whole LSH pipeline is oracle-checkable). One aggregation pass
+    computes the full signature; no per-hash scans."""
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
+        .alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_MINHASH_COLS_SQL = ",\n       ".join(
+    f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(N_HASHES))
+MINHASH_SIG_SQL = f"""
+SELECT doc_id,
+       {_MINHASH_COLS_SQL}
+FROM ({SHINGLES_SQL}) sh
+GROUP BY doc_id
+"""
+
+
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, end to end:
+    signature (8 minhashes) → 4 bands of 2 → band-bucket join for
+    candidates → true-Jaccard verify at the threshold.
+
+    The band join is the scale trick: docs collide only on equal band
+    hashes, so candidate generation is a hash join on short strings —
+    no all-pairs comparison at any point. False negatives are the LSH
+    trade: P(detect) = 1-(1-J²)⁴ (≈0.9 at J=0.7)."""
+    sig = _minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.md5(F.concat_ws("|", f"mh{2*b}", f"mh{2*b+1}"))
+            for b in range(N_BANDS)
+        ])).alias("band", "bucket"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates against true Jaccard (exact, candidates only)
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shingle").alias("sh_a"))
+    tb = sh.select(F.col("doc_id").alias("tb_doc"),
+                   F.col("shingle").alias("sh_b"))
+    shared = (
+        cand.join(ta, "doc_a")
+        .join(tb, (F.col("doc_b") == F.col("tb_doc"))
+              & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn("jaccard",
+                    F.col("shared")
+                    / (F.col("na") + F.col("nb") - F.col("shared")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_BAND_ROWS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh{2*b} || '|' || mh{2*b+1}) AS bucket "
+    f"FROM sig" for b in range(N_BANDS))
+MINHASH_LSH_SQL = f"""
+WITH sh AS ({SHINGLES_SQL}),
+sig AS (
+    SELECT doc_id, {_MINHASH_COLS_SQL}
+    FROM sh GROUP BY doc_id
+),
+bands AS ({_BAND_ROWS_SQL}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS shared
+    FROM cand c
+    JOIN sh ta ON ta.doc_id = c.doc_a
+    JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       shared / CAST(na.n + nb.n - shared AS DOUBLE) AS jaccard
+FROM shared
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE shared / CAST(na.n + nb.n - shared AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: per token, xxhash64 supplies the
+    bit pattern; each bit position accumulates +1/-1 over tokens; the
+    sign vector re-packs into the fingerprint. Near-dups differ in few
+    bits (Hamming). xxhash64 has no DuckDB twin → rows-only check;
+    the unit test pins determinism and bit-width instead.
+
+    Scale: one explode + one aggregation; the 64 bit-sums are a single
+    map-side-combinable vector per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word"))
+    h = F.xxhash64("word")
+    bit_sums = [
+        F.sum(F.when(
+            h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0,
+            1).otherwise(-1)).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long"))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return per_doc.select("doc_id", fp.alias("simhash64"))
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.9), brute
+    force. The expression chain is bit-exact with DuckDB's
+    list_cosine_similarity on DOUBLE[] (verified empirically), so this
+    is fully oracle-checked. Scale path: LSH-bucketed variant in
+    similarity.py prunes the quadratic pair space."""
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cosine_similarity("ea", "eb"))
+        .filter(F.col("cos_sim") >= 0.9)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.9
+"""

@@ -1,0 +1,103 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads with typed
+metadata, processed by Arrow-batched ``mapInPandas`` (north-star
+BASELINE.json 'Multimodal columns').
+
+The container has no image/audio codecs, so the DECODE step is a
+clearly-marked stub (``decode_image`` raises NotImplementedError; the
+pipeline uses a deterministic fake header parse instead). Everything
+around it — the binary column, the schema contract, the Arrow batch
+shape, the partition-parallel UDF execution — is real and tested:
+swapping the fake for PIL/libav is a one-function change.
+
+Scale notes: payload bytes travel Spark→Python as Arrow buffers (zero
+row-at-a-time serialization); metadata extraction is embarrassingly
+parallel per batch; at 100 TB you'd store payloads in parquet binary
+columns exactly like this, partitioned by modality/date.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+BLOB_META_SCHEMA = (
+    "doc_id bigint, n_bytes int, first4_hex string, sha256 string"
+)
+
+
+def decode_image(payload: bytes):  # pragma: no cover - documented stub
+    """REAL image decode (PIL/turbojpeg) — unavailable in this
+    container. The plumbing below uses ``_fake_header_meta`` instead;
+    swap this in when codecs exist."""
+    raise NotImplementedError(
+        "image codecs not available in this environment; "
+        "use _fake_header_meta for deterministic testing")
+
+
+def blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text re-materialized as a binary payload column (the
+    multimodal storage shape), then metadata-extracted via mapInPandas.
+    Oracle-checked: byte length, header hex, and sha256 all have exact
+    DuckDB twins, proving the Arrow round-trip is lossless.
+
+    The batch fn is a closure, not a module-level def: cloudpickle then
+    ships it BY VALUE, so executor Python workers never need this
+    package on their PYTHONPATH (true on a real cluster too)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def blob_meta_batches(
+            batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int32"),
+                "first4_hex": payloads.map(lambda b: b[:4].hex().upper()),
+                "sha256": payloads.map(
+                    lambda b: hashlib.sha256(b).hexdigest()),
+            })
+
+    return blobs.mapInPandas(blob_meta_batches, BLOB_META_SCHEMA)
+
+
+BLOB_METADATA_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       hex(encode(substring(text, 1, 4))) AS first4_hex,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+def modality_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout-audit query for a multimodal lake: per (source,
+    lang) 'modality partition', payload volume and document counts —
+    what you'd run before choosing partition/bucket columns at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.octet_length(F.encode("text", "UTF-8")))
+             .alias("total_bytes"),
+             F.max("n_chars").alias("max_chars"))
+    )
+
+
+MODALITY_PARTITION_STATS_SQL = """
+SELECT source, lang, count(*) AS n_docs,
+       SUM(octet_length(encode(text))) AS total_bytes,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY source, lang
+"""

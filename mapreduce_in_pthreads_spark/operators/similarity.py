@@ -1,0 +1,139 @@
+"""Similarity search over the embeddings table (north-star: ANN over an
+``array<float>`` column; SURVEY.md §2.3 'Vector similarity search').
+
+Two paths, as a real 100 TB pipeline would ship them:
+- ``ann_topk_bruteforce``: the exact baseline — broadcast the query
+  set, score every candidate with the pure-expression cosine kernel
+  (bit-exact with the DuckDB oracle), window top-k per query.
+- ``ann_ivf_topk``: the scale path — IVF-style cell pruning. Vectors
+  are bucketed by a coarse quantizer (here: the ``label`` column
+  stands in for a trained k-means assignment, making the pruning
+  deterministic and oracle-expressible); each query probes only its
+  own cell, cutting the scored pair space ~10×. A real deployment
+  swaps the label for `pyspark.ml` KMeans cell ids — same plan shape.
+
+Top-k determinism: rank orders by (similarity DESC, vec_id) — the
+tie-breaker makes the window reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+from ..sources.tables import load_table
+
+N_QUERIES = 10   # vec_id < 10 serve as the query set
+TOP_K = 10
+
+
+def _queries(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+        F.col("label").alias("query_label"))
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self excluded)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries(emb)
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine_similarity("embedding", "query_emb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+ANN_TOPK_BRUTEFORCE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.query_emb AS DOUBLE[])) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned top-k: score only candidates in the query's own cell
+    (label = coarse quantizer). Recall < 1 by design; the candidate set
+    shrinks by ~#cells — this is what makes ANN tractable when the
+    candidate side is 100 TB. Cell assignment is an equi-join key, so
+    Catalyst plans a plain hash join instead of a cross product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries(emb)
+    scored = (
+        emb.join(F.broadcast(q), emb.label == q.query_label)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine_similarity("embedding", "query_emb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb,
+                  label AS query_label
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.query_emb AS DOUBLE[])) AS cos_sim
+    FROM embeddings e JOIN q ON e.label = q.query_label
+    WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell centroid statistics (the quantizer-maintenance query):
+    element-wise mean vector per label, reported as the centroid's L2
+    norm. Demonstrates array aggregation without UDFs: explode →
+    groupBy(label, dim) → re-assemble.
+
+    Rows-only check: cross-row float sums are order-dependent in the
+    low bits and these are arbitrary float32-derived doubles, where the
+    decimal-rounding trick of functions.numeric does not apply (it
+    needs sources with clean bounded decimal precision). The unit test
+    pins the result against a numpy ground truth instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("dim", "x"),
+    )
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.avg("x").alias("mean_x"))
+    return (
+        per_dim.groupBy("label")
+        .agg(F.sqrt(F.sum(F.col("mean_x") * F.col("mean_x")))
+             .alias("centroid_norm"),
+             F.count(F.lit(1)).alias("n_dims"))
+    )

@@ -1,0 +1,204 @@
+"""Text-analysis operators over ``documents``: per-doc quality stats,
+per-language aggregates, BPE-ish token counting, tf-idf, n-grams,
+language-ID heuristic (north-star BASELINE.json 'Text analysis').
+
+All hot paths are built-in expressions (split / regexp / explode /
+window); the only float in play is tf-idf's logarithm, which is rounded
+to 6 dp on BOTH engines before ranking so a 1-ulp libm divergence can
+never reorder the top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import davg, sql_davg
+from ..sources.tables import load_table
+
+# "BPE-ish" tokenizer: letter runs, digit runs, single other non-space
+# (the regex subset that behaves identically in Java regex and RE2)
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: token counts, distinct ratio,
+    average token length, content fingerprint. All integer-exact
+    except avg_token_len (exact-int division → identical doubles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id", "lang",
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (F.size(F.array_distinct(toks)) / n_tokens).alias("distinct_ratio"),
+        ((F.length("text") - (n_tokens - 1)) / n_tokens)
+        .alias("avg_token_len"),
+        F.md5("text").alias("fingerprint"),
+    )
+
+
+DOC_QUALITY_STATS_SQL = """
+SELECT doc_id, lang,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       len(list_distinct(string_split(text, ' ')))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+       (length(text) - (len(string_split(text, ' ')) - 1))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+       md5(text) AS fingerprint
+FROM documents
+"""
+
+
+def lang_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rollup — the partition-pruning dimension a
+    multilingual 100 TB corpus would be laid out on."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+             davg("n_chars", "avg_chars"),
+             F.countDistinct("source").alias("n_sources"))
+    )
+
+
+LANG_AGGREGATES_SQL = f"""
+SELECT lang, count(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS total_tokens,
+       {sql_davg('n_chars', 'avg_chars')},
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (whitespace count alongside)
+    — the budget-estimation pass of an LLM data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0))
+        .alias("bpe_tokens"),
+    )
+
+
+BPE_TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_tokens
+FROM documents
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document. idf = ln(N/df) is rounded to
+    6 dp BEFORE ranking on both engines (libm ulp-divergence guard);
+    ties broken by word."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf",
+                    F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "word", "tf", "df", "tfidf", "rnk")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+    SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word
+), df AS (
+    SELECT word, count(*) AS df FROM tf GROUP BY word
+), n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.word, tf.tf, df.df,
+           round(tf.tf * ln(n.n / CAST(df.df AS DOUBLE)), 6) AS tfidf
+    FROM tf JOIN df USING (word), n
+)
+SELECT doc_id, word, tf, df, tfidf, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, word) AS rnk
+    FROM scored
+) WHERE rnk <= 3
+"""
+
+
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram frequencies (n-gram language-model input)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+BIGRAM_COUNTS_SQL = """
+SELECT bigram, count(*) AS n FROM (
+    SELECT unnest(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1])) AS bigram
+    FROM documents
+) GROUP BY bigram HAVING count(*) >= 5
+"""
+
+
+# stopword fingerprints per language — deliberately tiny; a real
+# pipeline ships trained n-gram profiles. The mechanism (score = hits
+# per language table, argmax) is the real part.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "das"],
+    "es": ["el", "los", "que"],
+    "fr": ["le", "les", "et"],
+    "zh": ["de", "shi", "le"],
+}
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language ID: hits per language's stopword list,
+    argmax with deterministic tie-break on language code. Rows-only
+    (the scoring tables are engine-internal policy, not SQL semantics);
+    the unit test checks determinism and output domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scores = F.array(*[
+        F.struct(
+            F.size(F.array_intersect(
+                toks, F.array(*[F.lit(m) for m in markers])))
+            .alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(_LANG_MARKERS.items())
+    ])
+    best = F.array_max(scores)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        best["lang"].alias("pred_lang"),
+        best["hits"].alias("marker_hits"),
+    )

@@ -1,0 +1,87 @@
+"""UDF extension surface (SURVEY.md §2.3 'UDF surface'): one Arrow
+pandas_udf, one applyInPandas UDAF, one row-at-a-time Python UDF.
+
+Placement is deliberate: the pandas_udf and applyInPandas run on
+Arrow batches (the acceptable Python path at scale); the scalar UDF is
+pinned to the tiny ``part`` dimension and documented as the slow path —
+never on a fact-table hot path (100 TB rule, SURVEY.md §2.3 notes).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType, StringType
+
+from ..sources.tables import load_table
+
+
+def pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas_udf demo with an exact oracle twin (len ∘ string_split).
+
+    Defined as a closure so cloudpickle ships the function by value —
+    executor workers don't need this package importable (cluster-safe).
+    """
+    @pandas_udf(IntegerType())
+    def token_count_arrow(texts: pd.Series) -> pd.Series:
+        return texts.str.split(" ").map(len).astype("int32")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count_arrow("text").alias("n_tokens"))
+
+
+PANDAS_UDF_TOKEN_COUNT_SQL = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+FROM documents
+"""
+
+
+def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas group UDAF: z-score n_chars within each language.
+    Rounded to 4 dp on both sides — pandas and DuckDB sum floats in
+    different orders, so low bits differ by design; the round is the
+    documented contract, not a fudge. Closure for by-value pickling."""
+    def zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pandas as _pd
+
+        mean = pdf["n_chars"].mean()
+        std = pdf["n_chars"].std(ddof=1)
+        z = (pdf["n_chars"] - mean) / std if std > 0 else pdf["n_chars"] * 0.0
+        return _pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "lang": pdf["lang"],
+            "chars_zscore": z.round(4),
+        })
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", "n_chars").groupBy("lang").applyInPandas(
+        zscore_group, "doc_id bigint, lang string, chars_zscore double")
+
+
+APPLY_IN_PANDAS_ZSCORE_SQL = """
+SELECT doc_id, lang,
+       round((n_chars - avg(n_chars) OVER w)
+             / stddev_samp(n_chars) OVER w, 4) AS chars_zscore
+FROM documents
+WINDOW w AS (PARTITION BY lang)
+"""
+
+
+def python_udf_slow_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — THE SLOW PATH, shown once, on the
+    small ``part`` dimension only. The expression twin (reverse ∘
+    upper) is what production code should use; this exists to prove
+    the extension point, and its docstring is the warning label."""
+    rev_upper = F.udf(lambda s: s.upper()[::-1] if s is not None else None,
+                      StringType())
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", rev_upper("p_name").alias("name_rev_upper"))
+
+
+PYTHON_UDF_SLOW_PATH_SQL = """
+SELECT p_partkey, reverse(upper(p_name)) AS name_rev_upper FROM part
+"""

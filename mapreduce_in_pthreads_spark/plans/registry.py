@@ -21,8 +21,13 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators import dedup as dd
 from ..operators import inverted_index as ii
 from ..operators import joins as jn
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import text_analysis as ta
+from ..operators import udfs as ud
 from ..operators import relational as rel
 from ..operators import timeseries as ts
 from ..operators import windows as win
@@ -133,3 +138,56 @@ register("dedup_events_in_window", ts.dedup_events_in_window,
          ts.DEDUP_EVENTS_SQL, "event-time dedup within tumbling hour")
 register("json_props_extract", ts.json_props_extract, ts.JSON_PROPS_SQL,
          "JSON prop extraction + aggregation")
+
+# --- deduplication (north-star: LLM data pipeline) -----------------------
+register("exact_dedup", dd.exact_dedup, dd.EXACT_DEDUP_SQL,
+         "exact dedup by content fingerprint, deterministic survivor")
+register("jaccard_similarity_join", dd.jaccard_similarity_join,
+         dd.JACCARD_JOIN_SQL,
+         "exact shingle-Jaccard similarity join (LSH baseline)")
+register("minhash_lsh_dedup", dd.minhash_lsh_dedup, dd.MINHASH_LSH_SQL,
+         "MinHash signatures -> banded LSH -> verified near-dups")
+register("simhash_fingerprints", dd.simhash_fingerprints, None,
+         "64-bit SimHash per doc (xxhash64; rows-only)")
+register("embedding_near_dup", dd.embedding_near_dup,
+         dd.EMBEDDING_NEAR_DUP_SQL,
+         "cosine >= 0.9 near-dup pairs, expression-only kernel")
+
+# --- similarity search ----------------------------------------------------
+register("ann_topk_bruteforce", sim.ann_topk_bruteforce,
+         sim.ANN_TOPK_BRUTEFORCE_SQL,
+         "exact top-k cosine neighbors (baseline)")
+register("ann_ivf_topk", sim.ann_ivf_topk, sim.ANN_IVF_TOPK_SQL,
+         "IVF cell-pruned top-k cosine neighbors (scale path)")
+register("label_centroid_norms", sim.label_centroid_norms, None,
+         "per-cell centroid norms (rows-only: cross-row float sums)")
+
+# --- text analysis --------------------------------------------------------
+register("doc_quality_stats", ta.doc_quality_stats,
+         ta.DOC_QUALITY_STATS_SQL, "per-doc quality scoring")
+register("lang_aggregates", ta.lang_aggregates, ta.LANG_AGGREGATES_SQL,
+         "per-language corpus rollup")
+register("bpe_token_counts", ta.bpe_token_counts, ta.BPE_TOKEN_COUNTS_SQL,
+         "BPE-ish regex token counting")
+register("tfidf_top_terms", ta.tfidf_top_terms, ta.TFIDF_TOP_TERMS_SQL,
+         "top-3 tf-idf terms per doc, round-before-rank")
+register("bigram_counts", ta.bigram_counts, ta.BIGRAM_COUNTS_SQL,
+         "corpus bigram frequencies")
+register("lang_id_heuristic", ta.lang_id_heuristic, None,
+         "marker-based language ID (rows-only: policy tables)")
+
+# --- multimodal plumbing ---------------------------------------------------
+register("blob_metadata", mm.blob_metadata, mm.BLOB_METADATA_SQL,
+         "binary payload metadata via Arrow mapInPandas")
+register("modality_partition_stats", mm.modality_partition_stats,
+         mm.MODALITY_PARTITION_STATS_SQL, "payload volume per partition")
+
+# --- UDF surface -----------------------------------------------------------
+register("pandas_udf_token_count", ud.pandas_udf_token_count,
+         ud.PANDAS_UDF_TOKEN_COUNT_SQL, "Arrow pandas_udf demo")
+register("apply_in_pandas_zscore", ud.apply_in_pandas_zscore,
+         ud.APPLY_IN_PANDAS_ZSCORE_SQL,
+         "applyInPandas group UDAF (per-lang z-score)")
+register("python_udf_slow_path", ud.python_udf_slow_path,
+         ud.PYTHON_UDF_SLOW_PATH_SQL,
+         "row-at-a-time UDF on a dim table (the documented slow path)")

@@ -48,10 +48,25 @@ def read_word_per_line(spark: SparkSession, paths: str | list[str],
         paths = [paths]
     if big_files:
         return _read_big_files(spark, paths)
-    whole = spark.read.text(paths, wholeText=True).select(
-        F.input_file_name().alias("filename"),
-        # strip exactly one trailing newline so "a\n" is 1 line, as fgets sees it
-        F.split(F.regexp_replace("value", r"\n$", ""), "\n").alias("lines"),
+    # binaryFile + Latin-1 decode, NOT spark.read.text: the text source
+    # strips a leading UTF-8 BOM, but the reference reads raw bytes
+    # (fgets, mapreduce.c:107) and its golden output depends on the BOM
+    # line surviving as a (dropped-but-numbered) line. Latin-1 maps
+    # every byte 1:1, exactly like the C char buffer.
+    txt = F.decode("content", "ISO-8859-1")
+    raw_lines = F.split(txt, "\n")
+    # Drop exactly one trailing empty element when the file ends with
+    # \n, so "a\n" is 1 line as fgets sees it. An explicit slice, NOT
+    # regexp_replace('\n$'): Java's $ also matches before a FINAL line
+    # terminator, so on a file ending "\r\n\r\n" it would strip two
+    # newlines and lose the last (empty, but numbered) line.
+    lines = F.when(
+        txt.endswith("\n"),
+        F.slice(raw_lines, F.lit(1), F.size(raw_lines) - 1),
+    ).otherwise(raw_lines)
+    whole = spark.read.format("binaryFile").load(paths).select(
+        F.col("path").alias("filename"),
+        lines.alias("lines"),
     )
     return whole.select(
         "filename",

@@ -1,0 +1,80 @@
+"""Golden replay against the reference's own corpus and output
+(SURVEY.md §5.2 'Golden replay'): run this engine's text source +
+normalization + inverted index over /root/reference/testfiles/ and
+compare with /root/reference/output.txt as {word → multiset[(file,
+line)]} — the same order-insensitive comparison the reference itself
+admits (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_in_pthreads_spark.functions.normalize import normalize_word
+from mapreduce_in_pthreads_spark.sources.text import read_word_per_line
+
+REF = Path("/root/reference")
+GOLDEN = REF / "output.txt"
+TESTFILES = sorted((REF / "testfiles").glob("file*.txt"),
+                   key=lambda p: int(re.search(r"\d+", p.name).group()))
+
+pytestmark = pytest.mark.skipif(
+    not GOLDEN.exists(), reason="reference corpus not present")
+
+
+def parse_golden() -> dict[str, Counter]:
+    """golden line format: ``word: (file1.txt: 12), (file2.txt: 3), …``
+    (mapreduce.c:171,180,218)."""
+    out: dict[str, Counter] = {}
+    for line in GOLDEN.read_text().splitlines():
+        word, _, rest = line.partition(": ")
+        occ = Counter(
+            (m.group(1), int(m.group(2)))
+            for m in re.finditer(r"\(([^:]+): (\d+)\)", rest))
+        out[word] = occ
+    return out
+
+
+def engine_index(spark) -> dict[str, Counter]:
+    corpus = read_word_per_line(spark, [str(p) for p in TESTFILES])
+    words = (
+        corpus.select(
+            # golden uses bare file names (argv strings, mapreduce.c:309)
+            F.element_at(F.split("filename", "/"), -1).alias("filename"),
+            "linenum",
+            normalize_word("raw_line").alias("word"))
+        .filter(F.col("word") != "")
+    )
+    rows = words.collect()
+    out: dict[str, Counter] = {}
+    for r in rows:
+        out.setdefault(r.word, Counter())[(r.filename, r.linenum)] += 1
+    return out
+
+
+def test_golden_replay(spark):
+    golden = parse_golden()
+    mine = engine_index(spark)
+    assert len(mine) == len(golden) == 4135          # distinct words
+    assert sum(sum(c.values()) for c in mine.values()) == 21322
+    assert mine == golden                            # full multiset equality
+
+
+def test_corpus_invariants(spark):
+    """Appendix A pins: 22,271 physical lines, 949 dropped as
+    empty-after-normalize. Line numbers count dropped lines too
+    (mapreduce.c:109 before 112-114) — the BOM line of file1.txt is
+    line 1, so the first 'the' is at line 2."""
+    corpus = read_word_per_line(spark, [str(p) for p in TESTFILES])
+    assert corpus.count() == 22271
+    normalized = corpus.select(
+        "filename", "linenum", normalize_word("raw_line").alias("word"))
+    assert normalized.filter(F.col("word") == "").count() == 949
+    file1 = normalized.filter(
+        F.col("filename").endswith("file1.txt") & (F.col("word") == "the"))
+    assert file1.agg(F.min("linenum")).first()[0] == 2
