@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing methodology:
+- the SparkSession is built first and a warm-up action runs, so JVM/
+  session startup is excluded (BASELINE.md: 'compare steady-state
+  query time, not process wall clock');
+- each query executes its FULL physical plan into the noop sink
+  (``format("noop")``) — no collect-to-driver cost, no skipped
+  stages from count() shortcuts;
+- value = sum of per-query wall-clock seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreduce_in_pthreads_spark.plans.registry import REGISTRY  # noqa: E402
+from mapreduce_in_pthreads_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "inverted_index",          # reference flagship (R1-R11)
+    "word_count",              # map-side-combinable derived query
+    "q1_pricing_summary",      # big-scan aggregation
+    "q6_forecast_revenue",     # selective pushdown scan
+    "revenue_by_nation",       # broadcast-dim + shuffle fact join
+    "top_orders_per_customer", # window top-N
+    "tumbling_hourly",         # event-time windows
+    "session_windows_30m",     # session windows
+    "exact_dedup",             # content dedup
+    "minhash_lsh_dedup",       # MinHash+LSH near-dup pipeline
+    "ann_topk_bruteforce",     # vector top-k
+    "tfidf_top_terms",         # text analysis
+]
+
+
+def run_noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: touch every input table so OS page cache + parquet
+    # footers are warm for all queries alike
+    run_noop(REGISTRY["corpus_stats"].fn(spark, sf_dir))
+    run_noop(REGISTRY["q6_forecast_revenue"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run_noop(REGISTRY[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

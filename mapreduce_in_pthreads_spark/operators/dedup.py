@@ -35,20 +35,42 @@ JACCARD_THRESHOLD = 0.5
 
 # --- shared shingle pipeline --------------------------------------------
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → exploded DISTINCT word-3-shingles. Positions are not
-    needed for set similarity, so dedup early (shrinks every downstream
-    shuffle — the earlier the distinct, the cheaper the pipeline)."""
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → DISTINCT word-3-shingle set as an ARRAY column plus its
+    size. Staying in the array domain is the key plan decision: the
+    per-doc dedup (`array_distinct`) is a map-side expression, not a
+    `distinct()` shuffle, and downstream set math (`array_intersect`)
+    runs per-row. The only shuffles left in the dedup pipelines are the
+    pair-generation joins."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    sh = F.transform(
+    sh = F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.size(toks) - SHINGLE_K),
         lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
-    )
-    return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    ))
+    sets = docs.select("doc_id", sh.alias("shset"),
+                       F.size(sh).alias("n_shingles"))
+    # One deterministic hash repartition AFTER the projection, doing
+    # three jobs at once:
+    # 1. parallelism — the single parquet file scans as one partition;
+    #    downstream signature hashing fans out to all cores;
+    # 2. materialization barrier — project-collapse would otherwise
+    #    inline the shingle lambda into every consumer expression
+    #    (8 signature columns → 8 recomputes; no CSE across
+    #    higher-order functions);
+    # 3. exchange REUSE — hash partitioning (unlike round-robin) is
+    #    deterministic, so the 4 consumers of this subtree (both band
+    #    self-join sides, both verify sides) share ONE ReusedExchange
+    #    instead of recomputing the scan+shingle pipeline 4×.
+    return sets.repartition(spark.sparkContext.defaultParallelism,
+                            F.col("doc_id"))
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, shingle) view of the shingle sets — already
+    distinct per doc by construction."""
+    return _shingle_sets(spark, sf_dir).select(
+        "doc_id", F.explode("shset").alias("shingle"))
 
 
 # doc_id → distinct shingles (DuckDB twin; 1-indexed list access)
@@ -89,11 +111,14 @@ FROM documents GROUP BY md5(text)
 def jaccard_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-Jaccard similarity join (the LSH baseline):
     pairs sharing ≥1 shingle, J = |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
-    Intersections come from a shingle-keyed self-join (inverted-index
-    join), never an all-pairs cross product; integer division in double
-    is exact in both engines."""
+    Intersection sizes come from the shingle-keyed self-join +
+    aggregation (inverted-index join — never an all-pairs cross
+    product): with heavily shared shingles the pair stream is large, so
+    counting matches in the aggregation beats re-joining the full
+    shingle arrays onto every pair. Integer division in double is
+    exact in both engines."""
+    sets = _shingle_sets(spark, sf_dir)
     sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
@@ -103,8 +128,10 @@ def jaccard_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    na = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("n_shingles").alias("na"))
+    nb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("n_shingles").alias("nb"))
     return (
         shared.join(na, "doc_a").join(nb, "doc_b")
         .withColumn("jaccard",
@@ -133,18 +160,20 @@ WHERE shared / CAST(na.n + nb.n - shared AS DOUBLE) >= {JACCARD_THRESHOLD}
 """
 
 
-def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → N_HASHES minhash values. Hash family: md5(seed:shingle)
-    (hex strings compare lexicographically — identical in DuckDB, so
-    the whole LSH pipeline is oracle-checkable). One aggregation pass
-    computes the full signature; no per-hash scans."""
-    sh = _shingles(spark, sf_dir)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
+def _minhash_signatures(sets: DataFrame) -> DataFrame:
+    """doc_id → N_HASHES minhash values, computed per-row with
+    array_min over the shingle-set column — NO aggregation shuffle.
+    Hash family: md5(seed:shingle) (hex strings compare
+    lexicographically — identical in DuckDB, so the whole LSH pipeline
+    is oracle-checkable)."""
+    sig_cols = [
+        F.array_min(F.transform(
+            F.col("shset"),
+            lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
         .alias(f"mh{i}")
         for i in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sets.select("doc_id", "shset", "n_shingles", *sig_cols)
 
 
 _MINHASH_COLS_SQL = ",\n       ".join(
@@ -165,8 +194,14 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The band join is the scale trick: docs collide only on equal band
     hashes, so candidate generation is a hash join on short strings —
     no all-pairs comparison at any point. False negatives are the LSH
-    trade: P(detect) = 1-(1-J²)⁴ (≈0.9 at J=0.7)."""
-    sig = _minhash_signatures(spark, sf_dir)
+    trade: P(detect) = 1-(1-J²)⁴ (≈0.9 at J=0.7).
+
+    Plan shape: signature + banding are pure map-side expressions over
+    the shingle-set arrays; the only shuffles are the band-bucket
+    self-join and the pair distinct. Verification joins the two shingle
+    sets back and intersects per-row — candidates only, exactly the
+    LSH contract that keeps 100 TB feasible."""
+    sig = _minhash_signatures(_shingle_sets(spark, sf_dir))
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[
@@ -185,23 +220,16 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # verify candidates against true Jaccard (exact, candidates only)
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta = sh.select(F.col("doc_id").alias("doc_a"),
-                   F.col("shingle").alias("sh_a"))
-    tb = sh.select(F.col("doc_id").alias("tb_doc"),
-                   F.col("shingle").alias("sh_b"))
-    shared = (
-        cand.join(ta, "doc_a")
-        .join(tb, (F.col("doc_b") == F.col("tb_doc"))
-              & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    sets = _shingle_sets(spark, sf_dir)
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("shset").alias("set_a"),
+                     F.col("n_shingles").alias("na"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("shset").alias("set_b"),
+                     F.col("n_shingles").alias("nb"))
     return (
-        shared.join(na, "doc_a").join(nb, "doc_b")
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("shared", F.size(F.array_intersect("set_a", "set_b")))
         .withColumn("jaccard",
                     F.col("shared")
                     / (F.col("na") + F.col("nb") - F.col("shared")))

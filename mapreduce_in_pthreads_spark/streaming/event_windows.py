@@ -1,0 +1,100 @@
+"""Structured Streaming variants of the event-window operators
+(SURVEY.md §2.3 'Streaming-shaped'; §7 stretch goal).
+
+Design point: the LOGICAL transformations are shared with the batch
+operators in ``operators/timeseries.py`` — one query, two execution
+modes. Batch is the driver-oracle surface; these streaming twins are
+tested by file-source parity against the batch results (the reference's
+own execution model is closer to streaming — bounded producers feeding
+blocking queues, mapreduce.c:75-87 — so this is also a fidelity point).
+
+Late-data policy (documented contract):
+- 10-minute watermark on ``ts``;
+- events later than the watermark are DROPPED (the only option Spark
+  gives for append-mode windowed aggregates);
+- windows emit when the watermark passes their end — with a bounded
+  historical file source, that means all-but-the-last windows emit;
+  tests compare against batch modulo that tail.
+
+Scale notes: watermarking bounds state (without it, windowed state
+grows forever — the streaming analogue of the reference's unbounded
+uthash tables, mapreduce.c:170-174); session windows additionally merge
+state per key, which is why the gap parameter is the state-size knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+
+EVENTS_SCHEMA = ("event_id bigint, ts bigint, user_id bigint, "
+                 "event_type string, value double, props string")
+
+WATERMARK = "10 minutes"
+
+
+def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ts arrives as int64
+    nanoseconds — same nanosAsLong contract as the batch reader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``timeseries.tumbling_hourly``."""
+    ev = _read_event_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value", "sum_value"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``timeseries.session_windows_30m`` — native
+    merging session state with watermark-bounded retention."""
+    ev = _read_event_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value", "sum_value"))
+        .select("user_id",
+                F.unix_micros(F.col("w.start")).alias("session_start_us"),
+                "n_events", "sum_value")
+    )
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming event dedup: dropDuplicates on (user_id, event_type,
+    hour) with watermark-bounded dedup state — the streaming twin of
+    ``timeseries.dedup_events_in_window``."""
+    ev = _read_event_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    return (
+        ev.withColumn("hour", F.date_trunc("hour", "ts"))
+        .dropDuplicates(["user_id", "event_type", "hour"])
+        .select("event_id", "user_id", "event_type",
+                F.unix_micros("hour").alias("hour_us"))
+    )
+
+
+def run_to_memory(spark: SparkSession, stream_df: DataFrame,
+                  name: str, output_mode: str) -> DataFrame:
+    """Execute a bounded stream to completion into a memory sink and
+    return the materialized result (test harness helper)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name).outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)

@@ -1,0 +1,86 @@
+"""Physical-plan assertions (SURVEY.md §4.3): the plan-shape contract
+that makes these queries scale — pushdown reaching the parquet scan,
+dimension joins broadcasting, top-k avoiding global sorts, hot paths
+staying inside WholeStageCodegen (no Python in the dataflow unless the
+operator is explicitly a UDF demo).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_in_pthreads_spark.plans.registry import REGISTRY
+
+
+def plan(spark, sf_dir, name) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    p = plan(spark, sf_dir, "q6_forecast_revenue")
+    # filters reach the FileScan node (the toString truncates the
+    # filter list, so match the scan's DataFilters prefix)
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    assert "DataFilters: [isnotnull(l_shipdate" in scan
+    # and only the needed columns are read
+    assert "[l_quantity" in scan and "l_orderkey" not in scan
+
+
+def test_q1_prunes_columns(spark, sf_dir):
+    p = plan(spark, sf_dir, "q1_pricing_summary")
+    read = p[p.index("ReadSchema"):].splitlines()[0]
+    # only the 7 needed columns, not all 11 (column pruning)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read and "l_returnflag" in read
+
+
+def test_revenue_by_nation_broadcasts_dims(spark, sf_dir):
+    p = plan(spark, sf_dir, "revenue_by_nation")
+    assert p.count("BroadcastHashJoin") >= 3  # customer, nation, region
+
+
+def test_top_k_uses_take_ordered(spark, sf_dir):
+    p = plan(spark, sf_dir, "top_k_orders")
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p  # no global sort materialization
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    assert "LeftSemi" in plan(spark, sf_dir, "customers_with_big_orders")
+    assert "LeftAnti" in plan(spark, sf_dir, "customers_without_orders")
+
+
+def test_inverted_index_single_shuffle(spark, sf_dir):
+    """The flagship should shuffle exactly once (the groupBy) — the
+    Spark analogue of the reference's single producer→consumer
+    exchange (mapreduce.c:117-131)."""
+    p = plan(spark, sf_dir, "inverted_index")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_no_python_in_relational_hot_paths(spark, sf_dir):
+    """Python evaluation (BatchEvalPython/ArrowEvalPython/FlatMapsInPandas)
+    must not appear in any non-UDF-demo query plan."""
+    udf_demos = {"pandas_udf_token_count", "apply_in_pandas_zscore",
+                 "python_udf_slow_path", "blob_metadata"}
+    for name, q in REGISTRY.items():
+        if name in udf_demos:
+            continue
+        p = plan(spark, sf_dir, name)
+        assert "EvalPython" not in p and "InPandas" not in p, name
+
+
+def test_ivf_prunes_vs_bruteforce(spark, sf_dir):
+    """IVF variant joins on the cell key (hash/broadcast join), while
+    brute force is an explicit cartesian/broadcast product."""
+    p = plan(spark, sf_dir, "ann_ivf_topk")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_partial_aggregation_in_word_count(spark, sf_dir):
+    """word_count must plan two-phase hash aggregation (map-side
+    partial_count before the exchange) — the improvement over the
+    reference's combine-less shuffle (SURVEY.md §4.2)."""
+    p = plan(spark, sf_dir, "word_count")
+    assert "partial_count" in p

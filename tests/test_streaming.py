@@ -1,0 +1,44 @@
+"""Streaming-vs-batch parity (SURVEY.md §7: streaming variants tested
+by file-source parity against the batch result, not the SQL oracle).
+
+With availableNow + a bounded file source, COMPLETE-mode aggregations
+process every input exactly once, so results must equal batch exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_in_pthreads_spark.plans.registry import REGISTRY
+from mapreduce_in_pthreads_spark.streaming import event_windows as st
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("stream_fn,batch_name,cols,mode", [
+    (st.streaming_tumbling_hourly, "tumbling_hourly",
+     ["window_start_us", "event_type", "n_events", "sum_value"], "complete"),
+    (st.streaming_session_windows, "session_windows_30m",
+     ["user_id", "session_start_us", "n_events", "sum_value"], "complete"),
+])
+def test_stream_batch_parity(spark, sf_dir, stream_fn, batch_name, cols, mode,
+                             request):
+    name = f"mem_{batch_name}"
+    got = st.run_to_memory(spark, stream_fn(spark, sf_dir), name, mode)
+    expect = REGISTRY[batch_name].fn(spark, sf_dir)
+    assert _rows(got, cols) == _rows(expect, cols)
+
+
+def test_streaming_dedup_parity(spark, sf_dir):
+    got = st.run_to_memory(
+        spark, st.streaming_dedup(spark, sf_dir), "mem_dedup", "append")
+    batch = REGISTRY["dedup_events_in_window"].fn(spark, sf_dir)
+    # streaming dropDuplicates keeps the FIRST SEEN row per key (arrival
+    # order, nondeterministic across partitions — same caveat as the
+    # reference's arrival-order aggregation, SURVEY.md §2.2); compare the
+    # deterministic projection: the deduped KEY SET, not survivor ids.
+    key = lambda df: sorted({(r.user_id, r.event_type, r.hour_us)
+                             for r in df.collect()})
+    assert key(got) == key(batch)
