@@ -1,0 +1,365 @@
+"""Advanced operator surface rounding out SURVEY.md §2.3: as-of join
+(an operator Spark lacks natively — composed from union+window, the
+scalable formulation), pivot/unpivot, exact-decimal statistical
+moments, min_by/max_by, full-outer & cross joins, array-function
+surface, percentiles, and a Rabin-Karp-style rolling-hash document
+fingerprint.
+
+Scale notes inline per operator; the common theme is that every
+"custom" operator is a composition of shuffle-reusing DataFrame
+primitives, not a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import sql_dsum
+from ..sources.tables import load_table
+
+DEC = "decimal(25,4)"
+MOD = 1_000_000_007
+
+
+def asof_join_prior_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN: for every purchase, the most recent SAME-USER event
+    strictly before it (any non-purchase type), with the gap in µs.
+
+    Spark has no native as-of join; the scalable composition is the
+    union+window trick: one sort per user over the merged stream, then
+    ``last(..., ignorenulls=True)`` over rows strictly before the
+    current one. ONE shuffle (the window partitioning) regardless of
+    how many right-side rows precede each left row — versus the
+    pair-explosion of a range join. Purchases with no prior event
+    surface with nulls (left-outer semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    other_id = F.when(~is_p, F.col("event_id"))
+    other_ts = F.when(~is_p, F.col("ts"))
+    other_type = F.when(~is_p, F.col("event_type"))
+    return (
+        ev.select(
+            "user_id", "event_id", "ts", "event_type",
+            F.last(other_id, ignorenulls=True).over(w).alias("prior_event_id"),
+            F.last(other_type, ignorenulls=True).over(w).alias("prior_type"),
+            F.last(other_ts, ignorenulls=True).over(w).alias("prior_ts"),
+        )
+        .filter(is_p)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id", "prior_event_id", "prior_type",
+            (F.unix_micros("ts") - F.unix_micros("prior_ts"))
+            .alias("gap_us"),
+        )
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+o AS (SELECT * FROM events WHERE event_type <> 'purchase'),
+cand AS (
+    SELECT p.event_id AS purchase_id, p.user_id,
+           o.event_id AS prior_event_id, o.event_type AS prior_type,
+           epoch_us(p.ts) - epoch_us(o.ts) AS gap_us,
+           row_number() OVER (PARTITION BY p.event_id
+                              ORDER BY o.ts DESC, o.event_id DESC) AS rn
+    FROM p JOIN o ON o.user_id = p.user_id
+       AND (o.ts < p.ts OR (o.ts = p.ts AND o.event_id < p.event_id))
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       c.prior_event_id, c.prior_type, c.gap_us
+FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+  ON c.purchase_id = p.event_id
+"""
+
+
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts spread across one column per type.
+    The pivot values are DECLARED (not discovered) — at 100 TB an
+    undeclared pivot needs an extra pass to enumerate keys."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+       count(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+       count(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+FROM events GROUP BY user_id
+"""
+
+
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: per-status totals widened by q1-style aggregation,
+    then melted back to (status, metric, value) long form."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+        .alias("total_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"], ["total_price", "n_orders", "max_price"],
+        "metric", "value")
+
+
+UNPIVOT_SQL = f"""
+WITH wide AS (
+    SELECT o_orderstatus,
+           {sql_dsum('o_totalprice', 'total_price')},
+           CAST(count(*) AS DOUBLE) AS n_orders,
+           max(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, 'total_price' AS metric, total_price AS value FROM wide
+UNION ALL
+SELECT o_orderstatus, 'n_orders', n_orders FROM wide
+UNION ALL
+SELECT o_orderstatus, 'max_price', max_price FROM wide
+"""
+
+
+def _moments(col: str, alias_prefix: str) -> list[Column]:
+    c = F.col(col).cast(DEC)
+    return [
+        F.sum(c).cast("double").alias(f"{alias_prefix}_s1"),
+        F.sum(c * c).cast("double").alias(f"{alias_prefix}_s2"),
+    ]
+
+
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates with ORDER-STABLE cross-engine results:
+    stddev/variance/correlation computed from exact decimal moment sums
+    (Σx, Σx², Σxy) instead of the built-in one-pass aggregates, whose
+    float accumulation order differs between engines. The moment sums
+    are map-side combinable, so this is also the scalable formulation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast(DEC)
+    p = F.col("l_extendedprice").cast(DEC)
+    base = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        *_moments("l_quantity", "q"),
+        *_moments("l_extendedprice", "p"),
+        F.sum(q * p).cast("double").alias("qp_s"),
+    )
+    n = F.col("n")
+    var_q = (F.col("q_s2") - F.col("q_s1") * F.col("q_s1") / n) / (n - 1)
+    var_p = (F.col("p_s2") - F.col("p_s1") * F.col("p_s1") / n) / (n - 1)
+    cov = (F.col("qp_s") - F.col("q_s1") * F.col("p_s1") / n) / (n - 1)
+    return base.select(
+        "l_returnflag", "n",
+        F.round(var_q, 6).alias("var_qty"),
+        F.round(F.sqrt(var_q), 6).alias("stddev_qty"),
+        F.round(cov / (F.sqrt(var_q) * F.sqrt(var_p)), 6).alias("corr_qty_price"),
+    )
+
+
+STATS_MOMENTS_SQL = """
+WITH base AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS q_s1,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))
+                    * CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS q_s2,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS p_s1,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))
+                    * CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS p_s2,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))
+                    * CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS qp_s
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((q_s2 - q_s1 * q_s1 / n) / (n - 1), 6) AS var_qty,
+       round(sqrt((q_s2 - q_s1 * q_s1 / n) / (n - 1)), 6) AS stddev_qty,
+       round(((qp_s - q_s1 * p_s1 / n) / (n - 1))
+             / (sqrt((q_s2 - q_s1 * q_s1 / n) / (n - 1))
+                * sqrt((p_s2 - p_s1 * p_s1 / n) / (n - 1))), 6)
+           AS corr_qty_price
+FROM base
+"""
+
+
+def min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by: each customer's most/least expensive order key.
+    The ordering value is a (price, key) struct so ties are impossible
+    — bare max_by over a tied value is nondeterministic (same caveat
+    as the reference's arrival-order output, SURVEY.md §2.2)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey",
+                 F.struct("o_totalprice", "o_orderkey")).alias("best_order"),
+        F.min_by("o_orderkey",
+                 F.struct("o_totalprice", "o_orderkey")).alias("worst_order"),
+        F.max("o_totalprice").alias("best_price"),
+    )
+
+
+MIN_MAX_BY_SQL = """
+WITH ranked AS (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey DESC) AS rb,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice ASC, o_orderkey ASC) AS rw
+    FROM orders
+)
+SELECT o_custkey,
+       max(CASE WHEN rb = 1 THEN o_orderkey END) AS best_order,
+       max(CASE WHEN rw = 1 THEN o_orderkey END) AS worst_order,
+       max(o_totalprice) AS best_price
+FROM ranked GROUP BY o_custkey
+"""
+
+
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: customer-count vs supplier-count per nation,
+    preserving nations present on only one side."""
+    c = (load_table(spark, sf_dir, "customer")
+         .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust")))
+    s = (load_table(spark, sf_dir, "supplier")
+         .groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_supp")))
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+FULL_OUTER_SQL = """
+SELECT coalesce(c.k, s.k) AS nationkey,
+       coalesce(c.n_cust, 0) AS n_cust,
+       coalesce(s.n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+  ON c.k = s.k
+"""
+
+
+def cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN of two tiny dimensions (region × order
+    priority) — the only place a cross product is ever acceptable:
+    when both sides are provably small."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    p = (load_table(spark, sf_dir, "orders")
+         .select("o_orderpriority").distinct())
+    return r.crossJoin(p)
+
+
+CROSS_JOIN_SQL = """
+SELECT r_name, o_orderpriority
+FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+"""
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over tokenized documents: sort, distinct,
+    slice, contains, position (0 when absent — both engines), plus a
+    whole-array output column proving array values round-trip the
+    comparison harness."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.sort_array(F.array_distinct(toks)).alias("vocab"),
+        F.slice(toks, 1, 3).alias("first3"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_position(toks, "the").alias("first_the_pos"),
+        F.size(toks).alias("n_tokens"),
+    )
+
+
+ARRAY_FUNCTIONS_SQL = """
+SELECT doc_id,
+       list_sort(list_distinct(string_split(text, ' '))) AS vocab,
+       string_split(text, ' ')[1:3] AS first3,
+       list_contains(string_split(text, ' '), 'the') AS has_the,
+       CAST(list_position(string_split(text, ' '), 'the') AS BIGINT)
+           AS first_the_pos,
+       len(string_split(text, ' ')) AS n_tokens
+FROM documents
+"""
+
+
+def quantiles_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group — both
+    engines implement the same index = p·(n−1) definition; inputs are
+    integer-valued doubles so the interpolated values are exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.percentile("l_quantity", 0.99).alias("p99_qty"),
+    )
+
+
+QUANTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       quantile_cont(l_quantity, 0.99) AS p99_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# --- Rabin-Karp-style rolling window fingerprint -------------------------
+
+ROLL_WINDOW = 8
+ROLL_BASE = 131
+
+
+def _token_code(col: Column) -> Column:
+    """Cheap per-token code (first-char code ⊕ length) — stands in for
+    a byte-level hash; identical `ascii`/`length` in both engines."""
+    return F.ascii(col) * 31 + F.length(col)
+
+
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: polynomial rolling hash (Rabin-Karp
+    window) over the LAST 8 tokens, mod 1e9+7 — the suffix fingerprint
+    used for cheap incremental dedup of append-mostly corpora. Pure
+    integer expression unrolled over the fixed window: exact in both
+    engines, no UDF, map-side only (zero shuffles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    h: Column = F.lit(0).cast("long")
+    for i in range(ROLL_WINDOW, 0, -1):
+        # F.get (0-based, null on out-of-bounds) rather than element_at,
+        # which throws under ANSI mode for short documents; nulls from
+        # short docs fold in as 0 on both engines.
+        code = F.coalesce(_token_code(F.get(toks, F.size(toks) - i)),
+                          F.lit(0)).cast("long")
+        h = F.pmod(h * ROLL_BASE + code, F.lit(MOD))
+    return docs.select("doc_id", h.alias("fingerprint"),
+                       F.size(toks).alias("n_tokens"))
+
+
+_ROLL_SQL_EXPR = "CAST(0 AS BIGINT)"
+for _i in range(ROLL_WINDOW, 0, -1):
+    _code = (f"coalesce(ascii(string_split(text, ' ')[-{_i}]) * 31 "
+             f"+ length(string_split(text, ' ')[-{_i}]), 0)")
+    _ROLL_SQL_EXPR = f"(({_ROLL_SQL_EXPR}) * {ROLL_BASE} + {_code}) % {MOD}"
+
+ROLLING_HASH_SQL = f"""
+SELECT doc_id,
+       {_ROLL_SQL_EXPR} AS fingerprint,
+       len(string_split(text, ' ')) AS n_tokens
+FROM documents
+"""

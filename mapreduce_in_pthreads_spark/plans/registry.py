@@ -21,6 +21,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators import advanced as adv
 from ..operators import dedup as dd
 from ..operators import inverted_index as ii
 from ..operators import joins as jn
@@ -191,3 +192,27 @@ register("apply_in_pandas_zscore", ud.apply_in_pandas_zscore,
 register("python_udf_slow_path", ud.python_udf_slow_path,
          ud.PYTHON_UDF_SLOW_PATH_SQL,
          "row-at-a-time UDF on a dim table (the documented slow path)")
+
+# --- advanced surface -----------------------------------------------------
+register("asof_join_prior_event", adv.asof_join_prior_event,
+         adv.ASOF_JOIN_SQL,
+         "as-of join via union+window (single-shuffle formulation)")
+register("pivot_event_type_counts", adv.pivot_event_type_counts,
+         adv.PIVOT_SQL, "PIVOT with declared values")
+register("unpivot_order_measures", adv.unpivot_order_measures,
+         adv.UNPIVOT_SQL, "UNPIVOT/melt to long form")
+register("stats_moments", adv.stats_moments, adv.STATS_MOMENTS_SQL,
+         "stddev/variance/corr from exact decimal moment sums")
+register("min_max_by", adv.min_max_by, adv.MIN_MAX_BY_SQL,
+         "max_by/min_by with tie-proof struct ordering")
+register("full_outer_nation_presence", adv.full_outer_nation_presence,
+         adv.FULL_OUTER_SQL, "full outer join, both-side preservation")
+register("cross_join_grid", adv.cross_join_grid, adv.CROSS_JOIN_SQL,
+         "explicit cross join of provably-small dims")
+register("array_functions", adv.array_functions, adv.ARRAY_FUNCTIONS_SQL,
+         "array function surface incl. array-valued output")
+register("quantiles_per_flag", adv.quantiles_per_flag, adv.QUANTILES_SQL,
+         "exact interpolated percentiles per group")
+register("rolling_hash_fingerprint", adv.rolling_hash_fingerprint,
+         adv.ROLLING_HASH_SQL,
+         "Rabin-Karp rolling-window doc fingerprint, zero-shuffle")

@@ -1,0 +1,75 @@
+"""Property-based + metamorphic tests (SURVEY.md §5.2).
+
+The hypothesis suite pins the normalization expression to the
+12-line executable spec that reproduces the reference's golden output
+exactly (SURVEY.md Appendix A) — on arbitrary inputs, not just the
+committed corpus. Metamorphic tests mirror invariances verified by
+executing the reference (§2.2): input-file order and partition count
+must not change results.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mapreduce_in_pthreads_spark.functions.normalize import normalize_word
+from mapreduce_in_pthreads_spark.plans.registry import REGISTRY
+
+
+def spec_normalize(s: str) -> str:
+    """SURVEY.md Appendix A, verified golden-exact vs the reference."""
+    return re.match(r"[a-z0-9]*", s.lower()).group(0)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(
+    st.text(alphabet=st.characters(codec="latin-1", exclude_characters="\n"),
+            max_size=30),
+    min_size=1, max_size=50))
+def test_normalize_matches_spec(spark, lines):
+    """Engine normalization ≡ the executable spec on arbitrary latin-1
+    lines (one Spark job per hypothesis batch would be slow, so the
+    whole example list becomes one DataFrame)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(l,) for l in lines], ["raw_line"])
+    got = [r.w for r in
+           df.select(normalize_word("raw_line").alias("w")).collect()]
+    # Spark lower() is Unicode-aware vs the C byte-wise tolower, but on
+    # the [A-Za-z0-9] prefix they agree; the leading-run regex discards
+    # everything where they could differ.
+    expect = [spec_normalize(l) for l in lines]
+    assert got == expect
+
+
+def test_result_invariant_under_input_file_order(spark):
+    """Reference invariance: producers write in any order; results
+    identical (SURVEY.md §2.2). Engine analogue: corpus file order."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_in_pthreads_spark.sources.text import read_word_per_line
+
+    paths = sorted(glob.glob("/root/reference/testfiles/file*.txt"))[:6]
+    fwd = read_word_per_line(spark, paths)
+    rev = read_word_per_line(spark, list(reversed(paths)))
+    agg = lambda df: sorted(
+        map(tuple, df.groupBy("filename").count().collect()))
+    assert agg(fwd) == agg(rev)
+
+
+def test_wordcount_consistent_with_index(spark, sf_dir):
+    """Cross-query invariant: Σ word_count == corpus occurrences, and
+    word_count keys == inverted index keys (SURVEY.md §5.2)."""
+    wc = {r.word: r.n_occurrences
+          for r in REGISTRY["word_count"].fn(spark, sf_dir).collect()}
+    idx = {r.word: r.n_occurrences
+           for r in REGISTRY["inverted_index"].fn(spark, sf_dir).collect()}
+    stats = REGISTRY["corpus_stats"].fn(spark, sf_dir).first()
+    assert wc == {w: n for w, n in idx.items()}
+    assert sum(wc.values()) == stats.n_occurrences
+    assert len(wc) == stats.n_distinct_words
