@@ -58,7 +58,14 @@ def main() -> None:
     run_noop(REGISTRY["q6_forecast_revenue"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
+    jvm_gc = spark.sparkContext._jvm.java.lang.System.gc
     for name in HEADLINE:
+        # GC between queries: JVM garbage + Spark's GC-driven
+        # ContextCleaner (old shuffle/broadcast state) otherwise
+        # accumulate across the suite and bill later queries for
+        # earlier queries' cleanup debt (measured: 10s → 170s+ drift
+        # on the allocation-heavy LSH query without this).
+        jvm_gc()
         t0 = time.perf_counter()
         run_noop(REGISTRY[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)

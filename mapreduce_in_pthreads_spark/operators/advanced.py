@@ -363,3 +363,23 @@ SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens
 FROM documents
 """
+
+
+def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance surface: levenshtein between part name and brand
+    (both engines implement plain Wagner-Fischer — integer-exact)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_brand").alias("name_brand_dist"),
+        F.levenshtein("p_name", F.reverse("p_name"))
+        .alias("palindrome_dist"),
+    )
+
+
+STRING_DISTANCE_SQL = """
+SELECT p_partkey,
+       levenshtein(p_name, p_brand) AS name_brand_dist,
+       levenshtein(p_name, reverse(p_name)) AS palindrome_dist
+FROM part
+"""

@@ -27,6 +27,7 @@ from ..operators import inverted_index as ii
 from ..operators import joins as jn
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
+from ..operators import skew as sk
 from ..operators import text_analysis as ta
 from ..operators import udfs as ud
 from ..operators import relational as rel
@@ -216,3 +217,8 @@ register("quantiles_per_flag", adv.quantiles_per_flag, adv.QUANTILES_SQL,
 register("rolling_hash_fingerprint", adv.rolling_hash_fingerprint,
          adv.ROLLING_HASH_SQL,
          "Rabin-Karp rolling-window doc fingerprint, zero-shuffle")
+register("string_distance", adv.string_distance, adv.STRING_DISTANCE_SQL,
+         "levenshtein edit-distance surface")
+register("salted_word_count", sk.salted_word_count,
+         sk.SALTED_WORD_COUNT_SQL,
+         "skew-proof two-stage salted aggregation (== word_count)")
