@@ -1,0 +1,176 @@
+"""TPC-H-shaped composite queries over the synthetic star schema —
+the canonical join+agg+topk plan shapes a relational engine must get
+right at scale (SURVEY.md §2.3 'Joins'/'Aggregation'; the reference has
+none of these, §4.2).
+
+Also the home of the engine's SQL-API entry point: ``sql_query`` runs
+text SQL against registered temp views (GROUPING SETS is DataFrame-
+inexpressible, so it exercises the spark.sql surface for real).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import money, one, rate, sql_dsum
+from ..sources.tables import load_table
+
+_DISC_SQL = ("CAST(l_extendedprice AS DECIMAL(12,2)) * "
+             "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))")
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: 3-way join, revenue per order, top-10. The orders side
+    filters BEFORE the join (pushdown), the revenue aggregates with
+    exact decimal arithmetic, the limit plans TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01"))
+    revenue = money("l_extendedprice") * (one() - rate("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd")
+                .alias("orderdate"),
+                "o_orderpriority", "revenue")
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       CAST(SUM({_DISC_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional revenue share — a broadcast join feeding
+    two conditional decimal sums whose RATIO is the answer (identical
+    double division of identical decimals)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01")))
+    p = load_table(spark, sf_dir, "part")
+    revenue = money("l_extendedprice") * (one() - rate("l_discount"))
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        (F.sum(F.when(F.col("p_type") == "PROMO", revenue)
+               .otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+         * 100.0
+         / F.sum(revenue).cast("double")).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q14_SQL = f"""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_SQL}
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       * 100.0
+       / CAST(SUM({_DISC_SQL}) AS DOUBLE) AS promo_revenue_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: HAVING over a fact aggregation used as a semi-join
+    filter back onto the dimension side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(25,4)"))
+                .cast("double").alias("total_qty"))
+           .filter(F.col("total_qty") > 300))
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "l_orderkey",
+                F.col("o_totalprice"), "total_qty")
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, l_orderkey, o_totalprice, total_qty
+FROM (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+               AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) > 300
+) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the engine's SQL surface (the
+    DataFrame API only exposes rollup/cube; arbitrary set lists are a
+    SQL-level feature — this also exercises spark.sql + temp views as
+    a first-class entry point)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+SQL_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface: customers
+    richer than their nation's average balance."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql("""
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer_v c
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(25,4))) AS DOUBLE)
+                   / COUNT(c2.c_acctbal)
+            FROM customer_v c2
+            WHERE c2.c_nationkey = c.c_nationkey)
+    """)
+
+
+CORRELATED_SUBQUERY_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(25,4))) AS DOUBLE)
+           / COUNT(c2.c_acctbal)
+    FROM customer c2
+    WHERE c2.c_nationkey = c.c_nationkey)
+"""

@@ -161,3 +161,60 @@ SELECT n_regionkey, n_name, n_customers,
                           AS DOUBLE) AS region_share
 FROM per_nation
 """
+
+
+def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation-function surface: first/last/nth value + ntile over
+    each customer's order history (deterministic ordering; last_value
+    with an explicit full-partition frame, the classic footgun)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.first_value("o_orderkey").over(wfull).alias("first_order"),
+        F.last_value("o_orderkey").over(wfull).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+WINDOW_NAVIGATION_SQL = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER wf AS first_order,
+       last_value(o_orderkey)  OVER wf AS last_order,
+       nth_value(o_orderkey, 2) OVER wf AS second_order,
+       ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over an integer ordering key: for each event, the
+    stable sum of same-user event values within the trailing hour —
+    a time-range window WITHOUT a self-join (compare
+    joins.purchases_with_prior_clicks, the join formulation)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (Window.partitionBy("user_id").orderBy(us.alias("ts_us"))
+         .rangeBetween(-3_600_000_000, 0))
+    return ev.select(
+        "user_id", "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+        .alias("trailing_hour_value"),
+        F.count(F.lit(1)).over(w).alias("trailing_hour_events"),
+    )
+
+
+RANGE_FRAME_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(25,4))) OVER w AS DOUBLE)
+           AS trailing_hour_value,
+       count(*) OVER w AS trailing_hour_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""

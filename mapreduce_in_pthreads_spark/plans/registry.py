@@ -32,6 +32,7 @@ from ..operators import text_analysis as ta
 from ..operators import udfs as ud
 from ..operators import relational as rel
 from ..operators import timeseries as ts
+from ..operators import tpch_shapes as tq
 from ..operators import windows as win
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -222,3 +223,23 @@ register("string_distance", adv.string_distance, adv.STRING_DISTANCE_SQL,
 register("salted_word_count", sk.salted_word_count,
          sk.SALTED_WORD_COUNT_SQL,
          "skew-proof two-stage salted aggregation (== word_count)")
+
+# --- TPC-H composite shapes + SQL surface ---------------------------------
+register("q3_shipping_priority", tq.q3_shipping_priority, tq.Q3_SQL,
+         "Q3 shape: filtered 3-way join + agg + top-k")
+register("q14_promo_share", tq.q14_promo_share, tq.Q14_SQL,
+         "Q14 shape: conditional revenue ratio")
+register("q18_large_orders", tq.q18_large_orders, tq.Q18_SQL,
+         "Q18 shape: HAVING aggregation as join filter")
+register("sql_grouping_sets", tq.sql_grouping_sets,
+         tq.SQL_GROUPING_SETS_SQL,
+         "explicit GROUPING SETS via the spark.sql surface")
+register("correlated_subquery", tq.correlated_subquery,
+         tq.CORRELATED_SUBQUERY_SQL,
+         "correlated scalar subquery via the SQL surface")
+register("window_navigation", win.window_navigation,
+         win.WINDOW_NAVIGATION_SQL,
+         "first/last/nth value + ntile navigation surface")
+register("range_frame_revenue", win.range_frame_revenue,
+         win.RANGE_FRAME_SQL,
+         "RANGE time-frame window (join-free trailing-hour agg)")

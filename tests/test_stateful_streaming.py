@@ -1,0 +1,33 @@
+"""Parity test for the applyInPandasWithState custom stateful operator:
+final per-user state must equal the batch groupBy totals."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_in_pthreads_spark.sources.tables import load_table
+from mapreduce_in_pthreads_spark.streaming import event_windows as ew
+from mapreduce_in_pthreads_spark.streaming.stateful import streaming_user_totals
+
+
+def test_stateful_user_totals_matches_batch(spark, sf_dir):
+    got = ew.run_to_memory(
+        spark, streaming_user_totals(spark, sf_dir),
+        "mem_user_totals", "update")
+    # update mode may emit intermediate rows (one per micro-batch);
+    # the final state per user is the row with the max event count
+    final = (got.groupBy("user_id")
+             .agg(F.max(F.struct("n_events", "sum_value",
+                                 "first_ts_us", "last_ts_us")).alias("s"))
+             .select("user_id", "s.*"))
+    ev = load_table(spark, sf_dir, "events")
+    expect = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,4)")).cast("double")
+        .alias("sum_value"),
+        F.min(F.unix_micros("ts")).alias("first_ts_us"),
+        F.max(F.unix_micros("ts")).alias("last_ts_us"),
+    )
+    cols = ["user_id", "n_events", "sum_value", "first_ts_us", "last_ts_us"]
+    assert (sorted(map(tuple, final.select(cols).collect()))
+            == sorted(map(tuple, expect.select(cols).collect())))
