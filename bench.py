@@ -5,13 +5,16 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Timing methodology:
-- the SparkSession is built first and a warm-up action runs, so JVM/
-  session startup is excluded (BASELINE.md: 'compare steady-state
-  query time, not process wall clock');
+- the SparkSession is built first, and every headline query runs ONCE
+  untimed (warm-up: JVM startup, codegen JIT, parquet footer + page
+  cache) before the timed pass — BASELINE.md: 'compare steady-state
+  query time, not process wall clock';
 - each query executes its FULL physical plan into the noop sink
   (``format("noop")``) — no collect-to-driver cost, no skipped
   stages from count() shortcuts;
-- value = sum of per-query wall-clock seconds.
+- explicit GC between timed queries so one query's cleanup debt
+  (JVM garbage + Spark ContextCleaner work) never bills the next;
+- value = sum of per-query steady-state wall-clock seconds.
 """
 
 from __future__ import annotations
@@ -52,13 +55,13 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: touch every input table so OS page cache + parquet
-    # footers are warm for all queries alike
-    run_noop(REGISTRY["corpus_stats"].fn(spark, sf_dir))
-    run_noop(REGISTRY["q6_forecast_revenue"].fn(spark, sf_dir))
+    jvm_gc = spark.sparkContext._jvm.java.lang.System.gc
+
+    # warm-up pass: run every headline query once untimed
+    for name in HEADLINE:
+        run_noop(REGISTRY[name].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
-    jvm_gc = spark.sparkContext._jvm.java.lang.System.gc
     for name in HEADLINE:
         # GC between queries: JVM garbage + Spark's GC-driven
         # ContextCleaner (old shuffle/broadcast state) otherwise

@@ -164,3 +164,38 @@ FROM (SELECT event_type,
       FROM events)
 GROUP BY event_type
 """
+
+
+def from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON parsing: ``from_json`` with a declared
+    schema (the typed path — one parse per row, pruned to the fields
+    asked for) vs get_json_object's per-field string probing."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        (parsed["k"] % 10).alias("k_mod10"),
+        F.col("props").contains('"k"').alias("has_k"),
+    )
+
+
+FROM_JSON_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10,
+       contains(props, '"k"') AS has_k
+FROM events
+"""
+
+
+def approx_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch (the bounded-memory quantile path for
+    100 TB — exact percentiles need a full sort/collect per group).
+    Approximate ⇒ rows-only; the unit test bounds the error against
+    the exact quantiles."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", 0.5, 1000).alias("approx_median"),
+        F.approx_percentile("value", 0.99, 1000).alias("approx_p99"),
+    )

@@ -141,6 +141,10 @@ register("dedup_events_in_window", ts.dedup_events_in_window,
          ts.DEDUP_EVENTS_SQL, "event-time dedup within tumbling hour")
 register("json_props_extract", ts.json_props_extract, ts.JSON_PROPS_SQL,
          "JSON prop extraction + aggregation")
+register("from_json_typed", ts.from_json_typed, ts.FROM_JSON_SQL,
+         "schema-on-read from_json with declared schema")
+register("approx_quantiles_events", ts.approx_quantiles_events, None,
+         "approx_percentile sketch (rows-only: approximate)")
 
 # --- deduplication (north-star: LLM data pipeline) -----------------------
 register("exact_dedup", dd.exact_dedup, dd.EXACT_DEDUP_SQL,

@@ -1,0 +1,69 @@
+"""Storage-layout and source-format coverage:
+
+- partition pruning: a lang-partitioned write must produce scans whose
+  PartitionFilters prune to one directory (the layout decision that
+  turns a 100 TB scan into a 4 TB scan);
+- CSV and JSON sources round-trip through the engine with schemas
+  preserved (beyond the parquet-only driver surface).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from mapreduce_in_pthreads_spark.sources.sinks import write_partitioned
+from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+SCRATCH = Path("/root/repo/.scratch")
+
+
+def test_partition_pruning_after_partitioned_write(spark, sf_dir):
+    out = str(SCRATCH / "docs_by_lang")
+    docs = load_table(spark, sf_dir, "documents")
+    write_partitioned(docs, out, partition_cols=["lang"])
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "lang" in plan.split("PartitionFilters")[1][:120]
+    # pruned result matches the unpartitioned filter
+    assert back.count() == docs.filter(F.col("lang") == "en").count()
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_csv_source_round_trip(spark, sf_dir):
+    out = str(SCRATCH / "customer_csv")
+    c = load_table(spark, sf_dir, "customer")
+    c.write.mode("overwrite").option("header", True).csv(out)
+    back = (spark.read.option("header", True)
+            .schema(c.schema).csv(out))
+    assert (sorted(map(tuple, back.collect()))
+            == sorted(map(tuple, c.collect())))
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_json_source_round_trip(spark, sf_dir):
+    out = str(SCRATCH / "nation_json")
+    n = load_table(spark, sf_dir, "nation")
+    n.write.mode("overwrite").json(out)
+    back = spark.read.schema(n.schema).json(out)
+    assert (sorted(map(tuple, back.collect()))
+            == sorted(map(tuple, n.collect())))
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_approx_quantiles_bounded(spark, sf_dir):
+    from mapreduce_in_pthreads_spark.plans.registry import REGISTRY
+
+    got = {r.event_type: (r.approx_median, r.approx_p99)
+           for r in REGISTRY["approx_quantiles_events"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r.event_type: (r.m, r.p99) for r in ev.groupBy("event_type").agg(
+        F.median("value").alias("m"),
+        F.percentile("value", 0.99).alias("p99")).collect()}
+    for et, (am, ap) in got.items():
+        em, ep = exact[et]
+        assert abs(am - em) / max(em, 1) < 0.05, (et, am, em)
+        assert abs(ap - ep) / max(ep, 1) < 0.05, (et, ap, ep)

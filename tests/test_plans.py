@@ -78,6 +78,27 @@ def test_ivf_prunes_vs_bruteforce(spark, sf_dir):
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
 
 
+def test_q3_take_ordered_and_broadcast(spark, sf_dir):
+    p = plan(spark, sf_dir, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p  # customer side declared broadcast
+
+
+def test_salted_word_count_two_stage(spark, sf_dir):
+    """The salted rewrite must show both aggregation stages (salted
+    partial + final) — i.e. ≥2 hash-partition exchanges."""
+    p = plan(spark, sf_dir, "salted_word_count")
+    assert p.count("Exchange hashpartitioning") >= 2
+
+
+def test_asof_join_single_window_shuffle(spark, sf_dir):
+    """The union+window as-of formulation: exactly one hash exchange
+    (the user partitioning) and NO join operator at all."""
+    p = plan(spark, sf_dir, "asof_join_prior_event")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+
+
 def test_partial_aggregation_in_word_count(spark, sf_dir):
     """word_count must plan two-phase hash aggregation (map-side
     partial_count before the exchange) — the improvement over the
