@@ -42,6 +42,9 @@ HEADLINE = [
     "minhash_lsh_dedup",       # MinHash+LSH near-dup pipeline
     "ann_topk_bruteforce",     # vector top-k
     "tfidf_top_terms",         # text analysis
+    "q3_shipping_priority",    # 3-way join + top-k
+    "asof_join_prior_event",   # as-of join (union+window)
+    "salted_word_count",       # skew-proof two-stage aggregation
 ]
 
 

@@ -26,6 +26,7 @@ from ..operators import dedup as dd
 from ..operators import inverted_index as ii
 from ..operators import joins as jn
 from ..operators import multimodal as mm
+from ..operators import semistructured as ss
 from ..operators import similarity as sim
 from ..operators import skew as sk
 from ..operators import text_analysis as ta
@@ -145,6 +146,13 @@ register("from_json_typed", ts.from_json_typed, ts.FROM_JSON_SQL,
          "schema-on-read from_json with declared schema")
 register("approx_quantiles_events", ts.approx_quantiles_events, None,
          "approx_percentile sketch (rows-only: approximate)")
+register("map_functions", ss.map_functions, ss.MAP_FUNCTIONS_SQL,
+         "map-typed column surface (projected to comparable shapes)")
+register("explode_outer_rare_words", ss.explode_outer_rare_words,
+         ss.EXPLODE_OUTER_SQL, "explode_outer keeps empty-array rows")
+register("malformed_json_resilience", ss.malformed_json_resilience,
+         ss.MALFORMED_JSON_SQL,
+         "dirty-data contract: malformed JSON -> NULL, never job failure")
 
 # --- deduplication (north-star: LLM data pipeline) -----------------------
 register("exact_dedup", dd.exact_dedup, dd.EXACT_DEDUP_SQL,
