@@ -283,7 +283,7 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(toks, 1, 3).alias("first3"),
         F.array_contains(toks, "the").alias("has_the"),
         F.array_position(toks, "the").alias("first_the_pos"),
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
     )
 
 
@@ -348,7 +348,7 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.lit(0)).cast("long")
         h = F.pmod(h * ROLL_BASE + code, F.lit(MOD))
     return docs.select("doc_id", h.alias("fingerprint"),
-                       F.size(toks).alias("n_tokens"))
+                       F.size(toks).cast("bigint").alias("n_tokens"))
 
 
 _ROLL_SQL_EXPR = "CAST(0 AS BIGINT)"
@@ -371,9 +371,9 @@ def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.levenshtein("p_name", "p_brand").alias("name_brand_dist"),
+        F.levenshtein("p_name", "p_brand").cast("bigint").alias("name_brand_dist"),
         F.levenshtein("p_name", F.reverse("p_name"))
-        .alias("palindrome_dist"),
+        .cast("bigint").alias("palindrome_dist"),
     )
 
 

@@ -152,7 +152,7 @@ def index_top_docs(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     w = Window.partitionBy("word").orderBy(F.col("doc_id"))
     total = Window.partitionBy("word")
     return (
-        t.withColumn("rn", F.row_number().over(w))
+        t.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .withColumn("doc_freq", F.count(F.lit(1)).over(total))
         .filter(F.col("rn") <= k)
         .select("word", "doc_id", "tf", "rn", "doc_freq")

@@ -97,7 +97,7 @@ def modality_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MODALITY_PARTITION_STATS_SQL = """
 SELECT source, lang, count(*) AS n_docs,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        max(n_chars) AS max_chars
 FROM documents GROUP BY source, lang
 """

@@ -235,7 +235,7 @@ def scalar_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
         F.regexp_replace("p_brand", "[^0-9]", "").alias("brand_num"),
         F.split(F.col("p_type"), " ").getItem(0).alias("type_first"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
         F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
     )
 

@@ -31,11 +31,11 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("m"))
     return per_doc.select(
         "doc_id",
-        F.size("m").alias("n_distinct_words"),
+        F.size("m").cast("bigint").alias("n_distinct_words"),
         F.sort_array(F.map_keys("m")).alias("vocab_sorted"),
         # try_element_at: plain element_at throws on a missing map key
         # under ANSI mode; the oracle's CASE yields NULL
-        F.try_element_at("m", F.lit("the")).alias("the_first_pos"),
+        F.try_element_at("m", F.lit("the")).cast("bigint").alias("the_first_pos"),
     )
 
 
@@ -117,7 +117,7 @@ WITH dirty AS (
 )
 SELECT count(*) AS n_rows,
        count(k) AS n_parsed,
-       SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_malformed,
-       SUM(k) AS sum_k
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+       CAST(SUM(k) AS BIGINT) AS sum_k
 FROM parsed
 """

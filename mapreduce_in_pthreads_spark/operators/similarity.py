@@ -47,7 +47,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
@@ -87,7 +87,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )

@@ -30,8 +30,8 @@ def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(toks)
     return docs.select(
         "doc_id", "lang",
-        n_tokens.alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
         (F.size(F.array_distinct(toks)) / n_tokens).alias("distinct_ratio"),
         ((F.length("text") - (n_tokens - 1)) / n_tokens)
         .alias("avg_token_len"),
@@ -67,7 +67,7 @@ def lang_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LANG_AGGREGATES_SQL = f"""
 SELECT lang, count(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS total_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        {sql_davg('n_chars', 'avg_chars')},
        count(DISTINCT source) AS n_sources
 FROM documents GROUP BY lang
@@ -80,9 +80,9 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0))
-        .alias("bpe_tokens"),
+        .cast("bigint").alias("bpe_tokens"),
     )
 
 
@@ -113,7 +113,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("word"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "word", "tf", "df", "tfidf", "rnk")
     )

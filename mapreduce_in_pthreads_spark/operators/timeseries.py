@@ -158,7 +158,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_PROPS_SQL = """
 SELECT event_type,
        count(*) AS n_events,
-       min(k) AS min_k, max(k) AS max_k, sum(k) AS sum_k
+       min(k) AS min_k, max(k) AS max_k, CAST(SUM(k) AS BIGINT) AS sum_k
 FROM (SELECT event_type,
              CAST(json_extract_string(props, '$.k') AS INT) AS k
       FROM events)

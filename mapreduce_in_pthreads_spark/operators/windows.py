@@ -31,9 +31,9 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.select(
             "o_custkey", "o_orderkey", "o_totalprice",
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rk"),
-            F.dense_rank().over(w).alias("drk"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rk"),
+            F.dense_rank().over(w).cast("bigint").alias("drk"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -175,7 +175,7 @@ def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first_value("o_orderkey").over(wfull).alias("first_order"),
         F.last_value("o_orderkey").over(wfull).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
 
 
