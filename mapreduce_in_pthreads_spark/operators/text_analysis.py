@@ -202,3 +202,98 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         best["lang"].alias("pred_lang"),
         best["hits"].alias("marker_hits"),
     )
+
+SEQ_LEN = 512  # tokens per packed training sequence
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk training-sequence packing: per language,
+    documents are concatenated in doc_id order and sliced into
+    fixed-capacity sequences of ``SEQ_LEN`` tokens; a document belongs
+    to the chunk where it STARTS (the standard GPT-style pre-training
+    packing layout). Output: one row per (lang, chunk) with document
+    and token totals.
+
+    Scale notes: packing is inherently order-dependent, so the window
+    runs per PARTITION KEY (lang here; date+shard in a real corpus) —
+    never a global single-partition orderBy. Each language's running
+    sum is one window over one shuffle; chunk assignment is then a
+    pure projection (floor-div of the exclusive prefix sum), and the
+    final rollup is map-side combinable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    packed = toks.withColumn(
+        "chunk_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / SEQ_LEN))
+    return (
+        packed.groupBy("lang", "chunk_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("chunk_tokens"))
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH toks AS (
+    SELECT lang, doc_id,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT lang, n_tokens,
+           CAST(floor(COALESCE(sum(n_tokens) OVER (
+                PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / {SEQ_LEN}) AS BIGINT) AS chunk_id
+    FROM toks
+)
+SELECT lang, chunk_id, count(*) AS n_docs,
+       sum(n_tokens) AS chunk_tokens
+FROM packed GROUP BY lang, chunk_id
+"""
+
+TRAIN_FRAC_HEX = "c"  # md5 first hex digit < 'c' → train (12/16 = 75%)
+
+
+def hash_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/holdout split — the reproducible
+    alternative to random sampling for corpus curation: membership is
+    a pure function of doc_id (md5 hex prefix), so the split is stable
+    across runs, machines, and engine versions, and needs no seed
+    bookkeeping. Emits the per-lang split manifest (counts + token
+    totals) that a downstream trainer would consume.
+
+    Scale notes: zero-shuffle assignment (a projection), one combinable
+    aggregation; the hash family matches the MinHash pipeline's
+    md5-on-string trick so DuckDB can verify bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    return (
+        docs.withColumn(
+            "split",
+            F.when(bucket < TRAIN_FRAC_HEX, F.lit("train"))
+            .otherwise(F.lit("holdout")))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+             F.sum("n_chars").alias("total_chars"))
+    )
+
+
+HASH_SPLIT_SQL = f"""
+SELECT lang,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                 < '{TRAIN_FRAC_HEX}'
+            THEN 'train' ELSE 'holdout' END AS split,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS total_tokens,
+       sum(n_chars) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""

@@ -199,3 +199,71 @@ def approx_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("value", 0.5, 1000).alias("approx_median"),
         F.approx_percentile("value", 0.99, 1000).alias("approx_p99"),
     )
+
+
+MERGE_CUTOFF = "2024-01-16"
+
+
+def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE/upsert semantics without a table format: a
+    per-user snapshot (latest event strictly before ``MERGE_CUTOFF``)
+    is upserted with a delta batch (events on/after the cutoff). Delta
+    wins per key; snapshot rows without delta survive; delta rows
+    without snapshot insert. The ``op`` column is the merge audit
+    (insert / update / unchanged) a CDC pipeline would emit.
+
+    Implementation is the engine-agnostic formulation every lakehouse
+    MERGE lowers to: latest-per-key on each side (row_number window,
+    tie-broken on event_id so it is total and deterministic), then ONE
+    full outer join on the merge key. At 100 TB both sides hash-shuffle
+    on user_id once; with the snapshot bucketed by user_id the join is
+    co-located and only the delta shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest(side):
+        return (side.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("user_id", "event_id", "event_type", "value",
+                        F.unix_micros("ts").alias("ts_us")))
+
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    base = latest(ev.filter(F.col("ts") < cutoff)).alias("b")
+    delta = latest(ev.filter(F.col("ts") >= cutoff)).alias("d")
+    j = base.join(delta, "user_id", "full_outer")
+    pick = lambda c: F.coalesce(F.col(f"d.{c}"), F.col(f"b.{c}"))
+    return j.select(
+        "user_id",
+        pick("event_id").alias("last_event_id"),
+        pick("event_type").alias("last_event_type"),
+        pick("value").alias("last_value"),
+        pick("ts_us").alias("last_ts_us"),
+        F.when(F.col("b.event_id").isNull(), F.lit("insert"))
+         .when(F.col("d.event_id").isNull(), F.lit("unchanged"))
+         .otherwise(F.lit("update")).alias("op"),
+    )
+
+
+MERGE_UPSERT_SQL = f"""
+WITH ranked AS (
+    SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+           ts >= TIMESTAMP '{MERGE_CUTOFF}' AS is_delta,
+           row_number() OVER (
+               PARTITION BY user_id, ts >= TIMESTAMP '{MERGE_CUTOFF}'
+               ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+),
+base AS (SELECT * FROM ranked WHERE rn = 1 AND NOT is_delta),
+delta AS (SELECT * FROM ranked WHERE rn = 1 AND is_delta)
+SELECT COALESCE(d.user_id, b.user_id) AS user_id,
+       COALESCE(d.event_id, b.event_id) AS last_event_id,
+       COALESCE(d.event_type, b.event_type) AS last_event_type,
+       COALESCE(d.value, b.value) AS last_value,
+       COALESCE(d.ts_us, b.ts_us) AS last_ts_us,
+       CASE WHEN b.event_id IS NULL THEN 'insert'
+            WHEN d.event_id IS NULL THEN 'unchanged'
+            ELSE 'update' END AS op
+FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+"""

