@@ -1,0 +1,130 @@
+"""End-to-end corpus-curation funnel — the composed query that ties
+the LLM-data-pipeline operators together (C4/RefinedWeb-style): raw →
+quality gate → exact dedup → near-dup canonical → per-lang manifest.
+
+The reference engine (mapreduce.c) answers one composed question
+(inverted index, R1→R11); this module is the analogous "one query that
+exercises the whole pipeline" for the north-star curation surface.
+Each stage reuses the SAME definitions as its standalone operator
+(quality thresholds ↔ ``doc_quality_stats``, fingerprint ↔
+``exact_dedup``, cluster canonical ↔ ``connected_components_dedup``),
+so the funnel is a consistency proof across operators, not a parallel
+implementation.
+
+Scale notes (100 TB):
+- stage flags are computed as COLUMNS and aggregated with conditional
+  sums — the funnel is ONE pass over the corpus plus two key-only
+  joins (exact-dedup survivors and near-dup canonicals are (bigint)
+  id sets, never full documents);
+- the survivor set shuffles md5 fingerprints (16 bytes), not text;
+- counts are map-side combinable; the per-lang rollup is tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .iterative import connected_components_dedup, CONNECTED_COMPONENTS_SQL
+
+MIN_TOKENS = 10
+MIN_DISTINCT_RATIO = 0.5
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang manifest with stage-by-stage survivor counts.
+
+    Stages compose by intersection:
+      raw            — every document;
+      quality        — ≥ MIN_TOKENS tokens and distinct-token ratio
+                       ≥ MIN_DISTINCT_RATIO (repetition filter);
+      exact survivor — lowest doc_id per md5(text) among quality docs;
+      kept           — additionally the canonical member of its
+                       near-dup cluster (``connected_components_dedup``).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.select(
+        "lang", "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks))
+        .alias("distinct_ratio"),
+        F.md5("text").alias("fingerprint"),
+    ).withColumn(
+        "pass_quality",
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("distinct_ratio") >= MIN_DISTINCT_RATIO))
+
+    exact_surv = (
+        base.filter("pass_quality")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .withColumn("is_exact_survivor", F.lit(True))
+    )
+    canon = (connected_components_dedup(spark, sf_dir)
+             .filter("is_canonical").select("doc_id")
+             .withColumn("is_cluster_canonical", F.lit(True)))
+
+    flagged = (
+        base.join(exact_surv, "doc_id", "left")
+        .join(canon, "doc_id", "left")
+        .withColumn("is_exact_survivor",
+                    F.col("pass_quality")
+                    & F.coalesce("is_exact_survivor", F.lit(False)))
+        .withColumn("kept",
+                    F.col("is_exact_survivor")
+                    & F.coalesce("is_cluster_canonical", F.lit(False)))
+    )
+    cnt_if = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0))
+    return (
+        flagged.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_raw"),
+             cnt_if("pass_quality").alias("n_quality"),
+             cnt_if("is_exact_survivor").alias("n_exact_unique"),
+             cnt_if("kept").alias("n_kept"),
+             F.sum(F.when(F.col("kept"), F.col("n_tokens"))
+                   .otherwise(0)).alias("tokens_kept"))
+    )
+
+
+CURATION_FUNNEL_SQL = f"""
+WITH base AS (
+    SELECT lang, doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' ')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)
+               AS distinct_ratio,
+           md5(text) AS fingerprint
+    FROM documents
+),
+flagged AS (
+    SELECT *,
+           n_tokens >= {MIN_TOKENS}
+           AND distinct_ratio >= {MIN_DISTINCT_RATIO} AS pass_quality
+    FROM base
+),
+exact_surv AS (
+    SELECT min(doc_id) AS doc_id
+    FROM flagged WHERE pass_quality GROUP BY fingerprint
+),
+canon AS (
+    SELECT doc_id FROM ({CONNECTED_COMPONENTS_SQL}) WHERE is_canonical
+)
+SELECT lang,
+       count(*) AS n_raw,
+       sum(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS n_quality,
+       sum(CASE WHEN pass_quality AND e.doc_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS n_exact_unique,
+       sum(CASE WHEN pass_quality AND e.doc_id IS NOT NULL
+                     AND c.doc_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS n_kept,
+       sum(CASE WHEN pass_quality AND e.doc_id IS NOT NULL
+                     AND c.doc_id IS NOT NULL
+                THEN n_tokens ELSE 0 END) AS tokens_kept
+FROM flagged f
+LEFT JOIN exact_surv e ON e.doc_id = f.doc_id
+LEFT JOIN canon c ON c.doc_id = f.doc_id
+GROUP BY lang
+"""

@@ -41,36 +41,60 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc dedup (`array_distinct`) is a map-side expression, not a
     `distinct()` shuffle, and downstream set math (`array_intersect`)
     runs per-row. The only shuffles left in the dedup pipelines are the
-    pair-generation joins."""
+    pair-generation joins.
+
+    The result is MATERIALIZED (eager localCheckpoint) and callers
+    derive every branch (explode view, signatures, verify sides) from
+    the one returned DataFrame. Measured rationale at sf0.1: without
+    the barrier, each of the 4+ join branches re-planned the shingle
+    expression independently, AND the explode's implied
+    ``size(shset) > 0`` filter was pushed below the repartition — so
+    the full trigram pipeline ran twice per branch with one of the
+    runs on the SINGLE-partition scan side (28 s for the jaccard
+    join). Checkpointing computes shingles exactly once, in parallel
+    (11 s → 3 s). On a cluster this is the
+    ``setCheckpointDir``+``checkpoint()`` pattern, or a staging table
+    — the same explicit materialization every production dedup
+    pipeline puts between tokenization and pair generation."""
     docs = load_table(spark, sf_dir, "documents")
+    # hash repartition BEFORE the shingle projection: the single
+    # parquet file scans as ONE partition, so projecting first would
+    # build every shingle single-threaded
+    base = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    # Trigram construction via zip_with over shifted slices — NOT
+    # transform(sequence, i -> toks[i]..): an outer-reference index
+    # lambda re-evaluates split() per ELEMENT (no subexpression
+    # elimination inside higher-order functions → O(tokens²) splits
+    # per row); zip_with evaluates each argument array once per ROW.
     toks = F.split("text", " ")
-    sh = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size(toks) - SHINGLE_K),
-        lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
-    ))
-    sets = docs.select("doc_id", sh.alias("shset"),
+    m = F.greatest(F.size(toks) - (SHINGLE_K - 1), F.lit(0))
+    bi = F.zip_with(toks,
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    lambda x, y: F.concat_ws(" ", x, y))
+    tri = F.zip_with(bi, F.slice(toks, 3, m),
+                     lambda x, y: F.concat_ws(" ", x, y))
+    # zip_with null-pads the shorter side; concat_ws drops nulls, so
+    # the trailing entries are bi/unigrams — slice keeps the n-2 true
+    # trigrams (and yields [] for docs under SHINGLE_K tokens, matching
+    # the oracle's range() semantics).
+    sh = F.array_distinct(F.slice(tri, 1, m))
+    sets = base.select("doc_id", sh.alias("shset"),
                        F.size(sh).alias("n_shingles"))
-    # One deterministic hash repartition AFTER the projection, doing
-    # three jobs at once:
-    # 1. parallelism — the single parquet file scans as one partition;
-    #    downstream signature hashing fans out to all cores;
-    # 2. materialization barrier — project-collapse would otherwise
-    #    inline the shingle lambda into every consumer expression
-    #    (8 signature columns → 8 recomputes; no CSE across
-    #    higher-order functions);
-    # 3. exchange REUSE — hash partitioning (unlike round-robin) is
-    #    deterministic, so the 4 consumers of this subtree (both band
-    #    self-join sides, both verify sides) share ONE ReusedExchange
-    #    instead of recomputing the scan+shingle pipeline 4×.
-    return sets.repartition(spark.sparkContext.defaultParallelism,
-                            F.col("doc_id"))
+    return sets.localCheckpoint(eager=True)
+
+
+def _explode_shingles(sets: DataFrame) -> DataFrame:
+    """Exploded (doc_id, shingle) view of an already-materialized
+    shingle-set DataFrame — already distinct per doc by construction."""
+    return sets.select("doc_id", F.explode("shset").alias("shingle"))
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exploded (doc_id, shingle) view of the shingle sets — already
-    distinct per doc by construction."""
-    return _shingle_sets(spark, sf_dir).select(
-        "doc_id", F.explode("shset").alias("shingle"))
+    """Standalone exploded view (builds its own materialized sets —
+    inside multi-branch pipelines derive from ONE `_shingle_sets`
+    result instead)."""
+    return _explode_shingles(_shingle_sets(spark, sf_dir))
 
 
 # doc_id → distinct shingles (DuckDB twin; 1-indexed list access)
@@ -118,7 +142,7 @@ def jaccard_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle arrays onto every pair. Integer division in double is
     exact in both engines."""
     sets = _shingle_sets(spark, sf_dir)
-    sh = _shingles(spark, sf_dir)
+    sh = _explode_shingles(sets)
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
@@ -160,28 +184,57 @@ WHERE shared / CAST(na.n + nb.n - shared AS DOUBLE) >= {JACCARD_THRESHOLD}
 """
 
 
+# Minhash family: ONE md5 per shingle (top 60 bits parsed as int —
+# Spark `conv(hex,16,10)` ≡ DuckDB `('0x'||hex)::BIGINT`, verified
+# bit-identical), then N_HASHES affine permutations
+# h_i(x) = (a_i·x + b_i) mod P over the Mersenne prime P = 2³¹-1.
+# Rationale: the original family md5('i:'||shingle) recomputed md5
+# N_HASHES× per shingle and dominated the sf0.1 bench (9.1 s); the
+# affine permutations are integer codegen. Products stay < 2⁶² — no
+# overflow in either engine.
+P_MINHASH = 2_147_483_647
+HASH_FAMILY = [
+    (1103515245, 12345), (69069, 362437), (1664525, 1013904223),
+    (22695477, 1), (134775813, 7), (214013, 2531011),
+    (16807, 9), (48271, 11),
+]
+assert len(HASH_FAMILY) == N_HASHES
+
+
 def _minhash_signatures(sets: DataFrame) -> DataFrame:
     """doc_id → N_HASHES minhash values, computed per-row with
-    array_min over the shingle-set column — NO aggregation shuffle.
-    Hash family: md5(seed:shingle) (hex strings compare
-    lexicographically — identical in DuckDB, so the whole LSH pipeline
-    is oracle-checkable)."""
+    array_min over the shingle-set column — NO aggregation shuffle,
+    and exactly one md5 per shingle (see HASH_FAMILY note)."""
+    hashed = sets.withColumn(
+        "harr",
+        F.transform(
+            "shset",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                       .cast("bigint") % P_MINHASH))
+    def perm(a, b):
+        # factory, not default-args: pyspark derives lambda arity from
+        # the FULL signature, so `lambda h, a=a` would read as 3-ary
+        return lambda h: (F.lit(a) * h + F.lit(b)) % P_MINHASH
+
     sig_cols = [
-        F.array_min(F.transform(
-            F.col("shset"),
-            lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
-        .alias(f"mh{i}")
-        for i in range(N_HASHES)
+        F.array_min(F.transform("harr", perm(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(HASH_FAMILY)
     ]
-    return sets.select("doc_id", "shset", "n_shingles", *sig_cols)
+    return hashed.select("doc_id", "shset", "n_shingles", *sig_cols)
 
 
 _MINHASH_COLS_SQL = ",\n       ".join(
-    f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(N_HASHES))
+    f"min(({a} * h + {b}) % {P_MINHASH}) AS mh{i}"
+    for i, (a, b) in enumerate(HASH_FAMILY))
 MINHASH_SIG_SQL = f"""
 SELECT doc_id,
        {_MINHASH_COLS_SQL}
-FROM ({SHINGLES_SQL}) sh
+FROM (
+    SELECT doc_id,
+           ('0x' || substring(md5(shingle), 1, 15))::BIGINT
+               % {P_MINHASH} AS h
+    FROM ({SHINGLES_SQL}) sh
+) hashed
 GROUP BY doc_id
 """
 
@@ -201,11 +254,13 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join and the pair distinct. Verification joins the two shingle
     sets back and intersects per-row — candidates only, exactly the
     LSH contract that keeps 100 TB feasible."""
-    sig = _minhash_signatures(_shingle_sets(spark, sf_dir))
+    sets = _shingle_sets(spark, sf_dir)
+    sig = _minhash_signatures(sets)
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[
-            F.md5(F.concat_ws("|", f"mh{2*b}", f"mh{2*b+1}"))
+            F.concat_ws("|", F.col(f"mh{2*b}").cast("string"),
+                        F.col(f"mh{2*b+1}").cast("string"))
             for b in range(N_BANDS)
         ])).alias("band", "bucket"),
     )
@@ -219,8 +274,8 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates against true Jaccard (exact, candidates only)
-    sets = _shingle_sets(spark, sf_dir)
+    # verify candidates against true Jaccard (exact, candidates only;
+    # same materialized `sets` — no recompute)
     sa = sets.select(F.col("doc_id").alias("doc_a"),
                      F.col("shset").alias("set_a"),
                      F.col("n_shingles").alias("na"))
@@ -239,13 +294,20 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BAND_ROWS_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, md5(mh{2*b} || '|' || mh{2*b+1}) AS bucket "
+    f"SELECT doc_id, {b} AS band, "
+    f"mh{2*b}::VARCHAR || '|' || mh{2*b+1}::VARCHAR AS bucket "
     f"FROM sig" for b in range(N_BANDS))
 MINHASH_LSH_SQL = f"""
 WITH sh AS ({SHINGLES_SQL}),
+hashed AS (
+    SELECT doc_id,
+           ('0x' || substring(md5(shingle), 1, 15))::BIGINT
+               % {P_MINHASH} AS h
+    FROM sh
+),
 sig AS (
     SELECT doc_id, {_MINHASH_COLS_SQL}
-    FROM sh GROUP BY doc_id
+    FROM hashed GROUP BY doc_id
 ),
 bands AS ({_BAND_ROWS_SQL}),
 cand AS (

@@ -22,6 +22,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import advanced as adv
+from ..operators import curation as cu
 from ..operators import dedup as dd
 from ..operators import inverted_index as ii
 from ..operators import iterative as it
@@ -177,6 +178,9 @@ register("simhash_fingerprints", dd.simhash_fingerprints, None,
 register("embedding_near_dup", dd.embedding_near_dup,
          dd.EMBEDDING_NEAR_DUP_SQL,
          "cosine >= 0.9 near-dup pairs, expression-only kernel")
+register("curation_funnel", cu.curation_funnel, cu.CURATION_FUNNEL_SQL,
+         "composed corpus-curation funnel: quality -> exact dedup -> "
+         "near-dup canonical -> per-lang manifest")
 
 # --- similarity search ----------------------------------------------------
 register("ann_topk_bruteforce", sim.ann_topk_bruteforce,
