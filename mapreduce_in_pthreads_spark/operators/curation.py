@@ -128,3 +128,54 @@ LEFT JOIN exact_surv e ON e.doc_id = f.doc_id
 LEFT JOIN canon c ON c.doc_id = f.doc_id
 GROUP BY lang
 """
+
+
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.3, "es": 0.3, "fr": 0.2, "zh": 0.1}
+SAMPLE_SEED = 42
+SAMPLE_K = 25
+
+
+def stratified_sample_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sampling via the native ``sampleBy``
+    (Bernoulli per stratum, seeded). The language-rebalancing primitive
+    of corpus curation: downsample over-represented languages at scan
+    time — sampling is a zero-shuffle map-side filter, so at 100 TB
+    it prunes before any expensive downstream op.
+
+    Rows-only check: Spark's stratified RNG is engine-internal (no
+    DuckDB twin); the unit test pins determinism for a fixed seed,
+    per-stratum rates within binomial bounds, and subset-of-source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.sampleBy("lang", SAMPLE_FRACTIONS, seed=SAMPLE_SEED)
+            .select("doc_id", "lang"))
+
+
+def deterministic_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size per-stratum sample with a DETERMINISTIC pseudo-random
+    order: rank docs inside each language by md5(doc_id) and keep the
+    first ``SAMPLE_K``. Unlike ``sampleBy`` this is reproducible across
+    engines and releases (the md5 order is a pure function of the
+    data), gives exact stratum sizes, and is oracle-checkable. At
+    scale this is one window over one shuffle per stratum — and for
+    top-k per group Spark plans a partial (map-side) rank, never a
+    global sort."""
+    from pyspark.sql import Window
+    docs = load_table(spark, sf_dir, "documents")
+    rnd = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(rnd, "doc_id")
+    return (docs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= SAMPLE_K)
+            .select("doc_id", "lang", "rnk"))
+
+
+DETERMINISTIC_SAMPLE_SQL = f"""
+SELECT doc_id, lang, rnk FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+    FROM documents
+)
+WHERE rnk <= {SAMPLE_K}
+"""

@@ -174,3 +174,151 @@ WHERE c_acctbal > (
     FROM customer c2
     WHERE c2.c_nationkey = c.c_nationkey)
 """
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume between two nations by ship
+    year — the 5-way join (fact + 2 dim paths) with a symmetric pair
+    predicate. Both nation dims broadcast; the supplier/customer dims
+    broadcast too (they are orders-of-magnitude smaller than lineitem
+    at every scale factor), so the fact table never shuffles for the
+    dims — only the orders join exchanges on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    revenue = money("l_extendedprice") * (one() - rate("l_discount"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({_DISC_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top-20 customers by lost revenue on returned items
+    (l_returnflag = 'R') — selective fact filter, join to orders +
+    customer + nation, global top-k (TakeOrderedAndProject)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = money("l_extendedprice") * (one() - rate("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal",
+                 F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+       CAST(SUM({_DISC_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (adapted: no partsupp table, lineitem is the
+    part↔supplier bridge): distinct-supplier variety per part
+    attribute bucket, with negated predicates (<> and NOT LIKE) that
+    must still push into the dim scan."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").startswith("PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY 1, 2, 3
+"""
+
+
+def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs join predicate (brand × size × quantity
+    branches). The planner must (a) push the disjunction's common
+    part-side conjuncts into the broadcast dim scan and (b) evaluate
+    the residual OR as a join filter — the classic test that
+    disjunctive pushdown doesn't fall back to a cross product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    revenue = money("l_extendedprice") * (one() - rate("l_discount"))
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10))
+         & (F.col("l_quantity").between(1, 15)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 20))
+           & (F.col("l_quantity").between(10, 25)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 30))
+           & (F.col("l_quantity").between(20, 35))))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(F.sum(revenue).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM({_DISC_SQL}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20 AND 35)
+"""

@@ -85,3 +85,57 @@ def python_udf_slow_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 PYTHON_UDF_SLOW_PATH_SQL = """
 SELECT p_partkey, reverse(upper(p_name)) AS name_rev_upper FROM part
 """
+
+
+CHUNK_WIDTH = 64
+CHUNK_STRIDE = 32
+
+
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) extension surface: sliding-window
+    document chunking (width 64 tokens, stride 32 — the standard
+    overlap-chunking layout for retrieval/embedding pipelines), applied
+    per document via SQL LATERAL join.
+
+    UDTFs are the one-row-in/many-rows-out extension point (pandas_udf
+    is 1:1, applyInPandas is group:group); chunking is its canonical
+    use. Same 100 TB placement rule as every Python path: the UDTF
+    runs AFTER pushdown/pruning on an already-filtered input, and the
+    chunker is stateless so it parallelizes per partition with no
+    shuffle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: bigint, chunk_text: string, "
+                     "chunk_tokens: bigint")
+    class ChunkDoc:
+        def eval(self, text: str, width: int, stride: int):
+            toks = text.split(" ")
+            idx = 0
+            for start in range(0, len(toks), stride):
+                chunk = toks[start:start + width]
+                yield idx, " ".join(chunk), len(chunk)
+                idx += 1
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_v")
+    return spark.sql(f"""
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.chunk_tokens
+        FROM documents_v d,
+             LATERAL chunk_doc(d.text, {CHUNK_WIDTH}, {CHUNK_STRIDE}) c
+    """)
+
+
+UDTF_CHUNK_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+)
+SELECT doc_id,
+       CAST((s - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       array_to_string(t[s : least(s + {CHUNK_WIDTH} - 1, n)], ' ')
+           AS chunk_text,
+       least({CHUNK_WIDTH}, n - s + 1) AS chunk_tokens
+FROM toks, unnest(range(1, n + 1, {CHUNK_STRIDE})) AS u(s)
+"""

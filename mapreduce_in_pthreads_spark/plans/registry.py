@@ -181,6 +181,11 @@ register("embedding_near_dup", dd.embedding_near_dup,
 register("curation_funnel", cu.curation_funnel, cu.CURATION_FUNNEL_SQL,
          "composed corpus-curation funnel: quality -> exact dedup -> "
          "near-dup canonical -> per-lang manifest")
+register("stratified_sample_fractions", cu.stratified_sample_fractions,
+         None, "native sampleBy stratified sampling (rows-only: RNG)")
+register("deterministic_sample_per_lang",
+         cu.deterministic_sample_per_lang, cu.DETERMINISTIC_SAMPLE_SQL,
+         "md5-ranked exact-size per-stratum sample (reproducible)")
 
 # --- similarity search ----------------------------------------------------
 register("ann_topk_bruteforce", sim.ann_topk_bruteforce,
@@ -225,6 +230,9 @@ register("apply_in_pandas_zscore", ud.apply_in_pandas_zscore,
 register("python_udf_slow_path", ud.python_udf_slow_path,
          ud.PYTHON_UDF_SLOW_PATH_SQL,
          "row-at-a-time UDF on a dim table (the documented slow path)")
+register("udtf_chunk_documents", ud.udtf_chunk_documents,
+         ud.UDTF_CHUNK_SQL,
+         "Python UDTF: sliding-window doc chunking via LATERAL join")
 
 # --- advanced surface -----------------------------------------------------
 register("asof_join_prior_event", adv.asof_join_prior_event,
@@ -262,6 +270,16 @@ register("q14_promo_share", tq.q14_promo_share, tq.Q14_SQL,
          "Q14 shape: conditional revenue ratio")
 register("q18_large_orders", tq.q18_large_orders, tq.Q18_SQL,
          "Q18 shape: HAVING aggregation as join filter")
+register("q7_volume_shipping", tq.q7_volume_shipping, tq.Q7_SQL,
+         "Q7 shape: bilateral nation trade volume by year (5-way join)")
+register("q10_returned_items", tq.q10_returned_items, tq.Q10_SQL,
+         "Q10 shape: top-20 customers by returned-item revenue")
+register("q16_supplier_part_variety", tq.q16_supplier_part_variety,
+         tq.Q16_SQL,
+         "Q16 shape (lineitem bridge): distinct-supplier variety, "
+         "negated pushdown predicates")
+register("q19_disjunctive_pushdown", tq.q19_disjunctive_pushdown,
+         tq.Q19_SQL, "Q19 shape: OR-of-ANDs join predicate")
 register("sql_grouping_sets", tq.sql_grouping_sets,
          tq.SQL_GROUPING_SETS_SQL,
          "explicit GROUPING SETS via the spark.sql surface")

@@ -114,3 +114,31 @@ def test_inverted_index_partition_invariance(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert one == many
+
+
+def test_stratified_sample_invariants(spark, sf_dir):
+    """sampleBy invariants: deterministic for a fixed seed, strict
+    subset of the source, and per-stratum rates within generous
+    binomial bounds (±6 sigma) of the requested fractions."""
+    import math
+    from mapreduce_in_pthreads_spark.operators.curation import (
+        SAMPLE_FRACTIONS)
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+    fn = REGISTRY["stratified_sample_fractions"].fn
+    a = {(r.doc_id, r.lang) for r in fn(spark, sf_dir).collect()}
+    b = {(r.doc_id, r.lang) for r in fn(spark, sf_dir).collect()}
+    assert a == b, "sampleBy not deterministic for fixed seed"
+    docs = load_table(spark, sf_dir, "documents")
+    source = {(r.doc_id, r.lang) for r in
+              docs.select("doc_id", "lang").collect()}
+    assert a <= source
+    totals = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {}
+    for doc_id, lang in a:
+        got[lang] = got.get(lang, 0) + 1
+    for lang, frac in SAMPLE_FRACTIONS.items():
+        n = totals[lang]
+        mu, sigma = n * frac, math.sqrt(n * frac * (1 - frac))
+        assert abs(got.get(lang, 0) - mu) <= 6 * sigma + 1, (
+            lang, got.get(lang), mu, sigma)
