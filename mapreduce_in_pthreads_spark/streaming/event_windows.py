@@ -98,3 +98,37 @@ def run_to_memory(spark: SparkSession, stream_df: DataFrame,
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+def streaming_purchase_click_join(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of
+    ``joins.purchases_with_prior_clicks``: for each purchase, count
+    same-user clicks in the preceding hour.
+
+    Both sides are watermarked streams; the time-range predicate is
+    what BOUNDS the join state: Spark derives from it how long click
+    rows must be buffered (1 h + watermark) and evicts older state.
+    An unconstrained stream-stream join would buffer both streams
+    forever — the interval condition is mandatory at scale, not an
+    optimization. Inner join (not left): streaming left-outer emits
+    null-matches only on watermark expiry, which never fires for the
+    final windows of a bounded file source — the parity test compares
+    against the batch inner-join projection instead."""
+    ev1 = _read_event_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    ev2 = _read_event_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    purchases = ev1.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"))
+    clicks = ev2.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"))
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id")

@@ -68,3 +68,63 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             update_totals, OUTPUT_SCHEMA, STATE_SCHEMA,
             "update", GroupStateTimeout.NoTimeout)
     )
+
+
+TWS_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, max_value double"
+
+
+def streaming_user_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same stateful shape on the MODERN API: ``transformWithState``
+    (Spark 4 StatefulProcessor) — typed, composable state handles
+    (ValueState here; ListState/MapState/timers available) instead of
+    applyInPandasWithState's single tuple blob. Requires the RocksDB
+    state store (set in the session conf below), which is also the
+    production choice: state spills off-heap and snapshots
+    incrementally, so per-key state survives executor loss and isn't
+    bounded by JVM heap — the 100 TB requirement for any
+    billions-of-keys stateful pipeline.
+
+    Runtime dependency note: the transformWithState Python worker
+    speaks protobuf to the state server; environments without a
+    working ``google.protobuf`` can't execute it (the parity test
+    skips there), while ``streaming_user_totals`` above covers the
+    same semantics on the dependency-free legacy API."""
+    import pandas as _pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+
+    class UserCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "totals", "n bigint, max_micro bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, max_micro = (self._st.get() if self._st.exists()
+                            else (0, None))
+            for pdf in rows:
+                n += len(pdf)
+                # exact integer micro-units (same contract as
+                # streaming_user_totals)
+                hi = int(round(float(pdf["value"].max()) * 1_000_000))
+                max_micro = hi if max_micro is None else max(max_micro, hi)
+            self._st.update((n, max_micro))
+            yield _pd.DataFrame({
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_value": [max_micro / 1_000_000],
+            })
+
+        def close(self) -> None:
+            pass
+
+    ev = _read_event_stream(spark, sf_dir).select("user_id", "value")
+    return (
+        ev.groupBy("user_id")
+        .transformWithStateInPandas(
+            UserCounts(), TWS_OUTPUT_SCHEMA, "Update", "None")
+    )

@@ -63,7 +63,8 @@ def test_no_python_in_relational_hot_paths(spark, sf_dir):
     """Python evaluation (BatchEvalPython/ArrowEvalPython/FlatMapsInPandas)
     must not appear in any non-UDF-demo query plan."""
     udf_demos = {"pandas_udf_token_count", "apply_in_pandas_zscore",
-                 "python_udf_slow_path", "blob_metadata"}
+                 "python_udf_slow_path", "blob_metadata",
+                 "udtf_chunk_documents"}
     for name, q in REGISTRY.items():
         if name in udf_demos:
             continue
@@ -105,3 +106,30 @@ def test_partial_aggregation_in_word_count(spark, sf_dir):
     reference's combine-less shuffle (SURVEY.md §4.2)."""
     p = plan(spark, sf_dir, "word_count")
     assert "partial_count" in p
+
+
+def test_q7_broadcasts_all_dims(spark, sf_dir):
+    """Q7's four dim joins (supplier/customer/nation×2) broadcast; only
+    the lineitem⋈orders fact join may exchange."""
+    p = plan(spark, sf_dir, "q7_volume_shipping")
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_q19_disjunction_stays_joined(spark, sf_dir):
+    """OR-of-ANDs predicate must plan as an equi hash join on partkey
+    with a residual filter — never a cartesian fallback."""
+    p = plan(spark, sf_dir, "q19_disjunctive_pushdown")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "Cartesian" not in p
+    # part-side single-table conjuncts pushed into the dim scan
+    scan = [l for l in p.splitlines()
+            if "FileScan parquet" in l and "part.parquet" in l]
+    assert scan and "p_brand" in scan[0]
+
+
+def test_deterministic_sample_partial_topk(spark, sf_dir):
+    """Per-stratum rank filter plans a window after ONE hash exchange
+    on lang (no global sort)."""
+    p = plan(spark, sf_dir, "deterministic_sample_per_lang")
+    assert "Window" in p
+    assert p.count("Exchange rangepartitioning") == 0

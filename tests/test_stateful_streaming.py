@@ -31,3 +31,41 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir):
     cols = ["user_id", "n_events", "sum_value", "first_ts_us", "last_ts_us"]
     assert (sorted(map(tuple, final.select(cols).collect()))
             == sorted(map(tuple, expect.select(cols).collect())))
+
+
+def _has_working_protobuf() -> bool:
+    # transformWithState's Python worker talks to the state server
+    # over protobuf; this container ships a broken google.protobuf
+    # (no generated descriptor module), so the modern-API test only
+    # runs where the dependency actually works.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.skipif(not _has_working_protobuf(),
+                    reason="google.protobuf unavailable: "
+                           "transformWithState state server needs it")
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """Modern-API twin (transformWithStateInPandas + RocksDB state
+    store): final per-user state equals the batch aggregate."""
+    from mapreduce_in_pthreads_spark.streaming.stateful import (
+        streaming_user_counts_tws)
+    got = ew.run_to_memory(
+        spark, streaming_user_counts_tws(spark, sf_dir),
+        "mem_user_tws", "update")
+    final = (got.groupBy("user_id")
+             .agg(F.max(F.struct("n_events", "max_value")).alias("s"))
+             .select("user_id", "s.*"))
+    ev = load_table(spark, sf_dir, "events")
+    expect = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("max_value"))
+    cols = ["user_id", "n_events", "max_value"]
+    assert (sorted(map(tuple, final.select(cols).collect()))
+            == sorted(map(tuple, expect.select(cols).collect())))

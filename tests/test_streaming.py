@@ -42,3 +42,32 @@ def test_streaming_dedup_parity(spark, sf_dir):
     key = lambda df: sorted({(r.user_id, r.event_type, r.hour_us)
                              for r in df.collect()})
     assert key(got) == key(batch)
+
+
+def test_stream_stream_join_parity(spark, sf_dir):
+    """Stream-stream interval join == the batch inner join's
+    (purchase_id, click_id) pair set. Append mode: inner-join matches
+    emit as soon as both sides arrive; with availableNow the bounded
+    source drains fully, so the pair set is complete."""
+    from pyspark.sql import functions as F
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+    got = st.run_to_memory(
+        spark, st.streaming_purchase_click_join(spark, sf_dir),
+        "mem_ssjoin", "append")
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"))
+    batch = p.join(
+        c, (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")), "inner"
+    ).select("purchase_id", "click_id")
+    pairs = lambda df: sorted((r.purchase_id, r.click_id)
+                              for r in df.collect())
+    assert pairs(got) == pairs(batch)
