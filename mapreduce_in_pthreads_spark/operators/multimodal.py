@@ -101,3 +101,74 @@ SELECT source, lang, count(*) AS n_docs,
        max(n_chars) AS max_chars
 FROM documents GROUP BY source, lang
 """
+
+
+FRAME_BYTES = 32      # fake codec: 1 "frame" per 32 payload bytes
+MAX_FRAMES = 4        # sample at most 4 frames per payload
+
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, n_frames bigint, frame_sig string")
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (the video path of the multimodal
+    contract): each payload is treated as a frame sequence, a strided
+    subset of ≤ ``MAX_FRAMES`` frames is sampled, and a per-frame
+    feature is extracted — emitted as ONE ROW PER FRAME (the 1:N
+    mapInPandas shape a real video pipeline has, vs blob_metadata's
+    1:1).
+
+    The codec is the documented deterministic fake (fixed-size frames
+    of ``FRAME_BYTES`` bytes, sha256-prefix features) because the
+    container ships no libav — ``decode_image`` documents the swap
+    point. Everything Spark-side is real: binary Arrow batches in,
+    multi-row batches out, embarrassingly parallel per partition, and
+    the whole fake is SQL-expressible so even this path is
+    oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def frame_batches(
+            batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_frames": [],
+                   "frame_sig": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(len(payload) // FRAME_BYTES, 1)
+                stride = max(n_frames // MAX_FRAMES, 1)
+                for f in list(range(0, n_frames, stride))[:MAX_FRAMES]:
+                    chunk = payload[f * FRAME_BYTES:(f + 1) * FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["n_frames"].append(n_frames)
+                    out["frame_sig"].append(
+                        hashlib.sha256(chunk).hexdigest()[:16])
+            yield _pd.DataFrame(out)
+
+    return blobs.mapInPandas(frame_batches, FRAME_SAMPLE_SCHEMA)
+
+
+FRAME_SAMPLE_SQL = f"""
+WITH meta AS (
+    SELECT doc_id, text,
+           greatest(octet_length(encode(text)) // {FRAME_BYTES}, 1)
+               AS n_frames
+    FROM documents
+),
+strided AS (
+    SELECT doc_id, text, n_frames,
+           greatest(n_frames // {MAX_FRAMES}, 1) AS stride
+    FROM meta
+)
+SELECT doc_id, f AS frame_idx, n_frames,
+       substring(sha256(substring(text, CAST(f * {FRAME_BYTES} + 1 AS INT),
+                                  {FRAME_BYTES})), 1, 16) AS frame_sig
+FROM strided,
+     unnest(list_slice(range(0, n_frames, stride), 1, {MAX_FRAMES}))
+         AS u(f)
+"""

@@ -220,6 +220,8 @@ register("blob_metadata", mm.blob_metadata, mm.BLOB_METADATA_SQL,
          "binary payload metadata via Arrow mapInPandas")
 register("modality_partition_stats", mm.modality_partition_stats,
          mm.MODALITY_PARTITION_STATS_SQL, "payload volume per partition")
+register("frame_sample", mm.frame_sample, mm.FRAME_SAMPLE_SQL,
+         "strided frame sampling: 1:N mapInPandas over binary payloads")
 
 # --- UDF surface -----------------------------------------------------------
 register("pandas_udf_token_count", ud.pandas_udf_token_count,

@@ -41,3 +41,20 @@ def write_text_report(df: DataFrame, line_col: str, path: str,
     if coalesce:
         out = out.coalesce(coalesce)
     out.write.mode("overwrite").text(path)
+
+
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   n_buckets: int = 8) -> None:
+    """Bucketed managed-table write: hash-clustered on ``key`` into
+    ``n_buckets`` files per partition, sorted within buckets.
+
+    Bucketing is the storage-level answer to repeated join/agg
+    shuffles: two tables bucketed on the same key with the same bucket
+    count join with NO exchange on either side (asserted in
+    tests/test_layout_and_sources.py) — at 100 TB this turns every
+    fact⋈fact join on the bucket key from a full network shuffle into
+    a local merge. The write itself shuffles once to cluster; that
+    cost amortizes over every downstream read."""
+    (df.write.mode("overwrite")
+       .bucketBy(n_buckets, key).sortBy(key)
+       .format("parquet").saveAsTable(table))

@@ -67,3 +67,43 @@ def test_approx_quantiles_bounded(spark, sf_dir):
         em, ep = exact[et]
         assert abs(am - em) / max(em, 1) < 0.05, (et, am, em)
         assert abs(ap - ep) / max(ep, 1) < 0.05, (et, ap, ep)
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key at the same bucket count
+    must SortMergeJoin with ZERO Exchange operators — the co-located
+    join contract bucketing exists for."""
+    from mapreduce_in_pthreads_spark.sources.sinks import write_bucketed
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    write_bucketed(o.select("o_orderkey", "o_custkey", "o_totalprice"),
+                   "orders_b", "o_custkey")
+    write_bucketed(c.select("c_custkey", "c_acctbal"),
+                   "customer_b", "c_custkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the co-location claim is actually tested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (spark.table("orders_b")
+             .join(spark.table("customer_b"),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .groupBy("c_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(25,4)"))
+                  .cast("double").alias("total")))
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p
+        # no exchange anywhere: the join reads bucket-aligned files and
+        # the aggregate rides the same clustering (custkey ⊂ group keys)
+        assert "Exchange" not in p
+        # sanity: result matches the unbucketed plan
+        expect = (o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+                  .groupBy("c_custkey")
+                  .agg(F.sum(F.col("o_totalprice").cast("decimal(25,4)"))
+                       .cast("double").alias("total")))
+        assert (sorted(map(tuple, j.collect()))
+                == sorted(map(tuple, expect.collect())))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
