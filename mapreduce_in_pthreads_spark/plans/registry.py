@@ -195,6 +195,9 @@ register("ann_ivf_topk", sim.ann_ivf_topk, sim.ANN_IVF_TOPK_SQL,
          "IVF cell-pruned top-k cosine neighbors (scale path)")
 register("label_centroid_norms", sim.label_centroid_norms, None,
          "per-cell centroid norms (rows-only: cross-row float sums)")
+register("ann_topk_blas", sim.ann_topk_blas, None,
+         "BLAS/Arrow fast path for exact top-k (rows-only: float "
+         "summation order; pinned against bruteforce)")
 
 # --- text analysis --------------------------------------------------------
 register("doc_quality_stats", ta.doc_quality_stats,

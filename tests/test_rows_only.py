@@ -142,3 +142,16 @@ def test_stratified_sample_invariants(spark, sf_dir):
         mu, sigma = n * frac, math.sqrt(n * frac * (1 - frac))
         assert abs(got.get(lang, 0) - mu) <= 6 * sigma + 1, (
             lang, got.get(lang), mu, sigma)
+
+
+def test_ann_blas_matches_bruteforce(spark, sf_dir):
+    """The BLAS/Arrow fast path must agree with the expression-kernel
+    bruteforce: identical neighbor sets per query and cos_sim equal to
+    1e-9 (the two paths sum floats in different orders)."""
+    bf = {(r.query_id, r.vec_id): r.cos_sim for r in
+          REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir).collect()}
+    bl = {(r.query_id, r.vec_id): r.cos_sim for r in
+          REGISTRY["ann_topk_blas"].fn(spark, sf_dir).collect()}
+    assert set(bf) == set(bl)
+    for k, v in bf.items():
+        assert abs(v - bl[k]) < 1e-9, k
