@@ -267,3 +267,99 @@ SELECT COALESCE(d.user_id, b.user_id) AS user_id,
             ELSE 'update' END AS op
 FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
 """
+
+
+N_HIST_BUCKETS = 20
+HIST_LO, HIST_HI = 0.0, 100.0
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values — the profiling primitive
+    behind every data-quality dashboard. Bucket assignment is a pure
+    projection (floor arithmetic, clamped edges), the rollup is a
+    combinable count — one shuffle of ≤ N_HIST_BUCKETS rows regardless
+    of input size, the ideal 100 TB aggregation shape."""
+    ev = load_table(spark, sf_dir, "events")
+    width = (HIST_HI - HIST_LO) / N_HIST_BUCKETS
+    bucket = F.least(
+        F.greatest(F.floor((F.col("value") - HIST_LO) / width), F.lit(0)),
+        F.lit(N_HIST_BUCKETS - 1)).cast("bigint")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("value").alias("lo"),
+             F.max("value").alias("hi"))
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+SELECT least(greatest(CAST(floor((value - {HIST_LO})
+                  / (({HIST_HI} - {HIST_LO}) / {N_HIST_BUCKETS}))
+                  AS BIGINT), 0), {N_HIST_BUCKETS - 1}) AS bucket,
+       count(*) AS n, min(value) AS lo, max(value) AS hi
+FROM events GROUP BY 1
+"""
+
+
+def modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal (most frequent) event type — count-then-argmax
+    with a deterministic tie-break on the type string. Two combinable
+    aggregations; the argmax is `max_by` over a (count, type) struct,
+    so no window pass is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    # tie-break: highest n, then LAST type alphabetically (struct max)
+    return counts.groupBy("user_id").agg(
+        F.max_by("event_type", F.struct("n", "event_type"))
+        .alias("modal_type"),
+        F.max("n").alias("modal_n"))
+
+
+MODAL_EVENT_TYPE_SQL = """
+WITH counts AS (
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS modal_type, n AS modal_n FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY n DESC, event_type DESC) AS rn
+    FROM counts
+) WHERE rn = 1
+"""
+
+
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 retention: of the users active on day D, how many were also
+    active on D+7 — the canonical product-analytics self-join. Both
+    sides reduce to DISTINCT (user, day) BEFORE the join (the join
+    input is the small distinct set, never raw events), then an equi
+    join on (user, day+7) and a combinable rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id",
+                     F.to_date("ts").alias("day")).distinct()
+    nxt = days.select("user_id", F.date_sub("day", 7).alias("day"),
+                      F.lit(True).alias("retained"))
+    return (
+        days.join(nxt, ["user_id", "day"], "left")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_active"),
+             F.sum(F.when(F.col("retained"), 1).otherwise(0))
+             .alias("n_retained_d7"))
+        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+    )
+
+
+WEEKLY_RETENTION_SQL = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT strftime(a.day, '%Y-%m-%d') AS day,
+       count(*) AS n_active,
+       sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_retained_d7
+FROM days a
+LEFT JOIN days b ON b.user_id = a.user_id
+                AND b.day = a.day + INTERVAL 7 DAY
+GROUP BY a.day
+"""

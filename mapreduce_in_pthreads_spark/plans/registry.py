@@ -151,6 +151,14 @@ register("approx_quantiles_events", ts.approx_quantiles_events, None,
 register("merge_upsert_latest", ts.merge_upsert_latest,
          ts.MERGE_UPSERT_SQL,
          "CDC-style MERGE: snapshot ⟕⟖ delta, delta wins, op audit")
+register("value_histogram", ts.value_histogram, ts.VALUE_HISTOGRAM_SQL,
+         "equi-width histogram: projection buckets + combinable rollup")
+register("modal_event_type", ts.modal_event_type,
+         ts.MODAL_EVENT_TYPE_SQL,
+         "per-user mode via max_by over (count, type) struct")
+register("weekly_retention", ts.weekly_retention,
+         ts.WEEKLY_RETENTION_SQL,
+         "D7 retention: distinct-day self-join, combinable rollup")
 register("map_functions", ss.map_functions, ss.MAP_FUNCTIONS_SQL,
          "map-typed column surface (projected to comparable shapes)")
 register("explode_outer_rare_words", ss.explode_outer_rare_words,
