@@ -36,6 +36,7 @@ from ..operators import udfs as ud
 from ..operators import relational as rel
 from ..operators import timeseries as ts
 from ..operators import tpch_shapes as tq
+from ..operators import tpch_shapes2 as tq2
 from ..operators import windows as win
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -299,6 +300,36 @@ register("sql_grouping_sets", tq.sql_grouping_sets,
 register("correlated_subquery", tq.correlated_subquery,
          tq.CORRELATED_SUBQUERY_SQL,
          "correlated scalar subquery via the SQL surface")
+register("q2_min_cost_supplier", tq2.q2_min_cost_supplier, tq2.Q2_SQL,
+         "Q2 shape: min-per-group back-join (correlated min)")
+register("q4_order_priority", tq2.q4_order_priority, tq2.Q4_SQL,
+         "Q4 shape: EXISTS semi join with non-equi conjunct")
+register("q5_local_supplier_volume", tq2.q5_local_supplier_volume,
+         tq2.Q5_SQL, "Q5 shape: 6-way local-supplier join")
+register("q8_market_share", tq2.q8_market_share, tq2.Q8_SQL,
+         "Q8 shape: conditional-sum market share ratio per year")
+register("q9_product_profit", tq2.q9_product_profit, tq2.Q9_SQL,
+         "Q9 shape: profit per nation/year over LIKE-subset parts")
+register("q11_important_parts", tq2.q11_important_parts, tq2.Q11_SQL,
+         "Q11 shape: HAVING vs global-total scalar (broadcast)")
+register("q12_late_lines_by_status", tq2.q12_late_lines_by_status,
+         tq2.Q12_SQL, "Q12 shape: conditional counts by fact bucket")
+register("q13_customer_distribution", tq2.q13_customer_distribution,
+         tq2.Q13_SQL,
+         "Q13 shape: zero-preserving outer join + stacked aggs")
+register("q15_top_supplier", tq2.q15_top_supplier, tq2.Q15_SQL,
+         "Q15 shape: argmax vs global max over reused aggregate")
+register("q17_small_quantity_revenue", tq2.q17_small_quantity_revenue,
+         tq2.Q17_SQL,
+         "Q17 shape: correlated per-key avg as window (one shuffle)")
+register("q20_part_promotion", tq2.q20_part_promotion, tq2.Q20_SQL,
+         "Q20 shape: nested semi-join chain with HAVING")
+register("q21_suppliers_kept_waiting", tq2.q21_suppliers_kept_waiting,
+         tq2.Q21_SQL,
+         "Q21 shape: sole-blame EXISTS/NOT-EXISTS as one aggregate")
+register("q22_global_sales_opportunity", tq2.q22_global_sales_opportunity,
+         tq2.Q22_SQL,
+         "Q22 shape: anti join + global scalar threshold")
 register("window_navigation", win.window_navigation,
          win.WINDOW_NAVIGATION_SQL,
          "first/last/nth value + ntile navigation surface")

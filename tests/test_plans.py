@@ -127,6 +127,41 @@ def test_q19_disjunction_stays_joined(spark, sf_dir):
     assert scan and "p_brand" in scan[0]
 
 
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    """Q5's customer/supplier/nation/region joins broadcast — the fact
+    shuffles only for the lineitem⋈orders key join."""
+    p = plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+
+
+def test_q11_global_total_is_broadcast_not_collect(spark, sf_dir):
+    """The grand-total comparison must plan as a broadcast nested-loop
+    of a 1-row aggregate — no driver-side collect, no cartesian of two
+    big sides."""
+    p = plan(spark, sf_dir, "q11_important_parts")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q17_correlated_avg_single_shuffle(spark, sf_dir):
+    """The correlated per-part average is a window over l_partkey:
+    exactly one hash exchange, not a re-scan join of lineitem against
+    itself."""
+    p = plan(spark, sf_dir, "q17_small_quantity_revenue")
+    assert "Window" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    # lineitem is scanned once (plus the broadcast part dim scan)
+    li_scans = [l for l in p.splitlines()
+                if "FileScan parquet" in l and "lineitem.parquet" in l]
+    assert len(li_scans) == 1
+
+
+def test_q22_anti_join_operator(spark, sf_dir):
+    p = plan(spark, sf_dir, "q22_global_sales_opportunity")
+    assert "LeftAnti" in p
+
+
 def test_deterministic_sample_partial_topk(spark, sf_dir):
     """Per-stratum rank filter plans a window after ONE hash exchange
     on lang (no global sort)."""
