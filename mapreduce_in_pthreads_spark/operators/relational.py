@@ -389,3 +389,60 @@ SELECT c_nationkey AS nationkey FROM customer
 EXCEPT
 SELECT s_nationkey AS nationkey FROM supplier
 """
+
+
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics): customers' order months
+    present in BOTH 1996 and 1997, keeping min(count96, count97)
+    duplicates per (custkey, month) — the bag overlap, not the set."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def keys(year: int) -> DataFrame:
+        return (o.filter(F.year("o_orderdate") == year)
+                .select("o_custkey",
+                        F.month("o_orderdate").cast("bigint")
+                        .alias("o_month")))
+
+    return (keys(1996).intersectAll(keys(1997))
+            .groupBy("o_custkey", "o_month")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+SET_INTERSECT_ALL_SQL = """
+SELECT o_custkey, o_month, count(*) AS n FROM (
+    SELECT o_custkey, CAST(month(o_orderdate) AS BIGINT) AS o_month
+    FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT ALL
+    SELECT o_custkey, CAST(month(o_orderdate) AS BIGINT) AS o_month
+    FROM orders WHERE year(o_orderdate) = 1997
+) GROUP BY o_custkey, o_month
+"""
+
+
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset semantics): 1996 order months with each
+    1997 occurrence removing only ONE matching 1996 occurrence —
+    count96 − count97 surviving duplicates, vs EXCEPT's all-or-
+    nothing."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def keys(year: int) -> DataFrame:
+        return (o.filter(F.year("o_orderdate") == year)
+                .select("o_custkey",
+                        F.month("o_orderdate").cast("bigint")
+                        .alias("o_month")))
+
+    return (keys(1996).exceptAll(keys(1997))
+            .groupBy("o_custkey", "o_month")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+SET_EXCEPT_ALL_SQL = """
+SELECT o_custkey, o_month, count(*) AS n FROM (
+    SELECT o_custkey, CAST(month(o_orderdate) AS BIGINT) AS o_month
+    FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT ALL
+    SELECT o_custkey, CAST(month(o_orderdate) AS BIGINT) AS o_month
+    FROM orders WHERE year(o_orderdate) = 1997
+) GROUP BY o_custkey, o_month
+"""

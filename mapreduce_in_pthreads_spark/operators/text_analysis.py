@@ -297,3 +297,167 @@ SELECT lang,
 FROM documents
 GROUP BY 1, 2
 """
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrubbing — the redaction pass a training-data pipeline
+    runs before anything else. The synthetic corpus contains no PII, so
+    the query first *injects* a deterministic email + URL per document
+    (derived from doc_id), then scrubs: emails → <EMAIL>, URLs → <URL>,
+    long digit runs → <NUM>. Patterns are the Java-regex ∩ RE2 subset
+    (no lookaround, no backrefs) so Spark and DuckDB agree byte-for-
+    byte.
+
+    Scale notes: pure projection — zero shuffle, whole-stage codegen,
+    runs at scan speed; the audit counts are combinable aggregates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or https://example.com/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?session=1234567890"))
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^ ]+"
+    digits = "[0-9]{7,}"
+    clean = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(dirty, email, "<EMAIL>"),
+                         url, "<URL>"),
+        digits, "<NUM>")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (F.length(dirty) - F.length(clean)).cast("bigint")
+        .alias("chars_redacted"),
+        F.size(F.regexp_extract_all(dirty, F.lit(email), 0))
+        .cast("bigint").alias("n_emails"),
+    )
+
+
+PII_SCRUB_SQL = r"""
+WITH dirty AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com or https://example.com/d/'
+                || CAST(doc_id AS VARCHAR) || '?session=1234567890'
+               AS dirty_text
+    FROM documents)
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(dirty_text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g'),
+           '[0-9]{7,}', '<NUM>', 'g') AS clean_text,
+       length(dirty_text) - length(
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(dirty_text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   'https?://[^ ]+', '<URL>', 'g'),
+               '[0-9]{7,}', '<NUM>', 'g')) AS chars_redacted,
+       len(regexp_extract_all(dirty_text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+FROM dirty
+"""
+
+
+NGRAM_N = 3          # word-level n-gram width (3 → nonempty overlap on
+                     # the synthetic corpus; real pipelines use 8-13)
+EVAL_MOD = 101       # doc_id % EVAL_MOD == 0 → "benchmark" doc
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which training documents share a
+    word-3-gram with the (deterministic pseudo) eval set — the overlap
+    audit run before any training corpus ships. Eval set = doc_id %
+    101 == 0; a real pipeline would read the benchmark table instead.
+
+    Scale notes: the eval n-gram set is tiny and DISTINCT — built
+    once, auto-broadcast, so the fact side streams through a broadcast
+    semi-ish join with zero shuffle of the corpus; per-doc counts
+    aggregate combinably. N-grams are generated by expression
+    (transform over sequence), not a UDF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)))
+    with_grams = docs.select(
+        "doc_id", F.explode(grams).alias("ngram"))
+    eval_grams = (with_grams
+                  .filter(F.col("doc_id") % EVAL_MOD == 0)
+                  .select("ngram").distinct())
+    train = with_grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return (
+        train.join(F.broadcast(eval_grams), "ngram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("ngram").alias("n_contaminated_ngrams"))
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH grams AS (
+    SELECT doc_id, unnest(list_transform(
+        range(1, len(string_split(text, ' ')) - {NGRAM_N - 1} + 1),
+        i -> array_to_string(
+            list_slice(string_split(text, ' '), i, i + {NGRAM_N - 1}),
+            ' '))) AS ngram
+    FROM documents),
+eval_grams AS (
+    SELECT DISTINCT ngram FROM grams WHERE doc_id % {EVAL_MOD} = 0)
+SELECT doc_id, count(DISTINCT ngram) AS n_contaminated_ngrams
+FROM grams JOIN eval_grams USING (ngram)
+WHERE doc_id % {EVAL_MOD} <> 0
+GROUP BY doc_id
+"""
+
+
+def repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the share
+    of word-bigrams that are duplicates, and the share of tokens
+    consumed by the single most-frequent token. High values flag
+    boilerplate/spam for the curation funnel.
+
+    Scale notes: per-row array math only — zero shuffle; the top-token
+    share uses aggregate() over the distinct-token list, still one
+    projection. Ratios are exact-int divisions → identical doubles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    top_count = F.aggregate(
+        F.array_distinct(toks), F.lit(0),
+        lambda acc, t: F.greatest(
+            acc, F.size(F.filter(toks, lambda x: x == t))))
+    return docs.select(
+        "doc_id", "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        ((F.size(bigrams) - F.size(F.array_distinct(bigrams)))
+         / F.size(bigrams)).alias("dup_bigram_ratio"),
+        (top_count / F.size(toks)).alias("top_token_share"),
+    )
+
+
+REPETITION_SQL = """
+SELECT doc_id, lang,
+       len(toks) AS n_tokens,
+       (len(bigrams) - len(list_distinct(bigrams)))
+           / CAST(len(bigrams) AS DOUBLE) AS dup_bigram_ratio,
+       list_max(list_transform(list_distinct(toks),
+           t -> len(list_filter(toks, x -> x = t))))
+           / CAST(len(toks) AS DOUBLE) AS top_token_share
+FROM (
+    SELECT doc_id, lang, string_split(text, ' ') AS toks,
+           list_transform(range(1, len(string_split(text, ' '))),
+               i -> array_to_string(
+                   list_slice(string_split(text, ' '), i, i + 1), ' '))
+               AS bigrams
+    FROM documents)
+"""

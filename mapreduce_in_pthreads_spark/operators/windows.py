@@ -218,3 +218,29 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """
+
+
+def rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist: where each order sits in its
+    customer's price distribution — the remaining ranking-family
+    functions (row_number/rank/dense_rank/ntile live in
+    top_orders_per_customer / window_navigation). Tie-broken by
+    orderkey so both engines rank identically; exact-int fractions →
+    identical doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+RANK_DISTRIBUTION_SQL = """
+SELECT o_custkey, o_orderkey,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""

@@ -101,6 +101,10 @@ register("set_intersect", rel.set_intersect, rel.SET_INTERSECT_SQL,
          "INTERSECT distinct semantics")
 register("set_except", rel.set_except, rel.SET_EXCEPT_SQL,
          "EXCEPT distinct semantics")
+register("set_intersect_all", rel.set_intersect_all,
+         rel.SET_INTERSECT_ALL_SQL, "INTERSECT ALL multiset semantics")
+register("set_except_all", rel.set_except_all,
+         rel.SET_EXCEPT_ALL_SQL, "EXCEPT ALL multiset semantics")
 
 # --- joins (SURVEY §2.3 'Joins') -----------------------------------------
 register("revenue_by_nation", jn.revenue_by_nation,
@@ -226,6 +230,13 @@ register("sequence_packing", ta.sequence_packing, ta.SEQUENCE_PACKING_SQL,
 register("hash_train_test_split", ta.hash_train_test_split,
          ta.HASH_SPLIT_SQL,
          "deterministic md5-bucket train/holdout split manifest")
+register("pii_scrub", ta.pii_scrub, ta.PII_SCRUB_SQL,
+         "PII/URL redaction projection with audit counts")
+register("contamination_check", ta.contamination_check,
+         ta.CONTAMINATION_SQL,
+         "benchmark-contamination scan: 3-gram overlap vs eval set")
+register("repetition_ratios", ta.repetition_ratios, ta.REPETITION_SQL,
+         "Gopher-style repetition signals: dup bigrams, top-token share")
 
 # --- multimodal plumbing ---------------------------------------------------
 register("blob_metadata", mm.blob_metadata, mm.BLOB_METADATA_SQL,
@@ -336,3 +347,6 @@ register("window_navigation", win.window_navigation,
 register("range_frame_revenue", win.range_frame_revenue,
          win.RANGE_FRAME_SQL,
          "RANGE time-frame window (join-free trailing-hour agg)")
+register("rank_distribution", win.rank_distribution,
+         win.RANK_DISTRIBUTION_SQL,
+         "percent_rank + cume_dist ranking surface")
