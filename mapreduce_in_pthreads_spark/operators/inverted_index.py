@@ -172,3 +172,47 @@ SELECT word, doc_id, tf, rn, doc_freq FROM (
     FROM tf
 ) WHERE rn <= 5
 """
+
+
+def rdd_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship, re-expressed on the RDD API — the literal
+    MapReduce formulation of the reference (BASELINE.json asks for the
+    'RDD API equivalent'): flatMap = producer loop (mapreduce.c:
+    107-131), aggregateByKey = per-reducer uthash upsert (mapreduce.c:
+    168-185), the implicit hash partitioning = ``hash(word) % NC``
+    (mapreduce.c:117).
+
+    Output is identical to ``inverted_index`` and checked against the
+    SAME DuckDB oracle — proving the DataFrame and RDD formulations
+    compute one semantics. Python-per-row by construction; kept OFF the
+    bench headline (the DataFrame flagship is the hot path, this is the
+    API-parity demonstration).
+    """
+    import re
+
+    word_re = re.compile(r"[a-z0-9]*")
+
+    def tokenize(row):
+        # mirrors tokens(): 1-based pos assigned BEFORE the empty filter
+        for pos0, raw in enumerate(row.text.split(" ")):
+            w = word_re.match(raw.lower()).group(0)
+            if w:
+                yield w, (row.doc_id, pos0 + 1)
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select("doc_id", "text").rdd
+        .flatMap(tokenize)
+        .aggregateByKey(
+            [],
+            lambda acc, occ: acc + [occ],          # uthash upsert-append
+            lambda a, b: a + b,                    # partition merge
+        )
+        .map(lambda kv: (
+            kv[0],
+            len(kv[1]),
+            ", ".join(f"({d}: {p})" for d, p in sorted(kv[1])),
+        ))
+    )
+    return spark.createDataFrame(
+        postings, "word string, n_occurrences bigint, occurrences string")

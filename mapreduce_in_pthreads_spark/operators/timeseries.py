@@ -363,3 +363,29 @@ LEFT JOIN days b ON b.user_id = a.user_id
                 AND b.day = a.day + INTERVAL 7 DAY
 GROUP BY a.day
 """
+
+
+def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-event-type HLL sketches
+    of user_id, plus an 'ALL' row whose estimate comes from UNIONING
+    the per-type sketches (hll_union_agg) — never re-scanning the
+    fact. This two-level sketch-merge is THE pattern for distinct
+    counts at 100 TB: sketches combine map-side, re-aggregate across
+    days/partitions, and the union costs bytes, not a scan.
+
+    Approximate ⇒ rows-only; the unit test bounds the estimates
+    against exact counts and checks union ≥ max(per-type).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sketches = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"))
+    per_type = sketches.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "exact_users")
+    overall = sketches.agg(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.lit(None).cast("bigint").alias("exact_users"))
+    return per_type.unionByName(overall)

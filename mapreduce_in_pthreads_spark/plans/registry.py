@@ -69,6 +69,9 @@ register("corpus_stats", ii.corpus_stats, ii.CORPUS_STATS_SQL,
          "derived: corpus invariants (occurrences/words/docs)")
 register("index_top_docs", ii.index_top_docs, ii.INDEX_TOP_DOCS_SQL,
          "scale-capped index: bounded top-k postings per word")
+register("rdd_inverted_index", ii.rdd_inverted_index,
+         ii.INVERTED_INDEX_SQL,
+         "flagship on the RDD API (flatMap/aggregateByKey), same oracle")
 
 # --- core relational (SURVEY §2.3 rows 1-4, 7-9) -------------------------
 register("q1_pricing_summary", rel.q1_pricing_summary, rel.Q1_SQL,
@@ -153,6 +156,9 @@ register("from_json_typed", ts.from_json_typed, ts.FROM_JSON_SQL,
          "schema-on-read from_json with declared schema")
 register("approx_quantiles_events", ts.approx_quantiles_events, None,
          "approx_percentile sketch (rows-only: approximate)")
+register("hll_sketch_users", ts.hll_sketch_users, None,
+         "mergeable HLL distinct sketches + sketch-union ALL row "
+         "(rows-only: approximate)")
 register("merge_upsert_latest", ts.merge_upsert_latest,
          ts.MERGE_UPSERT_SQL,
          "CDC-style MERGE: snapshot ⟕⟖ delta, delta wins, op audit")

@@ -107,3 +107,20 @@ def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_orc_source_round_trip(spark, sf_dir):
+    """ORC is the remaining first-class columnar source/sink: values,
+    schema, and predicate pushdown all survive the round trip."""
+    out = str(SCRATCH / "orders_orc")
+    o = load_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == o.schema
+    assert back.count() == o.count()
+    # pushdown reaches the ORC scan
+    plan = (back.filter(F.col("o_totalprice") > 1000)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [IsNotNull(o_totalprice), " \
+           "GreaterThan(o_totalprice,1000.0)]" in plan
+    shutil.rmtree(out, ignore_errors=True)

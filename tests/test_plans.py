@@ -64,7 +64,10 @@ def test_no_python_in_relational_hot_paths(spark, sf_dir):
     must not appear in any non-UDF-demo query plan."""
     udf_demos = {"pandas_udf_token_count", "apply_in_pandas_zscore",
                  "python_udf_slow_path", "blob_metadata",
-                 "udtf_chunk_documents", "frame_sample", "ann_topk_blas"}
+                 "udtf_chunk_documents", "frame_sample", "ann_topk_blas",
+                 # RDD-API parity demo: Python by construction (the
+                 # plan shows Scan ExistingRDD, not EvalPython)
+                 "rdd_inverted_index"}
     for name, q in REGISTRY.items():
         if name in udf_demos:
             continue

@@ -155,3 +155,21 @@ def test_ann_blas_matches_bruteforce(spark, sf_dir):
     assert set(bf) == set(bl)
     for k, v in bf.items():
         assert abs(v - bl[k]) < 1e-9, k
+
+
+def test_hll_sketch_users_bounds(spark, sf_dir):
+    """HLL estimates within 5% of exact per type; the ALL row comes
+    from sketch UNION and must cover at least the largest type and at
+    most the sum (and also land within 5% of the true global
+    distinct)."""
+    rows = {r.event_type: r for r in
+            REGISTRY["hll_sketch_users"].fn(spark, sf_dir).collect()}
+    all_row = rows.pop("ALL")
+    assert rows, "expected per-type sketch rows"
+    for r in rows.values():
+        assert abs(r.est_users - r.exact_users) / r.exact_users < 0.05
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact_all = ev.select("user_id").distinct().count()
+    assert abs(all_row.est_users - exact_all) / exact_all < 0.05
+    assert all_row.est_users >= max(r.est_users for r in rows.values())
+    assert all_row.est_users <= sum(r.est_users for r in rows.values())
