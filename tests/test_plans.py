@@ -8,6 +8,7 @@ operator is explicitly a UDF demo).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from mapreduce_in_pthreads_spark.plans.registry import REGISTRY
 
@@ -171,3 +172,64 @@ def test_deterministic_sample_partial_topk(spark, sf_dir):
     p = plan(spark, sf_dir, "deterministic_sample_per_lang")
     assert "Window" in p
     assert p.count("Exchange rangepartitioning") == 0
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """AQE skew-join handling — the runtime answer to a hot key at
+    100 TB (the reference's analogue: `-p 24 -c 1` contending on one
+    buffer was 8x slower, BASELINE.md). One key owns ~95% of the left
+    side; with broadcast disabled the sort-merge join would stall on
+    one straggler partition, and AQE must split it (skew=true in the
+    final adaptive plan)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "262144",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "4096",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = (spark.range(0, 150_000)
+                .withColumn("k", F.when(F.col("id") % 20 != 0, F.lit(0))
+                            .otherwise(F.col("id") % 97))
+                .withColumn("pad", F.lpad(F.col("id").cast("string"),
+                                          64, "x")))
+        right = (spark.range(0, 97)
+                 .select(F.col("id").alias("k"),
+                         F.col("id").alias("dim_val")))
+        # No keyed aggregate downstream: reusing the join's hash
+        # partitioning would make AQE decline the split (it avoids
+        # introducing an extra shuffle).
+        joined = left.join(right, "k")
+        assert len(joined.collect()) == 150_000   # materialize → final plan
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def test_tpch_shapes_prune_and_push(spark, sf_dir):
+    """Sweeping scan audit over every TPC-H shape: any lineitem scan
+    must prune columns (never read all 11), and every parquet scan in
+    a filtered query must carry PushedFilters. A scan reading all
+    columns for a narrow aggregate is wrong at any scale."""
+    shapes = [n for n in REGISTRY
+              if n.startswith("q") and n[1].isdigit()]
+    assert len(shapes) >= 20
+    all_cols = {"l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+                "l_linestatus", "l_shipdate", "l_comment"}
+    for name in shapes:
+        p = plan(spark, sf_dir, name)
+        for line in p.splitlines():
+            if "FileScan parquet" not in line or "lineitem" not in line:
+                continue
+            read = line[line.index("ReadSchema"):] if "ReadSchema" in line \
+                else ""
+            present = {c for c in all_cols if c in read}
+            assert len(present) < len(all_cols), (name, line[-400:])
