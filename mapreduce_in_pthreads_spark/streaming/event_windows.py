@@ -132,3 +132,26 @@ def streaming_purchase_click_join(spark: SparkSession,
         & (F.col("c_ts") < F.col("p_ts")),
         "inner",
     ).select("purchase_id", "click_id")
+
+
+def streaming_dedup_within_watermark(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion dedup via dropDuplicatesWithinWatermark:
+    the union of TWO reads of the same source (an at-least-once
+    delivery double) collapses back to one row per event_id.
+
+    Contrast with ``streaming_dedup``'s plain dropDuplicates, whose
+    dedup state lives forever per key: WithinWatermark keeps a key only
+    until the watermark passes its event time — the state-bounded shape
+    for unbounded streams where duplicates arrive close together
+    (retries, replayed batches), which is the 100 TB-safe default for
+    ingestion pipelines.
+    """
+    a = _read_event_stream(spark, sf_dir)
+    b = _read_event_stream(spark, sf_dir)
+    doubled = a.unionByName(b).withWatermark("ts", WATERMARK)
+    return (
+        doubled.dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type",
+                F.unix_micros("ts").alias("ts_us"))
+    )

@@ -91,3 +91,21 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     run_once()  # same source files: WAL says all committed, no new work
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 and n1 > 0
+
+
+def test_dedup_within_watermark_collapses_duplicates(spark, sf_dir):
+    """A doubled source (union of two reads) must come back exactly-
+    once: one row per event_id, payload identical to the batch table."""
+    got = st.run_to_memory(
+        spark, st.streaming_dedup_within_watermark(spark, sf_dir),
+        "mem_dedup_wm", "append")
+    from pyspark.sql import functions as F
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "user_id", "event_type",
+                  F.col("ts").cast("long").alias("ts_ns")))
+    got_rows = sorted((r.event_id, r.user_id, r.event_type, r.ts_us)
+                      for r in got.collect())
+    # batch ts is int64 nanoseconds; the stream reader truncates to µs
+    exp_rows = sorted((r.event_id, r.user_id, r.event_type,
+                       r.ts_ns // 1000) for r in ev.collect())
+    assert got_rows == exp_rows
