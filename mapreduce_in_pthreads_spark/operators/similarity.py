@@ -193,3 +193,51 @@ def ann_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4x
+    storage/bandwidth reduction pass a 100 TB vector corpus runs before
+    indexing (the IVF/LSH stages then operate on int8 codes). Per
+    vector: scale = 127 / max|x|, code_i = round(x_i * scale).
+
+    Everything is per-row expression math (transform/aggregate) — zero
+    shuffle, scan-speed. The int8 codes are EXACT cross-engine (float
+    inputs widen to the same doubles; both engines round half away from
+    zero), so the oracle compares the codes themselves; the float scale
+    is rounded to 6 dp for the comparison only.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", F.abs))
+    scale = F.lit(127.0) / absmax
+    codes = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * scale).cast("int"))
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale6"),
+        codes.alias("codes"),
+        F.array_max(F.transform("embedding", F.abs)).cast("double")
+        .alias("abs_max"),
+    )
+
+
+# scale must be computed in DOUBLE: list_max over FLOAT[] is FLOAT in
+# DuckDB, and a float-precision scale rounds differently at 6 dp than
+# Spark's double (the codes would still match — round() absorbs it —
+# but the reported scale would not).
+EMBEDDING_QUANTIZE_SQL = """
+SELECT vec_id,
+       round(CAST(127.0 AS DOUBLE) /
+             CAST(list_max(list_transform(embedding, x -> abs(x)))
+                  AS DOUBLE), 6) AS scale6,
+       list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) *
+                (CAST(127.0 AS DOUBLE) /
+                 CAST(list_max(list_transform(embedding, y -> abs(y)))
+                      AS DOUBLE)))
+                AS INTEGER)) AS codes,
+       CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+           AS abs_max
+FROM embeddings
+"""

@@ -214,6 +214,9 @@ register("ann_ivf_topk", sim.ann_ivf_topk, sim.ANN_IVF_TOPK_SQL,
          "IVF cell-pruned top-k cosine neighbors (scale path)")
 register("label_centroid_norms", sim.label_centroid_norms, None,
          "per-cell centroid norms (rows-only: cross-row float sums)")
+register("embedding_quantize_int8", sim.embedding_quantize_int8,
+         sim.EMBEDDING_QUANTIZE_SQL,
+         "symmetric int8 vector quantization, exact cross-engine codes")
 register("ann_topk_blas", sim.ann_topk_blas, None,
          "BLAS/Arrow fast path for exact top-k (rows-only: float "
          "summation order; pinned against bruteforce)")
