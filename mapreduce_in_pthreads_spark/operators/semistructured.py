@@ -121,3 +121,39 @@ SELECT count(*) AS n_rows,
        CAST(SUM(k) AS BIGINT) AS sum_k
 FROM parsed
 """
+
+
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VARIANT type (Spark 4):
+    parse_json once into the binary variant encoding, extract many —
+    the scale answer to repeated get_json_object calls, which re-parse
+    the JSON string per extraction. Missing paths go through
+    try_variant_get → NULL (counted in the audit column), mirroring
+    the malformed-JSON resilience contract.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.does_not_exist", "string")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"),
+             F.count("m").alias("n_missing_path"))
+    )
+
+
+VARIANT_PROPS_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       count(json_extract_string(props, '$.does_not_exist'))
+           AS n_missing_path
+FROM events
+GROUP BY event_type
+"""

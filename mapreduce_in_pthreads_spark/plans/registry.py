@@ -177,6 +177,9 @@ register("explode_outer_rare_words", ss.explode_outer_rare_words,
 register("malformed_json_resilience", ss.malformed_json_resilience,
          ss.MALFORMED_JSON_SQL,
          "dirty-data contract: malformed JSON -> NULL, never job failure")
+register("variant_props_extract", ss.variant_props_extract,
+         ss.VARIANT_PROPS_SQL,
+         "VARIANT type: parse_json once, variant_get many (Spark 4)")
 register("pagerank_word_graph", it.pagerank_word_graph, None,
          "iterative PageRank over word co-occurrence graph (rows-only)")
 register("connected_components_dedup", it.connected_components_dedup,

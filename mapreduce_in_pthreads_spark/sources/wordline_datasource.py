@@ -1,0 +1,81 @@
+"""A Python Data Source (Spark 4 ``pyspark.sql.datasource`` API) for
+the reference's word-per-line corpus format — the reference engine's
+input contract (one producer per ``testfiles/fileN.txt``, byte-faithful
+reads, per-file 1-based line numbers; mapreduce.c:97-138) expressed as
+a first-class ``spark.read.format("wordline")`` source.
+
+Fidelity contract (same as ``sources/text.py``, which stays the hot
+path — binaryFile + expressions beats Python-per-row):
+- bytes decode Latin-1 (1:1 byte→char like the C buffer) so a UTF-8
+  BOM survives as content instead of being stripped;
+- ``linenum`` is the 1-based physical ordinal, assigned to EVERY line
+  including ones later dropped as empty (mapreduce.c:109 increments
+  before the 112-114 skip);
+- a single trailing newline yields no phantom final line (fgets
+  semantics); CRLF line ends keep their ``\\r`` in ``raw_line``.
+
+Scale notes: one InputPartition per file = the reference's map-side
+DOP (``-p`` spawns one producer per file, mapreduce.c:307-313); Spark
+schedules the partitions across executors. Missing files are skipped
+like the reference's no-op producer (mapreduce.c:100-103).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+WORDLINE_SCHEMA = "filename string, linenum int, raw_line string"
+
+
+def _expand(path: str) -> list[str]:
+    """Dir → its files; glob → matches; plain path → itself if it
+    exists (missing → skipped, the reference's no-op producer)."""
+    if os.path.isdir(path):
+        return sorted(
+            p for p in glob.glob(os.path.join(path, "*")) if os.path.isfile(p))
+    matches = sorted(p for p in glob.glob(path) if os.path.isfile(p))
+    return matches
+
+
+class WordLineReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("wordline source requires a path, e.g. "
+                             "spark.read.format('wordline').load(dir)")
+        self._files = _expand(path)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # one partition per file == one reference producer per file
+        return [InputPartition(f) for f in self._files]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        path = partition.value
+        with open(path, "rb") as fh:
+            text = fh.read().decode("latin-1")
+        lines = text.split("\n")
+        if text.endswith("\n"):
+            lines = lines[:-1]          # fgets: no phantom final line
+        for linenum, raw in enumerate(lines, start=1):
+            yield (path, linenum, raw)
+
+
+class WordLineDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "wordline"
+
+    def schema(self) -> str:
+        return WORDLINE_SCHEMA
+
+    def reader(self, schema) -> WordLineReader:
+        return WordLineReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the source on a session."""
+    spark.dataSource.register(WordLineDataSource)

@@ -78,3 +78,25 @@ def test_corpus_invariants(spark):
     file1 = normalized.filter(
         F.col("filename").endswith("file1.txt") & (F.col("word") == "the"))
     assert file1.agg(F.min("linenum")).first()[0] == 2
+
+
+def test_wordline_datasource_matches_expression_reader(spark):
+    """The Python Data Source (spark.read.format('wordline')) must
+    produce byte-identical rows to the expression-based reader over the
+    reference's own corpus — BOM line numbered-then-dropped, CRLF tails
+    kept, no phantom final lines."""
+    from mapreduce_in_pthreads_spark.sources import wordline_datasource as wl
+
+    wl.register(spark)
+    via_ds = (spark.read.format("wordline")
+              .load(str(REF / "testfiles"))
+              .collect())
+    via_expr = read_word_per_line(
+        spark, [str(p) for p in TESTFILES]).collect()
+
+    def key(rows):
+        # filename normalization: both stamp the path they were given
+        return sorted((r.filename.rsplit("/", 1)[-1], r.linenum,
+                       r.raw_line) for r in rows)
+
+    assert key(via_ds) == key(via_expr)
