@@ -179,3 +179,72 @@ SELECT doc_id, lang, rnk FROM (
 )
 WHERE rnk <= {SAMPLE_K}
 """
+
+
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-gate integrity checks in ONE pass shape (dbt-style
+    assertions as a query, not a framework): FK orphans, key
+    uniqueness, null/blank rates. Output = one row per check with its
+    violation count, so `violations == 0` is the gate.
+
+    Scale notes: each check is a combinable aggregate or an anti join
+    with the smaller side broadcast; nothing collects. At 100 TB these
+    run as one scheduled audit job whose output table is the freshness/
+    quality dashboard.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("check"),
+                         F.col("violations").cast("bigint")
+                         .alias("violations"))
+
+    orphan_orders = check(
+        "orders_custkey_fk",
+        o.join(F.broadcast(c.select("c_custkey")),
+               o.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations")))
+    dup_custkeys = check(
+        "customer_key_unique",
+        c.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("violations")))
+    null_shipdate = check(
+        "lineitem_shipdate_not_null",
+        li.agg(F.sum(F.when(F.col("l_shipdate").isNull(), 1)
+                     .otherwise(0)).alias("violations")))
+    nonpos_qty = check(
+        "lineitem_quantity_positive",
+        li.agg(F.sum(F.when(F.col("l_quantity") <= 0, 1)
+                     .otherwise(0)).alias("violations")))
+    orphan_lines = check(
+        "lineitem_orderkey_fk",
+        li.select("l_orderkey").join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations")))
+    return (orphan_orders.unionByName(dup_custkeys)
+            .unionByName(null_shipdate).unionByName(nonpos_qty)
+            .unionByName(orphan_lines))
+
+
+INTEGRITY_AUDIT_SQL = """
+SELECT 'orders_custkey_fk' AS check, count(*) AS violations
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'customer_key_unique', count(*) FROM (
+    SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1)
+UNION ALL
+SELECT 'lineitem_shipdate_not_null',
+       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_quantity_positive',
+       CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_orderkey_fk', count(*)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""

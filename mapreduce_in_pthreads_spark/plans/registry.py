@@ -203,6 +203,8 @@ register("embedding_near_dup", dd.embedding_near_dup,
 register("curation_funnel", cu.curation_funnel, cu.CURATION_FUNNEL_SQL,
          "composed corpus-curation funnel: quality -> exact dedup -> "
          "near-dup canonical -> per-lang manifest")
+register("integrity_audit", cu.integrity_audit, cu.INTEGRITY_AUDIT_SQL,
+         "dbt-style integrity gates: FK orphans, uniqueness, null rates")
 register("stratified_sample_fractions", cu.stratified_sample_fractions,
          None, "native sampleBy stratified sampling (rows-only: RNG)")
 register("deterministic_sample_per_lang",
