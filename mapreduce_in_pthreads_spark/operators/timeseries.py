@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum, sql_dsum
+from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
 from ..sources.tables import load_table
 
 
@@ -389,3 +389,60 @@ def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
         F.lit(None).cast("bigint").alias("exact_users"))
     return per_type.unionByName(overall)
+
+
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series with gap filling + forward fill — the
+    regularization pass every downstream time-series consumer (charts,
+    anomaly detection, feature windows) needs: missing hours
+    materialize with n_events = 0 and carry the last observed average
+    forward (is_gap marks them).
+
+    Scale notes: the dense grid is generated per GROUP from its own
+    min/max (sequence + explode — no driver-side range, no cross join
+    against a global calendar), the grid↔actuals join is on the
+    aggregated (small) side, and the forward fill is one window pass
+    over the grid — state bounded by hours-per-group, not events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type",
+                   F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             davg("value", "avg_value")))
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select("event_type",
+                F.explode(F.sequence(
+                    "h0", "h1", F.expr("interval 1 hour"))).alias("hour")))
+    joined = grid.join(hourly, ["event_type", "hour"], "left")
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.select(
+        "event_type",
+        F.unix_micros("hour").alias("hour_us"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("avg_value", ignorenulls=True).over(w)
+        .alias("avg_value_ffill"),
+        F.col("n").isNull().cast("int").alias("is_gap"),
+    )
+
+
+GAP_FILL_SQL = f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+           {sql_davg('"value"', 'avg_value')}
+    FROM events GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+           FROM hourly GROUP BY 1),
+grid AS (SELECT event_type,
+                unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         FROM bounds)
+SELECT g.event_type, epoch_us(g.hour) AS hour_us,
+       COALESCE(n, 0) AS n_events,
+       last_value(avg_value IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.hour) AS avg_value_ffill,
+       CAST(n IS NULL AS INT) AS is_gap
+FROM grid g LEFT JOIN hourly h USING (event_type, hour)
+"""

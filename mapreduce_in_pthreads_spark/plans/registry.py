@@ -159,6 +159,9 @@ register("approx_quantiles_events", ts.approx_quantiles_events, None,
 register("hll_sketch_users", ts.hll_sketch_users, None,
          "mergeable HLL distinct sketches + sketch-union ALL row "
          "(rows-only: approximate)")
+register("gap_fill_hourly", ts.gap_fill_hourly, ts.GAP_FILL_SQL,
+         "dense hourly grid + zero-fill + forward-fill (per-group "
+         "sequence, one window pass)")
 register("merge_upsert_latest", ts.merge_upsert_latest,
          ts.MERGE_UPSERT_SQL,
          "CDC-style MERGE: snapshot ⟕⟖ delta, delta wins, op audit")
