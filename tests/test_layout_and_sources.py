@@ -124,3 +124,46 @@ def test_orc_source_round_trip(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(o_totalprice), " \
            "GreaterThan(o_totalprice,1000.0)]" in plan
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_dynamic_partition_overwrite_backfill(spark, sf_dir):
+    """Incremental backfill contract: with dynamic partitionOverwrite,
+    rewriting ONE lang's data must leave every other partition's files
+    untouched — the idempotent-backfill pattern for daily reruns at
+    scale (static mode would wipe the whole table first)."""
+    out = str(SCRATCH / "docs_by_lang_dpo")
+    docs = load_table(spark, sf_dir, "documents")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+        langs = [r.lang for r in docs.select("lang").distinct().collect()]
+        target = sorted(langs)[0]
+        before = docs.count()
+        # backfill one partition with a marker rewrite
+        (docs.filter(F.col("lang") == target)
+         .withColumn("source", F.lit("backfilled"))
+         .write.mode("overwrite").partitionBy("lang").parquet(out))
+        back = spark.read.parquet(out)
+        assert back.count() == before          # nothing else was dropped
+        assert (back.filter(F.col("lang") == target)
+                .filter(F.col("source") != "backfilled").count() == 0)
+        assert (back.filter(F.col("lang") != target)
+                .filter(F.col("source") == "backfilled").count() == 0)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_join_strategy_hints_honored(spark, sf_dir):
+    """Join-strategy intent must be controllable per join: a merge hint
+    forces SortMergeJoin and a shuffle_hash hint forces ShuffledHashJoin
+    even when the side is broadcast-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    merge_plan = (o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+                  ._jdf.queryExecution().executedPlan().toString())
+    assert "SortMergeJoin" in merge_plan
+    hash_plan = (o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+                 ._jdf.queryExecution().executedPlan().toString())
+    assert "ShuffledHashJoin" in hash_plan

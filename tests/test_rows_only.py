@@ -173,3 +173,19 @@ def test_hll_sketch_users_bounds(spark, sf_dir):
     assert abs(all_row.est_users - exact_all) / exact_all < 0.05
     assert all_row.est_users >= max(r.est_users for r in rows.values())
     assert all_row.est_users <= sum(r.est_users for r in rows.values())
+
+
+def test_quantization_error_bound(spark, sf_dir):
+    """Dequantized values must sit within half a quantization step of
+    the originals: |x - code/scale| <= 0.5/scale (+1 ulp slack)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = REGISTRY["embedding_quantize_int8"].fn(spark, sf_dir)
+    originals = {r.vec_id: r.embedding for r in emb.collect()}
+    for r in q.collect():
+        scale = 127.0 / r.abs_max
+        step = 0.5 / scale
+        xs = originals[r.vec_id]
+        assert len(xs) == len(r.codes)
+        for x, code in zip(xs, r.codes):
+            assert abs(x - code / scale) <= step * (1 + 1e-9)
+            assert -127 <= code <= 127
