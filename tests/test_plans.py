@@ -233,3 +233,51 @@ def test_tpch_shapes_prune_and_push(spark, sf_dir):
                 else ""
             present = {c for c in all_cols if c in read}
             assert len(present) < len(all_cols), (name, line[-400:])
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """Runtime row-level filtering: a selective dim filter on the
+    creation side must inject a Bloom filter into the fact scan side of
+    a shuffle join — at 100 TB this prunes shuffle input before the
+    exchange. (Thresholds scaled down: the application side must only
+    be 'big' relative to spark.sql.optimizer.runtime.bloomFilter.
+    applicationSideScanSizeThreshold, 10 GB by default.)"""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        p = (spark.read.parquet(f"{sf_dir}/part.parquet")
+             .filter(F.col("p_size") < 3))
+        j = (li.join(p, li.l_partkey == p.p_partkey)
+             .groupBy("p_size").agg(F.count(F.lit(1)).alias("n")))
+        exe = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloomfilter" in exe.lower()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def test_observe_metrics_piggyback(spark, sf_dir):
+    """df.observe(): pipeline health metrics (row count, null count,
+    sum) collected DURING the action — no second scan of the data, the
+    production answer to 'audit counters without re-reading 100 TB'."""
+    from pyspark.sql import Observation
+
+    obs = Observation("audit")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .alias("null_custkeys"))
+    n = observed.filter(F.col("o_totalprice") > 0).count()
+    m = obs.get
+    assert m["rows_seen"] == o.count()      # metrics saw ALL rows
+    assert m["null_custkeys"] == 0
+    assert n <= m["rows_seen"]
