@@ -167,3 +167,17 @@ def test_join_strategy_hints_honored(spark, sf_dir):
     hash_plan = (o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
                  ._jdf.queryExecution().executedPlan().toString())
     assert "ShuffledHashJoin" in hash_plan
+
+
+def test_xml_source_round_trip(spark, sf_dir):
+    """Native XML (Spark 4): values and schema survive the round trip
+    — completes the source matrix (parquet/CSV/JSON/ORC/XML/text/
+    binary/wordline)."""
+    out = str(SCRATCH / "nation_xml")
+    n = load_table(spark, sf_dir, "nation")
+    (n.write.mode("overwrite")
+     .option("rootTag", "nations").option("rowTag", "nation").xml(out))
+    back = spark.read.option("rowTag", "nation").schema(n.schema).xml(out)
+    assert (sorted(map(tuple, back.collect()))
+            == sorted(map(tuple, n.collect())))
+    shutil.rmtree(out, ignore_errors=True)
