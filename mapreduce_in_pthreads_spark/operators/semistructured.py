@@ -157,3 +157,59 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions — ``map_filter`` / ``map_zip_with``
+    over per-doc word→count and word→first-position maps, projected to
+    an engine-comparable sorted-entry string. The per-doc maps are
+    bounded by doc vocabulary, so the whole pipeline stays one
+    tokenize-shuffle wide at any corpus size (same shuffle as the
+    flagship index; the map algebra is a zero-shuffle projection)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word"))
+    firsts = (tok.groupBy("doc_id", "word")
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.min(F.col("pos0") + 1).alias("first_pos")))
+    per_doc = firsts.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("word", "cnt"))))
+        .alias("m_cnt"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("word", "first_pos"))))
+        .alias("m_pos"))
+    repeated = F.map_filter("m_cnt", lambda k, v: v >= 2)
+    # union-of-keys semantics: non-repeated words surface NULL counts,
+    # dropped by the second map_filter
+    scores = F.map_zip_with(
+        repeated, "m_pos",
+        lambda k, c, p: c * 100 + p.cast("bigint"))
+    scores = F.map_filter(scores, lambda k, v: v.isNotNull())
+    return per_doc.select(
+        "doc_id",
+        F.size(scores).cast("bigint").alias("n_repeated"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.map_entries(scores)),
+                lambda e: F.format_string("%s:%d", e.key, e.value)),
+            ",").alias("repeated_summary"))
+
+
+MAP_HIGHER_ORDER_SQL = """
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+    FROM documents
+), firsts AS (
+    SELECT doc_id, word, count(*) AS cnt, min(pos) AS first_pos
+    FROM tok GROUP BY doc_id, word
+)
+SELECT doc_id,
+       count(*) FILTER (cnt >= 2) AS n_repeated,
+       coalesce(string_agg(printf('%s:%d', word, cnt * 100 + first_pos),
+                           ',' ORDER BY word) FILTER (cnt >= 2),
+                '') AS repeated_summary
+FROM firsts GROUP BY doc_id
+"""

@@ -1,0 +1,259 @@
+"""Extended SQL-function surface: ordered string aggregation, boolean
+aggregates, error-safe (``try_``) arithmetic, regression metrics from
+exact moments, a time-hierarchy rollup, and URL parsing.
+
+The reference's only scalar surface is lowercase + leading-alnum trim
+(mapreduce.c:50-61) and its only aggregate is the list-append upsert
+(mapreduce.c:168-185); everything here is north-star query surface the
+new engine exposes on the same testdata tables (SURVEY.md §2.3
+'Scalar fns' / 'Aggregation').
+
+Cross-engine exactness follows the repo playbook: decimal-routed sums,
+identical double expression trees on both engines, round-before-compare
+for quotients, and no unordered float accumulation anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import DEC, dsum, sql_dsum
+from ..sources.tables import load_table
+
+
+# --- ordered string aggregation (listagg / string_agg) --------------------
+
+def ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation roster of high-balance customers as one ordered,
+    comma-joined string — the ``listagg(...) WITHIN GROUP (ORDER BY)``
+    surface (Spark 4).
+
+    Scale note: like the reference's posting-list aggregate, listagg
+    state grows with group size, so the selective filter comes FIRST
+    (pushed to the scan) and bounds each group; for unbounded inputs
+    prefer the capped top-k formulation (``index_top_docs``).
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000)
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    joined = cust.join(nation,
+                       cust.c_nationkey == nation.n_nationkey)
+    return (joined.groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_rich"),
+                 F.expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)")
+                 .alias("roster")))
+
+
+ORDERED_LISTAGG_SQL = """
+SELECT n_name,
+       count(*) AS n_rich,
+       string_agg(c_name, ',' ORDER BY c_name) AS roster
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 9000
+GROUP BY n_name
+"""
+
+
+# --- boolean aggregates ---------------------------------------------------
+
+def boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bool_and`` / ``bool_or`` / ``count_if`` per order priority.
+    All three are trivially map-side combinable (AND/OR/sum monoids),
+    so the plan is a partial-agg + single exchange at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.bool_and(F.col("o_totalprice") > 1000)
+                 .alias("all_over_1k"),
+                 F.bool_or(F.col("o_totalprice") > 450000)
+                 .alias("any_jumbo"),
+                 F.count_if(F.col("o_totalprice") > 250000)
+                 .alias("n_big")))
+
+
+BOOLEAN_AGGREGATES_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 450000) AS any_jumbo,
+       count(*) FILTER (o_totalprice > 250000) AS n_big
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --- error-safe arithmetic (try_ functions) -------------------------------
+
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``try_divide`` under ANSI mode: division by zero yields NULL
+    instead of failing the job — the dirty-data contract for arithmetic
+    (same posture as ``malformed_json_resilience`` for parsing).
+
+    The aggregate avoids summing quotients (binary→decimal tie-rounding
+    differs across engines); min/max over 6-dp-rounded quotients are
+    order-insensitive and engine-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(F.col("l_extendedprice"),
+                         F.col("l_quantity") - F.lit(25.0))
+    return (li.select("l_returnflag", ratio.alias("ratio"))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count_if(F.col("ratio").isNull()).alias("n_div_zero"),
+                 F.min(F.round("ratio", 6)).alias("min_ratio"),
+                 F.max(F.round("ratio", 6)).alias("max_ratio")))
+
+
+TRY_ARITHMETIC_SQL = """
+WITH base AS (
+    SELECT l_returnflag,
+           CASE WHEN l_quantity = 25 THEN NULL
+                ELSE l_extendedprice / (l_quantity - 25) END AS ratio
+    FROM lineitem
+)
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       count(*) FILTER (ratio IS NULL) AS n_div_zero,
+       min(round(ratio, 6)) AS min_ratio,
+       max(round(ratio, 6)) AS max_ratio
+FROM base GROUP BY l_returnflag
+"""
+
+
+# --- regression aggregates from exact moments -----------------------------
+
+def regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS regression of extended price on quantity per return flag —
+    the ``regr_slope`` / ``regr_intercept`` / ``regr_r2`` surface,
+    computed from exact decimal moment sums (Σx, Σy, Σx², Σy², Σxy)
+    rather than the built-in one-pass aggregates, whose float
+    accumulation order is engine- and partition-dependent. The moment
+    sums are map-side combinable → one exchange at any scale; the
+    closed-form division happens on the five finished moments.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(DEC)
+    y = F.col("l_extendedprice").cast(DEC)
+    base = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den_x
+    return base.select(
+        "l_returnflag", "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+        F.round(num * num / (den_x * den_y), 6).alias("r2"),
+    )
+
+
+REGRESSION_METRICS_SQL = """
+WITH base AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))
+                    * CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))
+                    * CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))
+                    * CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+       round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+           AS intercept,
+       round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+             / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+FROM base
+"""
+
+
+# --- time-hierarchy rollup (hypertable-style) -----------------------------
+
+def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity event rollup: one pass produces day, month,
+    year, and grand-total aggregates via ROLLUP over the calendar
+    hierarchy (the hypertable 'continuous aggregate' shape). GROUPING()
+    flags disambiguate rollup nulls. Count + decimal sum are both
+    combinable, so each grain is a partial-agg over the same scan."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(F.year("ts").alias("y"),
+                     F.month("ts").alias("m"),
+                     F.dayofmonth("ts").alias("d"),
+                     "value")
+    return (base.rollup("y", "m", "d")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value", "sum_value"),
+                 F.grouping("y").cast("int").alias("g_y"),
+                 F.grouping("m").cast("int").alias("g_m"),
+                 F.grouping("d").cast("int").alias("g_d")))
+
+
+TIME_HIERARCHY_SQL = f"""
+WITH base AS (
+    SELECT CAST(date_part('year', ts) AS INT) AS y,
+           CAST(date_part('month', ts) AS INT) AS m,
+           CAST(date_part('day', ts) AS INT) AS d,
+           value
+    FROM events
+)
+SELECT y, m, d,
+       count(*) AS n_events,
+       {sql_dsum('value', 'sum_value')},
+       CAST(GROUPING(y) AS INT) AS g_y,
+       CAST(GROUPING(m) AS INT) AS g_m,
+       CAST(GROUPING(d) AS INT) AS g_d
+FROM base GROUP BY ROLLUP(y, m, d)
+"""
+
+
+# --- URL parsing surface --------------------------------------------------
+
+def url_parse_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse_url`` component extraction (HOST / PATH / QUERY param)
+    over deterministic catalog URLs synthesized per part row. Pure
+    projection — zero shuffles, trivially scalable; the oracle replays
+    the extraction with regexes since DuckDB has no parse_url."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    url = F.format_string(
+        "https://shop.example.com/%s/%d?brand=%s&size=%d",
+        F.lower(F.regexp_replace("p_type", " ", "-")),
+        F.col("p_partkey"),
+        F.regexp_replace("p_brand", "#", ""),
+        F.col("p_size"))
+    with_url = part.select("p_partkey", url.alias("url"))
+    return with_url.select(
+        "p_partkey", "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("brand")).alias("q_brand"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("size")).cast("int")
+        .alias("q_size"))
+
+
+URL_PARSE_SQL = """
+WITH with_url AS (
+    SELECT p_partkey,
+           printf('https://shop.example.com/%s/%d?brand=%s&size=%d',
+                  lower(replace(p_type, ' ', '-')), p_partkey,
+                  replace(p_brand, '#', ''), p_size) AS url
+    FROM part WHERE p_partkey <= 200
+)
+SELECT p_partkey, url,
+       regexp_extract(url, '^https://([^/]+)', 1) AS host,
+       regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]brand=([^&]*)', 1) AS q_brand,
+       CAST(regexp_extract(url, '[?&]size=([^&]*)', 1) AS INT) AS q_size
+FROM with_url
+"""

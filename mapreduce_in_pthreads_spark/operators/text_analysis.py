@@ -461,3 +461,50 @@ FROM (
                AS bigrams
     FROM documents)
 """
+
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the word distribution — a corpus
+    quality signal (low entropy = repetitive/templated text, a standard
+    pretraining filter alongside ``repetition_ratios``). The entropy
+    sum -Σ p·ln p is made order-stable by rounding each term to 10 dp
+    and summing exactly in decimal (float accumulation order would
+    differ across engines); one tokenize shuffle, map-side combinable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word"))
+    counts = tok.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    p = (F.col("cnt").cast("double")
+         / F.sum("cnt").over(Window.partitionBy("doc_id")))
+    probs = counts.select(
+        "doc_id", "cnt",
+        F.round(p * F.log(p), 10).cast("decimal(25,10)").alias("term"))
+    totals = probs.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("term").alias("neg_h"))
+    return totals.select(
+        "doc_id", "n_tokens", "n_distinct",
+        F.round(-F.col("neg_h").cast("double"), 6).alias("entropy"))
+
+
+TOKEN_ENTROPY_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+), counts AS (
+    SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY doc_id, word
+), probs AS (
+    SELECT doc_id, cnt,
+           CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY doc_id) AS p
+    FROM counts
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct,
+       round(-CAST(sum(CAST(round(p * ln(p), 10) AS DECIMAL(25,10)))
+                   AS DOUBLE), 6) AS entropy
+FROM probs GROUP BY doc_id
+"""

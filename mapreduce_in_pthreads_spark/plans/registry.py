@@ -31,6 +31,7 @@ from ..operators import multimodal as mm
 from ..operators import semistructured as ss
 from ..operators import similarity as sim
 from ..operators import skew as sk
+from ..operators import sql_surface as sq
 from ..operators import text_analysis as ta
 from ..operators import udfs as ud
 from ..operators import relational as rel
@@ -358,6 +359,27 @@ register("q21_suppliers_kept_waiting", tq2.q21_suppliers_kept_waiting,
 register("q22_global_sales_opportunity", tq2.q22_global_sales_opportunity,
          tq2.Q22_SQL,
          "Q22 shape: anti join + global scalar threshold")
+# --- extended SQL-function surface ---------------------------------------
+register("ordered_listagg", sq.ordered_listagg, sq.ORDERED_LISTAGG_SQL,
+         "listagg WITHIN GROUP ordered string aggregation")
+register("boolean_aggregates", sq.boolean_aggregates,
+         sq.BOOLEAN_AGGREGATES_SQL,
+         "bool_and / bool_or / count_if combinable aggregates")
+register("try_arithmetic", sq.try_arithmetic, sq.TRY_ARITHMETIC_SQL,
+         "try_divide NULL-on-error arithmetic contract")
+register("regression_metrics", sq.regression_metrics,
+         sq.REGRESSION_METRICS_SQL,
+         "regr_slope/intercept/r2 from exact decimal moments")
+register("time_hierarchy_rollup", sq.time_hierarchy_rollup,
+         sq.TIME_HIERARCHY_SQL,
+         "hypertable-style day/month/year/total rollup in one pass")
+register("url_parse_surface", sq.url_parse_surface, sq.URL_PARSE_SQL,
+         "parse_url HOST/PATH/QUERY extraction, zero-shuffle")
+register("map_higher_order", ss.map_higher_order, ss.MAP_HIGHER_ORDER_SQL,
+         "map_filter / map_zip_with algebra over per-doc maps")
+register("token_entropy", ta.token_entropy, ta.TOKEN_ENTROPY_SQL,
+         "per-doc Shannon entropy quality signal, order-stable sum")
+
 register("window_navigation", win.window_navigation,
          win.WINDOW_NAVIGATION_SQL,
          "first/last/nth value + ntile navigation surface")
