@@ -257,3 +257,144 @@ SELECT p_partkey, url,
        CAST(regexp_extract(url, '[?&]size=([^&]*)', 1) AS INT) AS q_size
 FROM with_url
 """
+
+
+# --- recursive CTE (Spark 4) ----------------------------------------------
+
+def recursive_cte_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` (Spark 4): explode each large order into a
+    halving installment schedule until installments drop below 1000.
+    Iteration count is data-bounded (~log2 of the price) and each step
+    is a narrow projection over the previous frontier, so the recursion
+    adds no shuffles beyond the seed scan. Halving a double is exact
+    (exponent decrement), so results are engine-identical unrounded."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rc")
+    return spark.sql("""
+        WITH RECURSIVE sched(o_orderkey, lvl, amount) AS (
+            SELECT o_orderkey, CAST(0 AS INT), o_totalprice
+            FROM orders_rc WHERE o_totalprice > 400000
+            UNION ALL
+            SELECT o_orderkey, lvl + 1, amount / 2
+            FROM sched WHERE amount / 2 >= 1000 AND lvl < 20
+        )
+        SELECT o_orderkey, lvl, amount FROM sched
+    """)
+
+
+RECURSIVE_CTE_SPLIT_SQL = """
+WITH RECURSIVE sched(o_orderkey, lvl, amount) AS (
+    SELECT o_orderkey, CAST(0 AS INT), o_totalprice
+    FROM orders WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT o_orderkey, lvl + 1, amount / 2
+    FROM sched WHERE amount / 2 >= 1000 AND lvl < 20
+)
+SELECT o_orderkey, lvl, amount FROM sched
+"""
+
+
+# --- parameterized SQL (Spark 4 named args) -------------------------------
+
+def parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter ``spark.sql(..., args=...)`` — the injection-safe
+    templating surface (parameters are bound as literals by the parser,
+    never string-spliced). Same plan as the literal query: the bound
+    predicate still pushes to the parquet scan."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_param")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_rich,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE)
+                   AS sum_bal
+        FROM customer_param
+        WHERE c_acctbal > :min_bal
+        GROUP BY c_mktsegment
+        """,
+        args={"min_bal": 9500})
+
+
+PARAMETERIZED_SQL_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_rich,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) AS sum_bal
+FROM customer
+WHERE c_acctbal > 9500
+GROUP BY c_mktsegment
+"""
+
+
+# --- null-handling conditional surface ------------------------------------
+
+def null_handling_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nvl2 / nullif / greatest / least over injected NULLs
+    (``nullif`` manufactures them deterministically). Spark and DuckDB
+    share Postgres semantics here: greatest/least skip NULLs and return
+    NULL only when every argument is NULL. Pure projection + one
+    combinable aggregate."""
+    sup = load_table(spark, sf_dir, "supplier")
+    # balance with negatives nulled out — deterministic NULL injection
+    pos_bal = F.when(F.col("s_acctbal") > 0, F.col("s_acctbal"))
+    return (sup.select(
+        "s_suppkey",
+        F.coalesce(pos_bal, F.lit(0.0)).alias("bal_or_zero"),
+        F.nvl2(pos_bal, F.lit("credit"), F.lit("debit")).alias("polarity"),
+        F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("mod5_nz"),
+        F.greatest(pos_bal, F.lit(1000.0)).alias("floor_1k"),
+        F.least(pos_bal, F.lit(5000.0)).alias("cap_5k")))
+
+
+NULL_HANDLING_SQL = """
+WITH base AS (
+    SELECT s_suppkey, s_nationkey,
+           CASE WHEN s_acctbal > 0 THEN s_acctbal END AS pos_bal
+    FROM supplier
+)
+SELECT s_suppkey,
+       coalesce(pos_bal, 0.0) AS bal_or_zero,
+       CASE WHEN pos_bal IS NOT NULL THEN 'credit' ELSE 'debit' END
+           AS polarity,
+       nullif(s_nationkey % 5, 0) AS mod5_nz,
+       greatest(pos_bal, 1000.0) AS floor_1k,
+       least(pos_bal, 5000.0) AS cap_5k
+FROM base
+"""
+
+
+# --- string functions, phase 2 --------------------------------------------
+
+def string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second tranche of the string surface: split_part / translate /
+    overlay / repeat / lpad / reverse / left / right / ascii / chr.
+    Zero-shuffle projection over a dim table; the oracle emulates
+    ``overlay`` (absent in DuckDB) with a substr splice."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return part.select(
+        "p_partkey",
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_head"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.overlay("p_name", F.lit("***"), F.lit(2)).alias("name_masked"),
+        F.repeat(F.lit("*"), F.col("p_size") % 5).alias("size_stars"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.left("p_name", F.lit(3)).alias("name_l3"),
+        F.right("p_name", F.lit(3)).alias("name_r3"),
+        F.ascii("p_type").cast("int").alias("type_ascii0"),
+        F.chr(F.lit(65) + F.col("p_partkey") % 26).alias("key_letter"))
+
+
+STRING_FUNCTIONS2_SQL = """
+SELECT p_partkey,
+       split_part(p_type, ' ', 1) AS type_head,
+       translate(p_brand, '#', '-') AS brand_dashed,
+       substr(p_name, 1, 1) || '***' || substr(p_name, 5) AS name_masked,
+       repeat('*', CAST(p_size % 5 AS INT)) AS size_stars,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+       reverse(p_brand) AS brand_rev,
+       left(p_name, 3) AS name_l3,
+       right(p_name, 3) AS name_r3,
+       ascii(p_type) AS type_ascii0,
+       chr(65 + CAST(p_partkey % 26 AS INT)) AS key_letter
+FROM part WHERE p_partkey <= 300
+"""

@@ -446,3 +446,50 @@ SELECT g.event_type, epoch_us(g.hour) AS hour_us,
        CAST(n IS NULL AS INT) AS is_gap
 FROM grid g LEFT JOIN hourly h USING (event_type, hour)
 """
+
+
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from a change stream: collapse each
+    user's event log into attribute-version rows with [valid_from,
+    valid_to) intervals and a current flag — the standard warehouse
+    history table, derived with two window passes over ONE shuffle
+    (both windows share the user_id partitioning, so Catalyst plans a
+    single exchange). Timestamps surface as epoch-µs integers per the
+    cross-engine contract."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (ev
+               .withColumn("prev_type", F.lag("event_type").over(w))
+               .filter(F.col("prev_type").isNull()
+                       | (F.col("prev_type") != F.col("event_type"))))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (changes
+            .withColumn("valid_to", F.lead("ts").over(w2))
+            .select(
+                "user_id",
+                F.col("event_type").alias("attr"),
+                F.unix_micros("ts").alias("valid_from_us"),
+                F.unix_micros("valid_to").alias("valid_to_us"),
+                F.col("valid_to").isNull().alias("is_current")))
+
+
+SCD2_DIMENSION_SQL = """
+WITH ordered AS (
+    SELECT user_id, event_id, ts, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+), changes AS (
+    SELECT user_id, event_id, ts, event_type
+    FROM ordered
+    WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id,
+       event_type AS attr,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id)) AS valid_to_us,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        IS NULL) AS is_current
+FROM changes
+"""

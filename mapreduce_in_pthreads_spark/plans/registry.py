@@ -379,6 +379,20 @@ register("map_higher_order", ss.map_higher_order, ss.MAP_HIGHER_ORDER_SQL,
          "map_filter / map_zip_with algebra over per-doc maps")
 register("token_entropy", ta.token_entropy, ta.TOKEN_ENTROPY_SQL,
          "per-doc Shannon entropy quality signal, order-stable sum")
+register("recursive_cte_split", sq.recursive_cte_split,
+         sq.RECURSIVE_CTE_SPLIT_SQL,
+         "WITH RECURSIVE halving installment schedule (Spark 4)")
+register("parameterized_sql", sq.parameterized_sql,
+         sq.PARAMETERIZED_SQL_SQL,
+         "named-parameter spark.sql binding, injection-safe")
+register("null_handling_surface", sq.null_handling_surface,
+         sq.NULL_HANDLING_SQL,
+         "coalesce/nvl2/nullif/greatest/least NULL semantics")
+register("string_functions2", sq.string_functions2,
+         sq.STRING_FUNCTIONS2_SQL,
+         "string surface phase 2: split_part/translate/overlay/...")
+register("scd2_dimension", ts.scd2_dimension, ts.SCD2_DIMENSION_SQL,
+         "SCD type-2 dimension build: change collapse + validity spans")
 
 register("window_navigation", win.window_navigation,
          win.WINDOW_NAVIGATION_SQL,
