@@ -398,3 +398,96 @@ SELECT p_partkey,
        chr(65 + CAST(p_partkey % 26 AS INT)) AS key_letter
 FROM part WHERE p_partkey <= 300
 """
+
+
+# --- date/interval arithmetic ---------------------------------------------
+
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic surface: interval add, month-end clamping
+    (``add_months``), last_day / next_day, quarter / ISO week, and
+    constructed dates (``make_date``). Pure projection — dates surface
+    as ISO strings so both engines compare textually. Spark's
+    ``dayofweek`` is 1=Sunday; DuckDB's is 0=Sunday (+1 in the twin).
+    ``next_day`` (absent in DuckDB) is replayed with modular dow math.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 2000)
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("order_date"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus_30d"),
+        F.date_format(F.add_months(d, 1), "yyyy-MM-dd").alias("plus_1m"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.next_day(d, "Mon"), "yyyy-MM-dd").alias("next_mon"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.dayofweek(d).cast("int").alias("dow_sun1"),
+        F.date_format(
+            F.make_date(F.year(d), F.month(d), F.lit(1)), "yyyy-MM-dd")
+        .alias("month_start"))
+
+
+DATE_ARITHMETIC_SQL = """
+WITH base AS (
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+    FROM orders WHERE o_orderkey <= 2000
+)
+SELECT o_orderkey,
+       strftime(d, '%Y-%m-%d') AS order_date,
+       -- integer day-add, NOT to_days(30): DuckDB 1.0 interval
+       -- equality says to_months(1) = to_days(30), so CSE would unify
+       -- the two adds and break the month-clamped result
+       strftime(d + 30, '%Y-%m-%d') AS plus_30d,
+       strftime(d + to_months(1), '%Y-%m-%d') AS plus_1m,
+       strftime(last_day(d), '%Y-%m-%d') AS month_end,
+       strftime(d + to_days(CAST(((8 - isodow(d)) % 7) AS INT))
+                  + CASE WHEN ((8 - isodow(d)) % 7) = 0
+                         THEN to_days(7) ELSE to_days(0) END,
+                '%Y-%m-%d') AS next_mon,
+       quarter(d) AS qtr,
+       CAST(week(d) AS INT) AS iso_week,
+       CAST(dayofweek(d) + 1 AS INT) AS dow_sun1,
+       strftime(make_date(CAST(year(d) AS INT), CAST(month(d) AS INT), 1),
+                '%Y-%m-%d') AS month_start
+FROM base
+"""
+
+
+# --- bitwise surface ------------------------------------------------------
+
+def bitwise_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate surface: AND/OR/XOR, shifts,
+    ``bit_count``, and the ``bit_and``/``bit_or``/``bit_xor``
+    aggregates — the primitive kit for bitmap-style presence masks
+    (e.g. compact per-key feature flags at 100 TB). All combinable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    flags = (F.shiftleft(F.col("l_linenumber").cast("bigint") % 4, 2)
+             .bitwiseOR(F.col("l_suppkey") % 4))
+    return (li.select(
+        "l_returnflag",
+        flags.alias("flags"),
+        F.bit_count(F.col("l_partkey")).cast("int").alias("key_bits"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.bit_and("flags").alias("flags_and"),
+             F.bit_or("flags").alias("flags_or"),
+             F.bit_xor("flags").alias("flags_xor"),
+             F.sum("key_bits").alias("total_key_bits")))
+
+
+BITWISE_SURFACE_SQL = """
+WITH base AS (
+    SELECT l_returnflag,
+           ((l_linenumber % 4) << 2) | (l_suppkey % 4) AS flags,
+           CAST(bit_count(l_partkey) AS INT) AS key_bits
+    FROM lineitem
+)
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       bit_and(flags) AS flags_and,
+       bit_or(flags) AS flags_or,
+       bit_xor(flags) AS flags_xor,
+       CAST(sum(key_bits) AS BIGINT) AS total_key_bits
+FROM base GROUP BY l_returnflag
+"""

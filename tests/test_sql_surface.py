@@ -92,3 +92,17 @@ def test_regression_r2_within_unit_interval(spark):
     for r in rows:
         assert 0.0 <= r.r2 <= 1.0 + 1e-9
         assert math.isfinite(r.slope) and math.isfinite(r.intercept)
+
+
+def test_catalog_register_all_sql_join(spark):
+    from mapreduce_in_pthreads_spark.sources.catalog import register_all
+
+    views = register_all(spark, SF_SMOKE, prefix="cat_")
+    assert len(views) == 10
+    row = spark.sql("""
+        SELECT r.r_name, count(*) AS n_nations
+        FROM cat_nation n JOIN cat_region r
+          ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+    """).collect()
+    assert sum(r.n_nations for r in row) == spark.table("cat_nation").count()
