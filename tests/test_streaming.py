@@ -109,3 +109,40 @@ def test_dedup_within_watermark_collapses_duplicates(spark, sf_dir):
     exp_rows = sorted((r.event_id, r.user_id, r.event_type,
                        r.ts_ns // 1000) for r in ev.collect())
     assert got_rows == exp_rows
+
+
+def test_foreach_batch_idempotent_sink(spark, sf_dir, tmp_path):
+    """Replaying a micro-batch must not duplicate output: the sink keys
+    writes on batch_id via dynamic partition overwrite."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_in_pthreads_spark.functions.numeric import DEC
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+    from mapreduce_in_pthreads_spark.streaming.foreach_batch import (
+        run_idempotent_foreach_batch, write_user_totals_batch)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_idempotent_foreach_batch(spark, sf_dir, out, ckpt)
+
+    result = spark.read.parquet(out)
+    # replay the first batch verbatim — output must be unchanged
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value")
+    before = result.count()
+    write_user_totals_batch(ev, 0, out)
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == before
+
+    # cross-batch totals equal the batch-mode aggregate (per-batch sums
+    # are exact 4-dp doubles, so re-summing through decimal is exact)
+    stream_totals = (replayed.groupBy("user_id")
+                     .agg(F.sum("n_events").alias("n"),
+                          F.sum(F.col("sum_value").cast(DEC))
+                          .cast("double").alias("s")))
+    batch_totals = (ev.groupBy("user_id")
+                    .agg(F.count(F.lit(1)).alias("n"),
+                         F.sum(F.col("value").cast(DEC))
+                         .cast("double").alias("s")))
+    assert stream_totals.exceptAll(batch_totals).count() == 0
+    assert batch_totals.exceptAll(stream_totals).count() == 0
