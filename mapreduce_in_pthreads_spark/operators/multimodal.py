@@ -172,3 +172,36 @@ FROM strided,
      unnest(list_slice(range(0, n_frames, stride), 1, {MAX_FRAMES}))
          AS u(f)
 """
+
+
+def blob_metadata_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` twin of ``blob_metadata``: the batch function
+    consumes pyarrow RecordBatches directly — no pandas materialization
+    between Arrow and user code, which for large binary payloads skips
+    one full copy per batch (the fastest Python interop path Spark
+    offers). Same output contract, same DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def meta_batches(batches):
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            raw = payloads.to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    pc.cast(pc.binary_length(payloads), pa.int32()),
+                    pa.array([b[:4].hex().upper() for b in raw],
+                             pa.string()),
+                    pa.array([hashlib.sha256(b).hexdigest() for b in raw],
+                             pa.string()),
+                ],
+                names=["doc_id", "n_bytes", "first4_hex", "sha256"])
+
+    return blobs.mapInArrow(meta_batches, BLOB_META_SCHEMA)

@@ -263,6 +263,10 @@ register("modality_partition_stats", mm.modality_partition_stats,
          mm.MODALITY_PARTITION_STATS_SQL, "payload volume per partition")
 register("frame_sample", mm.frame_sample, mm.FRAME_SAMPLE_SQL,
          "strided frame sampling: 1:N mapInPandas over binary payloads")
+register("blob_metadata_arrow", mm.blob_metadata_arrow,
+         mm.BLOB_METADATA_SQL,
+         "mapInArrow twin of blob_metadata (zero-pandas-copy path), "
+         "same oracle")
 
 # --- UDF surface -----------------------------------------------------------
 register("pandas_udf_token_count", ud.pandas_udf_token_count,

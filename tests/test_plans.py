@@ -66,6 +66,7 @@ def test_no_python_in_relational_hot_paths(spark, sf_dir):
     udf_demos = {"pandas_udf_token_count", "apply_in_pandas_zscore",
                  "python_udf_slow_path", "blob_metadata",
                  "udtf_chunk_documents", "frame_sample", "ann_topk_blas",
+                 "blob_metadata_arrow",
                  # RDD-API parity demo: Python by construction (the
                  # plan shows Scan ExistingRDD, not EvalPython)
                  "rdd_inverted_index"}
@@ -73,7 +74,8 @@ def test_no_python_in_relational_hot_paths(spark, sf_dir):
         if name in udf_demos:
             continue
         p = plan(spark, sf_dir, name)
-        assert "EvalPython" not in p and "InPandas" not in p, name
+        assert ("EvalPython" not in p and "InPandas" not in p
+                and "InArrow" not in p), name
 
 
 def test_ivf_prunes_vs_bruteforce(spark, sf_dir):
