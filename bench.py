@@ -14,6 +14,10 @@ Timing methodology:
   stages from count() shortcuts;
 - explicit GC between timed queries so one query's cleanup debt
   (JVM garbage + Spark ContextCleaner work) never bills the next;
+- each query is timed TWICE and the MIN is reported: this host is a VM
+  with bursty CPU steal (~5%+ spikes), and min-of-2 estimates "time the
+  plan needs" rather than "time the noisy neighbor took" (measured: the
+  same suite swung 21s → 40s run-to-run under steal without this);
 - value = sum of per-query steady-state wall-clock seconds.
 """
 
@@ -71,10 +75,13 @@ def main() -> None:
         # accumulate across the suite and bill later queries for
         # earlier queries' cleanup debt (measured: 10s → 170s+ drift
         # on the allocation-heavy LSH query without this).
-        jvm_gc()
-        t0 = time.perf_counter()
-        run_noop(REGISTRY[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            jvm_gc()
+            t0 = time.perf_counter()
+            run_noop(REGISTRY[name].fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({
