@@ -139,3 +139,97 @@ SELECT doc_id,
        least({CHUNK_WIDTH}, n - s + 1) AS chunk_tokens
 FROM toks, unnest(range(1, n + 1, {CHUNK_STRIDE})) AS u(s)
 """
+
+
+def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().cogroup().applyInPandas`` — the two-sided pandas
+    extension point (completes the Python API family alongside
+    pandas_udf / applyInPandas / mapInPandas / mapInArrow / UDTF).
+    Reconciles each order header against its line items; cogroup is
+    FULL-OUTER over keys, so either side's pandas frame may be empty.
+
+    Exactness: per-order net total is accumulated in integer 1e-4
+    currency units (cents × basis points), so the pandas sum is exact
+    and order-free; one final division surfaces the double. The oracle
+    replays the same integer arithmetic in SQL.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        import pandas as _pd
+
+        cents = (ldf["l_extendedprice"] * 100).round().astype("int64")
+        bp = (ldf["l_discount"] * 100).round().astype("int64")
+        net_units = int((cents * (100 - bp)).sum()) if len(ldf) else 0
+        return _pd.DataFrame({
+            "o_orderkey": [int(key[0])],
+            "n_lines": [len(ldf)],
+            "net_total": [net_units / 10000.0],
+            "total_price": [float(odf["o_totalprice"].iloc[0])
+                            if len(odf) else None],
+            "has_order": [bool(len(odf))],
+        })
+
+    return (orders.groupBy("o_orderkey")
+            .cogroup(lines.groupBy("l_orderkey"))
+            .applyInPandas(reconcile,
+                           "o_orderkey bigint, n_lines bigint, "
+                           "net_total double, total_price double, "
+                           "has_order boolean"))
+
+
+COGROUP_RECONCILE_SQL = """
+WITH net AS (
+    SELECT l_orderkey,
+           count(*) AS n_lines,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS net_units
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT coalesce(o_orderkey, l_orderkey) AS o_orderkey,
+       coalesce(n_lines, 0) AS n_lines,
+       coalesce(net_units, 0) / 10000.0 AS net_total,
+       o_totalprice AS total_price,
+       (o_orderkey IS NOT NULL) AS has_order
+FROM orders FULL OUTER JOIN net ON o_orderkey = l_orderkey
+"""
+
+
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unionByName(allowMissingColumns=True)`` — the schema-evolution
+    ingestion contract: an old-schema batch (no source/n_chars columns)
+    unions with the current schema, missing columns NULL-filled by NAME
+    (positional union would silently misalign). Standard shape for
+    decade-long 100 TB corpora where early shards predate the metadata.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = (docs.filter(F.col("doc_id") % 3 == 0)
+          .select("doc_id", "text", "lang"))
+    v2 = (docs.filter(F.col("doc_id") % 3 != 0)
+          .select("doc_id", "text", "lang", "source", "n_chars"))
+    merged = v1.unionByName(v2, allowMissingColumns=True)
+    return (merged.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count("source").alias("n_with_source"),
+                 F.count_if(F.col("n_chars").isNull())
+                 .alias("n_legacy")))
+
+
+SCHEMA_EVOLUTION_SQL = """
+WITH merged AS (
+    SELECT doc_id, text, lang, NULL AS source, NULL AS n_chars
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT lang,
+       count(*) AS n_docs,
+       count(source) AS n_with_source,
+       count(*) FILTER (n_chars IS NULL) AS n_legacy
+FROM merged GROUP BY lang
+"""

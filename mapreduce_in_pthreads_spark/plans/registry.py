@@ -280,6 +280,12 @@ register("python_udf_slow_path", ud.python_udf_slow_path,
 register("udtf_chunk_documents", ud.udtf_chunk_documents,
          ud.UDTF_CHUNK_SQL,
          "Python UDTF: sliding-window doc chunking via LATERAL join")
+register("cogroup_reconcile", ud.cogroup_reconcile,
+         ud.COGROUP_RECONCILE_SQL,
+         "cogroup applyInPandas: two-sided order/lineitem reconcile")
+register("schema_evolution_union", ud.schema_evolution_union,
+         ud.SCHEMA_EVOLUTION_SQL,
+         "unionByName schema-evolution ingestion contract")
 
 # --- advanced surface -----------------------------------------------------
 register("asof_join_prior_event", adv.asof_join_prior_event,

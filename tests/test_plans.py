@@ -66,7 +66,7 @@ def test_no_python_in_relational_hot_paths(spark, sf_dir):
     udf_demos = {"pandas_udf_token_count", "apply_in_pandas_zscore",
                  "python_udf_slow_path", "blob_metadata",
                  "udtf_chunk_documents", "frame_sample", "ann_topk_blas",
-                 "blob_metadata_arrow",
+                 "blob_metadata_arrow", "cogroup_reconcile",
                  # RDD-API parity demo: Python by construction (the
                  # plan shows Scan ExistingRDD, not EvalPython)
                  "rdd_inverted_index"}
