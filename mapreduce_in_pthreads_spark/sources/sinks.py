@@ -58,3 +58,52 @@ def write_bucketed(df: DataFrame, table: str, key: str,
     (df.write.mode("overwrite")
        .bucketBy(n_buckets, key).sortBy(key)
        .format("parquet").saveAsTable(table))
+
+
+def compact(spark, path: str, target_file_bytes: int = 128 << 20) -> int:
+    """Small-files compaction — the standard table-maintenance op: many
+    small part-files (streaming micro-batches, over-parallel writes)
+    are rewritten into ``ceil(total_bytes / target)`` right-sized files.
+    At 100 TB this is what keeps scan task counts sane: parquet scans
+    schedule ~one task per file when files are under the split size,
+    so 10⁶ tiny files = 10⁶ tasks of pure overhead.
+
+    Local-FS implementation rewrites to a temp dir and swaps; on an
+    object store you'd commit via manifest/rename conventions instead.
+    Returns the new file count.
+    """
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    spark.read.parquet(path).repartition(n).write.mode(
+        "overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n
+
+
+def write_clustered(df: DataFrame, path: str, *keys: str,
+                    num_files: int | None = None) -> None:
+    """Range-clustered write: ``repartitionByRange`` on the leading key
+    + ``sortWithinPartitions`` on all keys gives files with DISJOINT
+    key ranges and sorted row groups — parquet min/max stats then let
+    any engine skip whole files/row-groups for key predicates (the
+    single-dimension analogue of Z-ordering, with no custom layout
+    code: Spark's range partitioner does the clustering).
+
+    ``num_files`` pins the output file count (otherwise AQE picks by
+    size — which is what you want at scale, but coalesces tiny inputs
+    to one file)."""
+    cols = [df[k] for k in keys]
+    parted = (df.repartitionByRange(num_files, *cols) if num_files
+              else df.repartitionByRange(*cols))
+    (parted.sortWithinPartitions(*keys)
+     .write.mode("overwrite").parquet(path))

@@ -181,3 +181,50 @@ def test_xml_source_round_trip(spark, sf_dir):
     assert (sorted(map(tuple, back.collect()))
             == sorted(map(tuple, n.collect())))
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    import glob
+
+    from mapreduce_in_pthreads_spark.sources.sinks import compact
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    path = str(tmp_path / "docs")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(40).write.parquet(path)
+    before_files = glob.glob(f"{path}/*.parquet")
+    assert len(before_files) == 40
+    total = sum(__import__("os").path.getsize(f) for f in before_files)
+    before_rows = docs.count()
+    before_chars = docs.agg({"n_chars": "sum"}).first()[0]
+
+    n = compact(spark, path, target_file_bytes=max(1, total // 3))
+    after_files = glob.glob(f"{path}/*.parquet")
+    assert len(after_files) == n <= 5
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert after.agg({"n_chars": "sum"}).first()[0] == before_chars
+
+
+def test_clustered_write_disjoint_ranges(spark, sf_dir, tmp_path):
+    import glob
+
+    from mapreduce_in_pthreads_spark.sources.sinks import write_clustered
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    path = str(tmp_path / "clustered")
+    orders = load_table(spark, sf_dir, "orders")
+    write_clustered(orders.repartition(8), path, "o_orderkey",
+                    num_files=6)
+
+    from pyspark.sql import functions as F
+    spans = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        r = spark.read.parquet(f).agg(
+            F.min("o_orderkey"), F.max("o_orderkey")).first()
+        if r[0] is not None:
+            spans.append((r[0], r[1]))
+    spans.sort()
+    assert len(spans) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "file key ranges must be disjoint"
