@@ -491,3 +491,78 @@ SELECT l_returnflag,
        CAST(sum(key_bits) AS BIGINT) AS total_key_bits
 FROM base GROUP BY l_returnflag
 """
+
+
+# --- regexp surface, phase 2 ----------------------------------------------
+
+def regexp_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``regexp_count`` / ``regexp_substr`` / ``regexp_instr`` (Spark
+    3.5+) over document text: vowel-run occurrences per doc. Zero
+    shuffles. DuckDB lacks instr/count, so the oracle replays them with
+    ``regexp_extract_all`` + ``strpos`` — sound for this pattern class
+    because every occurrence of the matched text is itself a match, so
+    the first match's text can't occur before the first match."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = "[aeiou]{2,}"
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(pat)).cast("bigint")
+        .alias("n_vowel_runs"),
+        F.regexp_substr("text", F.lit(pat)).alias("first_run"),
+        F.regexp_instr("text", F.lit(pat)).cast("bigint")
+        .alias("first_run_pos"))
+
+
+REGEXP_SURFACE_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[aeiou]{2,}')) AS n_vowel_runs,
+       CASE WHEN regexp_extract(text, '[aeiou]{2,}') = ''
+            THEN NULL ELSE regexp_extract(text, '[aeiou]{2,}') END
+           AS first_run,
+       CASE WHEN regexp_extract(text, '[aeiou]{2,}') = '' THEN 0
+            ELSE strpos(text, regexp_extract(text, '[aeiou]{2,}')) END
+           AS first_run_pos
+FROM documents
+"""
+
+
+# --- incremental rollup merge (materialized-view maintenance) -------------
+
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a pre-aggregated
+    state (events before a cutoff) merges with a delta batch (events
+    after) by RE-AGGREGATING partial aggregates — counts add, decimal
+    sums add, averages recompute from the merged sums. The merged
+    result provably equals direct full aggregation (the oracle runs the
+    direct form), which is the property that makes this engine's
+    aggregates incrementally maintainable at 100 TB: you never rescan
+    history to fold in a day's delta.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("s"))
+
+    state = partial(ev.filter(F.col("ts") < cutoff))
+    delta = partial(ev.filter(F.col("ts") >= cutoff))
+    merged = (state.unionByName(delta)
+              .groupBy("event_type")
+              .agg(F.sum("n").alias("n_events"),
+                   F.sum("s").alias("s")))
+    return merged.select(
+        "event_type", "n_events",
+        F.col("s").cast("double").alias("sum_value"),
+        (F.col("s").cast("double") / F.col("n_events")).alias("avg_value"))
+
+
+INCREMENTAL_ROLLUP_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) / count(*)
+           AS avg_value
+FROM events GROUP BY event_type
+"""

@@ -407,6 +407,11 @@ register("date_arithmetic", sq.date_arithmetic, sq.DATE_ARITHMETIC_SQL,
          "interval add / month clamp / next_day / ISO week surface")
 register("bitwise_surface", sq.bitwise_surface, sq.BITWISE_SURFACE_SQL,
          "bitwise scalar ops + bit_and/or/xor aggregates")
+register("regexp_surface", sq.regexp_surface, sq.REGEXP_SURFACE_SQL,
+         "regexp_count/substr/instr occurrence analysis")
+register("incremental_rollup_merge", sq.incremental_rollup_merge,
+         sq.INCREMENTAL_ROLLUP_SQL,
+         "partial-aggregate state+delta merge == direct aggregation")
 
 register("window_navigation", win.window_navigation,
          win.WINDOW_NAVIGATION_SQL,
