@@ -566,3 +566,66 @@ SELECT event_type,
            AS avg_value
 FROM events GROUP BY event_type
 """
+
+
+# --- DataFrame.transpose (Spark 4) ----------------------------------------
+
+def transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose()`` (Spark 4): a per-language metrics
+    block flipped to one row per METRIC with one column per language —
+    the report-layout transform. Transpose collects the (tiny, already
+    aggregated) frame's header column to name output columns, so it
+    belongs strictly AFTER aggregation: 5 langs × 2 metrics here, never
+    on a fact table."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = (docs.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_chars").alias("total_chars"))
+                .select("lang", F.col("n_docs").cast("bigint"),
+                        F.col("total_chars").cast("bigint")))
+    return per_lang.transpose()
+
+
+TRANSPOSE_METRICS_SQL = """
+SELECT 'n_docs' AS key,
+       count(*) FILTER (lang = 'de') AS de,
+       count(*) FILTER (lang = 'en') AS en,
+       count(*) FILTER (lang = 'es') AS es,
+       count(*) FILTER (lang = 'fr') AS fr,
+       count(*) FILTER (lang = 'zh') AS zh
+FROM documents
+UNION ALL
+SELECT 'total_chars',
+       CAST(sum(n_chars) FILTER (lang = 'de') AS BIGINT),
+       CAST(sum(n_chars) FILTER (lang = 'en') AS BIGINT),
+       CAST(sum(n_chars) FILTER (lang = 'es') AS BIGINT),
+       CAST(sum(n_chars) FILTER (lang = 'fr') AS BIGINT),
+       CAST(sum(n_chars) FILTER (lang = 'zh') AS BIGINT)
+FROM documents
+"""
+
+
+# --- df.stat.crosstab ------------------------------------------------------
+
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.crosstab`` — pairwise frequency table of event type ×
+    day-of-week. Crosstab pivots on the DISTINCT values of the second
+    column (collected to the driver), so the pivoted column must be
+    low-cardinality — dow has exactly 7; the oracle pins them."""
+    ev = load_table(spark, sf_dir, "events")
+    with_dow = ev.select("event_type",
+                         F.dayofweek("ts").cast("int").alias("dow"))
+    return with_dow.stat.crosstab("event_type", "dow")
+
+
+STAT_CROSSTAB_SQL = """
+SELECT event_type AS event_type_dow,
+       count(*) FILTER (dayofweek(ts) + 1 = 1) AS "1",
+       count(*) FILTER (dayofweek(ts) + 1 = 2) AS "2",
+       count(*) FILTER (dayofweek(ts) + 1 = 3) AS "3",
+       count(*) FILTER (dayofweek(ts) + 1 = 4) AS "4",
+       count(*) FILTER (dayofweek(ts) + 1 = 5) AS "5",
+       count(*) FILTER (dayofweek(ts) + 1 = 6) AS "6",
+       count(*) FILTER (dayofweek(ts) + 1 = 7) AS "7"
+FROM events GROUP BY event_type
+"""

@@ -412,6 +412,11 @@ register("regexp_surface", sq.regexp_surface, sq.REGEXP_SURFACE_SQL,
 register("incremental_rollup_merge", sq.incremental_rollup_merge,
          sq.INCREMENTAL_ROLLUP_SQL,
          "partial-aggregate state+delta merge == direct aggregation")
+register("transpose_metrics", sq.transpose_metrics,
+         sq.TRANSPOSE_METRICS_SQL,
+         "DataFrame.transpose (Spark 4) metric-block flip")
+register("stat_crosstab", sq.stat_crosstab, sq.STAT_CROSSTAB_SQL,
+         "df.stat.crosstab pairwise frequency table")
 
 register("window_navigation", win.window_navigation,
          win.WINDOW_NAVIGATION_SQL,
