@@ -508,3 +508,21 @@ SELECT doc_id,
                    AS DOUBLE), 6) AS entropy
 FROM probs GROUP BY doc_id
 """
+
+
+def approx_top_k_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` sketch (Spark 4) over the normalized token
+    stream — completes the sketch family (HLL distincts, KLL-style
+    quantiles, frequent items). Rows-only: boundary ties in the top-k
+    cutoff order arbitrarily; the unit test pins counts against the
+    exact ``word_count`` aggregate (with maxItemsTracked >= vocabulary
+    the sketched counts are exact, the 100 TB trade-off being one pass
+    + bounded memory vs word_count's full shuffle)."""
+    from .inverted_index import tokens
+
+    tok = tokens(spark, sf_dir).select("word")
+    return (tok.select(
+        F.expr("approx_top_k(word, 20, 131072)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("word"),
+                F.col("e.count").cast("bigint").alias("n_occurrences")))

@@ -389,6 +389,9 @@ register("map_higher_order", ss.map_higher_order, ss.MAP_HIGHER_ORDER_SQL,
          "map_filter / map_zip_with algebra over per-doc maps")
 register("token_entropy", ta.token_entropy, ta.TOKEN_ENTROPY_SQL,
          "per-doc Shannon entropy quality signal, order-stable sum")
+register("approx_top_k_words", ta.approx_top_k_words, None,
+         "approx_top_k frequent-words sketch (rows-only: boundary "
+         "ties; counts pinned vs exact word_count in unit tests)")
 register("recursive_cte_split", sq.recursive_cte_split,
          sq.RECURSIVE_CTE_SPLIT_SQL,
          "WITH RECURSIVE halving installment schedule (Spark 4)")

@@ -189,3 +189,24 @@ def test_quantization_error_bound(spark, sf_dir):
         for x, code in zip(xs, r.codes):
             assert abs(x - code / scale) <= step * (1 + 1e-9)
             assert -127 <= code <= 127
+
+
+def test_approx_top_k_words_counts_exact(spark, sf_dir):
+    """With maxItemsTracked >= vocabulary, approx_top_k counts are
+    exact: every sketched (word, count) must equal the exact aggregate,
+    and every word with count above the top-20 boundary must appear."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_in_pthreads_spark.plans.registry import REGISTRY
+
+    sketched = {r.word: r.n_occurrences
+                for r in REGISTRY["approx_top_k_words"]
+                .fn(spark, sf_dir).collect()}
+    exact = {r.word: r.n_occurrences
+             for r in REGISTRY["word_count"].fn(spark, sf_dir).collect()}
+    assert len(sketched) == 20
+    for w, c in sketched.items():
+        assert exact[w] == c, w
+    boundary = min(sketched.values())
+    strictly_above = {w for w, c in exact.items() if c > boundary}
+    assert strictly_above <= set(sketched)
