@@ -493,3 +493,58 @@ SELECT user_id,
         IS NULL) AS is_current
 FROM changes
 """
+
+
+def ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click → purchase): a user counts
+    for step N only with an event strictly after their step-N-1 time —
+    sequential pattern matching, the product-analytics op the flat
+    event counts can't answer. Stepwise formulation: each stage is a
+    selective filter + min-aggregate + equi-join, every one keyed on
+    user_id, so all stages share one hash partitioning (no repeated
+    wide shuffles; the filters push to the scan).
+
+    Both engines compare microsecond timestamps (the loader truncates
+    parquet nanos, DuckDB's native TIMESTAMP is µs), so strict-after
+    semantics agree exactly.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type")
+    t1 = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    t2 = (ev.filter(F.col("event_type") == "click")
+          .join(t1, "user_id").filter(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    t3 = (ev.filter(F.col("event_type") == "purchase")
+          .join(t2, "user_id").filter(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (
+        t1.select(F.lit("view").alias("stage"), "user_id")
+        .unionByName(t2.select(F.lit("view>click").alias("stage"),
+                               "user_id"))
+        .unionByName(t3.select(
+            F.lit("view>click>purchase").alias("stage"), "user_id"))
+        .groupBy("stage").agg(F.count(F.lit(1)).alias("n_users")))
+
+
+ORDERED_FUNNEL_SQL = """
+WITH t1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN t1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > t1.t1
+    GROUP BY e.user_id
+), t3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN t2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+    GROUP BY e.user_id
+)
+SELECT stage, count(*) AS n_users FROM (
+    SELECT 'view' AS stage, user_id FROM t1
+    UNION ALL SELECT 'view>click', user_id FROM t2
+    UNION ALL SELECT 'view>click>purchase', user_id FROM t3
+) GROUP BY stage
+"""

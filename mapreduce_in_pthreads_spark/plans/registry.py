@@ -406,6 +406,8 @@ register("string_functions2", sq.string_functions2,
          "string surface phase 2: split_part/translate/overlay/...")
 register("scd2_dimension", ts.scd2_dimension, ts.SCD2_DIMENSION_SQL,
          "SCD type-2 dimension build: change collapse + validity spans")
+register("ordered_funnel", ts.ordered_funnel, ts.ORDERED_FUNNEL_SQL,
+         "3-step ordered funnel: strictly-after sequential matching")
 register("date_arithmetic", sq.date_arithmetic, sq.DATE_ARITHMETIC_SQL,
          "interval add / month clamp / next_day / ISO week surface")
 register("bitwise_surface", sq.bitwise_surface, sq.BITWISE_SURFACE_SQL,
