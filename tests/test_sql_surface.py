@@ -106,3 +106,10 @@ def test_catalog_register_all_sql_join(spark):
         GROUP BY r.r_name ORDER BY r.r_name
     """).collect()
     assert sum(r.n_nations for r in row) == spark.table("cat_nation").count()
+
+
+def test_ordered_funnel_monotone(spark):
+    rows = {r.stage: r.n_users
+            for r in REGISTRY["ordered_funnel"].fn(spark, SF_SMOKE).collect()}
+    assert rows["view"] >= rows["view>click"] >= rows["view>click>purchase"]
+    assert rows["view>click>purchase"] >= 0
