@@ -629,3 +629,64 @@ SELECT event_type AS event_type_dow,
        count(*) FILTER (dayofweek(ts) + 1 = 7) AS "7"
 FROM events GROUP BY event_type
 """
+
+
+# --- XML content querying (xpath) -----------------------------------------
+
+def xpath_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``xpath_string`` / ``xpath_int`` / ``xpath`` over XML payloads
+    synthesized per part row — the XML-content query surface on top of
+    the XML source/sink round-trip. The oracle produces the identity
+    directly from the source columns, so what the hash verifies is that
+    build→parse is lossless. Zero shuffles."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    xml = F.format_string(
+        "<part><type>%s</type><size>%d</size><brand>%s</brand></part>",
+        "p_type", "p_size", "p_brand")
+    return (part.select("p_partkey", xml.alias("xml"))
+            .select(
+                "p_partkey",
+                F.expr("xpath_string(xml, '/part/type')").alias("type_x"),
+                F.expr("xpath_int(xml, '/part/size')").cast("int")
+                .alias("size_x"),
+                F.expr("xpath_string(xml, '/part/brand')").alias("brand_x"),
+                F.size(F.expr("xpath(xml, '/part/*/text()')"))
+                .cast("bigint").alias("n_children")))
+
+
+XPATH_ROUNDTRIP_SQL = """
+SELECT p_partkey,
+       p_type AS type_x,
+       p_size AS size_x,
+       p_brand AS brand_x,
+       3 AS n_children
+FROM part WHERE p_partkey <= 300
+"""
+
+
+# --- numeric formatting round-trip ----------------------------------------
+
+def number_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``format_number`` → ``to_number`` round-trip: render each order
+    total as a grouped display string and parse it back; the oracle
+    rebuilds the grouped string from integer parts (DuckDB's format()
+    refuses thousands separators on non-integers) and returns the
+    original value — verifying parse∘format = identity."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 2000)
+    fn = F.format_number(F.col("o_totalprice").cast("decimal(12,2)"), 2)
+    return (orders.select("o_orderkey", fn.alias("display"))
+            .select(
+                "o_orderkey", "display",
+                F.expr("to_number(display, '9,999,999.99')")
+                .cast("double").alias("parsed_back")))
+
+
+NUMBER_FORMAT_ROUNDTRIP_SQL = """
+SELECT o_orderkey,
+       format('{:,}', CAST(floor(o_totalprice) AS BIGINT))
+           || '.' || lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                               % 100 AS VARCHAR), 2, '0') AS display,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS parsed_back
+FROM orders WHERE o_orderkey <= 2000
+"""

@@ -422,6 +422,11 @@ register("transpose_metrics", sq.transpose_metrics,
          "DataFrame.transpose (Spark 4) metric-block flip")
 register("stat_crosstab", sq.stat_crosstab, sq.STAT_CROSSTAB_SQL,
          "df.stat.crosstab pairwise frequency table")
+register("xpath_roundtrip", sq.xpath_roundtrip, sq.XPATH_ROUNDTRIP_SQL,
+         "xpath content extraction: build->parse identity")
+register("number_format_roundtrip", sq.number_format_roundtrip,
+         sq.NUMBER_FORMAT_ROUNDTRIP_SQL,
+         "format_number -> to_number parse round-trip")
 
 register("window_navigation", win.window_navigation,
          win.WINDOW_NAVIGATION_SQL,
