@@ -228,3 +228,40 @@ def test_clustered_write_disjoint_ranges(spark, sf_dir, tmp_path):
     assert len(spans) > 1
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, "file key ranges must be disjoint"
+
+
+def test_zorder_layout_compact_in_both_dimensions(spark, sf_dir, tmp_path):
+    """Files written z-ordered on (l_orderkey, l_partkey) must carry
+    narrow min/max envelopes in BOTH columns; a single-column sort
+    would leave the second column's per-file span at ~full range."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_in_pthreads_spark.functions.zorder import write_zordered
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    path = str(tmp_path / "zordered")
+    write_zordered(li, path, "l_orderkey", "l_partkey", num_files=16)
+
+    glob_span = li.agg(
+        (F.max("l_orderkey") - F.min("l_orderkey")).alias("a"),
+        (F.max("l_partkey") - F.min("l_partkey")).alias("b")).first()
+    spans_a, spans_b = [], []
+    for f in glob.glob(f"{path}/*.parquet"):
+        r = spark.read.parquet(f).agg(
+            F.min("l_orderkey"), F.max("l_orderkey"),
+            F.min("l_partkey"), F.max("l_partkey")).first()
+        if r[0] is None:
+            continue
+        spans_a.append(r[1] - r[0])
+        spans_b.append(r[3] - r[2])
+    assert len(spans_a) >= 8
+    # 16 files ~ 4x4 grid: expect per-file spans well under the global
+    # span in BOTH dimensions (a 1-D sort gives ~1.0 on the other axis)
+    avg_a = sum(spans_a) / len(spans_a) / glob_span.a
+    avg_b = sum(spans_b) / len(spans_b) / glob_span.b
+    assert avg_a < 0.6, avg_a
+    assert avg_b < 0.6, avg_b
