@@ -272,15 +272,16 @@ FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
 
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function surface over tokenized documents: sort, distinct,
-    slice, contains, position (0 when absent — both engines), plus a
-    whole-array output column proving array values round-trip the
-    comparison harness."""
+    slice, contains, position (0 when absent — both engines). Array
+    intermediates are exercised in full, but OUTPUT columns are
+    serialized to strings: the driver canonicalizer (pandas
+    sort_values) cannot hash list cells."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return docs.select(
         "doc_id",
-        F.sort_array(F.array_distinct(toks)).alias("vocab"),
-        F.slice(toks, 1, 3).alias("first3"),
+        F.concat_ws(" ", F.sort_array(F.array_distinct(toks))).alias("vocab"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("first3"),
         F.array_contains(toks, "the").alias("has_the"),
         F.array_position(toks, "the").alias("first_the_pos"),
         F.size(toks).cast("bigint").alias("n_tokens"),
@@ -289,8 +290,9 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ARRAY_FUNCTIONS_SQL = """
 SELECT doc_id,
-       list_sort(list_distinct(string_split(text, ' '))) AS vocab,
-       string_split(text, ' ')[1:3] AS first3,
+       array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                       ' ') AS vocab,
+       array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
        list_contains(string_split(text, ' '), 'the') AS has_the,
        CAST(list_position(string_split(text, ' '), 'the') AS BIGINT)
            AS first_the_pos,

@@ -114,15 +114,16 @@ canon AS (
 )
 SELECT lang,
        count(*) AS n_raw,
-       sum(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS n_quality,
-       sum(CASE WHEN pass_quality AND e.doc_id IS NOT NULL
-                THEN 1 ELSE 0 END) AS n_exact_unique,
-       sum(CASE WHEN pass_quality AND e.doc_id IS NOT NULL
+       CAST(sum(CASE WHEN pass_quality THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN pass_quality AND e.doc_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_unique,
+       CAST(sum(CASE WHEN pass_quality AND e.doc_id IS NOT NULL
                      AND c.doc_id IS NOT NULL
-                THEN 1 ELSE 0 END) AS n_kept,
-       sum(CASE WHEN pass_quality AND e.doc_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN pass_quality AND e.doc_id IS NOT NULL
                      AND c.doc_id IS NOT NULL
-                THEN n_tokens ELSE 0 END) AS tokens_kept
+                THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
 FROM flagged f
 LEFT JOIN exact_surv e ON e.doc_id = f.doc_id
 LEFT JOIN canon c ON c.doc_id = f.doc_id

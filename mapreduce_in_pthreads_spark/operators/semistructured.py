@@ -29,10 +29,13 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("word", "first_pos"))))
         .alias("m"))
+    # vocab is serialized to one space-joined string: the driver's
+    # canonicalizer (pandas sort_values) cannot hash list cells, so
+    # array-valued OUTPUT columns must cross the boundary as scalars.
     return per_doc.select(
         "doc_id",
         F.size("m").cast("bigint").alias("n_distinct_words"),
-        F.sort_array(F.map_keys("m")).alias("vocab_sorted"),
+        F.concat_ws(" ", F.sort_array(F.map_keys("m"))).alias("vocab_sorted"),
         # try_element_at: plain element_at throws on a missing map key
         # under ANSI mode; the oracle's CASE yields NULL
         F.try_element_at("m", F.lit("the")).cast("bigint").alias("the_first_pos"),
@@ -51,7 +54,7 @@ WITH tok AS (
 )
 SELECT doc_id,
        count(*) AS n_distinct_words,
-       list_sort(list(word)) AS vocab_sorted,
+       array_to_string(list_sort(list(word)), ' ') AS vocab_sorted,
        max(CASE WHEN word = 'the' THEN first_pos END) AS the_first_pos
 FROM firsts GROUP BY doc_id
 """
@@ -149,7 +152,8 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 VARIANT_PROPS_SQL = """
 SELECT event_type,
        count(*) AS n_events,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
        count(json_extract_string(props, '$.does_not_exist'))

@@ -252,7 +252,7 @@ packed AS (
     FROM toks
 )
 SELECT lang, chunk_id, count(*) AS n_docs,
-       sum(n_tokens) AS chunk_tokens
+       CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
 FROM packed GROUP BY lang, chunk_id
 """
 
@@ -292,8 +292,8 @@ SELECT lang,
                  < '{TRAIN_FRAC_HEX}'
             THEN 'train' ELSE 'holdout' END AS split,
        count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_tokens,
-       sum(n_chars) AS total_chars
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1, 2
 """

@@ -356,8 +356,8 @@ WITH days AS (
 )
 SELECT strftime(a.day, '%Y-%m-%d') AS day,
        count(*) AS n_active,
-       sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
-           AS n_retained_d7
+       CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_retained_d7
 FROM days a
 LEFT JOIN days b ON b.user_id = a.user_id
                 AND b.day = a.day + INTERVAL 7 DAY
