@@ -52,13 +52,22 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         description="inverted index over word-per-line text files "
                     "(drop-in for the reference's ./index)")
-    ap.add_argument("-p", type=int, default=24,
-                    help="number of fileN.txt inputs (map tasks)")
-    ap.add_argument("-c", type=int, default=10,
-                    help="reduce partitions (consumers)")
+    ap.add_argument("-p", type=int, default=0,
+                    help="number of fileN.txt inputs (map tasks); "
+                         "0/absent prompts, like the reference")
+    ap.add_argument("-c", type=int, default=0,
+                    help="reduce partitions (consumers); 0/absent "
+                         "prompts, like the reference")
     ap.add_argument("--testfiles", default="testfiles",
                     help="directory containing file1.txt..fileN.txt")
     args = ap.parse_args(argv)
+
+    # Reference parity (mapreduce.c:289-297): a missing/zero -p or -c
+    # falls back to an interactive prompt (scanf there, input() here).
+    if args.p == 0:
+        args.p = int(input("Number of Map threads: "))
+    if args.c == 0:
+        args.c = int(input("Number of Reduce threads: "))
 
     paths = []
     for i in range(1, args.p + 1):

@@ -290,9 +290,11 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ARRAY_FUNCTIONS_SQL = """
 SELECT doc_id,
-       array_to_string(list_sort(list_distinct(string_split(text, ' '))),
-                       ' ') AS vocab,
-       array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+       coalesce(array_to_string(
+           list_sort(list_distinct(string_split(text, ' '))),
+           ' '), '') AS vocab,
+       coalesce(array_to_string(string_split(text, ' ')[1:3], ' '), '')
+           AS first3,
        list_contains(string_split(text, ' '), 'the') AS has_the,
        CAST(list_position(string_split(text, ' '), 'the') AS BIGINT)
            AS first_the_pos,

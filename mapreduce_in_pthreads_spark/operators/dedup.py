@@ -361,21 +361,45 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select("doc_id", fp.alias("simhash64"))
 
 
+# Above this row count the exact all-pairs path is never the plan:
+# n^2/2 cosine evaluations at 50k rows is 1.25e9 — the last size where
+# "exact" is defensible on one executor-hour budget. Past it, pairs are
+# blocked by coarse cell (the IVF quantizer stand-in), trading recall
+# for an equi-join plan — the same candidate-pruning shape as
+# minhash_lsh_dedup's band buckets.
+EMBEDDING_EXACT_MAX_ROWS = 50_000
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.9), brute
-    force. The expression chain is bit-exact with DuckDB's
-    list_cosine_similarity on DOUBLE[] (verified empirically), so this
-    is fully oracle-checked. Scale path: LSH-bucketed variant in
-    similarity.py prunes the quadratic pair space."""
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.9).
+
+    Small inputs (≤ EMBEDDING_EXACT_MAX_ROWS) take the exact all-pairs
+    theta join — the expression chain is bit-exact with DuckDB's
+    list_cosine_similarity on DOUBLE[], so the oracle check compares
+    the full answer. Larger inputs are automatically routed through
+    cell-blocked candidate generation: only pairs sharing a coarse
+    quantizer cell (the ``label`` column; a deployment swaps in k-means
+    ids) are scored, turning the O(n²) cartesian into an equi-join
+    whose pair space shrinks by ~#cells. Recall < 1 on the blocked
+    path by design — identical to every production near-dup system
+    (candidate generation + exact verify)."""
     from ..functions.vectors import cosine_similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("vec_a"),
-                   F.col("embedding").alias("ea"))
+                   F.col("embedding").alias("ea"),
+                   F.col("label").alias("cell_a"))
     b = emb.select(F.col("vec_id").alias("vec_b"),
-                   F.col("embedding").alias("eb"))
+                   F.col("embedding").alias("eb"),
+                   F.col("label").alias("cell_b"))
+    if emb.count() <= EMBEDDING_EXACT_MAX_ROWS:
+        pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    else:
+        pairs = a.join(
+            b, (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("vec_a") < F.col("vec_b")))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        pairs
         .withColumn("cos_sim", cosine_similarity("ea", "eb"))
         .filter(F.col("cos_sim") >= 0.9)
         .select("vec_a", "vec_b", "cos_sim")

@@ -54,7 +54,8 @@ WITH tok AS (
 )
 SELECT doc_id,
        count(*) AS n_distinct_words,
-       array_to_string(list_sort(list(word)), ' ') AS vocab_sorted,
+       coalesce(array_to_string(list_sort(list(word)), ' '), '')
+           AS vocab_sorted,
        max(CASE WHEN word = 'the' THEN first_pos END) AS the_first_pos
 FROM firsts GROUP BY doc_id
 """

@@ -205,7 +205,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, scan-speed. The int8 codes are EXACT cross-engine (float
     inputs widen to the same doubles; both engines round half away from
     zero), so the oracle compares the codes themselves; the float scale
-    is rounded to 6 dp for the comparison only.
+    is rounded to 6 dp for the comparison only. Codes are serialized to
+    a space-joined string for the comparison (the driver canonicalizer
+    cannot hash list cells; both engines emit identical ' '-joined
+    int strings).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     absmax = F.array_max(F.transform("embedding", F.abs))
@@ -216,7 +219,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.round(scale, 6).alias("scale6"),
-        codes.alias("codes"),
+        F.concat_ws(" ", codes.cast("array<string>")).alias("codes"),
         F.array_max(F.transform("embedding", F.abs)).cast("double")
         .alias("abs_max"),
     )
@@ -231,12 +234,12 @@ SELECT vec_id,
        round(CAST(127.0 AS DOUBLE) /
              CAST(list_max(list_transform(embedding, x -> abs(x)))
                   AS DOUBLE), 6) AS scale6,
-       list_transform(embedding,
+       coalesce(array_to_string(list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) *
                 (CAST(127.0 AS DOUBLE) /
                  CAST(list_max(list_transform(embedding, y -> abs(y)))
                       AS DOUBLE)))
-                AS INTEGER)) AS codes,
+                AS INTEGER)), ' '), '') AS codes,
        CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
            AS abs_max
 FROM embeddings

@@ -267,6 +267,9 @@ register("blob_metadata_arrow", mm.blob_metadata_arrow,
          mm.BLOB_METADATA_SQL,
          "mapInArrow twin of blob_metadata (zero-pandas-copy path), "
          "same oracle")
+register("image_decode_meta", mm.image_decode_meta, mm.IMAGE_DECODE_SQL,
+         "real BMP encode->header-decode round trip over binary "
+         "payloads (decode_image: PNG/GIF/BMP/JPEG header specs)")
 
 # --- UDF surface -----------------------------------------------------------
 register("pandas_udf_token_count", ud.pandas_udf_token_count,
@@ -437,3 +440,62 @@ register("range_frame_revenue", win.range_frame_revenue,
 register("rank_distribution", win.rank_distribution,
          win.RANK_DISTRIBUTION_SQL,
          "percent_rank + cume_dist ranking surface")
+
+
+# --- adjudication-window rotation -----------------------------------------
+# The driver adjudicates only the FIRST 50 registry entries per round
+# (CORRECTNESS_r{N}.json); everything else gets no correctness row. The
+# registry above is grouped thematically for humans; this list controls
+# which 50 face the driver this round. Rotate it each round so every
+# query eventually earns a driver-adjudicated correctness row. Entries
+# NOT listed keep their thematic order after the window — nothing is
+# ever dropped from queries()/oracle_sql().
+#
+# Round-3 window: flagship 6 (keep first every round), the 15 queries
+# that ERR'd on the round-2 events-loader bug (prove the fix green),
+# then 29 from the never-adjudicated LLM-pipeline surface (dedup,
+# similarity, text analysis, curation, multimodal, UDFs).
+_ADJUDICATION_FIRST: tuple[str, ...] = (
+    # flagship / reference parity — always first
+    "inverted_index", "word_count", "doc_frequency", "corpus_stats",
+    "index_top_docs", "rdd_inverted_index",
+    # events queries fixed this round (round-2 loader ERR)
+    "purchases_with_prior_clicks", "event_lag_lead", "tumbling_hourly",
+    "sliding_2h_1h", "session_windows_30m", "dedup_events_in_window",
+    "json_props_extract", "from_json_typed", "approx_quantiles_events",
+    "hll_sketch_users", "gap_fill_hourly", "merge_upsert_latest",
+    "value_histogram", "modal_event_type", "weekly_retention",
+    # never-adjudicated: dedup family
+    "exact_dedup", "jaccard_similarity_join", "minhash_lsh_dedup",
+    "simhash_fingerprints", "embedding_near_dup",
+    # never-adjudicated: curation
+    "curation_funnel", "integrity_audit", "deterministic_sample_per_lang",
+    # never-adjudicated: similarity family
+    "ann_topk_bruteforce", "ann_ivf_topk", "embedding_quantize_int8",
+    # never-adjudicated: text analysis
+    "doc_quality_stats", "lang_aggregates", "bpe_token_counts",
+    "tfidf_top_terms", "bigram_counts", "sequence_packing",
+    "hash_train_test_split", "pii_scrub", "contamination_check",
+    "repetition_ratios",
+    # never-adjudicated: multimodal + UDF surface
+    "blob_metadata", "pandas_udf_token_count", "apply_in_pandas_zscore",
+    "udtf_chunk_documents",
+    # never-adjudicated: advanced / skew / semistructured
+    "asof_join_prior_event", "salted_word_count",
+    "q12_late_lines_by_status", "variant_props_extract",
+)
+
+
+def _reorder_for_adjudication(first: tuple[str, ...]) -> None:
+    """Rebuild REGISTRY in place with ``first`` leading (KeyError on a
+    typo — fail loudly at import, not silently mid-adjudication)."""
+    snapshot = dict(REGISTRY)
+    REGISTRY.clear()
+    for name in first:
+        REGISTRY[name] = snapshot[name]
+    for name, query in snapshot.items():
+        if name not in REGISTRY:
+            REGISTRY[name] = query
+
+
+_reorder_for_adjudication(_ADJUDICATION_FIRST)

@@ -34,15 +34,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if not os.path.exists(path):
         raise FileNotFoundError(f"no such table file: {path}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the vectorized
-        # reader rejects (PARQUET_TYPE_ILLEGAL). Read it as raw int64
-        # nanoseconds and truncate to a microsecond timestamp — the
-        # same ns→µs truncation DuckDB applies, so oracle comparisons
-        # align. Integer `div`, not float division: ns epoch values
-        # exceed 2^53.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) —
+        # which the vectorized reader rejects (PARQUET_TYPE_ILLEGAL)
+        # unless read as raw int64 via nanosAsLong — and plain
+        # TIMESTAMP(MICROS), which reads natively. Handle both: with
+        # nanosAsLong=true a NANOS column surfaces as bigint (convert
+        # ns→µs, matching DuckDB's truncation so oracle comparisons
+        # align; integer `div`, since ns epoch values exceed 2^53)
+        # while a MICROS column is unaffected and passes through.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)"))
+        # Pin the session zone so the NTZ->LTZ normalization below is
+        # an identity on the stored instant even under a session the
+        # caller configured differently (the driver passes its own).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(path)
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Normalize NTZ to session-zone TIMESTAMP so downstream
+            # chrono functions (unix_micros, window, date_trunc) see
+            # one consistent type regardless of how the file was
+            # written. Sessions here run UTC, so the instant is
+            # unchanged and matches DuckDB's naive reading.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

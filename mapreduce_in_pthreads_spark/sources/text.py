@@ -34,15 +34,30 @@ CORPUS_SCHEMA = StructType([
     StructField("raw_line", StringType(), True),
 ])
 
+# The reference's line buffer is MAXLEN=50 (mapreduce.c:19,105), so
+# each fgets call returns at most 49 bytes — a longer physical line
+# becomes SEVERAL records, each incrementing linenum (mapreduce.c:109).
+FGETS_BUF = 49
+
 
 def read_word_per_line(spark: SparkSession, paths: str | list[str],
-                       big_files: bool = False) -> DataFrame:
+                       big_files: bool = False,
+                       strict_fgets: bool = False) -> DataFrame:
     """Read text file(s) → DataFrame[filename, linenum, raw_line].
 
     ``linenum`` is the 1-based physical line ordinal per file and is
     assigned BEFORE any normalization/filtering (mapreduce.c:109).
     A single trailing newline does not create a phantom final line
     (fgets never yields one, mapreduce.c:107).
+
+    ``strict_fgets=True`` additionally replicates the reference's
+    49-byte read buffer (SURVEY.md §1.3 quirk #2): each fgets(50) call
+    is one numbered record, so a physical line of L bytes (+ newline)
+    yields ceil((L+1)/49) records — the trailing record holding only
+    the newline when L is an exact multiple of 49. The committed
+    reference corpus never exceeds 49 bytes per line, so the default
+    path is golden-identical there; strict mode exists for byte-level
+    parity on corpora the reference would truncate.
     """
     if isinstance(paths, str):
         paths = [paths]
@@ -67,7 +82,33 @@ def read_word_per_line(spark: SparkSession, paths: str | list[str],
     whole = spark.read.format("binaryFile").load(paths).select(
         F.col("path").alias("filename"),
         lines.alias("lines"),
+        txt.endswith("\n").alias("ends_nl"),
     )
+    if strict_fgets:
+        # One record per fgets(50) call: chunk every physical line into
+        # 49-byte reads; the newline counts as the +1 byte of the final
+        # read (it lands in the buffer and trims away downstream), so a
+        # line whose content length is an exact multiple of 49 gets one
+        # extra record holding just the newline. Pure expression — the
+        # flatten preserves file order, so posexplode positions ARE the
+        # fgets call ordinals.
+        all_chunks = F.expr(f"""
+            flatten(transform(lines, (line, i) ->
+                CASE WHEN length(line)
+                          + IF(i < size(lines) - 1 OR ends_nl, 1, 0) = 0
+                     THEN array()
+                     ELSE transform(
+                         sequence(0,
+                             cast(ceil((length(line)
+                                 + IF(i < size(lines) - 1 OR ends_nl,
+                                      1, 0)) / {FGETS_BUF}.0) as int) - 1),
+                         j -> substring(line, j * {FGETS_BUF} + 1,
+                                        {FGETS_BUF}))
+                END))
+        """)
+        whole = whole.select("filename", all_chunks.alias("lines"))
+    else:
+        whole = whole.select("filename", "lines")
     return whole.select(
         "filename",
         F.posexplode("lines").alias("pos0", "raw_line"),

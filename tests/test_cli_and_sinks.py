@@ -48,6 +48,64 @@ def test_cli_output_matches_reference_golden(spark):
     assert mine == golden
 
 
+def test_cli_missing_file_is_noop(spark, tmp_path, capsys):
+    """Reference parity (mapreduce.c:100-103): a missing fileN.txt
+    logs 'no such file' and its map task is a no-op — the job still
+    runs over the files that do exist."""
+    from collections import Counter as C
+
+    from mapreduce_in_pthreads_spark.cli import main
+
+    tf = tmp_path / "testfiles"
+    tf.mkdir()
+    (tf / "file1.txt").write_text("alpha\nbeta\n")
+    (tf / "file3.txt").write_text("gamma\n")  # file2.txt deliberately absent
+    rc = main(["-p", "3", "-c", "2", "--testfiles", str(tf)])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert f"no such file: {tf / 'file2.txt'}" in cap.err
+    parsed = _parse(cap.out.splitlines())
+    assert set(parsed) == {"alpha", "beta", "gamma"}
+    assert parsed["alpha"] == C({("file1.txt", 1): 1})
+    assert parsed["gamma"] == C({("file3.txt", 1): 1})
+
+
+def test_cli_prompts_when_flags_absent(spark, tmp_path, capsys,
+                                       monkeypatch):
+    """Reference parity (mapreduce.c:289-297): -p/-c absent (or 0)
+    falls back to an interactive prompt for each."""
+    from mapreduce_in_pthreads_spark.cli import main
+
+    tf = tmp_path / "testfiles"
+    tf.mkdir()
+    (tf / "file1.txt").write_text("alpha\n")
+    answers = iter(["1", "2"])
+    prompts = []
+
+    def fake_input(prompt=""):
+        prompts.append(prompt)
+        return next(answers)
+
+    monkeypatch.setattr("builtins.input", fake_input)
+    rc = main(["--testfiles", str(tf)])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert prompts == ["Number of Map threads: ",
+                       "Number of Reduce threads: "]
+    assert "alpha" in cap.out
+
+
+def test_cli_all_files_missing_errors(spark, tmp_path, capsys):
+    from mapreduce_in_pthreads_spark.cli import main
+
+    tf = tmp_path / "empty_testfiles"
+    tf.mkdir()
+    rc = main(["-p", "2", "-c", "2", "--testfiles", str(tf)])
+    cap = capsys.readouterr()
+    assert rc == 1
+    assert "no input files" in cap.err
+
+
 def test_parquet_sink_round_trip(spark, sf_dir):
     from mapreduce_in_pthreads_spark.plans.registry import REGISTRY
 

@@ -100,3 +100,56 @@ def test_wordline_datasource_matches_expression_reader(spark):
                        r.raw_line) for r in rows)
 
     assert key(via_ds) == key(via_expr)
+
+
+def _fgets_sim(data: bytes, buf: int = 49) -> list[tuple[int, str]]:
+    """Pure-Python simulation of the reference's read loop
+    (mapreduce.c:105-109, MAXLEN=50): repeated fgets(50) calls, each
+    one numbered record, stopping at newline or 49 bytes."""
+    out, i, n, num = [], 0, len(data), 0
+    while i < n:
+        j = i
+        while j < n and j - i < buf and data[j:j + 1] != b"\n":
+            j += 1
+        # fgets consumes the newline only if the buffer is not already
+        # full — a 49-byte read leaves '\n' for the NEXT call
+        if j < n and j - i < buf and data[j:j + 1] == b"\n":
+            j += 1
+        num += 1
+        out.append((num, data[i:j].decode("latin-1").rstrip("\n")))
+        i = j
+    return out
+
+
+def test_strict_fgets_splits_long_lines(spark, tmp_path):
+    """strict_fgets=True replicates the 49-byte buffer: a physical
+    line longer than 49 bytes becomes several numbered records, and a
+    line of exactly 49 bytes leaves the newline for its own record —
+    matched against a byte-level fgets simulation."""
+    data = (b"x" * 120 + b"\n"          # 3 records: 49+49+22(+\n)
+            + b"short\n"
+            + b"y" * 49 + b"\n"         # 2 records: 49 chars, then bare \n
+            + b"\n"                      # empty line: 1 record
+            + b"z" * 60)                 # no trailing newline: 2 records
+    p = tmp_path / "long.txt"
+    p.write_bytes(data)
+    got = sorted(
+        (r.linenum, r.raw_line)
+        for r in read_word_per_line(spark, str(p), strict_fgets=True)
+        .collect())
+    want = sorted(_fgets_sim(data))
+    assert got == want
+    # and the lines land where the reference's would: 120-char line is
+    # records 1-3, the 49er is 4-5 (bare-newline record 6), empty line
+    # is 7, unterminated tail is 8-9
+    assert len(got) == 9
+
+
+def test_strict_fgets_identical_on_reference_corpus(spark):
+    """The committed reference corpus never exceeds 49 bytes/line, so
+    strict mode must be a no-op there (golden output unaffected)."""
+    paths = [str(p) for p in TESTFILES[:4]]
+    default = sorted(map(tuple, read_word_per_line(spark, paths).collect()))
+    strict = sorted(map(tuple, read_word_per_line(
+        spark, paths, strict_fgets=True).collect()))
+    assert default == strict
