@@ -84,9 +84,17 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("inverted-index-cli")
     spark.sparkContext.setLogLevel("ERROR")
+    # get_spark may hand back a pre-existing shared session: scope the
+    # -c override to this job and restore on exit, so the CLI never
+    # permanently mutates a session it does not own.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(args.c))
-    for row in build_index(spark, paths).orderBy("word").toLocalIterator():
-        sys.stdout.write(f"{row.word}: {row.occurrences}\n")
+    try:
+        it = build_index(spark, paths).orderBy("word").toLocalIterator()
+        for row in it:
+            sys.stdout.write(f"{row.word}: {row.occurrences}\n")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return 0
 
 

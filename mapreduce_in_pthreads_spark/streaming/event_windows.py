@@ -29,22 +29,41 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum
 
-EVENTS_SCHEMA = ("event_id bigint, ts bigint, user_id bigint, "
-                 "event_type string, value double, props string")
+_EVENTS_SCHEMA_NANOS = ("event_id bigint, ts bigint, user_id bigint, "
+                        "event_type string, value double, props string")
+_EVENTS_SCHEMA_MICROS = ("event_id bigint, ts timestamp, user_id bigint, "
+                         "event_type string, value double, props string")
 
 WATERMARK = "10 minutes"
 
 
 def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ts arrives as int64
-    nanoseconds — same nanosAsLong contract as the batch reader)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    """File-source stream over the events parquet.
+
+    ``events.ts`` has shipped both as parquet TIMESTAMP(NANOS) — which
+    must be read as raw int64 via nanosAsLong and converted — and as
+    TIMESTAMP(MICROS), which reads natively (same dual contract as the
+    batch loader, sources/tables.py). A stream needs its schema declared
+    up front, so probe the footer driver-side (one file, one footer
+    read) and declare the matching schema.
+    """
+    import pyarrow.parquet as pq
+
+    ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if ts_type.startswith("timestamp[ns"):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_EVENTS_SCHEMA_NANOS)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return (
+        spark.readStream.schema(_EVENTS_SCHEMA_MICROS)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -94,11 +94,21 @@ def test_pagerank_mass_and_determinism(spark, sf_dir):
     assert len(a) >= 30
 
 
-def test_multimodal_decode_stub_raises():
+def test_multimodal_decode_headers():
+    """decode_image is a real pure-Python header decode: correct dims
+    for spec-valid PNG/BMP headers, ValueError (never a crash class the
+    mapInPandas caller can't map to NULLs) on unrecognized payloads."""
+    import struct
+
     from mapreduce_in_pthreads_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG....")
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00")
+    assert decode_image(png) == ("PNG", 640, 480)
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG....")  # truncated magic-only payload
+    with pytest.raises(ValueError):
+        decode_image(b"not an image at all")
 
 
 def test_inverted_index_partition_invariance(spark, sf_dir):
@@ -185,8 +195,11 @@ def test_quantization_error_bound(spark, sf_dir):
         scale = 127.0 / r.abs_max
         step = 0.5 / scale
         xs = originals[r.vec_id]
-        assert len(xs) == len(r.codes)
-        for x, code in zip(xs, r.codes):
+        # codes ship as a space-joined string (the comparison harness
+        # cannot hash list cells) — parse back for the numeric check
+        codes = [int(c) for c in r.codes.split(" ")]
+        assert len(xs) == len(codes)
+        for x, code in zip(xs, codes):
             assert abs(x - code / scale) <= step * (1 + 1e-9)
             assert -127 <= code <= 127
 

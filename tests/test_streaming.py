@@ -100,14 +100,18 @@ def test_dedup_within_watermark_collapses_duplicates(spark, sf_dir):
         spark, st.streaming_dedup_within_watermark(spark, sf_dir),
         "mem_dedup_wm", "append")
     from pyspark.sql import functions as F
-    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    # load_table normalizes ts to a session-zone timestamp whichever
+    # parquet flavor (NANOS-as-bigint or MICROS) the data shipped as
+    ev = (load_table(spark, sf_dir, "events")
           .select("event_id", "user_id", "event_type",
-                  F.col("ts").cast("long").alias("ts_ns")))
+                  F.unix_micros("ts").alias("ts_us")))
     got_rows = sorted((r.event_id, r.user_id, r.event_type, r.ts_us)
                       for r in got.collect())
-    # batch ts is int64 nanoseconds; the stream reader truncates to µs
-    exp_rows = sorted((r.event_id, r.user_id, r.event_type,
-                       r.ts_ns // 1000) for r in ev.collect())
+    exp_rows = sorted((r.event_id, r.user_id, r.event_type, r.ts_us)
+                      for r in ev.collect())
     assert got_rows == exp_rows
 
 
