@@ -97,15 +97,22 @@ FROM documents
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf-idf terms per document. idf = ln(N/df) is rounded to
     6 dp BEFORE ranking on both engines (libm ulp-divergence guard);
-    ties broken by word."""
+    ties broken by word.
+
+    Document frequency is a window count over ``word`` on the tf
+    relation — tf has exactly one row per (doc, word), so
+    ``count() OVER (PARTITION BY word)`` IS df, with one exchange
+    where the groupBy+equi-join formulation costs two (the agg's and
+    the join's re-shuffle of tf). Same shuffle volume per row either
+    way; one fewer full pass over the tf relation."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
     scored = (
-        tf.join(df_, "word")
+        tf.withColumn("df", F.count(F.lit(1)).over(
+            Window.partitionBy("word")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf",
                     F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6))

@@ -499,10 +499,16 @@ def ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered 3-step funnel (view → click → purchase): a user counts
     for step N only with an event strictly after their step-N-1 time —
     sequential pattern matching, the product-analytics op the flat
-    event counts can't answer. Stepwise formulation: each stage is a
-    selective filter + min-aggregate + equi-join, every one keyed on
-    user_id, so all stages share one hash partitioning (no repeated
-    wide shuffles; the filters push to the scan).
+    event counts can't answer.
+
+    Single-shuffle formulation: the sequential dependency (t2 needs t1,
+    t3 needs t2) is expressed as THREE STACKED conditional window mins
+    over the SAME ``user_id`` partitioning — Catalyst plans one hash
+    exchange shared by all three Window operators, and events is
+    scanned once. The earlier stepwise filter+agg+join version cost 6
+    exchanges and 3 scans of the fact for identical results; at 100 TB
+    the difference is the whole job. Per-user window state is bounded
+    by that user's event count — no unbounded growth.
 
     Both engines compare microsecond timestamps (the loader truncates
     parquet nanos, DuckDB's native TIMESTAMP is µs), so strict-after
@@ -510,21 +516,29 @@ def ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type")
-    t1 = (ev.filter(F.col("event_type") == "view")
-          .groupBy("user_id").agg(F.min("ts").alias("t1")))
-    t2 = (ev.filter(F.col("event_type") == "click")
-          .join(t1, "user_id").filter(F.col("ts") > F.col("t1"))
-          .groupBy("user_id").agg(F.min("ts").alias("t2")))
-    t3 = (ev.filter(F.col("event_type") == "purchase")
-          .join(t2, "user_id").filter(F.col("ts") > F.col("t2"))
-          .groupBy("user_id").agg(F.min("ts").alias("t3")))
-    return (
-        t1.select(F.lit("view").alias("stage"), "user_id")
-        .unionByName(t2.select(F.lit("view>click").alias("stage"),
-                               "user_id"))
-        .unionByName(t3.select(
-            F.lit("view>click>purchase").alias("stage"), "user_id"))
-        .groupBy("stage").agg(F.count(F.lit(1)).alias("n_users")))
+    w = Window.partitionBy("user_id")
+    per = (
+        ev.withColumn("t1", F.min(F.when(
+            F.col("event_type") == "view", F.col("ts"))).over(w))
+        .withColumn("t2", F.min(F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1")), F.col("ts"))).over(w))
+        .withColumn("t3", F.min(F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2")), F.col("ts"))).over(w))
+    )
+    # one row per user (reuses the window's hash partitioning — no new
+    # exchange), then a global 1-row reduction of non-null indicators
+    users = per.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"))
+    counts = users.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click"),
+        F.count("t3").alias("n_purchase"))
+    return counts.selectExpr(
+        "stack(3, 'view', n_view, 'view>click', n_click, "
+        "'view>click>purchase', n_purchase) AS (stage, n_users)")
 
 
 ORDERED_FUNNEL_SQL = """
