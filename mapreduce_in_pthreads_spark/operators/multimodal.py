@@ -103,10 +103,40 @@ def _make_codec():
                                        + 1)
         return header + info + pattern[:pixel_bytes]
 
-    return decode_image, encode_bmp
+    def resize_bmp_half(payload: bytes) -> bytes:
+        """Nearest-neighbor 2:1 downsample of a 24-bit BMP, pure
+        Python over the raw pixel array (no codec library needed —
+        BMP stores pixels uncompressed). Reads the pixel-data offset
+        and dimensions from the header, stride-samples every other
+        row/column, re-encodes with correct 4-byte row padding.
+        Output dims are ``max(d // 2, 1)`` per side."""
+        if payload[:2] != b"BM" or len(payload) < 54:
+            raise ValueError("not a BMP payload")
+        pix_off = struct.unpack("<I", payload[10:14])[0]
+        w, h = struct.unpack("<ii", payload[18:26])
+        h_abs = abs(h)
+        src_row = (w * 3 + 3) & ~3
+        dst_w, dst_h = max(w // 2, 1), max(h_abs // 2, 1)
+        dst_row = (dst_w * 3 + 3) & ~3
+        rows = []
+        for y in range(dst_h):
+            src = pix_off + (y * 2) * src_row
+            row = bytearray(dst_row)
+            for x in range(dst_w):
+                s = src + (x * 2) * 3
+                row[x * 3:x * 3 + 3] = payload[s:s + 3]
+            rows.append(bytes(row))
+        pixel_bytes = dst_row * dst_h
+        header = b"BM" + struct.pack(
+            "<IHHI", 14 + 40 + pixel_bytes, 0, 0, 14 + 40)
+        info = struct.pack("<IiiHHIIiiII", 40, dst_w, dst_h, 1, 24, 0,
+                           pixel_bytes, 2835, 2835, 0, 0)
+        return header + info + b"".join(rows)
+
+    return decode_image, encode_bmp, resize_bmp_half
 
 
-decode_image, encode_bmp = _make_codec()
+decode_image, encode_bmp, resize_bmp_half = _make_codec()
 
 
 def blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,6 +327,130 @@ SELECT doc_id,
                 * (doc_id % 8 + 1) AS BIGINT) AS n_bytes
 FROM documents
 """
+
+
+IMAGE_RESIZE_SCHEMA = (
+    "doc_id bigint, src_w bigint, src_h bigint, dst_w bigint, "
+    "dst_h bigint, n_bytes_out bigint")
+
+
+def image_resize_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image resize over a binary column (the 'resize' leg of the
+    multimodal contract): encode each row as a spec-valid 24-bit BMP,
+    nearest-neighbor 2:1 downsample the raw pixel array
+    (``resize_bmp_half`` — BMP is uncompressed, so no codec library is
+    needed), and verify by decoding the resized payload's header back.
+
+    The emitted shape metadata is fully determined by the row, so the
+    DuckDB oracle recomputes source dims, target dims, and the exact
+    padded output byte count arithmetically — a resize that samples
+    the wrong stride or pads rows wrong mismatches. Pixel-level
+    correctness is pinned by unit test against hand-built bitmaps
+    (tests/test_multimodal_decode.py). Arrow-batched mapInPandas,
+    embarrassingly parallel, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars")
+
+    def resize_batches(
+            batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "src_w": [], "src_h": [], "dst_w": [],
+                   "dst_h": [], "n_bytes_out": []}
+            for doc_id, text, n_chars in zip(
+                    pdf["doc_id"], pdf["text"], pdf["n_chars"]):
+                src = encode_bmp(
+                    int(n_chars) % 16 + 1, int(doc_id) % 8 + 1,
+                    (text or "x").encode("utf-8")[:8] or b"x")
+                _, sw, sh = decode_image(src)
+                dst = resize_bmp_half(src)
+                _, dw, dh = decode_image(dst)
+                out["doc_id"].append(doc_id)
+                out["src_w"].append(sw)
+                out["src_h"].append(sh)
+                out["dst_w"].append(dw)
+                out["dst_h"].append(dh)
+                out["n_bytes_out"].append(len(dst))
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(resize_batches, IMAGE_RESIZE_SCHEMA)
+
+
+IMAGE_RESIZE_SQL = """
+WITH dims AS (
+    SELECT doc_id,
+           n_chars % 16 + 1 AS src_w,
+           doc_id % 8 + 1 AS src_h,
+           greatest((n_chars % 16 + 1) // 2, 1) AS dst_w,
+           greatest((doc_id % 8 + 1) // 2, 1) AS dst_h
+    FROM documents
+)
+SELECT doc_id,
+       CAST(src_w AS BIGINT) AS src_w, CAST(src_h AS BIGINT) AS src_h,
+       CAST(dst_w AS BIGINT) AS dst_w, CAST(dst_h AS BIGINT) AS dst_h,
+       CAST(54 + ((dst_w * 3 + 3) // 4) * 4 * dst_h AS BIGINT)
+           AS n_bytes_out
+FROM dims
+"""
+
+
+AUDIO_RMS_SCHEMA = (
+    "doc_id bigint, win_idx bigint, n_samples bigint, rms_milli bigint")
+
+AUDIO_WIN = 64          # samples per analysis window
+AUDIO_MAX_WIN = 3       # emit at most 3 windows per payload
+
+
+def audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction plumbing (the audio leg of the
+    multimodal contract): each payload is interpreted as a PCM int16
+    mono sample stream — the documented deterministic stand-in for a
+    real audio decode, since the container ships no audio codec
+    (``decode_image`` documents the same swap point for images) — and
+    a per-window RMS loudness feature is computed with numpy over the
+    Arrow batch, one row per (payload, window).
+
+    RMS is emitted as integer milli-units (floor) so the value is
+    exactly reproducible across engines — the unit test pins it
+    against a pure-Python reference. 1:N mapInPandas, vectorized
+    numpy inside, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def rms_batches(
+            batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "win_idx": [], "n_samples": [],
+                   "rms_milli": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = payload[:len(payload) & ~1]  # int16 alignment
+                samples = _np.frombuffer(buf, dtype="<i2")
+                n = len(samples)
+                for wi in range(min(
+                        max((n + AUDIO_WIN - 1) // AUDIO_WIN, 1),
+                        AUDIO_MAX_WIN)):
+                    w = samples[wi * AUDIO_WIN:(wi + 1) * AUDIO_WIN]
+                    # integer sum of squares (exact — int16² × ≤64
+                    # terms fits int64), so the float enters only at
+                    # the final sqrt: bit-identical to any reference
+                    # regardless of summation order
+                    rms = math.sqrt(
+                        int((w.astype("i8") ** 2).sum()) / len(w)) \
+                        if len(w) else 0.0
+                    out["doc_id"].append(doc_id)
+                    out["win_idx"].append(wi)
+                    out["n_samples"].append(len(w))
+                    out["rms_milli"].append(int(rms * 1000))
+            yield _pd.DataFrame(out)
+
+    return blobs.mapInPandas(rms_batches, AUDIO_RMS_SCHEMA)
 
 
 def blob_metadata_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -270,6 +270,12 @@ register("blob_metadata_arrow", mm.blob_metadata_arrow,
 register("image_decode_meta", mm.image_decode_meta, mm.IMAGE_DECODE_SQL,
          "real BMP encode->header-decode round trip over binary "
          "payloads (decode_image: PNG/GIF/BMP/JPEG header specs)")
+register("image_resize_half", mm.image_resize_half, mm.IMAGE_RESIZE_SQL,
+         "real nearest-neighbor 2:1 BMP downsample over binary "
+         "payloads; shape+size oracle, pixel golden in pytest")
+register("audio_rms_windows", mm.audio_rms_windows, None,
+         "PCM int16 per-window RMS loudness via numpy mapInPandas "
+         "(rows-only: float sqrt; pinned vs reference in pytest)")
 
 # --- UDF surface -----------------------------------------------------------
 register("pandas_udf_token_count", ud.pandas_udf_token_count,

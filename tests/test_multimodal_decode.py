@@ -13,6 +13,7 @@ import pytest
 from mapreduce_in_pthreads_spark.operators.multimodal import (
     decode_image,
     encode_bmp,
+    resize_bmp_half,
 )
 
 
@@ -61,6 +62,86 @@ def test_bmp_row_padding_exact_size():
         for h in (1, 3, 8):
             payload = encode_bmp(w, h, b"seed")
             assert len(payload) == 54 + ((w * 3 + 3) // 4) * 4 * h
+
+
+def _bmp_pixels(payload: bytes):
+    """Read back the (bottom-up) pixel grid of a 24-bit BMP as
+    {(x, y): 3-byte bgr} using only header fields."""
+    pix_off = struct.unpack("<I", payload[10:14])[0]
+    w, h = struct.unpack("<ii", payload[18:26])
+    row_bytes = (w * 3 + 3) & ~3
+    return {
+        (x, y): payload[pix_off + y * row_bytes + x * 3:
+                        pix_off + y * row_bytes + x * 3 + 3]
+        for y in range(abs(h)) for x in range(w)
+    }
+
+
+def test_resize_half_dims_and_size():
+    for w in (1, 2, 7, 16):
+        for h in (1, 2, 5, 8):
+            dst = resize_bmp_half(encode_bmp(w, h, b"pattern"))
+            dw, dh = max(w // 2, 1), max(h // 2, 1)
+            assert decode_image(dst) == ("BMP", dw, dh)
+            assert len(dst) == 54 + ((dw * 3 + 3) // 4) * 4 * dh
+
+
+def test_resize_half_samples_even_pixels():
+    """Nearest-neighbor 2:1 must take the pixel at (2x, 2y) — verified
+    against a source bitmap whose every pixel is distinct."""
+    w, h = 6, 4
+    row_bytes = (w * 3 + 3) & ~3
+    pixels = bytearray(row_bytes * h)
+    for y in range(h):
+        for x in range(w):
+            pixels[y * row_bytes + x * 3:y * row_bytes + x * 3 + 3] = \
+                bytes([x, y, x * 16 + y])
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels),
+                       2835, 2835, 0, 0)
+    dst = resize_bmp_half(header + info + bytes(pixels))
+    got = _bmp_pixels(dst)
+    assert decode_image(dst) == ("BMP", 3, 2)
+    for (x, y), bgr in got.items():
+        assert bgr == bytes([2 * x, 2 * y, 2 * x * 16 + 2 * y])
+
+
+def test_resize_half_rejects_non_bmp():
+    with pytest.raises(ValueError):
+        resize_bmp_half(b"\x89PNG\r\n\x1a\n" + b"\x00" * 60)
+
+
+def test_audio_rms_matches_reference(spark, sf_dir):
+    """Spark-side RMS (numpy over Arrow batches) must equal a pure-
+    Python reference computed from the same payload bytes."""
+    import math
+
+    from mapreduce_in_pthreads_spark.operators.multimodal import (
+        AUDIO_MAX_WIN,
+        AUDIO_WIN,
+        audio_rms_windows,
+    )
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    got = {(r.doc_id, r.win_idx): (r.n_samples, r.rms_milli)
+           for r in audio_rms_windows(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").limit(50).collect()
+    checked = 0
+    for row in docs:
+        payload = row.text.encode("utf-8")
+        buf = payload[:len(payload) & ~1]
+        samples = [int.from_bytes(buf[i:i + 2], "little", signed=True)
+                   for i in range(0, len(buf), 2)]
+        n = len(samples)
+        for wi in range(min(max((n + AUDIO_WIN - 1) // AUDIO_WIN, 1),
+                            AUDIO_MAX_WIN)):
+            w = samples[wi * AUDIO_WIN:(wi + 1) * AUDIO_WIN]
+            rms = math.sqrt(sum(s * s for s in w) / len(w)) if w else 0.0
+            assert got[(row.doc_id, wi)] == (len(w), int(rms * 1000)), \
+                (row.doc_id, wi)
+            checked += 1
+    assert checked >= 50
 
 
 def test_unrecognized_payload_raises_value_error():

@@ -67,7 +67,8 @@ def test_no_python_in_relational_hot_paths(spark, sf_dir):
                  "python_udf_slow_path", "blob_metadata",
                  "udtf_chunk_documents", "frame_sample", "ann_topk_blas",
                  "blob_metadata_arrow", "cogroup_reconcile",
-                 "image_decode_meta",
+                 "image_decode_meta", "image_resize_half",
+                 "audio_rms_windows",
                  # RDD-API parity demo: Python by construction (the
                  # plan shows Scan ExistingRDD, not EvalPython)
                  "rdd_inverted_index"}
