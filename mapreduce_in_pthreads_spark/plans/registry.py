@@ -73,6 +73,10 @@ register("index_top_docs", ii.index_top_docs, ii.INDEX_TOP_DOCS_SQL,
 register("rdd_inverted_index", ii.rdd_inverted_index,
          ii.INVERTED_INDEX_SQL,
          "flagship on the RDD API (flatMap/aggregateByKey), same oracle")
+register("incremental_index_merge", ii.incremental_index_merge,
+         ii.INVERTED_INDEX_SQL,
+         "state+delta partial-postings merge == full index (mergeable-"
+         "monoid proof for the flagship), same oracle")
 
 # --- core relational (SURVEY §2.3 rows 1-4, 7-9) -------------------------
 register("q1_pricing_summary", rel.q1_pricing_summary, rel.Q1_SQL,
@@ -490,6 +494,15 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
     "asof_join_prior_event", "salted_word_count",
     "q12_late_lines_by_status", "variant_props_extract",
 )
+
+# ROUND-4 PREP (for the next rotation): after round 3, 74 entries have
+# still never faced the driver. Swap _ADJUDICATION_FIRST to: the 6
+# flagship entries, then the 21 TPC-H shapes (q2..q22 + q3/q14/q18/
+# q7/q10/q16/q19), then sql_surface (ordered_listagg .. stat_crosstab),
+# then the advanced family (pivot/unpivot/stats_moments/min_max_by/
+# full_outer/cross_join/array_functions/quantiles/rolling_hash/
+# string_distance) — that covers 50 and leaves mostly rows-only and
+# window-fn extras for round 5. Keep the flagship 6 first every round.
 
 
 def _reorder_for_adjudication(first: tuple[str, ...]) -> None:
