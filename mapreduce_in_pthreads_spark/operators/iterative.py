@@ -174,3 +174,87 @@ reach(id, r) AS (
 SELECT id AS doc_id, min(r) AS cluster_id, id = min(r) AS is_canonical
 FROM reach GROUP BY id
 """
+
+
+# word co-occurrence graph qualification: cap node degree potential by
+# document frequency — the hub guard that keeps pair enumeration
+# bounded when vocabulary follows a Zipf curve (a stop-word co-occurs
+# with everything; at 100 TB you drop or sample hub nodes FIRST, then
+# enumerate pairs)
+TRIANGLE_MIN_DF = 2
+TRIANGLE_MAX_DF = 1000
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the word co-occurrence graph (nodes = words
+    within a document-frequency band, edges = 'appear in the same
+    document'), the classic join-based graph analytic: clustering
+    signal for topic cohesion, and the canonical MapReduce graph
+    benchmark after PageRank.
+
+    Spark-first shape (one declarative plan, no iteration):
+      distinct (doc, word) → df-band node qualification →
+      per-doc pair self-join with ``word_a < word_b`` (each undirected
+      edge materializes exactly once — the orientation trick that
+      makes the final join enumerate each triangle exactly once) →
+      distinct edges → edges⋈edges⋈edges on the (a<b<c) wedge pattern.
+
+    Scale notes: the df band is the hub guard (degree ≤ band ceiling by
+    construction); orientation by word order stands in for the
+    degree-ordered edge-iterator refinement (orient low-degree →
+    high-degree) which drops the join fan-out to O(E^1.5) on skewed
+    graphs — the swap is one ORDER BY change. Exact SQL oracle: the
+    identical pipeline in DuckDB."""
+    from .inverted_index import tokens
+
+    dw = tokens(spark, sf_dir).select("doc_id", "word").distinct()
+    dfreq = dw.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
+    qual = dfreq.filter(
+        (F.col("dfreq") >= TRIANGLE_MIN_DF)
+        & (F.col("dfreq") <= TRIANGLE_MAX_DF)).select("word")
+    dwq = dw.join(qual, "word").select("doc_id", "word")
+    a = dwq.select("doc_id", F.col("word").alias("wa"))
+    b = dwq.select("doc_id", F.col("word").alias("wb"))
+    edges = (
+        a.join(b, "doc_id")
+        .filter(F.col("wa") < F.col("wb"))
+        .select("wa", "wb").distinct()
+    )
+    e1 = edges
+    e2 = edges.select(F.col("wa").alias("wb"), F.col("wb").alias("wc"))
+    e3 = edges.select(F.col("wa").alias("wa2"), F.col("wb").alias("wc2"))
+    tri = (
+        e1.join(e2, "wb")
+        .join(e3, (F.col("wa") == F.col("wa2"))
+              & (F.col("wc") == F.col("wc2")))
+    )
+    return (
+        qual.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+
+
+from .inverted_index import TOKENS_FILTERED_SQL as _TOKENS_FILTERED_SQL  # noqa: E402
+
+TRIANGLE_COUNT_SQL = f"""
+WITH dw AS (
+    SELECT DISTINCT doc_id, word FROM ({_TOKENS_FILTERED_SQL}) t
+), df AS (
+    SELECT word, count(*) AS dfreq FROM dw GROUP BY word
+), qual AS (
+    SELECT word FROM df
+    WHERE dfreq BETWEEN {TRIANGLE_MIN_DF} AND {TRIANGLE_MAX_DF}
+), dwq AS (
+    SELECT dw.doc_id, dw.word FROM dw JOIN qual USING (word)
+), edges AS (
+    SELECT DISTINCT a.word AS wa, b.word AS wb
+    FROM dwq a JOIN dwq b ON a.doc_id = b.doc_id AND a.word < b.word
+)
+SELECT (SELECT count(*) FROM qual) AS n_nodes,
+       (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT count(*) FROM edges e1
+          JOIN edges e2 ON e2.wa = e1.wb
+          JOIN edges e3 ON e3.wa = e1.wa AND e3.wb = e2.wb)
+           AS n_triangles
+"""

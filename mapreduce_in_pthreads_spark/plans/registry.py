@@ -194,6 +194,9 @@ register("connected_components_dedup", it.connected_components_dedup,
          it.CONNECTED_COMPONENTS_SQL,
          "Hash-Min label propagation closes dup pairs into clusters "
          "(oracle: recursive CTE)")
+register("triangle_count", it.triangle_count, it.TRIANGLE_COUNT_SQL,
+         "triangle census of the word co-occurrence graph: oriented "
+         "edge enumeration + 3-way wedge join, df-band hub guard")
 
 # --- deduplication (north-star: LLM data pipeline) -----------------------
 register("exact_dedup", dd.exact_dedup, dd.EXACT_DEDUP_SQL,

@@ -265,3 +265,33 @@ def test_zorder_layout_compact_in_both_dimensions(spark, sf_dir, tmp_path):
     avg_b = sum(spans_b) / len(spans_b) / glob_span.b
     assert avg_a < 0.6, avg_a
     assert avg_b < 0.6, avg_b
+
+
+def test_ignore_corrupt_files_contract(spark, sf_dir, tmp_path):
+    """Dirty-lake resilience: with spark.sql.files.ignoreCorruptFiles a
+    corrupt parquet part is skipped, not fatal — rows from healthy
+    parts survive (the 100 TB reality: a million-file lake always has
+    a few truncated writes; one bad part must not kill the job). The
+    default (strict) mode must still raise, so corruption is never
+    silently ignored unless opted into."""
+    import shutil
+
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    shutil.copy(f"{sf_dir}/nation.parquet", mixed / "part-0000.parquet")
+    (mixed / "part-0001.parquet").write_bytes(
+        b"PAR1 this is not a real parquet footer")
+
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        assert spark.read.parquet(str(mixed)).count() == 25
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import CapturedException
+
+    with _pytest.raises((Py4JJavaError, CapturedException)):
+        spark.read.parquet(str(mixed)).count()
