@@ -178,6 +178,26 @@ def test_deterministic_sample_partial_topk(spark, sf_dir):
     assert p.count("Exchange rangepartitioning") == 0
 
 
+def test_ordered_funnel_single_shuffle(spark, sf_dir):
+    """The round-3 rewrite contract: the 3-step funnel's sequential
+    dependency rides ONE user_id exchange (stacked window-mins), the
+    fact is scanned once, and the only other exchange is the 1-row
+    final reduction."""
+    p = plan(spark, sf_dir, "ordered_funnel")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("events.parquet") == 1
+
+
+def test_tfidf_df_via_window_not_join(spark, sf_dir):
+    """tf-idf's document frequency must come from a window over the tf
+    relation (no tf⋈df equi-join re-shuffle): ≤4 exchanges total and
+    no sort-merge join anywhere in the plan (the only join is the
+    broadcast of the 1-row corpus count)."""
+    p = plan(spark, sf_dir, "tfidf_top_terms")
+    assert p.count("Exchange hashpartitioning") <= 4
+    assert "SortMergeJoin" not in p
+
+
 def test_aqe_splits_skewed_join(spark, sf_dir):
     """AQE skew-join handling — the runtime answer to a hot key at
     100 TB (the reference's analogue: `-p 24 -c 1` contending on one
