@@ -1,7 +1,9 @@
-"""Iterative algorithms — the class the driver contract exempts from
-SQL oracles ('genuinely non-SQL-expressible ops … iterative
-algorithms'); correctness is pinned by unit tests instead
-(tests/test_rows_only.py).
+"""Iterative + graph algorithms (SURVEY.md §2.3 north-star surface;
+no reference counterpart — mapreduce.c has no joins, let alone graph
+ops). PageRank is the class the driver contract exempts from SQL
+oracles ('genuinely non-SQL-expressible ops … iterative algorithms'),
+pinned by unit tests instead (tests/test_rows_only.py); connected
+components and the triangle census carry exact DuckDB oracles.
 
 ``pagerank_word_graph``: power-iteration PageRank over the word
 co-occurrence graph (nodes = words, edges = bigram adjacency from
