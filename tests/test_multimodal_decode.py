@@ -149,3 +149,22 @@ def test_unrecognized_payload_raises_value_error():
         decode_image(b"\x00\x01\x02\x03 definitely not an image")
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff")  # truncated JPEG, no SOF
+
+
+def test_resize_half_fuzz_against_reference():
+    """Randomized dims/seeds: resize output must equal an independently
+    computed nearest-neighbor reference on every pixel."""
+    import random
+
+    rng = random.Random(20260814)
+    for _ in range(25):
+        w, h = rng.randint(1, 24), rng.randint(1, 12)
+        seed = bytes(rng.randrange(256) for _ in range(rng.randint(1, 8)))
+        src = encode_bmp(w, h, seed)
+        dst = resize_bmp_half(src)
+        sp, dp = _bmp_pixels(src), _bmp_pixels(dst)
+        dw, dh = max(w // 2, 1), max(h // 2, 1)
+        assert decode_image(dst) == ("BMP", dw, dh)
+        for y in range(dh):
+            for x in range(dw):
+                assert dp[(x, y)] == sp[(2 * x, 2 * y)], (w, h, x, y)

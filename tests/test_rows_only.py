@@ -223,3 +223,24 @@ def test_approx_top_k_words_counts_exact(spark, sf_dir):
     boundary = min(sketched.values())
     strictly_above = {w for w, c in exact.items() if c > boundary}
     assert strictly_above <= set(sketched)
+
+
+def test_incremental_merge_equals_direct_index(spark, sf_dir):
+    """Merge-equivalence pinned inside Spark too (the oracle already
+    proves it vs DuckDB): state+delta partial-postings merge must be
+    row-identical to the direct full-corpus flagship."""
+    direct = sorted(map(tuple, REGISTRY["inverted_index"]
+                        .fn(spark, sf_dir).collect()))
+    merged = sorted(map(tuple, REGISTRY["incremental_index_merge"]
+                        .fn(spark, sf_dir).collect()))
+    assert direct == merged
+
+
+def test_triangle_count_graph_invariants(spark, sf_dir):
+    """Census sanity: edges bounded by C(nodes,2), triangles by
+    C(nodes,3), and nothing negative."""
+    row = REGISTRY["triangle_count"].fn(spark, sf_dir).collect()[0]
+    n, e, t = row.n_nodes, row.n_edges, row.n_triangles
+    assert 0 <= e <= n * (n - 1) // 2
+    assert 0 <= t <= n * (n - 1) * (n - 2) // 6
+    assert n > 0 and e > 0  # the sf0.01 corpus graph is non-trivial
