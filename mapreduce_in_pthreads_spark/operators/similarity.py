@@ -244,3 +244,115 @@ SELECT vec_id,
            AS abs_max
 FROM embeddings
 """
+
+
+# --- sign-LSH ANN (the LSH-bucketed scale path, SURVEY §2.3) ------------
+# Deterministic ±1 hyperplanes derived from sha256 — the SAME Python
+# list parameterizes the Spark plan and the DuckDB oracle text, so the
+# two engines bucket identically by construction.
+N_PLANES = 6
+N_DIMS = 64
+
+
+def _lsh_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [1 if hashlib.sha256(f"lsh:{p}:{d}".encode()).digest()[0] & 1
+         else -1 for d in range(N_DIMS)]
+        for p in range(N_PLANES)
+    ]
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH (random-hyperplane) bucketed top-k — the second scale
+    path next to IVF: vectors hash to a ``N_PLANES``-bit bucket by the
+    SIGN of their projection onto fixed ±1 hyperplanes; each query
+    scores only its own bucket (~#vectors / 2^planes candidates), and
+    bucket equality is an equi-join key, so the plan is a hash join —
+    never a cross product.
+
+    Exactness design: projections are computed over the INT8-QUANTIZED
+    codes (the ``embedding_quantize_int8`` formula), so every dot
+    product is small-integer arithmetic — bit-identical across engines
+    regardless of summation order, which float projections cannot
+    guarantee at the sign boundary. That is also the production shape:
+    quantize first, index the codes. Recall < 1 by design (same
+    contract as IVF); the final cosine runs on the full-precision
+    vectors for candidates only."""
+    signs = _lsh_signs()
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", F.abs))
+    scale = F.lit(127.0) / absmax
+    codes = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * scale).cast("long"))
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(codes,
+                           F.array(*[F.lit(s) for s in signs[p]]),
+                           lambda c, s: c * s.cast("long")),
+                F.lit(0).cast("long"), lambda acc, x: acc + x) >= 0,
+            F.lit("1")).otherwise(F.lit("0"))
+        for p in range(N_PLANES)
+    ]
+    bucketed = emb.withColumn("bucket", F.concat(*bits))
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+        F.col("bucket").alias("query_bucket"))
+    scored = (
+        bucketed.join(F.broadcast(q),
+                      bucketed.bucket == q.query_bucket)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine_similarity("embedding", "query_emb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def _lsh_sql() -> str:
+    signs = _lsh_signs()
+    bit_exprs = ", ".join(
+        "CASE WHEN list_sum(list_transform(range(1, {n} + 1), "
+        "i -> codes[i] * (list_value({vals}))[i])) >= 0 "
+        "THEN '1' ELSE '0' END".format(
+            n=N_DIMS, vals=", ".join(map(str, signs[p])))
+        for p in range(N_PLANES))
+    return f"""
+WITH coded AS (
+    SELECT vec_id, embedding,
+           list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) *
+                    (CAST(127.0 AS DOUBLE) /
+                     CAST(list_max(list_transform(embedding, y -> abs(y)))
+                          AS DOUBLE))) AS BIGINT)) AS codes
+    FROM embeddings
+),
+bucketed AS (
+    SELECT vec_id, embedding, concat({bit_exprs}) AS bucket FROM coded
+),
+q AS (SELECT vec_id AS query_id, embedding AS query_emb, bucket
+      FROM bucketed WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.query_emb AS DOUBLE[])) AS cos_sim
+    FROM bucketed e JOIN q ON e.bucket = q.bucket
+    WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+ANN_LSH_TOPK_SQL = _lsh_sql()

@@ -236,6 +236,9 @@ register("embedding_quantize_int8", sim.embedding_quantize_int8,
 register("ann_topk_blas", sim.ann_topk_blas, None,
          "BLAS/Arrow fast path for exact top-k (rows-only: float "
          "summation order; pinned against bruteforce)")
+register("ann_lsh_topk", sim.ann_lsh_topk, sim.ANN_LSH_TOPK_SQL,
+         "sign-LSH bucketed top-k over int8-quantized projections "
+         "(the LSH scale path next to IVF), exact cross-engine buckets")
 
 # --- text analysis --------------------------------------------------------
 register("doc_quality_stats", ta.doc_quality_stats,

@@ -244,3 +244,18 @@ def test_triangle_count_graph_invariants(spark, sf_dir):
     assert 0 <= e <= n * (n - 1) // 2
     assert 0 <= t <= n * (n - 1) * (n - 2) // 6
     assert n > 0 and e > 0  # the sf0.01 corpus graph is non-trivial
+
+
+def test_ann_lsh_same_bucket_and_scores_match_bruteforce(spark, sf_dir):
+    """LSH results must score identically to bruteforce for the same
+    (query, vec) pair, and every returned neighbor shares the query's
+    sign-LSH bucket by construction (recall<1 is allowed; wrong scores
+    or cross-bucket members are not)."""
+    bf = {(r.query_id, r.vec_id): r.cos_sim for r in
+          REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir).collect()}
+    lsh = REGISTRY["ann_lsh_topk"].fn(spark, sf_dir).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        if (r.query_id, r.vec_id) in bf:
+            assert bf[(r.query_id, r.vec_id)] == r.cos_sim, (
+                r.query_id, r.vec_id)
