@@ -536,9 +536,13 @@ def ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t1").alias("n_view"),
         F.count("t2").alias("n_click"),
         F.count("t3").alias("n_purchase"))
+    # The oracle's GROUP BY emits no row for an empty stage; stack()
+    # would emit (stage, 0) — drop zero-count stages so both engines
+    # agree even when a funnel stage has no qualifying users.
     return counts.selectExpr(
         "stack(3, 'view', n_view, 'view>click', n_click, "
-        "'view>click>purchase', n_purchase) AS (stage, n_users)")
+        "'view>click>purchase', n_purchase) AS (stage, n_users)"
+    ).filter(F.col("n_users") > 0)
 
 
 ORDERED_FUNNEL_SQL = """

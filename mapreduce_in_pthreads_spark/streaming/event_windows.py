@@ -46,18 +46,35 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch loader, sources/tables.py). A stream needs its schema declared
     up front, so probe the footer driver-side (one file, one footer
     read) and declare the matching schema.
+
+    Session conf is left exactly as the caller had it: ``nanosAsLong``
+    is scoped set→build→restore (with a declared schema the stream
+    never re-derives the catalyst schema from the footer, so restoring
+    before ``start()`` is safe — verified empirically in tests), and
+    the session zone is not touched — the watermark/window operators in
+    the twins are epoch-based and tz-independent. The one calendar op,
+    ``streaming_dedup``'s hour truncation, follows the execution-time
+    session zone, same as its batch twin — parity tests run both under
+    one session, so they agree by construction.
     """
     import pyarrow.parquet as pq
 
     ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if ts_type.startswith("timestamp[ns"):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = (
-            spark.readStream.schema(_EVENTS_SCHEMA_NANOS)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            raw = (
+                spark.readStream.schema(_EVENTS_SCHEMA_NANOS)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
+        finally:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return (
         spark.readStream.schema(_EVENTS_SCHEMA_MICROS)

@@ -113,3 +113,51 @@ def test_ordered_funnel_monotone(spark):
             for r in REGISTRY["ordered_funnel"].fn(spark, SF_SMOKE).collect()}
     assert rows["view"] >= rows["view>click"] >= rows["view>click>purchase"]
     assert rows["view>click>purchase"] >= 0
+
+
+def test_ordered_funnel_empty_stage_matches_oracle(spark, tmp_path):
+    """ADVICE r3 (medium): with an empty funnel stage the oracle's
+    GROUP BY emits no row for it, and the Spark stack() must not emit
+    a (stage, 0) row either. Dataset: views and clicks in order, but
+    every purchase happens BEFORE the user's first click — the
+    strictly-after rule leaves the purchase stage empty."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: view@0, purchase@5 (before click), click@10
+        (1, ts(0), 1, "view"), (2, ts(5), 1, "purchase"),
+        (3, ts(10), 1, "click"),
+        # user 2: view then click, no purchase at all
+        (4, ts(0), 2, "view"), (5, ts(7), 2, "click"),
+        # user 3: only a click — joins no stage
+        (6, ts(3), 3, "click"),
+    ]
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    q = REGISTRY["ordered_funnel"]
+    got = {r.stage: r.n_users
+           for r in q.fn(spark, str(tmp_path)).collect()}
+    assert got == {"view": 2, "view>click": 2}, got
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')")
+    want = dict(con.sql(q.oracle).fetchall())
+    assert got == want
