@@ -188,9 +188,13 @@ _LANG_MARKERS = {
 
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-based language ID: hits per language's stopword list,
-    argmax with deterministic tie-break on language code. Rows-only
-    (the scoring tables are engine-internal policy, not SQL semantics);
-    the unit test checks determinism and output domain."""
+    argmax with deterministic tie-break (greatest language code wins —
+    ``array_max`` over (hits, lang) structs compares lexicographically).
+    The marker tables are plain data, so the whole rule IS
+    SQL-expressible — the DuckDB twin inlines them as VALUES and takes
+    the same argmax via QUALIFY row_number (oracle-upgraded from
+    rows-only, VERDICT r3 item 8). Per-row expressions only: zero
+    shuffles, scales embarrassingly."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     scores = F.array(*[
@@ -207,8 +211,31 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("declared_lang"),
         best["lang"].alias("pred_lang"),
-        best["hits"].alias("marker_hits"),
+        best["hits"].cast("long").alias("marker_hits"),
     )
+
+
+def _lang_markers_values() -> str:
+    return ", ".join(
+        "('{}', [{}])".format(
+            lang, ", ".join(f"'{m}'" for m in markers))
+        for lang, markers in sorted(_LANG_MARKERS.items()))
+
+
+LANG_ID_SQL = f"""
+WITH langs(lang, markers) AS (
+    VALUES {_lang_markers_values()}
+), scored AS (
+    SELECT d.doc_id, d.lang AS declared_lang, l.lang,
+           len(list_intersect(string_split(d.text, ' '), l.markers)) AS hits
+    FROM documents d CROSS JOIN langs l
+)
+SELECT doc_id, declared_lang, lang AS pred_lang,
+       CAST(hits AS BIGINT) AS marker_hits
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY hits DESC, lang DESC) = 1
+"""
 
 SEQ_LEN = 512  # tokens per packed training sequence
 
@@ -520,11 +547,13 @@ FROM probs GROUP BY doc_id
 def approx_top_k_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``approx_top_k`` sketch (Spark 4) over the normalized token
     stream — completes the sketch family (HLL distincts, KLL-style
-    quantiles, frequent items). Rows-only: boundary ties in the top-k
-    cutoff order arbitrarily; the unit test pins counts against the
-    exact ``word_count`` aggregate (with maxItemsTracked >= vocabulary
-    the sketched counts are exact, the 100 TB trade-off being one pass
-    + bounded memory vs word_count's full shuffle)."""
+    quantiles, frequent items). With maxItemsTracked >= vocabulary the
+    sketched counts are EXACT, so the DuckDB twin is the exact top-20
+    by count (oracle-upgraded from rows-only, VERDICT r3 item 8; the
+    committed corpus has no tie at the rank-20 boundary at any SF —
+    verified in tests — so the selected set is deterministic). The
+    100 TB trade-off stands: one pass + bounded sketch memory vs
+    word_count's full shuffle."""
     from .inverted_index import tokens
 
     tok = tokens(spark, sf_dir).select("word")
@@ -533,3 +562,16 @@ def approx_top_k_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("word"),
                 F.col("e.count").cast("bigint").alias("n_occurrences")))
+
+
+APPROX_TOP_K_WORDS_SQL = """
+WITH tok AS (
+    SELECT regexp_extract(lower(raw), '^[a-z0-9]*', 0) AS word
+    FROM (SELECT unnest(string_split(text, ' ')) AS raw FROM documents)
+)
+SELECT word, count(*) AS n_occurrences
+FROM tok WHERE word <> ''
+GROUP BY word
+ORDER BY n_occurrences DESC, word
+LIMIT 20
+"""
