@@ -114,9 +114,16 @@ def _make_codec():
             raise ValueError("not a BMP payload")
         pix_off = struct.unpack("<I", payload[10:14])[0]
         w, h = struct.unpack("<ii", payload[18:26])
-        h_abs = abs(h)
+        if h < 0:
+            # Top-down BMP (negative height): rows are stored first-
+            # row-first. This sampler walks rows in bottom-up file
+            # order and re-encodes bottom-up — accepting top-down
+            # input would silently flip the image vertically, so
+            # reject it (``encode_bmp`` only emits bottom-up; this
+            # guards external callers — ADVICE r3).
+            raise ValueError("top-down BMP (negative height) unsupported")
         src_row = (w * 3 + 3) & ~3
-        dst_w, dst_h = max(w // 2, 1), max(h_abs // 2, 1)
+        dst_w, dst_h = max(w // 2, 1), max(h // 2, 1)
         dst_row = (dst_w * 3 + 3) & ~3
         rows = []
         for y in range(dst_h):

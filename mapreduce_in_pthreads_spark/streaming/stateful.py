@@ -85,11 +85,24 @@ def streaming_user_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     billions-of-keys stateful pipeline.
 
     Runtime dependency note: the transformWithState Python worker
-    speaks protobuf to the state server; environments without a
-    working ``google.protobuf`` can't execute it (the parity test
-    skips there), while ``streaming_user_totals`` above covers the
-    same semantics on the dependency-free legacy API."""
+    speaks protobuf to the state server; without a working
+    ``google.protobuf`` the stream would die minutes later with an
+    opaque "driver worker exited unexpectedly (crashed)" — so probe
+    the dependency at PLAN BUILD time and fail fast with an
+    actionable error instead (the parity test asserts this exact
+    contract where protobuf is absent). ``streaming_user_totals``
+    above covers the same semantics on the dependency-free legacy
+    API."""
     import pandas as _pd
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires the google.protobuf "
+            "runtime (its Python worker speaks protobuf to the state "
+            "server). Install 'protobuf', or use the dependency-free "
+            "legacy twin streaming_user_totals().") from exc
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor, StatefulProcessorHandle)
 

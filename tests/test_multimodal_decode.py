@@ -111,6 +111,19 @@ def test_resize_half_rejects_non_bmp():
         resize_bmp_half(b"\x89PNG\r\n\x1a\n" + b"\x00" * 60)
 
 
+def test_resize_half_rejects_top_down_bmp():
+    """A negative-height (top-down) BMP must be rejected, not silently
+    flipped: the sampler walks rows in bottom-up order (ADVICE r3)."""
+    w, h = 4, 4
+    row_bytes = (w * 3 + 3) & ~3
+    pixels = bytes(row_bytes * h)
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(pixels),
+                       2835, 2835, 0, 0)
+    with pytest.raises(ValueError, match="top-down"):
+        resize_bmp_half(header + info + pixels)
+
+
 def test_audio_rms_matches_reference(spark, sf_dir):
     """Spark-side RMS (numpy over Arrow batches) must equal a pure-
     Python reference computed from the same payload bytes."""

@@ -249,13 +249,40 @@ def test_triangle_count_graph_invariants(spark, sf_dir):
 def test_ann_lsh_same_bucket_and_scores_match_bruteforce(spark, sf_dir):
     """LSH results must score identically to bruteforce for the same
     (query, vec) pair, and every returned neighbor shares the query's
-    sign-LSH bucket by construction (recall<1 is allowed; wrong scores
-    or cross-bucket members are not)."""
+    sign-LSH bucket — asserted by RECOMPUTING the buckets here with an
+    independent numpy replica of the quantize+project pipeline (ADVICE
+    r3: the bucket claim must be checked, not just stated)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduce_in_pthreads_spark.operators.similarity import _lsh_signs
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    emb = {vid: np.asarray(e, dtype=np.float64)
+           for vid, e in zip(tbl["vec_id"].to_pylist(),
+                             tbl["embedding"].to_pylist())}
+    signs = np.asarray(_lsh_signs(), dtype=np.int64)  # (planes, dims)
+
+    def bucket(vid: int) -> str:
+        v = emb[vid]
+        x = v * (127.0 / np.abs(v).max())
+        # Spark round() is HALF_UP (away from zero); np.round is
+        # half-to-even — replicate Spark's rule explicitly.
+        codes = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        return "".join("1" if p >= 0 else "0" for p in signs @ codes)
+
     bf = {(r.query_id, r.vec_id): r.cos_sim for r in
           REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir).collect()}
     lsh = REGISTRY["ann_lsh_topk"].fn(spark, sf_dir).collect()
     assert len(lsh) > 0
+    n_overlap = 0
     for r in lsh:
+        assert bucket(r.query_id) == bucket(r.vec_id), (
+            "cross-bucket member", r.query_id, r.vec_id)
         if (r.query_id, r.vec_id) in bf:
+            n_overlap += 1
             assert bf[(r.query_id, r.vec_id)] == r.cos_sim, (
                 r.query_id, r.vec_id)
+    # the score-parity clause must actually bite, not vacuously pass
+    assert n_overlap > 0, "no (query, vec) overlap with bruteforce top-k"

@@ -35,9 +35,10 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir):
 
 def _has_working_protobuf() -> bool:
     # transformWithState's Python worker talks to the state server
-    # over protobuf; this container ships a broken google.protobuf
-    # (no generated descriptor module), so the modern-API test only
-    # runs where the dependency actually works.
+    # over protobuf; this container has no google.protobuf at all, so
+    # the modern-API parity test only runs where the dependency works
+    # — and where it DOESN'T, the fail-fast contract is asserted
+    # instead (no skip either way).
     try:
         from google.protobuf import descriptor  # noqa: F401
         return True
@@ -48,14 +49,20 @@ def _has_working_protobuf() -> bool:
 import pytest  # noqa: E402
 
 
-@pytest.mark.skipif(not _has_working_protobuf(),
-                    reason="google.protobuf unavailable: "
-                           "transformWithState state server needs it")
-def test_transform_with_state_matches_batch(spark, sf_dir):
+def test_transform_with_state_matches_batch_or_fails_fast(spark, sf_dir):
     """Modern-API twin (transformWithStateInPandas + RocksDB state
-    store): final per-user state equals the batch aggregate."""
+    store). With a working protobuf: final per-user state equals the
+    batch aggregate. Without one: plan BUILD must raise an actionable
+    ImportError immediately — never the opaque mid-stream
+    'driver worker exited unexpectedly (crashed)' the raw API gives."""
     from mapreduce_in_pthreads_spark.streaming.stateful import (
         streaming_user_counts_tws)
+
+    if not _has_working_protobuf():
+        with pytest.raises(ImportError, match="google.protobuf"):
+            streaming_user_counts_tws(spark, sf_dir)
+        return
+
     got = ew.run_to_memory(
         spark, streaming_user_counts_tws(spark, sf_dir),
         "mem_user_tws", "update")
