@@ -420,8 +420,12 @@ def audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     RMS is emitted as integer milli-units (floor) so the value is
     exactly reproducible across engines — the unit test pins it
-    against a pure-Python reference. 1:N mapInPandas, vectorized
-    numpy inside, zero shuffle."""
+    against a pure-Python reference, and (oracle-upgraded round 4)
+    ``AUDIO_RMS_SQL`` recomputes the whole thing in DuckDB by parsing
+    the payload's hex dump into int16-LE samples: the sum of squares
+    is integer-exact, so the only float op is one IEEE-correctly-
+    rounded sqrt — bit-identical in both engines. 1:N mapInPandas,
+    vectorized numpy inside, zero shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     blobs = docs.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload"))
@@ -458,6 +462,53 @@ def audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame(out)
 
     return blobs.mapInPandas(rms_batches, AUDIO_RMS_SCHEMA)
+
+
+def _audio_rms_sql() -> str:
+    """DuckDB twin of audio_rms_windows: byte j of the payload is
+    parsed from the hex dump (two nibbles via strpos), sample k =
+    little-endian signed int16 from bytes (2k, 2k+1). All sums are
+    integer-exact; division/sqrt/floor are IEEE-identical across
+    engines."""
+    nib = ("(strpos('0123456789abcdef', substr(hx, 4*k + {off}, 1)) - 1)")
+    # unsigned 16-bit sample: lo byte = nibbles 1,2; hi byte = 3,4
+    v = (f"(({nib.format(off=1)} * 16 + {nib.format(off=2)})"
+         f" + 256 * ({nib.format(off=3)} * 16 + {nib.format(off=4)}))")
+    return f"""
+WITH b AS (
+    SELECT doc_id, lower(hex(encode(text))) AS hx,
+           octet_length(encode(text)) // 2 AS n
+    FROM documents
+), w AS (
+    SELECT doc_id, hx, n,
+           unnest(range(least(greatest((n + {AUDIO_WIN} - 1)
+                                       // {AUDIO_WIN}, 1),
+                              {AUDIO_MAX_WIN}))) AS win_idx
+    FROM b
+), s AS (
+    SELECT doc_id, win_idx,
+           greatest(least({AUDIO_WIN}, n - win_idx * {AUDIO_WIN}),
+                    0) AS n_samples,
+           list_sum(list_transform(
+               list_transform(
+                   range(win_idx * {AUDIO_WIN},
+                         least(n, (win_idx + 1) * {AUDIO_WIN})),
+                   k -> {v}),
+               u -> (CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)
+                    * (CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)
+           )) AS ssum
+    FROM w
+)
+SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CASE WHEN n_samples = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(sqrt(CAST(ssum AS DOUBLE) / n_samples)
+                            * 1000) AS BIGINT) END AS rms_milli
+FROM s
+"""
+
+
+AUDIO_RMS_SQL = _audio_rms_sql()
 
 
 def blob_metadata_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:

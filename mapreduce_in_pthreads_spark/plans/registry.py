@@ -206,8 +206,9 @@ register("jaccard_similarity_join", dd.jaccard_similarity_join,
          "exact shingle-Jaccard similarity join (LSH baseline)")
 register("minhash_lsh_dedup", dd.minhash_lsh_dedup, dd.MINHASH_LSH_SQL,
          "MinHash signatures -> banded LSH -> verified near-dups")
-register("simhash_fingerprints", dd.simhash_fingerprints, None,
-         "64-bit SimHash per doc (xxhash64; rows-only)")
+register("simhash_fingerprints", dd.simhash_fingerprints, dd.SIMHASH_SQL,
+         "64-bit SimHash per doc (md5 bit source — cross-engine "
+         "reproducible, hex-string fingerprint)")
 register("embedding_near_dup", dd.embedding_near_dup,
          dd.EMBEDDING_NEAR_DUP_SQL,
          "cosine >= 0.9 near-dup pairs, expression-only kernel")
@@ -284,9 +285,10 @@ register("image_decode_meta", mm.image_decode_meta, mm.IMAGE_DECODE_SQL,
 register("image_resize_half", mm.image_resize_half, mm.IMAGE_RESIZE_SQL,
          "real nearest-neighbor 2:1 BMP downsample over binary "
          "payloads; shape+size oracle, pixel golden in pytest")
-register("audio_rms_windows", mm.audio_rms_windows, None,
+register("audio_rms_windows", mm.audio_rms_windows, mm.AUDIO_RMS_SQL,
          "PCM int16 per-window RMS loudness via numpy mapInPandas "
-         "(rows-only: float sqrt; pinned vs reference in pytest)")
+         "(integer sum-of-squares + one IEEE sqrt: exact DuckDB twin "
+         "parses samples from the hex dump)")
 
 # --- UDF surface -----------------------------------------------------------
 register("pandas_udf_token_count", ud.pandas_udf_token_count,

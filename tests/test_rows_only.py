@@ -25,15 +25,40 @@ def test_approx_distinct_bounded(spark, sf_dir):
 
 def test_simhash_deterministic_and_64bit(spark, sf_dir):
     df = REGISTRY["simhash_fingerprints"].fn(spark, sf_dir)
-    a = {r.doc_id: r.simhash64 for r in df.collect()}
-    b = {r.doc_id: r.simhash64 for r in
+    a = {r.doc_id: r.simhash_hex for r in df.collect()}
+    b = {r.doc_id: r.simhash_hex for r in
          REGISTRY["simhash_fingerprints"].fn(spark, sf_dir).collect()}
     assert a == b                       # deterministic across runs
     assert len(a) == 500
-    assert all(isinstance(v, int) for v in a.values())
+    # 64 bits as 16 lowercase hex chars
+    assert all(isinstance(v, str) and len(v) == 16
+               and set(v) <= set("0123456789abcdef") for v in a.values())
     # near-dup contract: identical docs → identical fingerprints
     # (all docs distinct here, so just check the fingerprint spreads)
     assert len(set(a.values())) > 400
+
+
+def test_simhash_matches_pure_python_reference(spark):
+    """Pin the bit layout against an independent pure-Python simhash
+    over md5 (bit i = bit (i%4) of nibble (15 - i//4); vote > 0 sets
+    the bit) — guards both engines against a silent layout drift."""
+    import hashlib
+
+    from .conftest import SF_SMOKE
+
+    rows = REGISTRY["simhash_fingerprints"].fn(spark, SF_SMOKE).collect()
+    got = {r.doc_id: r.simhash_hex for r in rows}
+    tbl = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                        columns=["doc_id", "text"])
+    for doc_id, text in list(zip(tbl["doc_id"].to_pylist(),
+                                 tbl["text"].to_pylist()))[:25]:
+        votes = [0] * 64
+        for word in text.split(" "):
+            h = int(hashlib.md5(word.encode()).hexdigest()[:16], 16)
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        fp = sum(1 << i for i in range(64) if votes[i] > 0)
+        assert got[doc_id] == format(fp, "016x"), doc_id
 
 
 def test_label_centroid_norms_vs_numpy(spark, sf_dir):
