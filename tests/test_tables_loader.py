@@ -90,9 +90,13 @@ def test_load_events_under_weird_session_tz(spark):
     deliberately weird session zone must (a) leave the session conf
     exactly as it found it and (b) still yield the same stored instants
     DuckDB reads naively-as-UTC."""
+    from mapreduce_in_pthreads_spark.sources.tables import (
+        clear_relation_cache)
+
     prior_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
     try:
+        clear_relation_cache(spark)  # exercise the real loader, not a hit
         before = _conf_snapshot(spark)
         df = load_table(spark, SF_SMOKE, "events")
         got = {r.event_id: r.us for r in
@@ -134,6 +138,34 @@ def test_load_events_nanos_roundtrip_conf_restored(spark, tmp_path):
            df.select("event_id", F.unix_micros("ts").alias("us")).collect()}
     assert got == {1: 1700000000_123456, 2: 1700003600_000000,
                    3: 1700007200_999999}
+
+
+def test_relation_cache_hits_and_invalidates(spark, tmp_path):
+    """The catalog-style relation cache returns the SAME logical plan
+    for repeat loads (no schema re-inference) and invalidates when the
+    file is replaced (mtime key)."""
+    import shutil
+    import time as _time
+
+    from mapreduce_in_pthreads_spark.sources.tables import (
+        clear_relation_cache)
+
+    a = load_table(spark, SF_SMOKE, "region")
+    b = load_table(spark, SF_SMOKE, "region")
+    assert a is b, "repeat load must be a cache hit"
+    clear_relation_cache(spark)
+    c = load_table(spark, SF_SMOKE, "region")
+    assert c is not a and c.schema == a.schema
+
+    # mtime invalidation: copy a table, load, replace with new mtime
+    p = tmp_path / "region.parquet"
+    shutil.copyfile(os.path.join(SF_SMOKE, "region.parquet"), p)
+    d1 = load_table(spark, str(tmp_path), "region")
+    assert load_table(spark, str(tmp_path), "region") is d1
+    _time.sleep(0.01)
+    os.utime(p)  # simulate replacement
+    d2 = load_table(spark, str(tmp_path), "region")
+    assert d2 is not d1
 
 
 def test_table_row_count_hint_matches_footer(spark):
