@@ -14,10 +14,12 @@ Timing methodology:
   stages from count() shortcuts;
 - explicit GC between timed queries so one query's cleanup debt
   (JVM garbage + Spark ContextCleaner work) never bills the next;
-- each query is timed TWICE and the MIN is reported: this host is a VM
-  with bursty CPU steal (~5%+ spikes), and min-of-2 estimates "time the
-  plan needs" rather than "time the noisy neighbor took" (measured: the
-  same suite swung 21s → 40s run-to-run under steal without this);
+- each query is timed THREE times and the MIN is reported: this host
+  is a VM with bursty CPU steal (~5%+ spikes), and min-of-N estimates
+  "time the plan needs" rather than "time the noisy neighbor took"
+  (measured: the same suite swung 21s → 40s run-to-run under steal
+  without this; BENCH_r03's q1 1.96s-vs-1.37s phantom regression got
+  through min-of-2, hence the third rep);
 - value = sum of per-query steady-state wall-clock seconds.
 """
 
@@ -76,7 +78,7 @@ def main() -> None:
         # earlier queries' cleanup debt (measured: 10s → 170s+ drift
         # on the allocation-heavy LSH query without this).
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             jvm_gc()
             t0 = time.perf_counter()
             run_noop(REGISTRY[name].fn(spark, sf_dir))
