@@ -438,16 +438,21 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the strategy costs a footer read, not a full scan of the corpus
     (VERDICT r3 item 3). An unreadable footer (no stats available)
     defaults to the blocked scale path, never the O(n²) one."""
-    from ..functions.vectors import cosine_similarity
+    from ..functions.vectors import dot, l2_norm
     from ..sources.tables import table_row_count_hint
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # Per-row norm computed once per SIDE, not once per pair — at n
+    # candidates per vector that deletes 2n of the 3n aggregations
+    # (identical doubles: same expressions, same multiply order).
     a = emb.select(F.col("vec_id").alias("vec_a"),
                    F.col("embedding").alias("ea"),
-                   F.col("label").alias("cell_a"))
+                   F.col("label").alias("cell_a"),
+                   l2_norm("embedding").alias("nrm_a"))
     b = emb.select(F.col("vec_id").alias("vec_b"),
                    F.col("embedding").alias("eb"),
-                   F.col("label").alias("cell_b"))
+                   F.col("label").alias("cell_b"),
+                   l2_norm("embedding").alias("nrm_b"))
     n_rows = table_row_count_hint(sf_dir, "embeddings")
     if n_rows is not None and n_rows <= EMBEDDING_EXACT_MAX_ROWS:
         pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
@@ -457,7 +462,8 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("vec_a") < F.col("vec_b")))
     return (
         pairs
-        .withColumn("cos_sim", cosine_similarity("ea", "eb"))
+        .withColumn("cos_sim",
+                    dot("ea", "eb") / (F.col("nrm_a") * F.col("nrm_b")))
         .filter(F.col("cos_sim") >= 0.9)
         .select("vec_a", "vec_b", "cos_sim")
     )
