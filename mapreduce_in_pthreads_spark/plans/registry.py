@@ -507,22 +507,28 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
     "ordered_funnel", "lang_id_heuristic",
 )
 
-# ROUND-5 PREP (for the next rotation): after round 4, the remaining
-# never-adjudicated set is: sql_surface (ordered_listagg,
-# boolean_aggregates, try_arithmetic, regression_metrics,
-# time_hierarchy_rollup, url_parse_surface, map_higher_order,
-# token_entropy, approx_top_k_words, recursive_cte_split,
-# parameterized_sql, null_handling_surface, string_functions2,
-# scd2_dimension, date_arithmetic, bitwise_surface, regexp_surface,
-# incremental_rollup_merge, transpose_metrics, stat_crosstab,
-# xpath_roundtrip, number_format_roundtrip), window extras
-# (window_navigation, range_frame_revenue, rank_distribution),
-# relational core rows never re-run since r1 is fine to skip, plus
-# (explode_outer_rare_words, malformed_json_resilience,
+# ROUND-5 PREP (for the next rotation): after round 4, EXACTLY 32
+# entries have never been adjudicated (computed from the union of
+# CORRECTNESS_r01-03 keys plus this window): malformed_json_resilience,
 # stratified_sample_fractions, label_centroid_norms, ann_topk_blas,
-# python_udf_slow_path, cogroup_reconcile, schema_evolution_union) —
-# that is 33: they all fit in one window with the flagship 6, and
-# round 5 completes full-registry driver adjudication.
+# python_udf_slow_path, cogroup_reconcile, schema_evolution_union,
+# ordered_listagg, boolean_aggregates, try_arithmetic,
+# regression_metrics, time_hierarchy_rollup, url_parse_surface,
+# map_higher_order, token_entropy, approx_top_k_words,
+# recursive_cte_split, parameterized_sql, null_handling_surface,
+# string_functions2, scd2_dimension, date_arithmetic, bitwise_surface,
+# regexp_surface, incremental_rollup_merge, transpose_metrics,
+# stat_crosstab, xpath_roundtrip, number_format_roundtrip,
+# window_navigation, range_frame_revenue, rank_distribution.
+# With the flagship 6 that is 38; fill the 12 spare slots with the
+# round-4-CHANGED entries whose new code/oracles deserve fresh driver
+# rows: simhash_fingerprints (md5 rewrite + new oracle),
+# audio_rms_windows (new oracle), ann_topk_bruteforce, ann_ivf_topk,
+# ann_lsh_topk, embedding_near_dup (norm precompute), ordered_funnel
+# (empty-stage fix), lang_id_heuristic + approx_top_k_words (oracle
+# upgrades — approx_top_k is already in the 32), exact_dedup,
+# minhash_lsh_dedup, q1_pricing_summary. Round 5 then completes
+# full-registry driver adjudication.
 
 
 def _reorder_for_adjudication(first: tuple[str, ...]) -> None:
