@@ -29,6 +29,7 @@ from ..operators import iterative as it
 from ..operators import joins as jn
 from ..operators import multimodal as mm
 from ..operators import semistructured as ss
+from ..operators import quantizer as qz
 from ..operators import similarity as sim
 from ..operators import skew as sk
 from ..operators import sql_surface as sq
@@ -240,6 +241,14 @@ register("ann_topk_blas", sim.ann_topk_blas, None,
 register("ann_lsh_topk", sim.ann_lsh_topk, sim.ANN_LSH_TOPK_SQL,
          "sign-LSH bucketed top-k over int8-quantized projections "
          "(the LSH scale path next to IVF), exact cross-engine buckets")
+register("kmeans_quantizer_cells", qz.kmeans_quantizer_cells,
+         qz.KMEANS_CELLS_SQL,
+         "k-means coarse-quantizer training (Lloyd over int8 codes — "
+         "integer sums make every iteration cross-engine exact)")
+register("ann_ivf_trained_topk", qz.ann_ivf_trained_topk,
+         qz.ANN_IVF_TRAINED_SQL,
+         "IVF top-k over the TRAINED quantizer: assign on codes, "
+         "exact cosine verify on full-precision candidates")
 
 # --- text analysis --------------------------------------------------------
 register("doc_quality_stats", ta.doc_quality_stats,
@@ -519,8 +528,10 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # string_functions2, scd2_dimension, date_arithmetic, bitwise_surface,
 # regexp_surface, incremental_rollup_merge, transpose_metrics,
 # stat_crosstab, xpath_roundtrip, number_format_roundtrip,
-# window_navigation, range_frame_revenue, rank_distribution.
-# With the flagship 6 that is 38; fill the 12 spare slots with the
+# window_navigation, range_frame_revenue, rank_distribution — plus the
+# two round-4 additions kmeans_quantizer_cells and ann_ivf_trained_topk
+# (34 total).
+# With the flagship 6 that is 40; fill the 10 spare slots with the
 # round-4-CHANGED entries whose new code/oracles deserve fresh driver
 # rows: simhash_fingerprints (md5 rewrite + new oracle),
 # audio_rms_windows (new oracle), ann_topk_bruteforce, ann_ivf_topk,

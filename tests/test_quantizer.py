@@ -1,0 +1,105 @@
+"""Independent verification of the trained coarse quantizer: a pure
+Python/numpy replica of the full pipeline (quantize → md5 seeds → 3
+Lloyd iterations) must reproduce the engine's cells exactly — the
+oracle proves Spark==DuckDB; this proves both equal the algorithm as
+specified."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from mapreduce_in_pthreads_spark.operators.quantizer import (
+    KM_ITERS, KM_K, ann_ivf_trained_topk, kmeans_quantizer_cells)
+from mapreduce_in_pthreads_spark.plans.registry import REGISTRY
+
+from .conftest import SF_SMOKE
+
+
+def _codes(vecs: dict[int, np.ndarray]) -> dict[int, np.ndarray]:
+    out = {}
+    for vid, v in vecs.items():
+        x = v * (127.0 / np.abs(v).max())
+        # Spark/DuckDB round() is HALF_UP (away from zero)
+        out[vid] = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    return out
+
+
+def _train_reference(codes: dict[int, np.ndarray]):
+    """Returns (last in-loop assignment, final centroids, final-centroid
+    assignment) — the first backs kmeans_quantizer_cells' counts, the
+    last is what ann_ivf_trained_topk indexes with."""
+    def _assign_to(cents):
+        return {
+            vid: min(((float(np.sum((c.astype(np.float64) - cc) ** 2)),
+                       cell) for cell, cc in cents))[1]
+            for vid, c in codes.items()
+        }
+
+    seeds = sorted(codes, key=lambda vid: (
+        hashlib.md5(str(vid).encode()).hexdigest(), vid))[:KM_K]
+    cents = [(i, codes[vid].astype(np.float64)) for i, vid in
+             enumerate(seeds)]
+    assign: dict[int, int] = {}
+    for _ in range(KM_ITERS):
+        assign = _assign_to(cents)
+        cents = []
+        for cell in sorted(set(assign.values())):
+            members = [codes[v] for v, a in assign.items() if a == cell]
+            sums = np.sum(np.stack(members), axis=0, dtype=np.int64)
+            cents.append((cell, sums.astype(np.float64) / len(members)))
+    return assign, dict(cents), _assign_to(cents)
+
+
+def _load_vecs():
+    tbl = pq.read_table(f"{SF_SMOKE}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    return {vid: np.asarray(e, dtype=np.float64)
+            for vid, e in zip(tbl["vec_id"].to_pylist(),
+                              tbl["embedding"].to_pylist())}
+
+
+def test_kmeans_cells_match_pure_python(spark):
+    vecs = _load_vecs()
+    assign, cents, _ = _train_reference(_codes(vecs))
+    want_counts: dict[int, int] = {}
+    for cell in assign.values():
+        want_counts[cell] = want_counts.get(cell, 0) + 1
+    got = {r.cell: (r.n_vecs, r.centroid_l2)
+           for r in kmeans_quantizer_cells(spark, SF_SMOKE).collect()}
+    assert set(got) == set(want_counts)
+    for cell, (n, norm) in got.items():
+        assert n == want_counts[cell], f"cell {cell} count"
+        acc = 0.0
+        for m in cents[cell]:
+            acc += float(m) * float(m)
+        assert norm == math.sqrt(acc), f"cell {cell} norm"
+
+
+def test_ann_ivf_trained_same_cell_scores_match_bruteforce(spark):
+    """Every returned neighbor shares the query's TRAINED cell
+    (recomputed independently), and overlapping (query, vec) pairs
+    score identically to bruteforce."""
+    vecs = _load_vecs()
+    _, _, assign = _train_reference(_codes(vecs))
+    bf = {(r.query_id, r.vec_id): r.cos_sim for r in
+          REGISTRY["ann_topk_bruteforce"].fn(spark, SF_SMOKE).collect()}
+    got = ann_ivf_trained_topk(spark, SF_SMOKE).collect()
+    assert got, "trained IVF returned nothing"
+    n_overlap = 0
+    for r in got:
+        assert assign[r.query_id] == assign[r.vec_id], (
+            "cross-cell member", r.query_id, r.vec_id)
+        if (r.query_id, r.vec_id) in bf:
+            n_overlap += 1
+            assert bf[(r.query_id, r.vec_id)] == r.cos_sim
+    assert n_overlap > 0
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    a = sorted(map(tuple, kmeans_quantizer_cells(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, kmeans_quantizer_cells(spark, SF_SMOKE).collect()))
+    assert a == b
