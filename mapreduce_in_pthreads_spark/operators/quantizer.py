@@ -189,6 +189,30 @@ def _assign_cte(name: str, cents: str) -> str:
 )"""
 
 
+SAMPLE_PER_CELL = 20
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware subsampling: keep at most ``SAMPLE_PER_CELL``
+    vectors per trained cluster, in deterministic md5 pseudo-random
+    order — the curation primitive that rebalances a training corpus
+    across embedding clusters (the cluster-space analogue of
+    ``deterministic_sample_per_lang``'s language strata; near-duplicate
+    heavy clusters stop dominating the mix). One window over one
+    shuffle after the map-side cell assignment; exact stratum sizes,
+    reproducible across engines and releases."""
+    coded, _, cents_final, _ = _train(spark, sf_dir)
+    assigned = _assign(coded, cents_final)
+    rnd = F.md5(F.col("vec_id").cast("string").cast("binary"))
+    w = Window.partitionBy("cell").orderBy(rnd, "vec_id")
+    return (
+        assigned.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= SAMPLE_PER_CELL)
+        .select(F.col("cell").cast("bigint").alias("cell"),
+                "vec_id", "rnk")
+    )
+
+
 def _iteration_ctes() -> str:
     blocks = []
     for it in range(1, KM_ITERS + 1):
@@ -223,6 +247,18 @@ SELECT CAST(a.cell AS BIGINT) AS cell, count(*) AS n_vecs,
                                   (x, y) -> x + y))) AS centroid_l2
 FROM a{KM_ITERS} a JOIN cents{KM_ITERS} t ON a.cell = t.cell
 GROUP BY a.cell
+"""
+
+CLUSTER_SAMPLE_SQL = f"""{_PREFIX_SQL},{_assign_cte("afinal",
+                                                    f"cents{KM_ITERS}")}
+SELECT CAST(cell AS BIGINT) AS cell, vec_id, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY cell
+                              ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                       vec_id) AS rnk
+    FROM afinal
+) WHERE rnk <= {SAMPLE_PER_CELL}
 """
 
 ANN_IVF_TRAINED_SQL = f"""{_PREFIX_SQL},{_assign_cte("afinal",

@@ -249,6 +249,10 @@ register("ann_ivf_trained_topk", qz.ann_ivf_trained_topk,
          qz.ANN_IVF_TRAINED_SQL,
          "IVF top-k over the TRAINED quantizer: assign on codes, "
          "exact cosine verify on full-precision candidates")
+register("cluster_balanced_sample", qz.cluster_balanced_sample,
+         qz.CLUSTER_SAMPLE_SQL,
+         "diversity sampling: top-N per trained cluster in "
+         "deterministic md5 order (cluster-space stratified curation)")
 
 # --- text analysis --------------------------------------------------------
 register("doc_quality_stats", ta.doc_quality_stats,
@@ -529,9 +533,9 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # regexp_surface, incremental_rollup_merge, transpose_metrics,
 # stat_crosstab, xpath_roundtrip, number_format_roundtrip,
 # window_navigation, range_frame_revenue, rank_distribution — plus the
-# two round-4 additions kmeans_quantizer_cells and ann_ivf_trained_topk
-# (34 total).
-# With the flagship 6 that is 40; fill the 10 spare slots with the
+# round-4 additions kmeans_quantizer_cells, ann_ivf_trained_topk and
+# cluster_balanced_sample (35 total).
+# With the flagship 6 that is 41; fill the 9 spare slots with the
 # round-4-CHANGED entries whose new code/oracles deserve fresh driver
 # rows: simhash_fingerprints (md5 rewrite + new oracle),
 # audio_rms_windows (new oracle), ann_topk_bruteforce, ann_ivf_topk,

@@ -99,6 +99,29 @@ def test_ann_ivf_trained_same_cell_scores_match_bruteforce(spark):
     assert n_overlap > 0
 
 
+def test_cluster_balanced_sample_strata(spark):
+    """Sample is capped per cell, members actually belong to their
+    trained cell (recomputed independently), and rnk follows the md5
+    pseudo-random order."""
+    from mapreduce_in_pthreads_spark.operators.quantizer import (
+        SAMPLE_PER_CELL, cluster_balanced_sample)
+
+    vecs = _load_vecs()
+    _, _, afinal = _train_reference(_codes(vecs))
+    rows = cluster_balanced_sample(spark, SF_SMOKE).collect()
+    assert rows
+    per_cell: dict[int, list] = {}
+    for r in rows:
+        assert afinal[r.vec_id] == r.cell, ("wrong cell", r.vec_id)
+        per_cell.setdefault(r.cell, []).append(r)
+    for cell, members in per_cell.items():
+        assert len(members) <= SAMPLE_PER_CELL
+        ordered = sorted(
+            members, key=lambda r: (
+                hashlib.md5(str(r.vec_id).encode()).hexdigest(), r.vec_id))
+        assert [r.rnk for r in ordered] == list(range(1, len(members) + 1))
+
+
 def test_kmeans_deterministic_across_runs(spark):
     a = sorted(map(tuple, kmeans_quantizer_cells(spark, SF_SMOKE).collect()))
     b = sorted(map(tuple, kmeans_quantizer_cells(spark, SF_SMOKE).collect()))
