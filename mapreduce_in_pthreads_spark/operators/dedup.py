@@ -477,3 +477,122 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.9
 """
+
+
+# --- exact duplicate-span detection -------------------------------------
+
+SPAN_NGRAM = 5     # word n-gram width for span matching
+SPAN_DF_CAP = 20   # drop n-grams present in more than this many docs
+SPAN_MIN_RUN = 2   # report runs of >= 2 consecutive shared n-grams
+
+
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN detection: for every document pair that
+    shares a run of >= ``SPAN_MIN_RUN`` consecutive word-5-grams,
+    report the longest shared span and how much text it covers — the
+    substring-level dedup signal (copy-pasted boilerplate, licence
+    headers, syndicated articles) that document-level exact/MinHash
+    dedup cannot see because the *rest* of the documents differ. This
+    is the distributed n-gram-join formulation of exact substring
+    deduplication (the suffix-array recipe from "Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022,
+    re-expressed as dataflow): a shared span of length L appears as
+    L - N + 1 consecutive n-gram matches on one (doc_a, doc_b,
+    pa - pb) diagonal, so spans fall out of a gaps-and-islands window
+    over the match coordinates.
+
+    Scale design: (1) n-grams are generated per-row by expression
+    (transform over sequence) — no UDF, no pre-join shuffle; (2) the
+    hot-gram guard removes n-grams with document frequency >
+    ``SPAN_DF_CAP`` via a broadcast anti-join BEFORE pair generation,
+    so one viral quote cannot create a quadratic gram group (the same
+    hub-degree cap ``triangle_count`` uses); (3) the self-join
+    shuffles on the gram hash with pair fan-out bounded by
+    DF_CAP²/2 per gram; (4) islands need one more shuffle on
+    (doc_a, doc_b) — window + combinable count. Nothing is quadratic
+    in corpus size; production tunes N up (8-13 words) which only
+    *shrinks* the join. All outputs are integers — exact cross-engine
+    oracle. Reference has no text-similarity surface (SURVEY.md §2.1);
+    north-star dedup family row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (SPAN_NGRAM - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(toks, i, SPAN_NGRAM)).alias("g")))
+    grams = (
+        docs.filter(F.size(toks) >= SPAN_NGRAM)
+        .select("doc_id", F.explode(grams_arr).alias("e"))
+        .select("doc_id", F.col("e.pos").alias("pos"),
+                F.col("e.g").alias("g")))
+    hot = (grams.groupBy("g")
+           .agg(F.countDistinct("doc_id").alias("df"))
+           .filter(F.col("df") > SPAN_DF_CAP)
+           .select("g"))
+    cold = grams.join(F.broadcast(hot), "g", "left_anti")
+    a = cold.select(F.col("doc_id").alias("doc_a"),
+                    F.col("pos").alias("pa"), "g")
+    b = cold.select(F.col("doc_id").alias("doc_b"),
+                    F.col("pos").alias("pb"), "g")
+    matches = (a.join(b, "g")
+               .filter(F.col("doc_a") < F.col("doc_b"))
+               .select("doc_a", "doc_b", "pa", "pb",
+                       (F.col("pa") - F.col("pb")).alias("diag")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        matches
+        .withColumn("isl", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .filter(F.col("run_len") >= SPAN_MIN_RUN))
+    span_toks = F.col("run_len") + (SPAN_NGRAM - 1)
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(F.max(span_toks).alias("max_span_tokens"),
+             F.count(F.lit(1)).alias("n_spans"),
+             F.sum(span_toks).alias("span_tokens"))
+    )
+
+
+DUPLICATE_SPANS_SQL = f"""
+WITH g0 AS (
+    SELECT doc_id,
+           list_transform(
+               range(1, len(string_split(text, ' ')) - {SPAN_NGRAM - 2}),
+               i -> struct_pack(
+                   pos := i,
+                   g := array_to_string(
+                       list_slice(string_split(text, ' '),
+                                  i, i + {SPAN_NGRAM - 1}), ' '))) AS lst
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= {SPAN_NGRAM}
+), grams AS (
+    SELECT doc_id, unnest(lst, recursive := true) FROM g0
+), hot AS (
+    SELECT g FROM grams GROUP BY g
+    HAVING count(DISTINCT doc_id) > {SPAN_DF_CAP}
+), cold AS (
+    SELECT * FROM grams ANTI JOIN hot USING (g)
+), matches AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pos AS pa, a.pos - b.pos AS diag
+    FROM cold a JOIN cold b ON a.g = b.g AND a.doc_id < b.doc_id
+), runs AS (
+    SELECT doc_a, doc_b, count(*) AS run_len
+    FROM (
+        SELECT doc_a, doc_b, diag,
+               pa - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+        FROM matches
+    ) GROUP BY doc_a, doc_b, diag, isl
+    HAVING count(*) >= {SPAN_MIN_RUN}
+)
+SELECT doc_a, doc_b,
+       max(run_len + {SPAN_NGRAM - 1}) AS max_span_tokens,
+       count(*) AS n_spans,
+       CAST(sum(run_len + {SPAN_NGRAM - 1}) AS BIGINT) AS span_tokens
+FROM runs GROUP BY doc_a, doc_b
+"""

@@ -213,6 +213,10 @@ register("simhash_fingerprints", dd.simhash_fingerprints, dd.SIMHASH_SQL,
 register("embedding_near_dup", dd.embedding_near_dup,
          dd.EMBEDDING_NEAR_DUP_SQL,
          "cosine >= 0.9 near-dup pairs, expression-only kernel")
+register("duplicate_spans", dd.duplicate_spans, dd.DUPLICATE_SPANS_SQL,
+         "exact duplicate-span detection: consecutive shared-5-gram "
+         "diagonal runs per doc pair (substring-level dedup, "
+         "Lee et al. 2022 shape)")
 register("curation_funnel", cu.curation_funnel, cu.CURATION_FUNNEL_SQL,
          "composed corpus-curation funnel: quality -> exact dedup -> "
          "near-dup canonical -> per-lang manifest")
@@ -534,7 +538,9 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # stat_crosstab, xpath_roundtrip, number_format_roundtrip,
 # window_navigation, range_frame_revenue, rank_distribution — plus the
 # round-4 additions kmeans_quantizer_cells, ann_ivf_trained_topk and
-# cluster_balanced_sample (35 total).
+# cluster_balanced_sample, plus the round-4 session-2 additions
+# (duplicate_spans, ...) — recount from the CORRECTNESS unions when
+# building the round-5 window.
 # With the flagship 6 that is 41; fill the 9 spare slots with the
 # round-4-CHANGED entries whose new code/oracles deserve fresh driver
 # rows: simhash_fingerprints (md5 rewrite + new oracle),

@@ -108,3 +108,38 @@ def test_curation_funnel_monotone(spark, sf_dir):
     for r in rows:
         assert r.n_raw >= r.n_quality >= r.n_exact_unique >= r.n_kept
         assert r.n_kept >= 0 and r.tokens_kept >= 0
+
+
+def test_duplicate_spans_pinned_semantics(spark, tmp_path):
+    """Hand-crafted corpus with known shared spans: a 10-token exact
+    span (run of 6 five-grams), a two-span pair (7- and 6-token spans
+    separated by differing filler), and single-gram overlaps that must
+    be excluded by SPAN_MIN_RUN."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_in_pthreads_spark.operators.dedup import duplicate_spans
+
+    texts = {
+        10: "a b c d e f g h i j",
+        11: "f1 f2 a b c d e f g h i j f3 f4",
+        12: "a b c d e z1 z2 z3 z4 z5 f g h i j",
+        20: "s1 s2 s3 s4 s5 s6 s7 g1 g2 t1 t2 t3 t4 t5 t6",
+        21: "h1 h2 s1 s2 s3 s4 s5 s6 s7 h3 t1 t2 t3 t4 t5 t6 h4",
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(list(texts), type=pa.int64()),
+        "text": pa.array(list(texts.values())),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["synthetic"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts.values()],
+                            type=pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = duplicate_spans(spark, str(tmp_path)).collect()
+    got = {(r.doc_a, r.doc_b):
+           (r.max_span_tokens, r.n_spans, r.span_tokens) for r in rows}
+    assert got == {
+        (10, 11): (10, 1, 10),   # one exact 10-token span
+        (20, 21): (7, 2, 13),    # 7-token and 6-token spans
+    }                            # (10,12)/(11,12): run-1 overlaps dropped
