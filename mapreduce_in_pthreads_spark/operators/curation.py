@@ -182,6 +182,75 @@ WHERE rnk <= {SAMPLE_K}
 """
 
 
+MIX_TOKEN_BUDGET = 1_000_000  # documents drawn for the training mix
+
+
+def mixture_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual mixture weights (the XLM-R /
+    mT5 sampling recipe, p_l ∝ n_l^α): per language, the corpus size,
+    the α-damped weight, its share of the mix, and the document quota
+    a ``MIX_TOKEN_BUDGET``-draw training mix would allocate.
+    Temperature sampling keeps head languages from drowning tail ones
+    — the knob every multilingual corpus mix is tuned with.
+
+    α is fixed at 0.5 so the damped weight is ``sqrt(n_l)`` — a single
+    correctly-rounded IEEE op, bit-identical in any engine, where a
+    general ``pow(x, 0.3)`` is libm-dependent and would break the
+    exact-hash oracle contract. The mix denominator Σ sqrt(n_l) is a
+    float sum, so it is built as a RUNNING sum in lang order (the
+    sequential left fold both engines implement for running frames —
+    the `running_customer_spend` precedent) and the total is taken as
+    ``max(cum)`` (exact, order-independent) rather than a full-frame
+    float sum whose combine order is engine-internal.
+
+    Scale: one map-side-combinable aggregation over the corpus to
+    K ≈ #languages rows, then windows over the K-row relation — the
+    single-partition window is bounded by language count, not corpus
+    size.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
+    weight = F.sqrt(F.col("n_docs").cast("double"))
+    w_run = (Window.orderBy("lang")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = (Window.orderBy("lang")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    with_cum = (per_lang.withColumn("weight", weight)
+                .withColumn("cum", F.sum("weight").over(w_run)))
+    total = F.max("cum").over(w_all)
+    return with_cum.select(
+        "lang", "n_docs", "n_tokens", "weight",
+        (F.col("weight") / total).alias("mix_prob"),
+        F.floor(F.lit(float(MIX_TOKEN_BUDGET)) * F.col("weight") / total)
+        .cast("bigint").alias("doc_quota"))
+
+
+MIXTURE_WEIGHTS_SQL = f"""
+WITH per_lang AS (
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+), with_cum AS (
+    SELECT lang, n_docs, n_tokens,
+           sqrt(CAST(n_docs AS DOUBLE)) AS weight,
+           sum(sqrt(CAST(n_docs AS DOUBLE))) OVER (
+               ORDER BY lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM per_lang
+)
+SELECT lang, n_docs, n_tokens, weight,
+       weight / max(cum) OVER () AS mix_prob,
+       CAST(floor({float(MIX_TOKEN_BUDGET)} * weight / max(cum) OVER ())
+            AS BIGINT) AS doc_quota
+FROM with_cum
+"""
+
+
 def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline-gate integrity checks in ONE pass shape (dbt-style
     assertions as a query, not a framework): FK orphans, key

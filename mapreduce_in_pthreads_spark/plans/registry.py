@@ -227,6 +227,10 @@ register("stratified_sample_fractions", cu.stratified_sample_fractions,
 register("deterministic_sample_per_lang",
          cu.deterministic_sample_per_lang, cu.DETERMINISTIC_SAMPLE_SQL,
          "md5-ranked exact-size per-stratum sample (reproducible)")
+register("mixture_sampling_weights", cu.mixture_sampling_weights,
+         cu.MIXTURE_WEIGHTS_SQL,
+         "temperature-sampled multilingual mix weights (alpha=0.5, "
+         "sqrt-damped, deterministic running-sum denominator)")
 
 # --- similarity search ----------------------------------------------------
 register("ann_topk_bruteforce", sim.ann_topk_bruteforce,

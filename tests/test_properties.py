@@ -143,3 +143,22 @@ def test_duplicate_spans_pinned_semantics(spark, tmp_path):
         (10, 11): (10, 1, 10),   # one exact 10-token span
         (20, 21): (7, 2, 13),    # 7-token and 6-token spans
     }                            # (10,12)/(11,12): run-1 overlaps dropped
+
+
+def test_mixture_weights_invariants(spark, sf_dir):
+    """Temperature mixing sanity: probabilities sum to ~1, quotas never
+    exceed the budget, and the sqrt damping strictly flattens the mix
+    (smaller language => larger quota per document)."""
+    from mapreduce_in_pthreads_spark.operators.curation import (
+        MIX_TOKEN_BUDGET)
+
+    rows = REGISTRY["mixture_sampling_weights"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.mix_prob for r in rows) - 1.0) < 1e-9
+    assert sum(r.doc_quota for r in rows) <= MIX_TOKEN_BUDGET
+    by_docs = sorted(rows, key=lambda r: r.n_docs)
+    for small, big in zip(by_docs, by_docs[1:]):
+        if small.n_docs < big.n_docs:
+            # damped: relative boost for the smaller language
+            assert (small.doc_quota / small.n_docs
+                    >= big.doc_quota / big.n_docs)
