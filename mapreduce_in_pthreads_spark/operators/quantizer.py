@@ -283,3 +283,227 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
     FROM scored
 ) WHERE rank <= {TOP_K}
 """
+
+# --- product quantization + ADC search ----------------------------------
+
+PQ_M = 8        # subspaces
+PQ_SUB = 8      # dims per subspace (PQ_M * PQ_SUB == KM_D)
+PQ_K = 16       # codebook size per subspace
+PQ_ITERS = 2    # Lloyd iterations per subspace
+
+
+def _dist_col(col: F.Column, centroid: list[float]) -> F.Column:
+    """Squared L2 distance between an integer-code array column and a
+    float centroid — same sequential fold contract as ``_dist``."""
+    cent = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(col.cast("array<double>"), cent,
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """Train PQ_M independent PQ_K-centroid codebooks, one per
+    PQ_SUB-dim slice of the int8 code vector. Returns (coded, cents)
+    with cents[m] = [(cell, centroid)] sorted by cell.
+
+    All PQ_M assignments + re-estimations run as ONE union job per
+    iteration (one pass over the codes); driver traffic is
+    M × K × (PQ_SUB + 1) scalars per iteration — the same
+    bounded-collect contract as ``_train``. Integer sums keep every
+    iteration bit-identical cross-engine (module docstring)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = _coded(emb)
+    seeds = (
+        coded.withColumn(
+            "r", F.md5(F.col("vec_id").cast("string").cast("binary")))
+        .orderBy("r", "vec_id").limit(PQ_K).select("codes").collect())
+    cents = {
+        m: [(cell, [float(v)
+                    for v in row.codes[m * PQ_SUB:(m + 1) * PQ_SUB]])
+            for cell, row in enumerate(seeds)]
+        for m in range(PQ_M)}
+    for _ in range(PQ_ITERS):
+        parts = []
+        for m in range(PQ_M):
+            sub = coded.select(
+                "vec_id",
+                F.slice("codes", m * PQ_SUB + 1, PQ_SUB).alias("sub"))
+            scores = F.array(*[
+                F.struct(_dist_col(F.col("sub"), c).alias("dist"),
+                         F.lit(int(cell)).alias("cell"))
+                for cell, c in cents[m]])
+            parts.append(
+                sub.withColumn("cell", F.array_min(scores)["cell"])
+                .groupBy("cell").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.element_at("sub", d + 1)).alias(f"s{d}")
+                      for d in range(PQ_SUB)])
+                .withColumn("m", F.lit(m)))
+        stats = parts[0]
+        for p in parts[1:]:
+            stats = stats.unionByName(p)
+        rows = stats.collect()
+        cents = {
+            m: sorted((int(r["cell"]),
+                       [r[f"s{d}"] / r["n"] for d in range(PQ_SUB)])
+                      for r in rows if r["m"] == m)
+            for m in range(PQ_M)}
+    return coded, cents
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the memory-side of the FAISS IVF-PQ recipe: every vector
+    is stored as PQ_M codebook ids (8 bytes here vs 256 bytes of
+    float32), queries stay uncompressed, and distance is the sum of
+    per-subspace lookups into a query-specific table. Approximate by
+    construction (quantization error), which is why the exact
+    ``ann_topk_bruteforce`` stays the recall baseline.
+
+    Scale design: codebooks are M×K×SUB scalars — literals in the
+    plan; encoding is a per-row expression (no shuffle); the LUT
+    relation is N_QUERIES rows broadcast to a map-side join; scoring
+    is one fold over PQ_M map lookups per (vec, query); top-k is a
+    bounded window. The corpus is scanned, never shuffled (the one
+    window shuffles (query_id, vec, dist) tuples, not vectors).
+
+    Exactness: LUT entries are computed driver-side with the same
+    sequential IEEE fold DuckDB's list_reduce performs (0.0 + t1 ≡ t1;
+    squares are never -0.0), centroid means are exact-int-over-int
+    divisions, and the final ADC sum folds the PQ_M contributions in
+    fixed subspace order — so the oracle hash-matches despite three
+    layers of trained quantization."""
+    from pyspark.sql import Window
+
+    coded, cents = _pq_train(spark, sf_dir)
+    enc = coded
+    for m in range(PQ_M):
+        sub = F.slice("codes", m * PQ_SUB + 1, PQ_SUB)
+        scores = F.array(*[
+            F.struct(_dist_col(sub, c).alias("dist"),
+                     F.lit(int(cell)).alias("cell"))
+            for cell, c in cents[m]])
+        enc = enc.withColumn(f"pq{m}", F.array_min(scores)["cell"])
+    enc = enc.select(
+        "vec_id",
+        F.array(*[F.col(f"pq{m}") for m in range(PQ_M)]).alias("pq"))
+
+    qrows = sorted(
+        coded.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "codes").collect(),
+        key=lambda r: r.vec_id)  # bounded: N_QUERIES rows
+    lut_rows = []
+    for r in qrows:
+        lut = {}
+        for m in range(PQ_M):
+            qsub = [float(v) for v in r.codes[m * PQ_SUB:(m + 1) * PQ_SUB]]
+            for cell, c in cents[m]:
+                acc = 0.0
+                for qq, cc in zip(qsub, c):
+                    acc += (qq - cc) * (qq - cc)
+                lut[m * PQ_K + cell] = acc
+        lut_rows.append((int(r.vec_id), lut))
+    lut_df = spark.createDataFrame(
+        lut_rows, "query_id bigint, lut map<bigint,double>")
+
+    adc = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda m: F.col("lut")[
+                (m * PQ_K
+                 + F.element_at("pq", (m + 1).cast("int"))).cast("bigint")]),
+        F.lit(0.0), lambda a, x: a + x)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id"))
+    return (
+        enc.crossJoin(F.broadcast(lut_df))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_dist", adc)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+_PQ_DIST_SQL = ("list_reduce(list_transform(range(1, {d1}), i -> "
+                "(CAST(v.sub[i] AS DOUBLE) - t.c[i]) * "
+                "(CAST(v.sub[i] AS DOUBLE) - t.c[i])), "
+                "(a, b) -> a + b)").format(d1=PQ_SUB + 1)
+
+
+def _pq_assign_cte(name: str, cents: str) -> str:
+    return f"""
+{name} AS (
+    SELECT vec_id, m, sub, cell FROM (
+        SELECT v.vec_id, v.m, v.sub, t.cell,
+               row_number() OVER (PARTITION BY v.vec_id, v.m
+                                  ORDER BY {_PQ_DIST_SQL}, t.cell) AS rn
+        FROM subs v JOIN {cents} t ON v.m = t.m
+    ) WHERE rn = 1
+)"""
+
+
+def _pq_iteration_ctes() -> str:
+    blocks = []
+    for it in range(1, PQ_ITERS + 1):
+        blocks.append(_pq_assign_cte(f"pa{it}", f"pcents{it - 1}") + f""",
+pcents{it} AS (
+    SELECT m, cell, list(mn ORDER BY d) AS c FROM (
+        SELECT m, cell, d,
+               CAST(sum(sub[d]) AS DOUBLE) / count(*) AS mn
+        FROM pa{it} CROSS JOIN range(1, {PQ_SUB + 1}) t(d)
+        GROUP BY m, cell, d
+    ) GROUP BY m, cell
+)""")
+    return ",".join(blocks)
+
+
+PQ_ADC_TOPK_SQL = f"""
+WITH coded AS (
+    SELECT vec_id, {_CODES_SQL} AS codes FROM embeddings
+),
+subs AS (
+    SELECT vec_id, m,
+           list_slice(codes, m * {PQ_SUB} + 1, (m + 1) * {PQ_SUB}) AS sub
+    FROM coded CROSS JOIN range(0, {PQ_M}) t(m)
+),
+seedrows AS (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) AS rn
+    FROM coded
+),
+pcents0 AS (
+    SELECT s.m, r.rn - 1 AS cell,
+           list_transform(s.sub, x -> CAST(x AS DOUBLE)) AS c
+    FROM subs s JOIN seedrows r ON s.vec_id = r.vec_id
+    WHERE r.rn <= {PQ_K}
+),{_pq_iteration_ctes()},{_pq_assign_cte("penc", f"pcents{PQ_ITERS}")},
+q AS (
+    SELECT vec_id AS query_id, m,
+           list_transform(sub, x -> CAST(x AS DOUBLE)) AS qsub
+    FROM subs WHERE vec_id < {N_QUERIES}
+),
+contribs AS (
+    SELECT q.query_id, e.vec_id, e.m,
+           list_reduce(list_transform(range(1, {PQ_SUB + 1}), i ->
+               (q.qsub[i] - t.c[i]) * (q.qsub[i] - t.c[i])),
+               (a, b) -> a + b) AS contrib
+    FROM penc e
+    JOIN pcents{PQ_ITERS} t ON e.m = t.m AND e.cell = t.cell
+    JOIN q ON q.m = e.m
+    WHERE e.vec_id <> q.query_id
+),
+dists AS (
+    SELECT query_id, vec_id,
+           list_reduce(list(contrib ORDER BY m), (a, b) -> a + b)
+               AS adc_dist
+    FROM contribs GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, adc_dist, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, vec_id) AS rank
+    FROM dists
+) WHERE rank <= {TOP_K}
+"""

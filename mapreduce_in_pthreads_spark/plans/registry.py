@@ -257,6 +257,9 @@ register("ann_ivf_trained_topk", qz.ann_ivf_trained_topk,
          qz.ANN_IVF_TRAINED_SQL,
          "IVF top-k over the TRAINED quantizer: assign on codes, "
          "exact cosine verify on full-precision candidates")
+register("pq_adc_topk", qz.pq_adc_topk, qz.PQ_ADC_TOPK_SQL,
+         "product-quantization ANN: per-subspace trained codebooks, "
+         "8-byte codes, asymmetric-distance LUT scoring")
 register("cluster_balanced_sample", qz.cluster_balanced_sample,
          qz.CLUSTER_SAMPLE_SQL,
          "diversity sampling: top-N per trained cluster in "
