@@ -575,3 +575,79 @@ GROUP BY word
 ORDER BY n_occurrences DESC, word
 LIMIT 20
 """
+
+
+def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering, with the KenLM 5-gram model
+    replaced by a corpus-trained UNIGRAM language model (the strongest
+    LM whose scores stay engine-reproducible): per document, the mean
+    token log-probability under the corpus unigram distribution, and
+    the head/middle/tail tercile bucket CCNet uses to stage corpus
+    quality. Low mean log-prob = rare-token-heavy/noisy text.
+
+    Exactness: each ln(p_w) is rounded to 10 dp and summed in
+    DECIMAL(25,10) — the ``token_entropy`` order-stability trick — so
+    the per-doc sum is exact and engine-independent despite libm ln.
+
+    Scale: the LM is one map-side-combinable vocab aggregation; the
+    corpus total is a 1-row aggregate joined by broadcast (never
+    ``collect()``); scoring is a vocab-sized hash join + per-doc
+    combinable sum. The tercile uses a global ntile window — fine for
+    the manifest-sized doc-score relation here; at 100 TB you compute
+    the two cutoffs with approx_percentile and bucket with a map-side
+    CASE instead (documented swap, same output contract).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word"))
+    lm = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("total_tokens"))
+    p_w = F.col("cnt").cast("double") / F.col("total_tokens")
+    scored_vocab = (
+        lm.join(F.broadcast(total))
+        .select("word",
+                F.round(F.log(p_w), 10).cast("decimal(25,10)")
+                .alias("logp")))
+    per_doc = (
+        tok.join(scored_vocab, "word")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum("logp").alias("logp_sum")))
+    avg = F.round(F.col("logp_sum").cast("double") / F.col("n_tokens"), 6)
+    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id"))
+    return (
+        per_doc.select("doc_id", "n_tokens", avg.alias("avg_logprob"))
+        .withColumn("ppl_bucket",
+                    F.element_at(
+                        F.array(F.lit("head"), F.lit("middle"),
+                                F.lit("tail")),
+                        F.ntile(3).over(w)))
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+), lm AS (
+    SELECT word, count(*) AS cnt FROM tok GROUP BY word
+), total AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM lm
+), scored_vocab AS (
+    SELECT word,
+           CAST(round(ln(CAST(cnt AS DOUBLE) / total_tokens), 10)
+                AS DECIMAL(25,10)) AS logp
+    FROM lm CROSS JOIN total
+), per_doc AS (
+    SELECT doc_id, count(*) AS n_tokens, sum(logp) AS logp_sum
+    FROM tok JOIN scored_vocab USING (word)
+    GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(CAST(logp_sum AS DOUBLE) / n_tokens, 6) AS avg_logprob,
+       (['head', 'middle', 'tail'])[
+           ntile(3) OVER (ORDER BY round(CAST(logp_sum AS DOUBLE)
+                                         / n_tokens, 6) DESC, doc_id)]
+           AS ppl_bucket
+FROM per_doc
+"""

@@ -435,6 +435,10 @@ register("map_higher_order", ss.map_higher_order, ss.MAP_HIGHER_ORDER_SQL,
          "map_filter / map_zip_with algebra over per-doc maps")
 register("token_entropy", ta.token_entropy, ta.TOKEN_ENTROPY_SQL,
          "per-doc Shannon entropy quality signal, order-stable sum")
+register("unigram_logprob_filter", ta.unigram_logprob_filter,
+         ta.UNIGRAM_LOGPROB_SQL,
+         "CCNet-style perplexity filter surrogate: corpus unigram LM "
+         "mean log-prob + head/middle/tail terciles")
 register("approx_top_k_words", ta.approx_top_k_words,
          ta.APPROX_TOP_K_WORDS_SQL,
          "approx_top_k frequent-words sketch (exact with "

@@ -162,3 +162,22 @@ def test_mixture_weights_invariants(spark, sf_dir):
             # damped: relative boost for the smaller language
             assert (small.doc_quota / small.n_docs
                     >= big.doc_quota / big.n_docs)
+
+
+def test_unigram_logprob_invariants(spark, sf_dir):
+    """Perplexity-filter surrogate sanity: every doc is scored exactly
+    once, log-probs are negative, terciles are balanced to within one
+    doc, and the head tercile's mean log-prob beats the tail's."""
+    rows = REGISTRY["unigram_logprob_filter"].fn(spark, sf_dir).collect()
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert all(r.avg_logprob < 0 for r in rows)
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.ppl_bucket, []).append(r.avg_logprob)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    sizes = [len(v) for v in by_bucket.values()]
+    assert max(sizes) - min(sizes) <= 1
+    mean = lambda v: sum(v) / len(v)  # noqa: E731
+    assert mean(by_bucket["head"]) > mean(by_bucket["tail"])
