@@ -651,3 +651,139 @@ SELECT doc_id, n_tokens,
            AS ppl_bucket
 FROM per_doc
 """
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+# (query_id, term) — fixed two-term queries over the corpus vocabulary.
+# Two terms per query also means the per-doc score is a sum of at most
+# two floats (commutative even in IEEE), but we still sum in DECIMAL
+# for uniformity with the other transcendental-bearing entries.
+BM25_QUERIES = (
+    (0, "hash"), (0, "join"),
+    (1, "window"), (1, "merge"),
+    (2, "scan"), (2, "filter"),
+)
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus — the query-time
+    counterpart of the flagship inverted index (SURVEY.md §2.3: the
+    reference BUILDS the index, mapreduce.c:168-185; this is the
+    search that index exists to serve). Standard Robertson/Lucene
+    BM25: idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation
+    k1=1.2, length normalization b=0.75 against the corpus mean
+    document length; top-10 documents per query.
+
+    Exactness: idf carries an ln, so it is pinned via
+    round(·,10)→DECIMAL(25,10) (the ``token_entropy`` trick) before
+    re-entering float math; everything else is exact-int-derived IEEE
+    arithmetic in one written order; per-(query,doc) term scores are
+    again decimal-rounded and summed exactly.
+
+    Scale: term frequencies for QUERY TERMS ONLY (the explode filters
+    to the tiny term set before any shuffle — at 100 TB the scan is
+    the cost, which an inverted-index table or bloom pushdown would
+    prune); df/N/avgdl are vocab- and 1-row-sized broadcasts; the
+    top-k is a per-query window, never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = sorted({t for _, t in BM25_QUERIES})
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word"))
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("dl").alias("total_dl"))
+    tf = (tok.filter(F.col("word").isin(terms))
+          .groupBy("doc_id", "word")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    qdf = spark.createDataFrame(
+        list(BM25_QUERIES), "query_id bigint, word string")
+    idf_dec = (
+        F.round(F.log(F.lit(1.0)
+                      + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                      / (F.col("df") + F.lit(0.5))), 10)
+        .cast("decimal(25,10)"))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    denom = (F.col("tf")
+             + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B)
+                                 + F.lit(BM25_B)
+                                 * (F.col("dl") / avgdl)))
+    term_score = (
+        F.round(F.col("idf").cast("double")
+                * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom, 10)
+        .cast("decimal(25,10)"))
+    scored = (
+        tf.join(F.broadcast(df_.join(F.broadcast(stats))
+                            .select("word", idf_dec.alias("idf"),
+                                    "n_docs", "total_dl")), "word")
+        .join(dl, "doc_id")
+        .join(F.broadcast(qdf), "word")
+        .select("query_id", "doc_id", term_score.alias("s")))
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("s").alias("score_sum"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_sum").desc(), F.col("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "doc_id",
+                F.round(F.col("score_sum").cast("double"), 6)
+                .alias("bm25"), "rank"))
+
+
+def _bm25_values_sql() -> str:
+    return ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERIES)
+
+
+BM25_TOPK_SQL = f"""
+WITH q(query_id, word) AS (VALUES {_bm25_values_sql()}),
+tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+), dl AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), stats AS (
+    SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl
+    FROM dl
+), tf AS (
+    SELECT doc_id, word, count(*) AS tf FROM tok
+    WHERE word IN (SELECT DISTINCT word FROM q)
+    GROUP BY doc_id, word
+), dfs AS (
+    SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word
+), idf AS (
+    SELECT word,
+           CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 10)
+                AS DECIMAL(25,10)) AS idf,
+           n_docs, total_dl
+    FROM dfs CROSS JOIN stats
+), scored AS (
+    SELECT q.query_id, tf.doc_id,
+           CAST(round(CAST(i.idf AS DOUBLE)
+                      * (tf.tf * {BM25_K1 + 1.0!r})
+                      / (tf.tf + {BM25_K1!r}
+                         * ({1.0 - BM25_B!r} + {BM25_B!r}
+                            * (dl.dl / (CAST(i.total_dl AS DOUBLE)
+                                        / i.n_docs)))), 10)
+                AS DECIMAL(25,10)) AS s
+    FROM tf
+    JOIN idf i USING (word)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    JOIN q ON q.word = tf.word
+), per_doc AS (
+    SELECT query_id, doc_id, sum(s) AS score_sum
+    FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id,
+       round(CAST(score_sum AS DOUBLE), 6) AS bm25, rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_sum DESC, doc_id)
+                  AS rank
+    FROM per_doc
+) WHERE rank <= {BM25_TOP_K}
+"""

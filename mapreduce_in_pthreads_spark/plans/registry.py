@@ -439,6 +439,9 @@ register("unigram_logprob_filter", ta.unigram_logprob_filter,
          ta.UNIGRAM_LOGPROB_SQL,
          "CCNet-style perplexity filter surrogate: corpus unigram LM "
          "mean log-prob + head/middle/tail terciles")
+register("bm25_topk_docs", ta.bm25_topk_docs, ta.BM25_TOPK_SQL,
+         "BM25 ranked retrieval: top-10 docs per fixed query over the "
+         "corpus (the search the flagship index exists to serve)")
 register("approx_top_k_words", ta.approx_top_k_words,
          ta.APPROX_TOP_K_WORDS_SQL,
          "approx_top_k frequent-words sketch (exact with "

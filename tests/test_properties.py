@@ -181,3 +181,63 @@ def test_unigram_logprob_invariants(spark, sf_dir):
     assert max(sizes) - min(sizes) <= 1
     mean = lambda v: sum(v) / len(v)  # noqa: E731
     assert mean(by_bucket["head"]) > mean(by_bucket["tail"])
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """Independent BM25 replica: recompute idf/tf/length-norm scores in
+    pure Python with the same decimal HALF_UP pinning steps and assert
+    the engine's top-10 per query matches exactly — guards the formula
+    and both engines against silent drift (the oracle alone only
+    proves Spark == DuckDB)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as paq
+
+    from mapreduce_in_pthreads_spark.operators.text_analysis import (
+        BM25_B, BM25_K1, BM25_QUERIES, BM25_TOP_K, bm25_topk_docs)
+
+    from .conftest import SF_SMOKE
+
+    def pin10(x: float) -> Decimal:
+        return Decimal(x).quantize(Decimal("1E-10"), ROUND_HALF_UP)
+
+    tbl = paq.read_table(f"{SF_SMOKE}/documents.parquet",
+                         columns=["doc_id", "text"])
+    docs = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    dl = {d: len(t.split(" ")) for d, t in docs.items()}
+    n_docs, total_dl = len(docs), sum(dl.values())
+    avgdl = total_dl / n_docs
+    terms = sorted({t for _, t in BM25_QUERIES})
+    tf: dict[tuple[int, str], int] = {}
+    for d, t in docs.items():
+        for w in t.split(" "):
+            if w in terms:
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+    df: dict[str, int] = {}
+    for (d, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    idf = {w: float(pin10(math.log(
+        1.0 + (n_docs - df[w] + 0.5) / (df[w] + 0.5)))) for w in df}
+    scores: dict[tuple[int, int], Decimal] = {}
+    for (d, w), f in tf.items():
+        for qid, qw in BM25_QUERIES:
+            if qw != w:
+                continue
+            denom = f + BM25_K1 * (1.0 - BM25_B
+                                   + BM25_B * (dl[d] / avgdl))
+            s = pin10(idf[w] * (f * (BM25_K1 + 1.0)) / denom)
+            scores[(qid, d)] = scores.get((qid, d), Decimal(0)) + s
+    want = set()
+    by_q: dict[int, list] = {}
+    for (qid, d), s in scores.items():
+        by_q.setdefault(qid, []).append((d, s))
+    for qid, items in by_q.items():
+        items.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (d, s) in enumerate(items[:BM25_TOP_K], 1):
+            bm25 = float(Decimal(float(s)).quantize(
+                Decimal("1E-6"), ROUND_HALF_UP))
+            want.add((qid, d, bm25, rank))
+    got = {(r.query_id, r.doc_id, r.bm25, r.rank)
+           for r in bm25_topk_docs(spark, SF_SMOKE).collect()}
+    assert got == want
