@@ -787,3 +787,99 @@ FROM (
     FROM per_doc
 ) WHERE rank <= {BM25_TOP_K}
 """
+
+
+CMS_DEPTH = 4    # independent hash rows
+CMS_WIDTH = 64   # buckets per row (small so collisions are visible)
+CMS_TOP = 20     # report the sketch estimate for the top-20 words
+
+
+def count_min_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus word stream, reported against
+    ground truth: build a DEPTH×WIDTH integer counter matrix, then for
+    the top-``CMS_TOP`` words emit the exact count, the CMS estimate
+    (min over rows of the hashed bucket), and the overshoot. The CMS
+    is THE mergeable heavy-hitter sketch for streams/shards — counters
+    are plain sums, so shard sketches union by addition; unlike the
+    engine-internal `hll_sketch_users`/`approx_top_k_words` sketches
+    this one is built from first principles with md5 row-hashes, so it
+    is deterministic and fully oracle-checkable (the first
+    exactly-verified sketch in the family).
+
+    Scale: one explode + ONE combinable groupBy builds all DEPTH rows
+    (the depth fan-out is an in-row array explode, ×DEPTH records but
+    map-side combinable into ≤ DEPTH×WIDTH groups); the matrix is
+    DEPTH×WIDTH rows broadcast to the probe side. Overshoot ≥ 0 by
+    construction (CMS never undercounts).
+
+    Hash contract: bucket_i(w) = conv(md5(i || ':' || w)[:15], 16, 10)
+    % WIDTH — Spark `conv` ≡ DuckDB `('0x'||substr)::BIGINT` (the
+    minhash-proven identity, dedup.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word"))
+
+    def bucket(i: int, word_col) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"{i}:"), word_col))
+        return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+                % CMS_WIDTH)
+
+    cells = F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 bucket(i, F.col("word")).alias("bucket"))
+        for i in range(CMS_DEPTH)])
+    sketch = (tok.select(F.explode(cells).alias("c"))
+              .groupBy(F.col("c.row").alias("row"),
+                       F.col("c.bucket").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    top = (tok.groupBy("word").agg(F.count(F.lit(1)).alias("exact_count"))
+           .orderBy(F.col("exact_count").desc(), "word").limit(CMS_TOP))
+    probes = top.select(
+        "word", "exact_count",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row"),
+                     bucket(i, F.col("word")).alias("bucket"))
+            for i in range(CMS_DEPTH)])).alias("p"))
+    return (
+        probes.join(F.broadcast(sketch),
+                    (F.col("p.row") == F.col("row"))
+                    & (F.col("p.bucket") == F.col("bucket")))
+        .groupBy("word", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select("word", "exact_count", "cms_estimate",
+                (F.col("cms_estimate") - F.col("exact_count"))
+                .alias("overshoot")))
+
+
+def _cms_cells_sql(col: str) -> str:
+    parts = []
+    for i in range(CMS_DEPTH):
+        parts.append(
+            f"struct_pack(rw := {i}, bucket := "
+            f"('0x' || substr(md5('{i}:' || {col}), 1, 15))::BIGINT "
+            f"% {CMS_WIDTH})")
+    return "[" + ", ".join(parts) + "]"
+
+
+COUNT_MIN_WORDS_SQL = f"""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), cells AS (
+    SELECT unnest({_cms_cells_sql('word')}, recursive := true) FROM tok
+), sketch AS (
+    SELECT rw, bucket, count(*) AS cnt FROM cells GROUP BY rw, bucket
+), top AS (
+    SELECT word, count(*) AS exact_count FROM tok GROUP BY word
+    ORDER BY exact_count DESC, word LIMIT {CMS_TOP}
+), probes AS (
+    SELECT word, exact_count,
+           unnest({_cms_cells_sql('word')}, recursive := true)
+    FROM top
+)
+SELECT p.word, p.exact_count,
+       CAST(min(s.cnt) AS BIGINT) AS cms_estimate,
+       CAST(min(s.cnt) - p.exact_count AS BIGINT) AS overshoot
+FROM probes p JOIN sketch s ON p.rw = s.rw AND p.bucket = s.bucket
+GROUP BY p.word, p.exact_count
+"""

@@ -442,6 +442,9 @@ register("unigram_logprob_filter", ta.unigram_logprob_filter,
 register("bm25_topk_docs", ta.bm25_topk_docs, ta.BM25_TOPK_SQL,
          "BM25 ranked retrieval: top-10 docs per fixed query over the "
          "corpus (the search the flagship index exists to serve)")
+register("count_min_words", ta.count_min_words, ta.COUNT_MIN_WORDS_SQL,
+         "Count-Min sketch vs ground truth: md5-row-hashed mergeable "
+         "counter matrix, min-probe estimates for the top-20 words")
 register("approx_top_k_words", ta.approx_top_k_words,
          ta.APPROX_TOP_K_WORDS_SQL,
          "approx_top_k frequent-words sketch (exact with "

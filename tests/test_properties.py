@@ -241,3 +241,42 @@ def test_bm25_matches_pure_python_reference(spark):
     got = {(r.query_id, r.doc_id, r.bm25, r.rank)
            for r in bm25_topk_docs(spark, SF_SMOKE).collect()}
     assert got == want
+
+
+def test_count_min_never_undercounts_and_merges(spark, sf_dir):
+    """The two defining CMS properties: estimates never undercount
+    (overshoot >= 0 for every probed word), and the sketch is a
+    mergeable monoid — a sketch built per-language and summed
+    cell-wise equals the corpus-level sketch."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_in_pthreads_spark.operators.text_analysis import (
+        CMS_DEPTH, CMS_WIDTH)
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    rows = REGISTRY["count_min_words"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cms_estimate >= r.exact_count
+        assert r.overshoot == r.cms_estimate - r.exact_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word"))
+    cells = F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("word"))),
+                1, 15), 16, 10).cast("long") % CMS_WIDTH).alias("bucket"))
+        for i in range(CMS_DEPTH)])
+    exploded = tok.select("lang", F.explode(cells).alias("c"))
+    merged = {(r.row, r.bucket): r.cnt for r in (
+        exploded.groupBy("lang", "c.row", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+        .collect())}
+    direct = {(r.row, r.bucket): r.cnt for r in (
+        exploded.groupBy("c.row", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect())}
+    assert merged == direct
