@@ -1,9 +1,9 @@
 """Iterative + graph algorithms (SURVEY.md §2.3 north-star surface;
 no reference counterpart — mapreduce.c has no joins, let alone graph
-ops). PageRank is the class the driver contract exempts from SQL
-oracles ('genuinely non-SQL-expressible ops … iterative algorithms'),
-pinned by unit tests instead (tests/test_rows_only.py); connected
-components and the triangle census carry exact DuckDB oracles.
+ops). All three analytics — PageRank (round-4 upgrade), connected
+components and the triangle census — carry exact DuckDB oracles;
+PageRank additionally keeps its unit-test invariants
+(tests/test_rows_only.py).
 
 ``pagerank_word_graph``: power-iteration PageRank over the word
 co-occurrence graph (nodes = words, edges = bigram adjacency from
@@ -21,10 +21,15 @@ co-occurrence graph (nodes = words, edges = bigram adjacency from
   ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
   fault-tolerant truncation; localCheckpoint trades that for speed.
 
-Determinism: rank mass per word is a sum of float contributions whose
-order varies run to run, so results are rounded to 10 dp — the unit
-test asserts determinism at that precision plus the mass-conservation
-invariant Σrank ≈ 1.
+Determinism (upgraded round 4): rank mass per word is a sum of float
+contributions whose order varies run to run AND engine to engine, so
+every contribution is pinned to 10 dp and accumulated in
+DECIMAL(25,10) (the ``token_entropy`` order-stability trick) — sums
+become exact and order-free, making the whole power iteration
+bit-reproducible and ORACLE-CHECKABLE: ``PAGERANK_SQL`` replays all
+``ITERATIONS`` iterations as unrolled DuckDB CTEs (the k-means
+``_iteration_ctes`` machinery shape; DuckDB's recursive CTEs disallow
+the per-iteration aggregation, unrolling does not).
 """
 
 from __future__ import annotations
@@ -63,37 +68,110 @@ def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
              .distinct().cache())
     n_nodes = nodes.count()
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    dec = "decimal(25,10)"
+    zero = F.lit(0).cast(dec)
+    ranks = nodes.withColumn(
+        "rank",
+        F.round(F.lit(1.0) / F.lit(n_nodes), 10).cast(dec))
     for _ in range(ITERATIONS):
         contribs = (
             edges.join(ranks, edges.src == ranks.word)
             .join(out_weight, "src")
             .select(F.col("dst").alias("word"),
-                    (F.col("rank") * F.col("weight") / F.col("out_w"))
-                    .alias("contrib"))
+                    F.round(F.col("rank").cast("double")
+                            * F.col("weight") / F.col("out_w"), 10)
+                    .cast(dec).alias("contrib"))
             .groupBy("word")
-            .agg(F.sum("contrib").alias("in_mass"))
+            .agg(F.sum("contrib").alias("in_mass"))  # exact decimal sum
         )
         ranks = (
             nodes.join(contribs, "word", "left")
             .select(
                 "word",
-                ((1 - DAMPING) / n_nodes
-                 + DAMPING * F.coalesce("in_mass", F.lit(0.0))
-                 ).alias("rank"),
+                F.round(F.lit(1 - DAMPING) / F.lit(n_nodes)
+                        + F.lit(DAMPING)
+                        * F.coalesce("in_mass", zero).cast("double"), 10)
+                .cast(dec).alias("rank"),
             )
         )
         # dangling nodes (no outgoing edges) leak mass; redistribute it
         # uniformly so Σrank stays 1 — the standard correction, kept as
         # a DataFrame aggregation (no collect): total leaked = 1 - Σrank
-        total = ranks.agg(F.sum("rank").alias("s"))
+        total = ranks.agg(F.sum("rank").alias("s"))  # exact decimal sum
         ranks = ranks.crossJoin(F.broadcast(total)).select(
             "word",
-            (F.col("rank") + (1 - F.col("s")) / n_nodes).alias("rank"))
+            F.round(F.col("rank").cast("double")
+                    + (F.lit(1) - F.col("s")).cast("double")
+                    / F.lit(n_nodes), 10)
+            .cast(dec).alias("rank"))
         # truncate lineage: one materialization per iteration
         ranks = ranks.localCheckpoint(eager=True)
 
-    return ranks.select("word", F.round("rank", 10).alias("rank"))
+    return ranks.select("word", F.col("rank").cast("double").alias("rank"))
+
+
+def _pagerank_iteration_ctes() -> str:
+    """One (contrib → mass → rank → total → corrected) CTE block per
+    power iteration — same unrolling move as the k-means oracle."""
+    jump = repr(1 - DAMPING)
+    d = repr(DAMPING)
+    blocks = []
+    for i in range(1, ITERATIONS + 1):
+        blocks.append(f""",
+c{i} AS MATERIALIZED (
+    SELECT e.dst AS word,
+           CAST(round(CAST(r.rank AS DOUBLE) * e.weight / ow.out_w, 10)
+                AS DECIMAL(25,10)) AS contrib
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.word
+    JOIN out_w ow ON ow.src = e.src
+),
+m{i} AS MATERIALIZED (
+    SELECT word, sum(contrib) AS in_mass FROM c{i} GROUP BY word),
+p{i} AS MATERIALIZED (
+    SELECT n.word,
+           CAST(round({jump} / nn.n + {d}
+                      * CAST(COALESCE(m.in_mass,
+                                      CAST(0 AS DECIMAL(25,10)))
+                             AS DOUBLE), 10)
+                AS DECIMAL(25,10)) AS rank
+    FROM nodes n CROSS JOIN nn LEFT JOIN m{i} m ON n.word = m.word
+),
+t{i} AS MATERIALIZED (SELECT sum(rank) AS s FROM p{i}),
+r{i} AS MATERIALIZED (
+    SELECT word,
+           CAST(round(CAST(rank AS DOUBLE)
+                      + CAST(1 - s AS DOUBLE) / nn.n, 10)
+                AS DECIMAL(25,10)) AS rank
+    FROM p{i} CROSS JOIN t{i} CROSS JOIN nn
+)""")
+    return "".join(blocks)
+
+
+PAGERANK_SQL = f"""
+WITH g0 AS (
+    SELECT list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> struct_pack(src := string_split(text, ' ')[i],
+                                dst := string_split(text, ' ')[i + 1]))
+               AS lst
+    FROM documents
+), pairs AS (
+    SELECT unnest(lst, recursive := true) FROM g0
+), edges AS MATERIALIZED (
+    SELECT src, dst, count(*) AS weight FROM pairs GROUP BY src, dst
+), out_w AS MATERIALIZED (
+    SELECT src, CAST(sum(weight) AS BIGINT) AS out_w
+    FROM edges GROUP BY src
+), nodes AS MATERIALIZED (
+    SELECT src AS word FROM edges UNION SELECT dst FROM edges
+), nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+r0 AS MATERIALIZED (
+    SELECT word, CAST(round(1.0 / nn.n, 10) AS DECIMAL(25,10)) AS rank
+    FROM nodes CROSS JOIN nn
+){_pagerank_iteration_ctes()}
+SELECT word, CAST(rank AS DOUBLE) AS rank FROM r{ITERATIONS}
+"""
 
 
 def connected_components_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

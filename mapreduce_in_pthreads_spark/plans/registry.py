@@ -189,7 +189,7 @@ register("malformed_json_resilience", ss.malformed_json_resilience,
 register("variant_props_extract", ss.variant_props_extract,
          ss.VARIANT_PROPS_SQL,
          "VARIANT type: parse_json once, variant_get many (Spark 4)")
-register("pagerank_word_graph", it.pagerank_word_graph, None,
+register("pagerank_word_graph", it.pagerank_word_graph, it.PAGERANK_SQL,
          "iterative PageRank over word co-occurrence graph (rows-only)")
 register("connected_components_dedup", it.connected_components_dedup,
          it.CONNECTED_COMPONENTS_SQL,
