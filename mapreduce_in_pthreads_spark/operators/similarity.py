@@ -135,11 +135,16 @@ def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm. Demonstrates array aggregation without UDFs: explode →
     groupBy(label, dim) → re-assemble.
 
-    Rows-only check: cross-row float sums are order-dependent in the
-    low bits and these are arbitrary float32-derived doubles, where the
-    decimal-rounding trick of functions.numeric does not apply (it
-    needs sources with clean bounded decimal precision). The unit test
-    pins the result against a numpy ground truth instead."""
+    Round-4 upgrade from rows-only to ORACLE-matched: both cross-row
+    sums (elements within a (label, dim) group; squared means across
+    dims) are order-dependent in float, so each term is pinned to
+    10 dp and accumulated in DECIMAL(25,10) — the ``token_entropy``
+    trick. Pinning float32-derived doubles at 1e-10 is three orders
+    below float32's own ~1e-7 relative precision, so the statistic is
+    unchanged for every practical purpose (the numpy ground-truth test
+    still agrees to 1e-7) while becoming bit-reproducible across
+    engines, partitionings and releases."""
+    dec = "decimal(25,10)"
     emb = load_table(spark, sf_dir, "embeddings")
     dims = emb.select(
         "label",
@@ -147,13 +152,39 @@ def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dim", "x"),
     )
     per_dim = dims.groupBy("label", "dim").agg(
-        F.avg("x").alias("mean_x"))
+        F.sum(F.round("x", 10).cast(dec)).alias("sx"),
+        F.count(F.lit(1)).alias("n"))
+    mean_x = F.col("sx").cast("double") / F.col("n")
+    terms = per_dim.select(
+        "label",
+        F.round(mean_x * mean_x, 10).cast(dec).alias("term"))
     return (
-        per_dim.groupBy("label")
-        .agg(F.sqrt(F.sum(F.col("mean_x") * F.col("mean_x")))
-             .alias("centroid_norm"),
+        terms.groupBy("label")
+        .agg(F.sqrt(F.sum("term").cast("double")).alias("centroid_norm"),
              F.count(F.lit(1)).alias("n_dims"))
+        .select(F.col("label").cast("bigint").alias("label"),
+                "centroid_norm", "n_dims")
     )
+
+
+LABEL_CENTROID_NORMS_SQL = """
+WITH dims AS (
+    SELECT label, d,
+           CAST(round(CAST(embedding[d] AS DOUBLE), 10)
+                AS DECIMAL(25,10)) AS x
+    FROM embeddings CROSS JOIN range(1, 65) t(d)
+), per_dim AS (
+    SELECT label, d,
+           CAST(round((CAST(sum(x) AS DOUBLE) / count(*))
+                      * (CAST(sum(x) AS DOUBLE) / count(*)), 10)
+                AS DECIMAL(25,10)) AS term
+    FROM dims GROUP BY label, d
+)
+SELECT CAST(label AS BIGINT) AS label,
+       sqrt(CAST(sum(term) AS DOUBLE)) AS centroid_norm,
+       count(*) AS n_dims
+FROM per_dim GROUP BY label
+"""
 
 
 def ann_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -238,8 +238,10 @@ register("ann_topk_bruteforce", sim.ann_topk_bruteforce,
          "exact top-k cosine neighbors (baseline)")
 register("ann_ivf_topk", sim.ann_ivf_topk, sim.ANN_IVF_TOPK_SQL,
          "IVF cell-pruned top-k cosine neighbors (scale path)")
-register("label_centroid_norms", sim.label_centroid_norms, None,
-         "per-cell centroid norms (rows-only: cross-row float sums)")
+register("label_centroid_norms", sim.label_centroid_norms,
+         sim.LABEL_CENTROID_NORMS_SQL,
+         "per-cell centroid norms (decimal-pinned sums — "
+         "oracle-matched since round 4)")
 register("embedding_quantize_int8", sim.embedding_quantize_int8,
          sim.EMBEDDING_QUANTIZE_SQL,
          "symmetric int8 vector quantization, exact cross-engine codes")
@@ -555,9 +557,13 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # stat_crosstab, xpath_roundtrip, number_format_roundtrip,
 # window_navigation, range_frame_revenue, rank_distribution — plus the
 # round-4 additions kmeans_quantizer_cells, ann_ivf_trained_topk and
-# cluster_balanced_sample, plus the round-4 session-2 additions
-# (duplicate_spans, ...) — recount from the CORRECTNESS unions when
-# building the round-5 window.
+# cluster_balanced_sample, plus the round-4 session-2 additions:
+# duplicate_spans, mixture_sampling_weights, pq_adc_topk,
+# unigram_logprob_filter, bm25_topk_docs, count_min_words (41 total;
+# recount from the CORRECTNESS unions when building the round-5
+# window). pagerank_word_graph was oracle-UPGRADED in session 2
+# (decimal-pinned) — it is in this round's window, so its fresh row
+# already covers the new code.
 # With the flagship 6 that is 41; fill the 9 spare slots with the
 # round-4-CHANGED entries whose new code/oracles deserve fresh driver
 # rows: simhash_fingerprints (md5 rewrite + new oracle),

@@ -69,7 +69,9 @@ def test_label_centroid_norms_vs_numpy(spark, sf_dir):
         mat = np.stack(grp["embedding"].map(np.asarray)).astype(np.float64)
         centroid = np.mean(mat, axis=0)
         expect = float(np.linalg.norm(centroid))
-        assert math.isclose(got[label], expect, rel_tol=1e-9), label
+        # decimal pinning at 1e-10 perturbs the norm ~1e-9; float32
+        # inputs only carry ~1e-7 anyway
+        assert math.isclose(got[label], expect, rel_tol=1e-7), label
     assert len(got) == 10
 
 
