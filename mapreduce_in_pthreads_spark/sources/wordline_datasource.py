@@ -26,7 +26,12 @@ import glob
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 WORDLINE_SCHEMA = "filename string, linenum int, raw_line string"
 
@@ -54,14 +59,60 @@ class WordLineReader(DataSourceReader):
         return [InputPartition(f) for f in self._files]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
-        path = partition.value
-        with open(path, "rb") as fh:
-            text = fh.read().decode("latin-1")
-        lines = text.split("\n")
-        if text.endswith("\n"):
-            lines = lines[:-1]          # fgets: no phantom final line
-        for linenum, raw in enumerate(lines, start=1):
-            yield (path, linenum, raw)
+        yield from _read_file(partition.value)
+
+
+def _read_file(path: str) -> Iterator[tuple]:
+    """Shared fgets-faithful per-file record iterator (R1-R3)."""
+    with open(path, "rb") as fh:
+        text = fh.read().decode("latin-1")
+    lines = text.split("\n")
+    if text.endswith("\n"):
+        lines = lines[:-1]              # fgets: no phantom final line
+    for linenum, raw in enumerate(lines, start=1):
+        yield (path, linenum, raw)
+
+
+class WordLineStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader: the corpus arrives one FILE
+    per micro-batch, in sorted filename order — the Structured
+    Streaming analogue of the reference spawning one producer per file
+    (mapreduce.c:307-313), re-expressed as a replayable source. The
+    offset is simply the index of the next unread file, so
+    ``readBetweenOffsets`` replays any batch exactly (the contract
+    checkpoint recovery depends on); files appearing after the stream
+    starts are picked up because the listing re-expands on every
+    ``read`` call. A production source would track (file, mtime)
+    watermarks the way FileStreamSource does; the index offset is
+    enough for an immutable corpus."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("wordline stream requires a path")
+        self._path = path
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict):
+        files = _expand(self._path)
+        i = int(start["idx"])
+        if i >= len(files):
+            return iter(()), start      # caught up; offset unchanged
+        # iter(list), not a bare generator or list: the prefetch cache
+        # copy.copy()s the iterator for replay (generators can't be
+        # copied) and next()s it on the empty-batch path (lists aren't
+        # iterators)
+        return iter(list(_read_file(files[i]))), {"idx": i + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        files = _expand(self._path)
+        out: list[tuple] = []
+        for i in range(int(start["idx"]), int(end["idx"])):
+            if i < len(files):
+                out.extend(_read_file(files[i]))
+        return out
 
 
 class WordLineDataSource(DataSource):
@@ -74,6 +125,9 @@ class WordLineDataSource(DataSource):
 
     def reader(self, schema) -> WordLineReader:
         return WordLineReader(self.options)
+
+    def simpleStreamReader(self, schema) -> WordLineStreamReader:
+        return WordLineStreamReader(self.options)
 
 
 def register(spark) -> None:

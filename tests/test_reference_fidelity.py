@@ -153,3 +153,32 @@ def test_strict_fgets_identical_on_reference_corpus(spark):
     strict = sorted(map(tuple, read_word_per_line(
         spark, paths, strict_fgets=True).collect()))
     assert default == strict
+
+
+def test_wordline_stream_reader_matches_batch(spark, tmp_path):
+    """The streaming twin (one file per micro-batch via
+    SimpleDataSourceStreamReader) must drain to EXACTLY the batch
+    reader's rows over the reference corpus — same fgets fidelity,
+    replayable offsets."""
+    from mapreduce_in_pthreads_spark.sources import wordline_datasource as wl
+
+    wl.register(spark)
+    corpus = str(REF / "testfiles")
+    stream = (spark.readStream.format("wordline").load(corpus))
+    q = (stream.writeStream.format("memory")
+         .queryName("wordline_stream_parity")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM wordline_stream_parity").collect()
+    finally:
+        q.stop()
+    want = spark.read.format("wordline").load(corpus).collect()
+
+    def key(rows):
+        return sorted((r.filename.rsplit("/", 1)[-1], r.linenum,
+                       r.raw_line) for r in rows)
+
+    assert key(got) == key(want)
+    assert len(got) == 22271  # SURVEY corpus fact: total physical lines
