@@ -542,3 +542,101 @@ def blob_metadata_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["doc_id", "n_bytes", "first4_hex", "sha256"])
 
     return blobs.mapInArrow(meta_batches, BLOB_META_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = (
+    "doc_id bigint, n_pixels bigint, sum_b bigint, sum_g bigint, "
+    "sum_r bigint, mean_b double, mean_g double, mean_r double")
+
+
+def image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level feature extraction over a binary image column (the
+    'feature-extract' leg of the multimodal contract): decode each
+    synthesized 24-bit BMP payload and compute per-channel (B, G, R)
+    pixel sums and means — the stats a training pipeline computes for
+    normalization constants or brightness/solid-color filters.
+
+    This is the family's strongest oracle: the DuckDB twin re-derives
+    every PIXEL VALUE from first principles — ``encode_bmp`` tiles the
+    8-byte text seed over the padded pixel array, so byte (x, y, c)
+    equals seed[(y·row_bytes + 3x + c) mod L], parsed out of the hex
+    dump (the ``audio_rms_windows`` pattern) — and must match the real
+    decoder walking real bytes. A decoder that mis-strides rows,
+    forgets padding, or swaps channels mismatches immediately. Sums
+    are integers (exact); means are exact-int-over-int doubles.
+
+    Scale: Arrow-batched ``mapInPandas``, stateless per batch, no
+    shuffle — embarrassingly parallel like the other multimodal legs.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars")
+
+    def stats_batches(
+            batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_pixels", "sum_b",
+                                   "sum_g", "sum_r", "mean_b",
+                                   "mean_g", "mean_r")}
+            for doc_id, text, n_chars in zip(
+                    pdf["doc_id"], pdf["text"], pdf["n_chars"]):
+                payload = encode_bmp(
+                    int(n_chars) % 16 + 1, int(doc_id) % 8 + 1,
+                    (text or "x").encode("utf-8")[:8] or b"x")
+                pix_off = struct.unpack("<I", payload[10:14])[0]
+                w, h = struct.unpack("<ii", payload[18:26])
+                row_bytes = (w * 3 + 3) & ~3
+                sums = [0, 0, 0]
+                for y in range(h):
+                    base = pix_off + y * row_bytes
+                    for x in range(w):
+                        for c in range(3):
+                            sums[c] += payload[base + x * 3 + c]
+                n_px = w * h
+                out["doc_id"].append(doc_id)
+                out["n_pixels"].append(n_px)
+                out["sum_b"].append(sums[0])
+                out["sum_g"].append(sums[1])
+                out["sum_r"].append(sums[2])
+                out["mean_b"].append(sums[0] / n_px)
+                out["mean_g"].append(sums[1] / n_px)
+                out["mean_r"].append(sums[2] / n_px)
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(stats_batches, IMAGE_STATS_SCHEMA)
+
+
+IMAGE_STATS_SQL = """
+WITH dims AS (
+    SELECT doc_id,
+           n_chars % 16 + 1 AS w,
+           doc_id % 8 + 1 AS h,
+           ((n_chars % 16 + 1) * 3 + 3) // 4 * 4 AS row_bytes,
+           hex(encode(text)) AS hx,
+           least(octet_length(encode(text)), 8) AS L
+    FROM documents
+), px AS (
+    SELECT d.doc_id, c.c,
+           ('0x' || substr(d.hx,
+                CAST(2 * ((y.y * d.row_bytes + x.x * 3 + c.c) % d.L)
+                     + 1 AS INT), 2))::INT AS v
+    FROM dims d
+    CROSS JOIN range(0, 8) y(y)
+    CROSS JOIN range(0, 16) x(x)
+    CROSS JOIN range(0, 3) c(c)
+    WHERE y.y < d.h AND x.x < d.w
+)
+SELECT doc_id,
+       CAST(count(*) // 3 AS BIGINT) AS n_pixels,
+       CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_b,
+       CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN c = 0 THEN v END) AS DOUBLE)
+           / (count(*) // 3) AS mean_b,
+       CAST(sum(CASE WHEN c = 1 THEN v END) AS DOUBLE)
+           / (count(*) // 3) AS mean_g,
+       CAST(sum(CASE WHEN c = 2 THEN v END) AS DOUBLE)
+           / (count(*) // 3) AS mean_r
+FROM px GROUP BY doc_id
+"""

@@ -311,6 +311,10 @@ register("image_decode_meta", mm.image_decode_meta, mm.IMAGE_DECODE_SQL,
 register("image_resize_half", mm.image_resize_half, mm.IMAGE_RESIZE_SQL,
          "real nearest-neighbor 2:1 BMP downsample over binary "
          "payloads; shape+size oracle, pixel golden in pytest")
+register("image_channel_stats", mm.image_channel_stats,
+         mm.IMAGE_STATS_SQL,
+         "per-channel pixel sums/means from real BMP decode; oracle "
+         "re-derives every pixel byte from the seed tiling")
 register("audio_rms_windows", mm.audio_rms_windows, mm.AUDIO_RMS_SQL,
          "PCM int16 per-window RMS loudness via numpy mapInPandas "
          "(integer sum-of-squares + one IEEE sqrt: exact DuckDB twin "
