@@ -563,7 +563,8 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # round-4 additions kmeans_quantizer_cells, ann_ivf_trained_topk and
 # cluster_balanced_sample, plus the round-4 session-2 additions:
 # duplicate_spans, mixture_sampling_weights, pq_adc_topk,
-# unigram_logprob_filter, bm25_topk_docs, count_min_words (41 total;
+# unigram_logprob_filter, bm25_topk_docs, count_min_words,
+# image_channel_stats (42 total;
 # recount from the CORRECTNESS unions when building the round-5
 # window). pagerank_word_graph was oracle-UPGRADED in session 2
 # (decimal-pinned) — it is in this round's window, so its fresh row
