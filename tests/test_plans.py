@@ -68,7 +68,7 @@ def test_no_python_in_relational_hot_paths(spark, sf_dir):
                  "udtf_chunk_documents", "frame_sample", "ann_topk_blas",
                  "blob_metadata_arrow", "cogroup_reconcile",
                  "image_decode_meta", "image_resize_half",
-                 "audio_rms_windows",
+                 "audio_rms_windows", "image_channel_stats",
                  # RDD-API parity demo: Python by construction (the
                  # plan shows Scan ExistingRDD, not EvalPython)
                  "rdd_inverted_index"}
@@ -305,3 +305,39 @@ def test_observe_metrics_piggyback(spark, sf_dir):
     assert m["rows_seen"] == o.count()      # metrics saw ALL rows
     assert m["null_custkeys"] == 0
     assert n <= m["rows_seen"]
+
+
+def test_duplicate_spans_no_cartesian_hot_list_broadcast(spark, sf_dir):
+    """The span join must stay an equi-join on the gram (never a
+    cartesian), and the hot-gram guard must be a broadcast anti-join
+    below it."""
+    p = plan(spark, sf_dir, "duplicate_spans")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_pq_adc_scoring_is_broadcast_side(spark, sf_dir):
+    """PQ-ADC pairs every vector with the tiny query-LUT relation —
+    legal only as a BROADCAST nested loop (10 rows), never a shuffle
+    cartesian; the one exchange is the top-k window."""
+    p = plan(spark, sf_dir, "pq_adc_topk")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_bm25_broadcasts_stats_sides(spark, sf_dir):
+    """df/N/avgdl and the query list are broadcast; the corpus is
+    never on the build side of anything."""
+    p = plan(spark, sf_dir, "bm25_topk_docs")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_count_min_sketch_is_broadcast_probe(spark, sf_dir):
+    """The DEPTH x WIDTH counter matrix joins the probe side as a
+    broadcast — the sketch itself must never shuffle the corpus more
+    than the one build aggregation."""
+    p = plan(spark, sf_dir, "count_min_words")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
