@@ -338,3 +338,80 @@ SELECT (SELECT count(*) FROM qual) AS n_nodes,
           JOIN edges e3 ON e3.wa = e1.wa AND e3.wb = e2.wb)
            AS n_triangles
 """
+
+
+BFS_HOPS = 4
+
+
+def word_graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-path distances over the bigram word graph from a
+    deterministic source (the lexicographically smallest word) —
+    the graph-traversal leg of the iterative family (PageRank ranks,
+    CC clusters, triangles count, this one MEASURES). Classic frontier
+    expansion: only words first reached at hop h expand at hop h+1, so
+    per-round work is the frontier's out-edges, not the whole graph.
+    Distances are exact integers → exact DuckDB recursive-CTE oracle
+    (bounded to ``BFS_HOPS``, so the recursion terminates without
+    cycle tracking; min() collapses the path multiset).
+
+    Scale: distinct edges cached once; the frontier join shuffles only
+    frontier-reachable edges; per-round driver traffic is zero (the
+    loop is a fixed hop count, no convergence collect needed);
+    ``localCheckpoint`` truncates lineage per hop as in PageRank.
+    Words unreachable within BFS_HOPS are absent from the result —
+    same in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(F.get(toks, i).alias("src"),
+                           F.get(toks, i + 1).alias("dst")),
+    )
+    edges = (
+        docs.select(F.explode(bigrams).alias("e"))
+        .select("e.src", "e.dst").distinct().cache()
+    )
+    nodes = (edges.select(F.col("src").alias("word"))
+             .union(edges.select(F.col("dst").alias("word")))
+             .distinct())
+    source = nodes.agg(F.min("word")).collect()[0][0]  # bounded scalar
+
+    dist = spark.createDataFrame([(source, 0)], "word string, dist bigint")
+    frontier = dist
+    for hop in range(1, BFS_HOPS + 1):
+        nxt = (frontier.join(edges, frontier.word == edges.src)
+               .select(F.col("dst").alias("word"),
+                       F.lit(hop).cast("bigint").alias("dist")))
+        dist = (dist.unionByName(nxt)
+                .groupBy("word").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True))
+        frontier = dist.filter(F.col("dist") == hop)
+    return dist
+
+
+WORD_DISTANCES_SQL = f"""
+WITH RECURSIVE g0 AS (
+    SELECT list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> struct_pack(src := string_split(text, ' ')[i],
+                                dst := string_split(text, ' ')[i + 1]))
+               AS lst
+    FROM documents
+), pairs AS (
+    SELECT unnest(lst, recursive := true) FROM g0
+), edges AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM pairs
+), src AS (
+    SELECT min(word) AS word FROM (
+        SELECT src AS word FROM edges UNION SELECT dst FROM edges)
+), walk(word, dist) AS (
+    SELECT word, 0 FROM src
+    UNION ALL
+    SELECT e.dst, p.dist + 1
+    FROM walk p JOIN edges e ON e.src = p.word
+    WHERE p.dist < {BFS_HOPS}
+)
+SELECT word, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY word
+"""

@@ -198,6 +198,10 @@ register("connected_components_dedup", it.connected_components_dedup,
 register("triangle_count", it.triangle_count, it.TRIANGLE_COUNT_SQL,
          "triangle census of the word co-occurrence graph: oriented "
          "edge enumeration + 3-way wedge join, df-band hub guard")
+register("word_graph_distances", it.word_graph_distances,
+         it.WORD_DISTANCES_SQL,
+         "BFS shortest-path distances from the min word (frontier "
+         "expansion; oracle: bounded recursive CTE)")
 
 # --- deduplication (north-star: LLM data pipeline) -----------------------
 register("exact_dedup", dd.exact_dedup, dd.EXACT_DEDUP_SQL,
@@ -564,7 +568,7 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # cluster_balanced_sample, plus the round-4 session-2 additions:
 # duplicate_spans, mixture_sampling_weights, pq_adc_topk,
 # unigram_logprob_filter, bm25_topk_docs, count_min_words,
-# image_channel_stats (42 total;
+# image_channel_stats, word_graph_distances (43 total;
 # recount from the CORRECTNESS unions when building the round-5
 # window). pagerank_word_graph was oracle-UPGRADED in session 2
 # (decimal-pinned) — it is in this round's window, so its fresh row

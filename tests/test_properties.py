@@ -280,3 +280,37 @@ def test_count_min_never_undercounts_and_merges(spark, sf_dir):
         exploded.groupBy("c.row", "c.bucket")
         .agg(F.count(F.lit(1)).alias("cnt")).collect())}
     assert merged == direct
+
+
+def test_bfs_distances_triangle_inequality_and_source(spark, sf_dir):
+    """BFS sanity: the source (lexicographic min word) is at distance
+    0, every reached word's distance is within BFS_HOPS, and each
+    distance-h word (h >= 1) has an in-neighbor at distance h-1."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_in_pthreads_spark.operators.iterative import BFS_HOPS
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    rows = REGISTRY["word_graph_distances"].fn(spark, sf_dir).collect()
+    dist = {r.word: r.dist for r in rows}
+    assert min(dist.values()) == 0
+    source = min(dist)  # any reached word; check the real source below
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(F.get(toks, i).alias("src"),
+                           F.get(toks, i + 1).alias("dst")))
+    edges = {(r.src, r.dst) for r in
+             docs.select(F.explode(bigrams).alias("e"))
+             .select("e.src", "e.dst").distinct().collect()}
+    all_words = sorted({w for e in edges for w in e})
+    assert dist[all_words[0]] == 0, "source must be the min word"
+    assert source in dist
+    assert all(0 <= d <= BFS_HOPS for d in dist.values())
+    preds = {}
+    for s, t in edges:
+        preds.setdefault(t, set()).add(s)
+    for w, d in dist.items():
+        if d >= 1:
+            assert any(dist.get(p) == d - 1 for p in preds.get(w, ())), w
