@@ -213,6 +213,70 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup prune threshold. The synthetic corpus' cosine mass tops out
+# near 0.5 (measured sf0.01: 14 pairs round to 0.5, 257 to 0.4), so the
+# paper's 0.9+ "semantic duplicate" band would prune nothing here;
+# 0.35 exercises the real decision surface — hundreds of in-cell pairs
+# straddle it — while staying far from float-boundary ties.
+SEMDEDUP_TAU = 0.35
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = k-means cluster the embedding space, then inside
+    each cluster mark every vector whose cosine similarity to a
+    LOWER-id cluster-mate reaches ``SEMDEDUP_TAU`` as a duplicate —
+    the keep-one-representative-per-ε-ball policy made deterministic
+    by keeping the minimum vec_id. One row per vector:
+    (vec_id, cell, pruned 0/1).
+
+    This is the curation step the quantizer family exists to serve:
+    ``cluster_balanced_sample`` rebalances cluster SIZES, SemDeDup
+    removes REDUNDANCY inside each cluster — together they are the
+    paper's recipe for pruning web-scale training corpora with
+    negligible quality loss.
+
+    Scale: the pairwise cosine runs ONLY within a cell (equi-join on
+    the trained assignment — the same candidate-blocking shape as
+    ``embedding_near_dup``'s scale path), so pair fan-out is
+    Σ|cell|²/2, not n²/2; per-row norms are computed once per side
+    below the join; the dup verdict is a distinct + left join on
+    vec_id. At 100 TB the clustering bound is what makes SemDeDup
+    tractable at all — that is the paper's own argument.
+
+    Exactness: cell assignment is the integer-code k-means (module
+    docstring); the cosine chain is bit-identical with DuckDB's
+    ``list_cosine_similarity`` on DOUBLE[] (proven by
+    ``ann_ivf_trained_topk``'s green oracle); τ sits between the
+    attainable cosine values, never ON one.
+    """
+    coded, _, cents_final, _ = _train(spark, sf_dir)
+    assigned = _assign(coded, cents_final).withColumn(
+        "nrm", l2_norm("embedding"))
+    a = assigned.select(F.col("vec_id").alias("vec_a"),
+                        F.col("embedding").alias("ea"),
+                        F.col("cell").alias("cell_a"),
+                        F.col("nrm").alias("nrm_a"))
+    b = assigned.select(F.col("vec_id").alias("vec_b"),
+                        F.col("embedding").alias("eb"),
+                        F.col("cell").alias("cell_b"),
+                        F.col("nrm").alias("nrm_b"))
+    dup = (
+        a.join(b, (F.col("cell_a") == F.col("cell_b"))
+               & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos_sim",
+                    dot("ea", "eb") / (F.col("nrm_a") * F.col("nrm_b")))
+        .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
+        .select(F.col("vec_b").alias("vec_id")).distinct()
+        .withColumn("is_dup", F.lit(1)))
+    return (
+        assigned.select("vec_id", F.col("cell").cast("bigint").alias("cell"))
+        .join(dup, "vec_id", "left")
+        .select("vec_id", "cell",
+                F.coalesce(F.col("is_dup"), F.lit(0)).cast("bigint")
+                .alias("pruned")))
+
+
 def _iteration_ctes() -> str:
     blocks = []
     for it in range(1, KM_ITERS + 1):
@@ -259,6 +323,23 @@ FROM (
                                        vec_id) AS rnk
     FROM afinal
 ) WHERE rnk <= {SAMPLE_PER_CELL}
+"""
+
+SEMDEDUP_SQL = f"""{_PREFIX_SQL},{_assign_cte("afinal",
+                                              f"cents{KM_ITERS}")},
+vecs AS (
+    SELECT c.vec_id, a.cell, CAST(c.embedding AS DOUBLE[]) AS e
+    FROM coded c JOIN afinal a ON c.vec_id = a.vec_id
+),
+dup AS (
+    SELECT DISTINCT b.vec_id
+    FROM vecs a JOIN vecs b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= {SEMDEDUP_TAU}
+)
+SELECT v.vec_id, CAST(v.cell AS BIGINT) AS cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           AS pruned
+FROM vecs v LEFT JOIN dup d ON v.vec_id = d.vec_id
 """
 
 ANN_IVF_TRAINED_SQL = f"""{_PREFIX_SQL},{_assign_cte("afinal",

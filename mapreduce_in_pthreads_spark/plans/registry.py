@@ -270,6 +270,9 @@ register("cluster_balanced_sample", qz.cluster_balanced_sample,
          qz.CLUSTER_SAMPLE_SQL,
          "diversity sampling: top-N per trained cluster in "
          "deterministic md5 order (cluster-space stratified curation)")
+register("semdedup_prune", qz.semdedup_prune, qz.SEMDEDUP_SQL,
+         "SemDeDup: within-trained-cluster cosine near-dup pruning, "
+         "keep-min-id representative per ε-ball")
 
 # --- text analysis --------------------------------------------------------
 register("doc_quality_stats", ta.doc_quality_stats,

@@ -314,3 +314,47 @@ def test_bfs_distances_triangle_inequality_and_source(spark, sf_dir):
     for w, d in dist.items():
         if d >= 1:
             assert any(dist.get(p) == d - 1 for p in preds.get(w, ())), w
+
+
+def test_semdedup_prune_invariants(spark, sf_dir):
+    """SemDeDup policy invariants: one verdict per vector; the min-id
+    vector of every cell survives; a vector is pruned IFF some
+    lower-id cluster-mate reaches tau (checked against an independent
+    numpy recomputation of the within-cell cosines on the final
+    trained assignment)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mapreduce_in_pthreads_spark.operators.quantizer import SEMDEDUP_TAU
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    rows = REGISTRY["semdedup_prune"].fn(spark, sf_dir).collect()
+    emb = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+           for r in load_table(spark, sf_dir, "embeddings").collect()}
+    assert sorted(r.vec_id for r in rows) == sorted(emb)
+
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    n_pruned = 0
+    for members in by_cell.values():
+        members.sort(key=lambda r: r.vec_id)
+        assert members[0].pruned == 0, "min-id representative pruned"
+        for i, r in enumerate(members):
+            e = emb[r.vec_id]
+            cosines = [
+                float(np.dot(e, emb[m.vec_id]))
+                / (float(np.linalg.norm(e))
+                   * float(np.linalg.norm(emb[m.vec_id])))
+                for m in members[:i]]
+            # 1e-9 slack in BOTH directions only excuses numpy-vs-
+            # expression rounding at the boundary; the engine-vs-
+            # oracle contract stays exact.
+            if r.pruned:
+                n_pruned += 1
+                assert any(c >= SEMDEDUP_TAU - 1e-9 for c in cosines), (
+                    r.vec_id, r.cell)
+            else:
+                assert not any(c >= SEMDEDUP_TAU + 1e-9 for c in cosines), (
+                    r.vec_id, r.cell)
+    assert n_pruned > 0, "tau prunes nothing — threshold miscalibrated"
