@@ -251,6 +251,136 @@ FROM with_cum
 """
 
 
+DSIR_K = 256            # hashed n-gram feature buckets
+DSIR_TARGET_LANG = "en"  # deterministic "target domain" subset
+DSIR_SELECT_N = 100      # resample budget (top-N by importance)
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw document by how
+    target-domain-like it is under hashed n-gram bag-of-words language
+    models, then keep the top of the importance ranking. Features are
+    word unigrams AND bigrams hashed into ``DSIR_K`` buckets (the
+    paper's hashed n-gram trick — fixed feature space regardless of
+    vocabulary); the target distribution is trained on the
+    ``lang = DSIR_TARGET_LANG`` slice, the source on the full corpus; both
+    are add-one smoothed. Per document,
+    ``log w(d) = Σ_k c_k(d) · ln(p_tgt[k] / p_src[k])`` — the
+    importance log-weight — and ``selected`` marks the top
+    ``DSIR_SELECT_N`` by (weight, doc_id). Where
+    ``unigram_logprob_filter`` ranks by fluency under ONE corpus LM,
+    DSIR ranks by the LIKELIHOOD RATIO between a target and a source
+    LM — the paper's point is that the ratio, not the absolute
+    probability, is what matters for domain-matched selection.
+
+    Exactness: bucket ids use the md5→conv identity (count_min's
+    proven contract); each bucket's log-ratio is one libm ln pinned
+    via round(·,10)→DECIMAL(25,10) (the ``unigram_logprob_filter``
+    trick; the probability RATIO itself is exact-int casts and two
+    correctly-rounded divisions, identical cross-engine); per-doc
+    weights are exact integer-count × decimal products summed in
+    decimal.
+
+    Scale: feature hashing is per-row expressions; both LMs are ONE
+    map-side-combinable aggregation into ≤ DSIR_K groups off the
+    shared (doc, bucket) counts; the ≤ DSIR_K-row log-ratio table is
+    a broadcast join; scoring is one combinable per-doc sum. The
+    selection rank is a global window over the doc-score manifest —
+    at 100 TB swap it for an approx_percentile cutoff + map-side CASE
+    (same documented swap as ``unigram_logprob_filter``'s tercile).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    pair_len = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, pair_len), F.slice(toks, 2, pair_len),
+        lambda x, y: F.concat(x, F.lit(" "), y))
+    grams = docs.select(
+        "doc_id", "lang",
+        F.explode(F.concat(toks, bigrams)).alias("gram"))
+    bucket = (F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+              .cast("long") % DSIR_K)
+    pd_ = (grams.select("doc_id", "lang", bucket.alias("bucket"))
+           .groupBy("doc_id", "lang", "bucket")
+           .agg(F.count(F.lit(1)).alias("c")))
+    src = pd_.groupBy("bucket").agg(F.sum("c").alias("c_src"))
+    tgt = (pd_.filter(F.col("lang") == DSIR_TARGET_LANG)
+           .groupBy("bucket").agg(F.sum("c").alias("c_tgt")))
+    tot = (src.agg(F.sum("c_src").alias("t_src"))
+           .join(tgt.agg(F.sum("c_tgt").alias("t_tgt"))))
+    p_tgt = ((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1).cast("double")
+             / (F.col("t_tgt") + DSIR_K).cast("double"))
+    p_src = ((F.col("c_src") + 1).cast("double")
+             / (F.col("t_src") + DSIR_K).cast("double"))
+    ratios = (
+        src.join(tgt, "bucket", "left").join(F.broadcast(tot))
+        .select("bucket",
+                F.round(F.log(p_tgt / p_src), 10)
+                .cast("decimal(25,10)").alias("lr")))
+    scored = (
+        pd_.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_grams"),
+             F.sum(F.col("c").cast("decimal(10,0)")
+                   * F.col("lr")).alias("lw")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("lw").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .select("doc_id", F.col("n_grams").cast("bigint").alias("n_grams"),
+                F.round(F.col("lw").cast("double"), 6).alias("log_weight"),
+                F.when(F.col("rnk") <= DSIR_SELECT_N, 1).otherwise(0)
+                .cast("bigint").alias("selected")))
+
+
+DSIR_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+), grams AS (
+    SELECT doc_id, lang,
+           unnest(list_concat(t,
+               list_transform(range(1, greatest(len(t), 1)),
+                              i -> t[i] || ' ' || t[i + 1]))) AS gram
+    FROM toks
+), b AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(gram), 1, 15))::BIGINT % {DSIR_K} AS bucket
+    FROM grams
+), pd AS (
+    SELECT doc_id, lang, bucket, count(*) AS c FROM b GROUP BY 1, 2, 3
+), src AS (
+    SELECT bucket, CAST(sum(c) AS BIGINT) AS c_src FROM pd GROUP BY bucket
+), tgt AS (
+    SELECT bucket, CAST(sum(c) AS BIGINT) AS c_tgt FROM pd
+    WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+), tot AS (
+    SELECT (SELECT CAST(sum(c_src) AS BIGINT) FROM src) AS t_src,
+           (SELECT CAST(sum(c_tgt) AS BIGINT) FROM tgt) AS t_tgt
+), ratios AS (
+    SELECT s.bucket,
+           CAST(round(ln(
+               (CAST(COALESCE(t.c_tgt, 0) + 1 AS DOUBLE)
+                / CAST(tot.t_tgt + {DSIR_K} AS DOUBLE))
+               / (CAST(s.c_src + 1 AS DOUBLE)
+                  / CAST(tot.t_src + {DSIR_K} AS DOUBLE))), 10)
+                AS DECIMAL(25,10)) AS lr
+    FROM src s LEFT JOIN tgt t ON s.bucket = t.bucket CROSS JOIN tot
+), scored AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+           sum(CAST(c AS DECIMAL(10,0)) * r.lr) AS lw
+    FROM pd JOIN ratios r USING (bucket)
+    GROUP BY doc_id
+)
+SELECT doc_id, n_grams, round(CAST(lw AS DOUBLE), 6) AS log_weight,
+       CAST(CASE WHEN rnk <= {DSIR_SELECT_N} THEN 1 ELSE 0 END AS BIGINT)
+           AS selected
+FROM (SELECT *, row_number() OVER (ORDER BY lw DESC, doc_id) AS rnk
+      FROM scored)
+"""
+
+
 def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline-gate integrity checks in ONE pass shape (dbt-style
     assertions as a query, not a framework): FK orphans, key

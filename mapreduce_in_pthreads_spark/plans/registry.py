@@ -235,6 +235,10 @@ register("mixture_sampling_weights", cu.mixture_sampling_weights,
          cu.MIXTURE_WEIGHTS_SQL,
          "temperature-sampled multilingual mix weights (alpha=0.5, "
          "sqrt-damped, deterministic running-sum denominator)")
+register("dsir_importance_weights", cu.dsir_importance_weights,
+         cu.DSIR_SQL,
+         "DSIR importance resampling: hashed unigram+bigram LMs, "
+         "target/source log-likelihood ratio, top-N selection")
 
 # --- similarity search ----------------------------------------------------
 register("ann_topk_bruteforce", sim.ann_topk_bruteforce,

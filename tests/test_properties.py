@@ -358,3 +358,33 @@ def test_semdedup_prune_invariants(spark, sf_dir):
                 assert not any(c >= SEMDEDUP_TAU + 1e-9 for c in cosines), (
                     r.vec_id, r.cell)
     assert n_pruned > 0, "tau prunes nothing — threshold miscalibrated"
+
+
+def test_dsir_selects_target_domain(spark, sf_dir):
+    """DSIR semantics: the importance ranking must actually prefer the
+    target domain — the target language's mean log-weight is the
+    strict per-language maximum, and a strong majority of the selected
+    top-N are target-language docs (85/100 at sf0.01; bound at 60 to
+    absorb corpus regeneration). Also pins the selection contract:
+    exactly DSIR_SELECT_N selected, and every selected weight >= every
+    unselected weight."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_in_pthreads_spark.operators.curation import (
+        DSIR_SELECT_N, DSIR_TARGET_LANG)
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    res = REGISTRY["dsir_importance_weights"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = res.join(docs, "doc_id").collect()
+    sel = [r for r in j if r.selected == 1]
+    assert len(sel) == DSIR_SELECT_N
+    assert min(r.log_weight for r in sel) >= max(
+        r.log_weight for r in j if r.selected == 0)
+    n_target = sum(1 for r in sel if r.lang == DSIR_TARGET_LANG)
+    assert n_target >= 0.6 * DSIR_SELECT_N, n_target
+    means = {}
+    for r in j:
+        means.setdefault(r.lang, []).append(r.log_weight)
+    means = {k: sum(v) / len(v) for k, v in means.items()}
+    assert max(means, key=means.get) == DSIR_TARGET_LANG, means
