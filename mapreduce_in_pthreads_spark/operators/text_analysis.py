@@ -667,27 +667,11 @@ BM25_QUERIES = (
 )
 
 
-def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval over the corpus — the query-time
-    counterpart of the flagship inverted index (SURVEY.md §2.3: the
-    reference BUILDS the index, mapreduce.c:168-185; this is the
-    search that index exists to serve). Standard Robertson/Lucene
-    BM25: idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation
-    k1=1.2, length normalization b=0.75 against the corpus mean
-    document length; top-10 documents per query.
-
-    Exactness: idf carries an ln, so it is pinned via
-    round(·,10)→DECIMAL(25,10) (the ``token_entropy`` trick) before
-    re-entering float math; everything else is exact-int-derived IEEE
-    arithmetic in one written order; per-(query,doc) term scores are
-    again decimal-rounded and summed exactly.
-
-    Scale: term frequencies for QUERY TERMS ONLY (the explode filters
-    to the tiny term set before any shuffle — at 100 TB the scan is
-    the cost, which an inverted-index table or bloom pushdown would
-    prune); df/N/avgdl are vocab- and 1-row-sized broadcasts; the
-    top-k is a per-query window, never a global sort.
-    """
+def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 candidate scoring: one row per (query_id, doc_id)
+    with the exact decimal BM25 ``score_sum`` plus the raw ``tf_sum``
+    and ``dl`` the fusion ranker needs. Candidates = docs containing
+    ≥ 1 query term (identical for every ranker built on top)."""
     docs = load_table(spark, sf_dir, "documents")
     terms = sorted({t for _, t in BM25_QUERIES})
     tok = docs.select(
@@ -722,9 +706,36 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "n_docs", "total_dl")), "word")
         .join(dl, "doc_id")
         .join(F.broadcast(qdf), "word")
-        .select("query_id", "doc_id", term_score.alias("s")))
-    per_doc = scored.groupBy("query_id", "doc_id").agg(
-        F.sum("s").alias("score_sum"))
+        .select("query_id", "doc_id", term_score.alias("s"),
+                "tf", "dl"))
+    return scored.groupBy("query_id", "doc_id").agg(
+        F.sum("s").alias("score_sum"),
+        F.sum("tf").alias("tf_sum"),
+        F.min("dl").alias("dl"))
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus — the query-time
+    counterpart of the flagship inverted index (SURVEY.md §2.3: the
+    reference BUILDS the index, mapreduce.c:168-185; this is the
+    search that index exists to serve). Standard Robertson/Lucene
+    BM25: idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation
+    k1=1.2, length normalization b=0.75 against the corpus mean
+    document length; top-10 documents per query.
+
+    Exactness: idf carries an ln, so it is pinned via
+    round(·,10)→DECIMAL(25,10) (the ``token_entropy`` trick) before
+    re-entering float math; everything else is exact-int-derived IEEE
+    arithmetic in one written order; per-(query,doc) term scores are
+    again decimal-rounded and summed exactly.
+
+    Scale: term frequencies for QUERY TERMS ONLY (the explode filters
+    to the tiny term set before any shuffle — at 100 TB the scan is
+    the cost, which an inverted-index table or bloom pushdown would
+    prune); df/N/avgdl are vocab- and 1-row-sized broadcasts; the
+    top-k is a per-query window, never a global sort.
+    """
+    per_doc = _bm25_per_doc(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_sum").desc(), F.col("doc_id"))
     return (
@@ -735,11 +746,63 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("bm25"), "rank"))
 
 
+RRF_K = 60       # the standard reciprocal-rank-fusion damping constant
+RRF_TOP_K = 10
+
+
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009): fuse two retrieval runs over the same candidate set —
+    the BM25 ranking and a term-frequency-density ranking
+    (Σ tf / doc_len; the length-normalized boolean/tf retrieval
+    baseline) — by ``rrf = 1/(K + rank_a) + 1/(K + rank_b)``,
+    K = 60. RRF is THE production fusion rule for hybrid
+    lexical+vector search stacks precisely because it needs no score
+    calibration, only ranks — swapping ranker B for an ANN cosine
+    run (``ann_topk_bruteforce``) leaves this plan shape unchanged.
+
+    Exactness: both input rankings order by exact quantities (decimal
+    BM25 sums; tf/dl correctly-rounded int-derived doubles) with
+    doc_id tie-breaks; the fused score is two correctly-rounded
+    divisions of exact ints summed in one written order, rounded to
+    10 dp before the final ordering — bit-identical cross-engine.
+
+    Scale: reuses the single shared candidate aggregation
+    (``_bm25_per_doc``); all three row_number windows partition by
+    query_id, so Catalyst shares ONE exchange across them; the top-k
+    is per-query, never a global sort.
+    """
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("score_sum").desc(), F.col("doc_id"))
+    wb = Window.partitionBy("query_id").orderBy(
+        (F.col("tf_sum").cast("double") / F.col("dl")).desc(),
+        F.col("doc_id"))
+    fused = (
+        per_doc
+        .withColumn("rank_bm25", F.row_number().over(wa))
+        .withColumn("rank_tfd", F.row_number().over(wb))
+        .withColumn("rrf", F.round(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_bm25"))
+            + F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_tfd")), 10)))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("fused_rank",
+                         F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("fused_rank") <= RRF_TOP_K)
+        .select("query_id", "doc_id",
+                F.round("rrf", 6).alias("rrf_score"),
+                F.col("rank_bm25").cast("bigint").alias("rank_bm25"),
+                F.col("rank_tfd").cast("bigint").alias("rank_tfd"),
+                "fused_rank"))
+
+
 def _bm25_values_sql() -> str:
     return ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERIES)
 
 
-BM25_TOPK_SQL = f"""
+_BM25_PREFIX_SQL = f"""
 WITH q(query_id, word) AS (VALUES {_bm25_values_sql()}),
 tok AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS word
@@ -769,15 +832,19 @@ tok AS (
                          * ({1.0 - BM25_B!r} + {BM25_B!r}
                             * (dl.dl / (CAST(i.total_dl AS DOUBLE)
                                         / i.n_docs)))), 10)
-                AS DECIMAL(25,10)) AS s
+                AS DECIMAL(25,10)) AS s,
+           tf.tf AS tf, dl.dl AS dl
     FROM tf
     JOIN idf i USING (word)
     JOIN dl ON dl.doc_id = tf.doc_id
     JOIN q ON q.word = tf.word
 ), per_doc AS (
-    SELECT query_id, doc_id, sum(s) AS score_sum
+    SELECT query_id, doc_id, sum(s) AS score_sum,
+           CAST(sum(tf) AS BIGINT) AS tf_sum, min(dl) AS dl
     FROM scored GROUP BY query_id, doc_id
-)
+)"""
+
+BM25_TOPK_SQL = f"""{_BM25_PREFIX_SQL}
 SELECT query_id, doc_id,
        round(CAST(score_sum AS DOUBLE), 6) AS bm25, rank
 FROM (
@@ -786,6 +853,34 @@ FROM (
                   AS rank
     FROM per_doc
 ) WHERE rank <= {BM25_TOP_K}
+"""
+
+RRF_FUSION_SQL = f"""{_BM25_PREFIX_SQL},
+ranked AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score_sum DESC, doc_id)
+               AS rank_bm25,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY CAST(tf_sum AS DOUBLE) / dl DESC,
+                                       doc_id)
+               AS rank_tfd
+    FROM per_doc
+), fused AS (
+    SELECT query_id, doc_id, rank_bm25, rank_tfd,
+           round(CAST(1 AS DOUBLE) / ({RRF_K} + rank_bm25)
+                 + CAST(1 AS DOUBLE) / ({RRF_K} + rank_tfd), 10) AS rrf
+    FROM ranked
+)
+SELECT query_id, doc_id, round(rrf, 6) AS rrf_score,
+       CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+       CAST(rank_tfd AS BIGINT) AS rank_tfd, fused_rank
+FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rrf DESC, doc_id)
+                   AS BIGINT) AS fused_rank
+    FROM fused
+) WHERE fused_rank <= {RRF_TOP_K}
 """
 
 

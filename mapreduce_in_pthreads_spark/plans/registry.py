@@ -459,6 +459,9 @@ register("unigram_logprob_filter", ta.unigram_logprob_filter,
 register("bm25_topk_docs", ta.bm25_topk_docs, ta.BM25_TOPK_SQL,
          "BM25 ranked retrieval: top-10 docs per fixed query over the "
          "corpus (the search the flagship index exists to serve)")
+register("rrf_fusion_topk", ta.rrf_fusion_topk, ta.RRF_FUSION_SQL,
+         "reciprocal-rank fusion of BM25 + tf-density retrieval runs "
+         "(the hybrid-search fusion rule, K=60)")
 register("count_min_words", ta.count_min_words, ta.COUNT_MIN_WORDS_SQL,
          "Count-Min sketch vs ground truth: md5-row-hashed mergeable "
          "counter matrix, min-probe estimates for the top-20 words")

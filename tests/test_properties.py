@@ -388,3 +388,33 @@ def test_dsir_selects_target_domain(spark, sf_dir):
         means.setdefault(r.lang, []).append(r.log_weight)
     means = {k: sum(v) / len(v) for k, v in means.items()}
     assert max(means, key=means.get) == DSIR_TARGET_LANG, means
+
+
+def test_rrf_fusion_consistency(spark, sf_dir):
+    """RRF contract: the fused score is exactly 1/(K+rank_bm25) +
+    1/(K+rank_tfd) (recomputed in python); Pareto dominance holds
+    (better on BOTH input ranks => better fused rank); and the
+    rank_bm25 column agrees with the standalone bm25_topk_docs
+    ranking on the docs both surface."""
+    from mapreduce_in_pthreads_spark.operators.text_analysis import RRF_K
+
+    rows = REGISTRY["rrf_fusion_topk"].fn(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        expect = round(1.0 / (RRF_K + r.rank_bm25)
+                       + 1.0 / (RRF_K + r.rank_tfd), 6)
+        assert abs(r.rrf_score - expect) < 1e-9, r
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        for a in rs:
+            for b in rs:
+                if (a.rank_bm25 < b.rank_bm25
+                        and a.rank_tfd < b.rank_tfd):
+                    assert a.fused_rank < b.fused_rank, (a, b)
+    bm25 = REGISTRY["bm25_topk_docs"].fn(spark, sf_dir).collect()
+    bm25_rank = {(r.query_id, r.doc_id): r.rank for r in bm25}
+    for r in rows:
+        key = (r.query_id, r.doc_id)
+        if key in bm25_rank:
+            assert r.rank_bm25 == bm25_rank[key], key
