@@ -578,7 +578,9 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # cluster_balanced_sample, plus the round-4 session-2 additions:
 # duplicate_spans, mixture_sampling_weights, pq_adc_topk,
 # unigram_logprob_filter, bm25_topk_docs, count_min_words,
-# image_channel_stats, word_graph_distances (43 total;
+# image_channel_stats, word_graph_distances, plus the round-4
+# session-3 additions: semdedup_prune, dsir_importance_weights,
+# rrf_fusion_topk (46 total;
 # recount from the CORRECTNESS unions when building the round-5
 # window). pagerank_word_graph was oracle-UPGRADED in session 2
 # (decimal-pinned) — it is in this round's window, so its fresh row
