@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.lineage import truncate_lineage
 from ..sources.tables import load_table
 
 N_HASHES = 8          # minhash signature length
@@ -43,7 +44,7 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs per-row. The only shuffles left in the dedup pipelines are the
     pair-generation joins.
 
-    The result is MATERIALIZED (eager localCheckpoint) and callers
+    The result is MATERIALIZED (eager ``truncate_lineage``) and callers
     derive every branch (explode view, signatures, verify sides) from
     the one returned DataFrame. Measured rationale at sf0.1: without
     the barrier, each of the 4+ join branches re-planned the shingle
@@ -52,10 +53,12 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full trigram pipeline ran twice per branch with one of the
     runs on the SINGLE-partition scan side (28 s for the jaccard
     join). Checkpointing computes shingles exactly once, in parallel
-    (11 s → 3 s). On a cluster this is the
-    ``setCheckpointDir``+``checkpoint()`` pattern, or a staging table
-    — the same explicit materialization every production dedup
-    pipeline puts between tokenization and pair generation."""
+    (11 s → 3 s). On a cluster, set the
+    ``spark.mapreduce_in_pthreads.reliableCheckpoint`` conf (see
+    ``functions/lineage.py``) to write the barrier to the reliable
+    checkpoint dir instead — the same explicit materialization every
+    production dedup pipeline puts between tokenization and pair
+    generation."""
     docs = load_table(spark, sf_dir, "documents")
     # hash repartition BEFORE the shingle projection: the single
     # parquet file scans as ONE partition, so projecting first would
@@ -81,7 +84,7 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = F.array_distinct(F.slice(tri, 1, m))
     sets = base.select("doc_id", sh.alias("shset"),
                        F.size(sh).alias("n_shingles"))
-    return sets.localCheckpoint(eager=True)
+    return truncate_lineage(sets)
 
 
 def _explode_shingles(sets: DataFrame) -> DataFrame:

@@ -14,12 +14,13 @@ co-occurrence graph (nodes = words, edges = bigram adjacency from
   one shuffle of the (small) rank vector, not a re-scan of the corpus;
 - ranks are a DataFrame, never driver-side state (no collect in the
   loop — the 100 TB rule);
-- lineage is TRUNCATED each iteration with ``localCheckpoint`` —
-  without it the logical plan doubles per iteration and Catalyst
-  planning time explodes exponentially (measured: 10 iterations
-  un-checkpointed never finish planning). On a cluster, prefer
-  ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
-  fault-tolerant truncation; localCheckpoint trades that for speed.
+- lineage is TRUNCATED each iteration via
+  ``functions.lineage.truncate_lineage`` — without it the logical
+  plan doubles per iteration and Catalyst planning time explodes
+  exponentially (measured: 10 iterations un-checkpointed never
+  finish planning). Local runs use ``localCheckpoint``; a cluster
+  opts into fault-tolerant ``checkpoint()`` with two lines of config
+  (``sc.setCheckpointDir`` + ``spark.mapreduce_in_pthreads.reliableCheckpoint=true`` — see that module's docstring).
 
 Determinism (upgraded round 4): rank mass per word is a sum of float
 contributions whose order varies run to run AND engine to engine, so
@@ -37,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.lineage import truncate_lineage
 from ..sources.tables import load_table
 from . import dedup as dd
 
@@ -105,7 +107,7 @@ def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.lit(n_nodes), 10)
             .cast(dec).alias("rank"))
         # truncate lineage: one materialization per iteration
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = truncate_lineage(ranks)
 
     return ranks.select("word", F.col("rank").cast("double").alias("rank"))
 
@@ -197,7 +199,7 @@ def connected_components_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     - the convergence test is a scalar aggregate (Σlabels, which is
       monotonically non-increasing and integer, so equality == exact
       fixpoint) — one tiny action per round, never a data collect.
-    - lineage is truncated per round with ``localCheckpoint`` (same
+    - lineage is truncated per round with ``truncate_lineage`` (same
       rationale as ``pagerank_word_graph``).
 
     Unlike PageRank this IS oracle-checkable: min-label-at-fixpoint is
@@ -215,7 +217,7 @@ def connected_components_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = truncate_lineage(labels)
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(MAX_CC_ITERATIONS):
         nbr_min = (
@@ -224,13 +226,12 @@ def connected_components_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("cluster_id").alias("nbr_min"))
             .withColumnRenamed("src", "doc_id")
         )
-        labels = (
+        labels = truncate_lineage(
             labels.join(nbr_min, "doc_id", "left")
             .select("doc_id",
                     F.least("cluster_id",
                             F.coalesce("nbr_min", F.col("cluster_id")))
                     .alias("cluster_id"))
-            .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -357,7 +358,7 @@ def word_graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: distinct edges cached once; the frontier join shuffles only
     frontier-reachable edges; per-round driver traffic is zero (the
     loop is a fixed hop count, no convergence collect needed);
-    ``localCheckpoint`` truncates lineage per hop as in PageRank.
+    ``truncate_lineage`` truncates lineage per hop as in PageRank.
     Words unreachable within BFS_HOPS are absent from the result —
     same in both engines.
     """
@@ -383,9 +384,9 @@ def word_graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = (frontier.join(edges, frontier.word == edges.src)
                .select(F.col("dst").alias("word"),
                        F.lit(hop).cast("bigint").alias("dist")))
-        dist = (dist.unionByName(nxt)
-                .groupBy("word").agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=True))
+        dist = truncate_lineage(
+            dist.unionByName(nxt)
+            .groupBy("word").agg(F.min("dist").alias("dist")))
         frontier = dist.filter(F.col("dist") == hop)
     return dist
 

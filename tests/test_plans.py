@@ -341,3 +341,43 @@ def test_count_min_sketch_is_broadcast_probe(spark, sf_dir):
     p = plan(spark, sf_dir, "count_min_words")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_rrf_shares_bm25_exchange_budget(spark, sf_dir):
+    """All three fusion windows partition by query_id, so RRF must
+    plan with the SAME exchange count as plain BM25 — fusion adds
+    sorts, never shuffles."""
+    assert (plan(spark, sf_dir, "rrf_fusion_topk")
+            .count("Exchange hashpartitioning")
+            == plan(spark, sf_dir, "bm25_topk_docs")
+            .count("Exchange hashpartitioning"))
+
+
+def test_reliable_checkpoint_switch(spark, sf_dir, tmp_path):
+    """truncate_lineage honors the reliableCheckpoint conf: with a
+    checkpoint dir set and the conf on, iterative results are
+    unchanged AND the reliable checkpoint directory receives data;
+    with the conf off (default) nothing is written there."""
+    import os
+
+    from mapreduce_in_pthreads_spark.functions.lineage import (
+        RELIABLE_CONF)
+    from mapreduce_in_pthreads_spark.plans.registry import REGISTRY
+
+    def run():
+        return sorted(
+            map(tuple,
+                REGISTRY["connected_components_dedup"]
+                .fn(spark, sf_dir).collect()))
+
+    baseline = run()
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try:
+        assert not any(files for _, _, files in os.walk(ckpt))
+        spark.conf.set(RELIABLE_CONF, "true")
+        assert run() == baseline
+        assert any(files for _, _, files in os.walk(ckpt)), (
+            "reliable mode did not write to the checkpoint dir")
+    finally:
+        spark.conf.unset(RELIABLE_CONF)
