@@ -251,6 +251,47 @@ FROM with_cum
 """
 
 
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup (He et al. 2024, arXiv:2407.06654): instead of
+    DELETING near-duplicates, reweight them — every document gets
+    sampling weight 1/commonness, where commonness = the size of its
+    transitive near-dup cluster (``connected_components_dedup``'s
+    Hash-Min closure over the Jaccard similarity graph; singletons get
+    weight 1.0). A dup cluster of size k contributes total mass 1
+    instead of k, so the EXPECTED training mix equals the
+    hard-dedup'd one while keeping every surface form available —
+    the paper's argument for why soft beats hard dedup at equal
+    compute.
+
+    Reuses the shipped cluster assignment verbatim (a consistency
+    proof across operators, like ``curation_funnel``): the weight
+    column is the only new math, and 1/int is one correctly-rounded
+    division, identical cross-engine.
+
+    Scale: cluster sizes are one combinable count over the (bigint)
+    label relation; the weight join ships (cluster_id, commonness)
+    pairs — bounded by the number of clusters, broadcastable.
+    """
+    cc = connected_components_dedup(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("commonness"))
+    return (
+        cc.join(F.broadcast(sizes), "cluster_id")
+        .select("doc_id", "cluster_id", "commonness",
+                (F.lit(1.0) / F.col("commonness")).alias("weight")))
+
+
+SOFT_DEDUP_SQL = f"""
+WITH cc AS (SELECT * FROM ({CONNECTED_COMPONENTS_SQL})),
+sizes AS (
+    SELECT cluster_id, count(*) AS commonness FROM cc GROUP BY cluster_id
+)
+SELECT c.doc_id, c.cluster_id, s.commonness,
+       CAST(1 AS DOUBLE) / s.commonness AS weight
+FROM cc c JOIN sizes s USING (cluster_id)
+"""
+
+
 DSIR_K = 256            # hashed n-gram feature buckets
 DSIR_TARGET_LANG = "en"  # deterministic "target domain" subset
 DSIR_SELECT_N = 100      # resample budget (top-N by importance)

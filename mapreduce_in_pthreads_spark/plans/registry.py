@@ -239,6 +239,10 @@ register("dsir_importance_weights", cu.dsir_importance_weights,
          cu.DSIR_SQL,
          "DSIR importance resampling: hashed unigram+bigram LMs, "
          "target/source log-likelihood ratio, top-N selection")
+register("soft_dedup_weights", cu.soft_dedup_weights,
+         cu.SOFT_DEDUP_SQL,
+         "SoftDeDup reweighting: 1/commonness sampling weight from "
+         "the transitive near-dup cluster size (soft, not hard, dedup)")
 
 # --- similarity search ----------------------------------------------------
 register("ann_topk_bruteforce", sim.ann_topk_bruteforce,

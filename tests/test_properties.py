@@ -418,3 +418,20 @@ def test_rrf_fusion_consistency(spark, sf_dir):
         key = (r.query_id, r.doc_id)
         if key in bm25_rank:
             assert r.rank_bm25 == bm25_rank[key], key
+
+
+def test_soft_dedup_weight_mass(spark, sf_dir):
+    """SoftDeDup contract: weight * commonness == 1 per doc, every doc
+    appears once, each cluster's total mass is exactly 1 (so the
+    expected mix equals hard dedup), and the corpus has at least one
+    non-singleton cluster for the reweighting to act on."""
+    rows = REGISTRY["soft_dedup_weights"].fn(spark, sf_dir).collect()
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    mass = {}
+    for r in rows:
+        assert abs(r.weight * r.commonness - 1.0) < 1e-12
+        mass[r.cluster_id] = mass.get(r.cluster_id, 0.0) + r.weight
+    assert all(abs(m - 1.0) < 1e-9 for m in mass.values())
+    assert any(r.commonness > 1 for r in rows)
