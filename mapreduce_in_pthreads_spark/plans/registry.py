@@ -584,7 +584,7 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # unigram_logprob_filter, bm25_topk_docs, count_min_words,
 # image_channel_stats, word_graph_distances, plus the round-4
 # session-3 additions: semdedup_prune, dsir_importance_weights,
-# rrf_fusion_topk (46 total;
+# rrf_fusion_topk, soft_dedup_weights (47 total;
 # recount from the CORRECTNESS unions when building the round-5
 # window). pagerank_word_graph was oracle-UPGRADED in session 2
 # (decimal-pinned) — it is in this round's window, so its fresh row
