@@ -77,6 +77,97 @@ FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
 """
 
 
+ASOF_TOL_US = 6 * 3600 * 1_000_000  # 6h — splits the corpus ~55/45
+
+
+def asof_join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN, ``direction='nearest'`` with tolerance (the pandas
+    ``merge_asof`` variant ``asof_join_prior_event`` doesn't cover):
+    for every purchase, the same-user non-purchase event with the
+    SMALLEST absolute time distance, if that distance is within
+    ``ASOF_TOL_US``; past wins exact-distance ties. Signed ``gap_us``
+    (positive = event before the purchase) and a direction tag.
+
+    Scalable composition: nearest-by-|Δt| NEVER needs the pair-explosion
+    range join, because in the per-user (ts, event_id) total order the
+    globally nearest candidate is always one of exactly TWO rows — the
+    latest predecessor or the earliest successor. Both come from the
+    same union+window trick as the backward as-of (``last`` over
+    preceding / ``first`` over following), so the whole operator is
+    still ONE shuffle, then a per-row 2-way comparison.
+
+    Determinism: same-ts candidates order by event_id, so "latest
+    predecessor" = highest event_id below the purchase and "earliest
+    successor" = lowest above; the oracle mirrors this with its
+    direction-aware event_id tie-break.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    order = [F.col("ts"), F.col("event_id")]
+    w_prev = (Window.partitionBy("user_id").orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_next = (Window.partitionBy("user_id").orderBy(*order)
+              .rowsBetween(1, Window.unboundedFollowing))
+    o_id = F.when(~is_p, F.col("event_id"))
+    o_ts = F.when(~is_p, F.col("ts"))
+    o_ty = F.when(~is_p, F.col("event_type"))
+    cand = ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.last(o_id, ignorenulls=True).over(w_prev).alias("prev_id"),
+        F.last(o_ty, ignorenulls=True).over(w_prev).alias("prev_type"),
+        F.last(o_ts, ignorenulls=True).over(w_prev).alias("prev_ts"),
+        F.first(o_id, ignorenulls=True).over(w_next).alias("next_id"),
+        F.first(o_ty, ignorenulls=True).over(w_next).alias("next_type"),
+        F.first(o_ts, ignorenulls=True).over(w_next).alias("next_ts"),
+    ).filter(is_p)
+    gap_prev = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    gap_next = F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+    prev_ok = F.col("prev_id").isNotNull() & (gap_prev <= ASOF_TOL_US)
+    next_ok = F.col("next_id").isNotNull() & (gap_next <= ASOF_TOL_US)
+    take_prev = prev_ok & (~next_ok | (gap_prev <= gap_next))
+    take_next = next_ok & ~take_prev
+    return cand.select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.when(take_prev, F.col("prev_id"))
+        .when(take_next, F.col("next_id")).alias("matched_event_id"),
+        F.when(take_prev, F.col("prev_type"))
+        .when(take_next, F.col("next_type")).alias("matched_type"),
+        F.when(take_prev, gap_prev)
+        .when(take_next, -gap_next).alias("gap_us"),
+        F.when(take_prev, F.lit("prior"))
+        .when(take_next, F.lit("next")).alias("direction"),
+    )
+
+
+ASOF_NEAREST_SQL = f"""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+o AS (SELECT * FROM events WHERE event_type <> 'purchase'),
+cand AS (
+    SELECT p.event_id AS purchase_id, p.user_id,
+           o.event_id AS matched_event_id, o.event_type AS matched_type,
+           epoch_us(p.ts) - epoch_us(o.ts) AS gap_us,
+           CASE WHEN (o.ts < p.ts OR (o.ts = p.ts
+                                      AND o.event_id < p.event_id))
+                THEN 'prior' ELSE 'next' END AS direction,
+           row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(o.ts)),
+                        CASE WHEN (o.ts < p.ts OR (o.ts = p.ts
+                                   AND o.event_id < p.event_id))
+                             THEN 0 ELSE 1 END,
+                        CASE WHEN (o.ts < p.ts OR (o.ts = p.ts
+                                   AND o.event_id < p.event_id))
+                             THEN -o.event_id ELSE o.event_id END) AS rn
+    FROM p JOIN o ON o.user_id = p.user_id
+    WHERE abs(epoch_us(p.ts) - epoch_us(o.ts)) <= {ASOF_TOL_US}
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       c.matched_event_id, c.matched_type, c.gap_us, c.direction
+FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+  ON c.purchase_id = p.event_id
+"""
+
+
 def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: per-user event counts spread across one column per type.
     The pivot values are DECLARED (not discovered) — at 100 TB an

@@ -358,6 +358,10 @@ register("schema_evolution_union", ud.schema_evolution_union,
 register("asof_join_prior_event", adv.asof_join_prior_event,
          adv.ASOF_JOIN_SQL,
          "as-of join via union+window (single-shuffle formulation)")
+register("asof_join_nearest_event", adv.asof_join_nearest_event,
+         adv.ASOF_NEAREST_SQL,
+         "as-of join direction='nearest' with tolerance: 2-candidate "
+         "window comparison, still one shuffle, past wins ties")
 register("pivot_event_type_counts", adv.pivot_event_type_counts,
          adv.PIVOT_SQL, "PIVOT with declared values")
 register("unpivot_order_measures", adv.unpivot_order_measures,

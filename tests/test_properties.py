@@ -435,3 +435,49 @@ def test_soft_dedup_weight_mass(spark, sf_dir):
         mass[r.cluster_id] = mass.get(r.cluster_id, 0.0) + r.weight
     assert all(abs(m - 1.0) < 1e-9 for m in mass.values())
     assert any(r.commonness > 1 for r in rows)
+
+
+def test_asof_nearest_invariants(spark, sf_dir):
+    """Nearest as-of contract: every match is within tolerance with
+    direction matching the gap sign and a non-purchase partner; and on
+    a 100-purchase sample a python brute force over the user's events
+    confirms the match is truly the nearest (past preferred on ties)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_in_pthreads_spark.operators.advanced import ASOF_TOL_US
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    rows = REGISTRY["asof_join_nearest_event"].fn(spark, sf_dir).collect()
+    assert {r.direction for r in rows} == {"prior", "next", None}
+    for r in rows:
+        if r.direction is None:
+            assert r.matched_event_id is None and r.gap_us is None
+            continue
+        assert r.matched_type != "purchase"
+        assert abs(r.gap_us) <= ASOF_TOL_US
+        assert (r.gap_us >= 0) == (r.direction == "prior")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us")).collect()
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e)
+    purchases = {(e.user_id, e.event_id): e.us
+                 for e in ev if e.event_type == "purchase"}
+    for r in rows[:100]:
+        p_us = purchases[(r.user_id, r.purchase_id)]
+        best = None  # (abs_gap, dir_rank, ordered_id, event_id)
+        for e in by_user[r.user_id]:
+            if e.event_type == "purchase":
+                continue
+            prior = (e.us, e.event_id) < (p_us, r.purchase_id)
+            key = (abs(p_us - e.us), 0 if prior else 1,
+                   -e.event_id if prior else e.event_id)
+            if abs(p_us - e.us) <= ASOF_TOL_US and (
+                    best is None or key < best[0]):
+                best = (key, e.event_id)
+        if best is None:
+            assert r.matched_event_id is None, r
+        else:
+            assert r.matched_event_id == best[1], (r, best)
