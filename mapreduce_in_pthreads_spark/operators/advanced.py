@@ -414,6 +414,58 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """
 
+N_DECILES = 10
+
+
+def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram per order status (``value_histogram`` is
+    the equi-WIDTH twin): ntile(10) over o_totalprice splits each
+    status' orders into ten equal-population buckets; per bucket the
+    population, value bounds and exact-decimal total. Equi-depth
+    bounds are what an optimizer's column statistics store — equal
+    mass, not equal width — and the per-bucket lo/hi ARE the decile
+    boundaries.
+
+    Determinism: the ntile order is (o_totalprice, o_orderkey) — the
+    key tie-break makes bucket assignment total. Both engines define
+    ntile identically (floor-division remainder to the leading
+    buckets).
+
+    Scale: ONE window partitioned by status (per-partition state =
+    that status' orders), then a combinable 30-group aggregation. An
+    unpartitioned equi-depth histogram would need a global rank — at
+    100 TB swap ntile for approx_percentile cutpoints + map-side CASE
+    (the documented ``unigram_logprob_filter`` pattern).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey")
+    return (
+        o.select("o_orderstatus", "o_totalprice",
+                 F.ntile(N_DECILES).over(w).cast("bigint").alias("decile"))
+        .groupBy("o_orderstatus", "decile")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.min("o_totalprice").alias("lo"),
+             F.max("o_totalprice").alias("hi"),
+             F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+             .alias("total_price")))
+
+
+EQUI_DEPTH_SQL = f"""
+SELECT o_orderstatus, decile, count(*) AS n_orders,
+       min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE)
+           AS total_price
+FROM (
+    SELECT o_orderstatus, o_totalprice,
+           CAST(ntile({N_DECILES}) OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+    FROM orders
+) GROUP BY 1, 2
+"""
+
+
 # --- Rabin-Karp-style rolling window fingerprint -------------------------
 
 ROLL_WINDOW = 8

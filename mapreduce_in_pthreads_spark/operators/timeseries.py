@@ -448,6 +448,112 @@ FROM grid g LEFT JOIN hourly h USING (event_type, hour)
 """
 
 
+ANOM_LOOKBACK = 24   # trailing hours in the reference frame
+ANOM_Z = 2.0         # |z| threshold
+
+
+def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection — the ops-monitoring analytic the
+    regularized series exists for: per event type, flag hours whose
+    count deviates more than ``ANOM_Z`` sample standard deviations
+    from the TRAILING ``ANOM_LOOKBACK``-hour window (the window never
+    includes the scored hour, so a spike can't mask itself). Hours
+    with an incomplete lookback or zero variance score NULL.
+
+    Built over the dense zero-filled hourly grid (the
+    ``gap_fill_hourly`` trick — per-group sequence, no driver range),
+    because a trailing ROWS frame only equals a trailing TIME window
+    when missing hours materialize as zeros.
+
+    Exactness: counts are integers, so the frame's sum and
+    sum-of-squares are exact; mean/variance/z are then a fixed
+    written order of correctly-rounded double ops — identical
+    cross-engine without decimal pinning (the same argument as the
+    quantizer's int-sum iterations).
+
+    Scale: one combinable hourly pre-aggregation, then ONE window
+    pass partitioned by event_type; per-partition state is bounded by
+    hours, not events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type",
+                   F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select("event_type",
+                F.explode(F.sequence(
+                    "h0", "h1", F.expr("interval 1 hour"))).alias("hour")))
+    dense = (grid.join(hourly, ["event_type", "hour"], "left")
+             .select("event_type", "hour",
+                     F.coalesce("n", F.lit(0)).alias("c")))
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(-ANOM_LOOKBACK, -1))
+    k = F.count(F.lit(1)).over(w)
+    sum_c = F.sum("c").over(w)
+    sum_c2 = F.sum(F.col("c") * F.col("c")).over(w)
+    kd = k.cast("double")
+    mean = sum_c.cast("double") / kd
+    var = ((sum_c2.cast("double")
+            - sum_c.cast("double") * sum_c.cast("double") / kd)
+           / (kd - F.lit(1.0)))
+    z = (F.col("c").cast("double") - mean) / F.sqrt(var)
+    scored = dense.select(
+        "event_type", F.unix_micros("hour").alias("hour_us"),
+        F.col("c").alias("n_events"),
+        F.when((k == ANOM_LOOKBACK) & (var > 0), F.round(z, 6))
+        .alias("z"))
+    return scored.withColumn(
+        "is_anomaly",
+        F.when(F.col("z").isNotNull() & (F.abs("z") > ANOM_Z), 1)
+        .otherwise(0).cast("bigint"))
+
+
+EVENT_RATE_ANOMALY_SQL = f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+    FROM events GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+           FROM hourly GROUP BY 1),
+grid AS (SELECT event_type,
+                unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         FROM bounds),
+dense AS (
+    SELECT g.event_type, g.hour, COALESCE(n, 0) AS c
+    FROM grid g LEFT JOIN hourly h USING (event_type, hour)),
+framed AS (
+    SELECT event_type, hour, c,
+           count(*) OVER w AS k,
+           sum(c) OVER w AS sum_c,
+           sum(c * c) OVER w AS sum_c2
+    FROM dense
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN {ANOM_LOOKBACK} PRECEDING AND 1 PRECEDING)),
+scored AS (
+    SELECT event_type, epoch_us(hour) AS hour_us, c AS n_events,
+           CASE WHEN k = {ANOM_LOOKBACK}
+                 AND (CAST(sum_c2 AS DOUBLE)
+                      - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE)
+                        / CAST(k AS DOUBLE))
+                     / (CAST(k AS DOUBLE) - 1.0) > 0
+                THEN round(
+                    (CAST(c AS DOUBLE)
+                     - CAST(sum_c AS DOUBLE) / CAST(k AS DOUBLE))
+                    / sqrt((CAST(sum_c2 AS DOUBLE)
+                            - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE)
+                              / CAST(k AS DOUBLE))
+                           / (CAST(k AS DOUBLE) - 1.0)), 6)
+           END AS z
+    FROM framed)
+SELECT event_type, hour_us, n_events, z,
+       CAST(CASE WHEN z IS NOT NULL AND abs(z) > {ANOM_Z!r}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM scored
+"""
+
+
 def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension build from a change stream: collapse each
     user's event log into attribute-version rows with [valid_from,

@@ -168,6 +168,10 @@ register("hll_sketch_users", ts.hll_sketch_users, None,
 register("gap_fill_hourly", ts.gap_fill_hourly, ts.GAP_FILL_SQL,
          "dense hourly grid + zero-fill + forward-fill (per-group "
          "sequence, one window pass)")
+register("event_rate_anomaly", ts.event_rate_anomaly,
+         ts.EVENT_RATE_ANOMALY_SQL,
+         "trailing-24h z-score rate anomaly over the dense hourly "
+         "grid (integer frame sums — exact cross-engine)")
 register("merge_upsert_latest", ts.merge_upsert_latest,
          ts.MERGE_UPSERT_SQL,
          "CDC-style MERGE: snapshot ⟕⟖ delta, delta wins, op audit")
@@ -378,6 +382,10 @@ register("array_functions", adv.array_functions, adv.ARRAY_FUNCTIONS_SQL,
          "array function surface incl. array-valued output")
 register("quantiles_per_flag", adv.quantiles_per_flag, adv.QUANTILES_SQL,
          "exact interpolated percentiles per group")
+register("equi_depth_deciles", adv.equi_depth_deciles,
+         adv.EQUI_DEPTH_SQL,
+         "equi-depth decile histogram per status (ntile bounds = "
+         "optimizer column stats; equi-width twin: value_histogram)")
 register("rolling_hash_fingerprint", adv.rolling_hash_fingerprint,
          adv.ROLLING_HASH_SQL,
          "Rabin-Karp rolling-window doc fingerprint, zero-shuffle")

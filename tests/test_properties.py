@@ -481,3 +481,64 @@ def test_asof_nearest_invariants(spark, sf_dir):
             assert r.matched_event_id is None, r
         else:
             assert r.matched_event_id == best[1], (r, best)
+
+
+def test_equi_depth_decile_invariants(spark, sf_dir):
+    """Equi-depth contract per status: bucket populations differ by at
+    most 1 (ntile), buckets tile the value range in order (hi_k <=
+    lo_{k+1}), and populations sum to the status' order count."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    rows = REGISTRY["equi_depth_deciles"].fn(spark, sf_dir).collect()
+    want = {r.o_orderstatus: r.n for r in
+            load_table(spark, sf_dir, "orders").groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r.o_orderstatus, []).append(r)
+    assert set(by_status) == set(want)
+    for status, bs in by_status.items():
+        bs.sort(key=lambda r: r.decile)
+        assert [r.decile for r in bs] == list(range(1, len(bs) + 1))
+        sizes = [r.n_orders for r in bs]
+        assert max(sizes) - min(sizes) <= 1
+        assert sum(sizes) == want[status]
+        for a, b in zip(bs, bs[1:]):
+            assert a.lo <= a.hi <= b.lo
+
+
+def test_event_rate_anomaly_invariants(spark, sf_dir):
+    """Anomaly scoring: the first ANOM_LOOKBACK hours of every type
+    are unscored (warm-up), every scored z recomputes exactly from
+    the trailing dense counts, and anomalies are exactly |z| > 2."""
+    from mapreduce_in_pthreads_spark.operators.timeseries import (
+        ANOM_LOOKBACK, ANOM_Z)
+
+    rows = REGISTRY["event_rate_anomaly"].fn(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    n_scored = 0
+    for series in by_type.values():
+        series.sort(key=lambda r: r.hour_us)
+        hours = [r.hour_us for r in series]
+        assert hours == list(range(hours[0], hours[-1] + 1,
+                                   3_600_000_000)), "grid not dense"
+        for i, r in enumerate(series):
+            if i < ANOM_LOOKBACK:
+                assert r.z is None, r
+                continue
+            window = [s.n_events for s in series[i - ANOM_LOOKBACK:i]]
+            k = len(window)
+            mean = sum(window) / k
+            var = (sum(c * c for c in window) - sum(window)**2 / k) / (k - 1)
+            if var > 0:
+                n_scored += 1
+                z = (r.n_events - mean) / var ** 0.5
+                assert abs(r.z - round(z, 6)) < 1e-9, r
+                assert r.is_anomaly == (1 if abs(r.z) > ANOM_Z else 0)
+            else:
+                assert r.z is None
+    assert n_scored > 0
