@@ -448,6 +448,86 @@ FROM grid g LEFT JOIN hourly h USING (event_type, hour)
 """
 
 
+def session_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: the first-order Markov transition
+    matrix over event types WITHIN 30-minute sessions — for each
+    (from_type → to_type) pair of consecutive same-session events, the
+    transition count and conditional probability. The product-analytics
+    question ("what do users do after an error?") the sessionizer
+    exists to feed.
+
+    Session boundaries use the lag-gap-cumsum idiom (the proven
+    ``session_windows_30m`` oracle construction) and transitions come
+    from ``lead`` over the SAME (user_id, (ts, event_id)) window —
+    cross-session pairs are dropped by comparing the led session id
+    rather than re-partitioning by session, so all three window passes
+    share ONE user_id exchange (Catalyst plans a single shuffle; the
+    transition-matrix aggregation and its per-from normalization
+    shuffle ≤ |event_type|² rows).
+
+    Exactness: counts are integers; p = n/total is one
+    correctly-rounded division, identical cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+           >= 30 * 60 * 1_000_000), 1).otherwise(0)
+    sessioned = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(new_sess).over(wc).alias("session_id"))
+    trans = (
+        sessioned
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .withColumn("to_sess", F.lead("session_id").over(w))
+        .filter(F.col("to_sess") == F.col("session_id"))
+        .select(F.col("event_type").alias("from_type"), "to_type"))
+    counts = trans.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n").cast("double") / total.cast("double"), 6)
+        .alias("p"))
+
+
+SESSION_PATH_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     >= 30 * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_session) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+), trans AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER w AS to_type,
+           lead(session_id) OVER w AS to_sess, session_id
+    FROM sessioned
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), counts AS (
+    SELECT from_type, to_type, count(*) AS n
+    FROM trans WHERE to_sess = session_id
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+           AS p
+FROM counts
+"""
+
+
 ANOM_LOOKBACK = 24   # trailing hours in the reference frame
 ANOM_Z = 2.0         # |z| threshold
 

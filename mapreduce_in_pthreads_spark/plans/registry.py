@@ -172,6 +172,10 @@ register("event_rate_anomaly", ts.event_rate_anomaly,
          ts.EVENT_RATE_ANOMALY_SQL,
          "trailing-24h z-score rate anomaly over the dense hourly "
          "grid (integer frame sums — exact cross-engine)")
+register("session_path_transitions", ts.session_path_transitions,
+         ts.SESSION_PATH_SQL,
+         "within-session Markov transition matrix over event types "
+         "(three window passes, one shared user_id exchange)")
 register("merge_upsert_latest", ts.merge_upsert_latest,
          ts.MERGE_UPSERT_SQL,
          "CDC-style MERGE: snapshot ⟕⟖ delta, delta wins, op audit")

@@ -542,3 +542,24 @@ def test_event_rate_anomaly_invariants(spark, sf_dir):
             else:
                 assert r.z is None
     assert n_scored > 0
+
+
+def test_session_path_transition_mass(spark, sf_dir):
+    """Markov-matrix contract: each from_type's probabilities sum to 1
+    (within rounding), and total transition count equals
+    n_events - n_sessions — every session of length L contributes
+    exactly L-1 transitions (cross-pinned against the standalone
+    session_windows_30m sessionizer)."""
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    rows = REGISTRY["session_path_transitions"].fn(spark, sf_dir).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for fs in by_from.values():
+        assert abs(sum(r.p for r in fs) - 1.0) < 1e-4
+        for r in fs:
+            assert abs(r.p - r.n / sum(x.n for x in fs)) < 1e-6
+    n_events = load_table(spark, sf_dir, "events").count()
+    n_sessions = REGISTRY["session_windows_30m"].fn(spark, sf_dir).count()
+    assert sum(r.n for r in rows) == n_events - n_sessions
