@@ -448,6 +448,92 @@ FROM grid g LEFT JOIN hourly h USING (event_type, hour)
 """
 
 
+SIM_N_QUERY_USERS = 5
+SIM_TOP_K = 10
+
+
+def daily_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the EDBT'19/VLDB'23 distributed
+    data-series-search family, PAPERS.md): each user's activity
+    profile is the 24-dim hour-of-day event-count vector; for the
+    first ``SIM_N_QUERY_USERS`` users, find the top-``SIM_TOP_K``
+    other users with the most similar daily rhythm by cosine.
+
+    Spark-first shape — NO array column, the profile stays a sparse
+    (user_id, hod, c) relation: dot products come from the hod
+    equi-join against the broadcast query profiles (≤ 5×24 rows) and
+    one combinable (query, candidate) aggregation; per-user squared
+    norms are a reusable aggregate of the same relation. Missing
+    hours contribute 0 to every sum, so sparse ≡ dense and nothing is
+    ever zero-filled — the trick that keeps profile similarity linear
+    in EVENTS, not users × 24, at 100 TB.
+
+    Exactness: dot and both squared norms are pure integer sums;
+    cosine is then 3 correctly-rounded double ops in fixed order —
+    identical cross-engine. Ties rank by user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    prof = (ev.groupBy("user_id",
+                       F.hour("ts").alias("hod"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    norms = prof.groupBy("user_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2"))
+    q_prof = (prof.filter(F.col("user_id") < SIM_N_QUERY_USERS)
+              .select(F.col("user_id").alias("query_user"),
+                      "hod", F.col("c").alias("qc")))
+    q_norm = (norms.filter(F.col("user_id") < SIM_N_QUERY_USERS)
+              .select(F.col("user_id").alias("query_user"),
+                      F.col("n2").alias("qn2")))
+    dots = (prof.join(F.broadcast(q_prof), "hod")
+            .filter(F.col("user_id") != F.col("query_user"))
+            .groupBy("query_user", "user_id")
+            .agg(F.sum(F.col("c") * F.col("qc")).alias("dot")))
+    scored = (dots.join(norms, "user_id")
+              .join(F.broadcast(q_norm), "query_user")
+              .select("query_user", "user_id",
+                      F.round(F.col("dot").cast("double")
+                              / (F.sqrt(F.col("n2").cast("double"))
+                                 * F.sqrt(F.col("qn2").cast("double"))), 6)
+                      .alias("cos_sim")))
+    w = Window.partitionBy("query_user").orderBy(
+        F.col("cos_sim").desc(), F.col("user_id"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= SIM_TOP_K))
+
+
+DAILY_PROFILE_SIM_SQL = f"""
+WITH prof AS (
+    SELECT user_id, hour(ts) AS hod, count(*) AS c
+    FROM events GROUP BY 1, 2
+), norms AS (
+    SELECT user_id, CAST(sum(c * c) AS BIGINT) AS n2
+    FROM prof GROUP BY user_id
+), dots AS (
+    SELECT q.user_id AS query_user, p.user_id,
+           CAST(sum(p.c * q.c) AS BIGINT) AS dot
+    FROM prof p
+    JOIN prof q ON q.hod = p.hod AND q.user_id < {SIM_N_QUERY_USERS}
+               AND p.user_id <> q.user_id
+    GROUP BY 1, 2
+), scored AS (
+    SELECT d.query_user, d.user_id,
+           round(CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(n.n2 AS DOUBLE))
+                    * sqrt(CAST(qn.n2 AS DOUBLE))), 6) AS cos_sim
+    FROM dots d
+    JOIN norms n ON n.user_id = d.user_id
+    JOIN norms qn ON qn.user_id = d.query_user
+)
+SELECT query_user, user_id, cos_sim, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_user
+                                      ORDER BY cos_sim DESC, user_id)
+                   AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= {SIM_TOP_K}
+"""
+
+
 def session_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clickstream path analysis: the first-order Markov transition
     matrix over event types WITHIN 30-minute sessions — for each

@@ -176,6 +176,10 @@ register("session_path_transitions", ts.session_path_transitions,
          ts.SESSION_PATH_SQL,
          "within-session Markov transition matrix over event types "
          "(three window passes, one shared user_id exchange)")
+register("daily_profile_similarity", ts.daily_profile_similarity,
+         ts.DAILY_PROFILE_SIM_SQL,
+         "time-series similarity search: top-k users by cosine over "
+         "hour-of-day profiles (sparse hod-join, integer sums)")
 register("merge_upsert_latest", ts.merge_upsert_latest,
          ts.MERGE_UPSERT_SQL,
          "CDC-style MERGE: snapshot ⟕⟖ delta, delta wins, op audit")

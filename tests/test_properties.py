@@ -563,3 +563,39 @@ def test_session_path_transition_mass(spark, sf_dir):
     n_events = load_table(spark, sf_dir, "events").count()
     n_sessions = REGISTRY["session_windows_30m"].fn(spark, sf_dir).count()
     assert sum(r.n for r in rows) == n_events - n_sessions
+
+
+def test_daily_profile_similarity_vs_numpy(spark, sf_dir):
+    """Series-similarity contract: recompute every (query, candidate)
+    cosine from raw hour-of-day count vectors in numpy and confirm
+    each query's returned top-k IS the k best (score and membership),
+    ranks contiguous, cosines in [0, 1]."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mapreduce_in_pthreads_spark.operators.timeseries import (
+        SIM_N_QUERY_USERS, SIM_TOP_K)
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    rows = REGISTRY["daily_profile_similarity"].fn(spark, sf_dir).collect()
+    prof = {}
+    for r in (load_table(spark, sf_dir, "events")
+              .groupBy("user_id", F.hour("ts").alias("hod"))
+              .agg(F.count(F.lit(1)).alias("c")).collect()):
+        prof.setdefault(r.user_id, np.zeros(24))[r.hod] = r.c
+    by_q = {}
+    for r in rows:
+        assert 0.0 <= r.cos_sim <= 1.0
+        by_q.setdefault(r.query_user, []).append(r)
+    assert set(by_q) == set(range(SIM_N_QUERY_USERS))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        want = sorted(
+            ((round(float(np.dot(prof[q], prof[u]))
+                    / (float(np.linalg.norm(prof[q]))
+                       * float(np.linalg.norm(prof[u]))), 6), -u)
+             for u in prof if u != q),
+            reverse=True)[:SIM_TOP_K]
+        got = [(r.cos_sim, -r.user_id) for r in rs]
+        assert got == want, (q, got[:3], want[:3])
