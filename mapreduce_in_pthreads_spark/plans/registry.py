@@ -604,7 +604,10 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # unigram_logprob_filter, bm25_topk_docs, count_min_words,
 # image_channel_stats, word_graph_distances, plus the round-4
 # session-3 additions: semdedup_prune, dsir_importance_weights,
-# rrf_fusion_topk, soft_dedup_weights (47 total;
+# rrf_fusion_topk, soft_dedup_weights, asof_join_nearest_event,
+# event_rate_anomaly, equi_depth_deciles, session_path_transitions,
+# daily_profile_similarity (52 total — more than one window;
+# prioritize the paper-anchored LLM-pipeline entries, roll the rest;
 # recount from the CORRECTNESS unions when building the round-5
 # window). pagerank_word_graph was oracle-UPGRADED in session 2
 # (decimal-pinned) — it is in this round's window, so its fresh row
