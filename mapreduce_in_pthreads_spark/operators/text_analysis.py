@@ -978,3 +978,92 @@ SELECT p.word, p.exact_count,
 FROM probes p JOIN sketch s ON p.rw = s.rw AND p.bucket = s.bucket
 GROUP BY p.word, p.exact_count
 """
+
+
+NOVELTY_K = 3   # word n-gram order for the novelty curve
+
+
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity-saturation curve — the data-scaling diagnostic
+    ("is the next shard adding anything new?"): processing documents
+    in doc_id order, for each doc the number of word-trigram TYPES it
+    introduces (never seen in any earlier doc), the cumulative unique
+    trigram count so far, and the doc's novelty rate (introduced /
+    its own distinct trigrams). A flattening curve means additional
+    data is repeating the corpus — the signal dedup-then-stop
+    pipelines act on.
+
+    Spark-first shape: "first introduction" is min(doc_id) per gram —
+    ONE combinable aggregation over the exploded grams, no ordered
+    scan of the corpus; the running total is then a window over the
+    DOC-LEVEL relation (one row per doc — trivially small relative to
+    the corpus at any scale; the global window is over doc manifests,
+    not grams).
+
+    Exactness: counts are integers; novelty_rate is one
+    correctly-rounded division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    m = F.greatest(F.size(toks) - (NOVELTY_K - 1), F.lit(0))
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, NOVELTY_K)))
+    grams = (docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.slice(tri, 1, m))).alias("gram")))
+    per_doc_grams = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct_grams"))
+    intro = (grams.groupBy("gram")
+             .agg(F.min("doc_id").alias("doc_id"))
+             .groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_introduced")))
+    base = (docs.select("doc_id")
+            .join(intro, "doc_id", "left")
+            .join(per_doc_grams, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_introduced", F.lit(0)).alias("n_introduced"),
+                    F.coalesce("n_distinct_grams", F.lit(0))
+                    .alias("n_distinct_grams")))
+    w = (Window.orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return base.select(
+        "doc_id", "n_introduced",
+        F.sum("n_introduced").over(w).alias("cum_unique"),
+        F.when(F.col("n_distinct_grams") > 0,
+               F.round(F.col("n_introduced").cast("double")
+                       / F.col("n_distinct_grams").cast("double"), 6))
+        .alias("novelty_rate"))
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+    SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(t) - {NOVELTY_K - 2}, 1)),
+                   i -> array_to_string(t[i:i+{NOVELTY_K - 1}], ' ')))
+                   AS gram
+        FROM toks)
+), per_doc AS (
+    SELECT doc_id, count(*) AS n_distinct_grams FROM grams GROUP BY doc_id
+), intro AS (
+    SELECT doc_id, count(*) AS n_introduced FROM (
+        SELECT gram, min(doc_id) AS doc_id FROM grams GROUP BY gram
+    ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(i.n_introduced, 0) AS n_introduced,
+       CAST(sum(COALESCE(i.n_introduced, 0)) OVER (
+           ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_unique,
+       CASE WHEN COALESCE(p.n_distinct_grams, 0) > 0
+            THEN round(CAST(COALESCE(i.n_introduced, 0) AS DOUBLE)
+                       / CAST(p.n_distinct_grams AS DOUBLE), 6)
+       END AS novelty_rate
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN intro i USING (doc_id)
+LEFT JOIN per_doc p USING (doc_id)
+"""

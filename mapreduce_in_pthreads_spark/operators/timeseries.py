@@ -448,6 +448,97 @@ FROM grid g LEFT JOIN hourly h USING (event_type, hour)
 """
 
 
+CORR_WINDOW = 24  # trailing hours (including current) per correlation
+
+
+def rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation between the click and purchase
+    hourly rate series — the co-movement diagnostic next to
+    ``event_rate_anomaly``'s single-series z-score ("do purchases
+    still track clicks this day?"). Window = trailing
+    ``CORR_WINDOW`` hours including the current one over the dense
+    global hour grid; incomplete or zero-variance windows score NULL.
+
+    Exactness: both series are integer counts, so every moment the
+    window needs (Σx, Σy, Σxy, Σx², Σy², k) is an exact integer sum
+    and r = (kΣxy − ΣxΣy) / (√(kΣx²−Σx²·) · √(kΣy²−Σy²·)) is a fixed
+    order of correctly-rounded double ops — identical cross-engine,
+    no decimal pinning (the ``event_rate_anomaly`` argument).
+
+    Scale: one conditional-aggregation pass builds both series
+    (x = clicks, y = purchases per hour) — no self-join of the events
+    table; the window runs over the HOUR-level relation, whose size
+    is time-span, not event-count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.when(F.col("event_type") == "click", 1))
+             .alias("x"),
+             F.count(F.when(F.col("event_type") == "purchase", 1))
+             .alias("y")))
+    grid = (ev.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                   F.date_trunc("hour", F.max("ts")).alias("h1"))
+            .select(F.explode(F.sequence(
+                "h0", "h1", F.expr("interval 1 hour"))).alias("hour")))
+    dense = (grid.join(hourly, "hour", "left")
+             .select("hour",
+                     F.coalesce("x", F.lit(0)).alias("x"),
+                     F.coalesce("y", F.lit(0)).alias("y")))
+    w = (Window.orderBy("hour")
+         .rowsBetween(-(CORR_WINDOW - 1), Window.currentRow))
+    k = F.count(F.lit(1)).over(w)
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sx2 = F.sum(F.col("x") * F.col("x")).over(w)
+    sy2 = F.sum(F.col("y") * F.col("y")).over(w)
+    num = (k * sxy - sx * sy).cast("double")
+    denx = (k * sx2 - sx * sx).cast("double")
+    deny = (k * sy2 - sy * sy).cast("double")
+    return dense.select(
+        F.unix_micros("hour").alias("hour_us"),
+        F.col("x").alias("n_click"), F.col("y").alias("n_purchase"),
+        F.when((k == CORR_WINDOW) & (denx > 0) & (deny > 0),
+               F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 6))
+        .alias("r"))
+
+
+ROLLING_CORR_SQL = f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS x,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS y
+    FROM events GROUP BY 1),
+bounds AS (
+    SELECT date_trunc('hour', min(ts)) AS h0,
+           date_trunc('hour', max(ts)) AS h1 FROM events),
+grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         FROM bounds),
+dense AS (
+    SELECT g.hour, COALESCE(x, 0) AS x, COALESCE(y, 0) AS y
+    FROM grid g LEFT JOIN hourly h USING (hour)),
+framed AS (
+    SELECT hour, x, y,
+           count(*) OVER w AS k,
+           sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+           sum(x * y) OVER w AS sxy,
+           sum(x * x) OVER w AS sx2, sum(y * y) OVER w AS sy2
+    FROM dense
+    WINDOW w AS (ORDER BY hour
+                 ROWS BETWEEN {CORR_WINDOW - 1} PRECEDING AND CURRENT ROW))
+SELECT epoch_us(hour) AS hour_us, x AS n_click, y AS n_purchase,
+       CASE WHEN k = {CORR_WINDOW}
+             AND CAST(k * sx2 - sx * sx AS DOUBLE) > 0
+             AND CAST(k * sy2 - sy * sy AS DOUBLE) > 0
+            THEN round(CAST(k * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(k * sx2 - sx * sx AS DOUBLE))
+                          * sqrt(CAST(k * sy2 - sy * sy AS DOUBLE))), 6)
+       END AS r
+FROM framed
+"""
+
+
 SIM_N_QUERY_USERS = 5
 SIM_TOP_K = 10
 

@@ -180,6 +180,10 @@ register("daily_profile_similarity", ts.daily_profile_similarity,
          ts.DAILY_PROFILE_SIM_SQL,
          "time-series similarity search: top-k users by cosine over "
          "hour-of-day profiles (sparse hod-join, integer sums)")
+register("rolling_correlation", ts.rolling_correlation,
+         ts.ROLLING_CORR_SQL,
+         "trailing-24h Pearson r between click and purchase rate "
+         "series (integer moment sums — exact cross-engine)")
 register("merge_upsert_latest", ts.merge_upsert_latest,
          ts.MERGE_UPSERT_SQL,
          "CDC-style MERGE: snapshot ⟕⟖ delta, delta wins, op audit")
@@ -489,6 +493,10 @@ register("rrf_fusion_topk", ta.rrf_fusion_topk, ta.RRF_FUSION_SQL,
 register("count_min_words", ta.count_min_words, ta.COUNT_MIN_WORDS_SQL,
          "Count-Min sketch vs ground truth: md5-row-hashed mergeable "
          "counter matrix, min-probe estimates for the top-20 words")
+register("ngram_novelty_curve", ta.ngram_novelty_curve,
+         ta.NGRAM_NOVELTY_SQL,
+         "corpus diversity-saturation curve: trigram types introduced "
+         "per doc + cumulative unique count (data-scaling diagnostic)")
 register("approx_top_k_words", ta.approx_top_k_words,
          ta.APPROX_TOP_K_WORDS_SQL,
          "approx_top_k frequent-words sketch (exact with "

