@@ -640,3 +640,122 @@ SELECT doc_id,
            / (count(*) // 3) AS mean_r
 FROM px GROUP BY doc_id
 """
+
+
+PHASH_GRID = 8  # fixed comparison grid: 8x8 -> 64-bit hash
+
+
+def image_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the multimodal leg of the dedup
+    family: average-hash (aHash) each synthesized BMP by
+    nearest-neighbor-sampling an 8×8 grayscale grid, thresholding at
+    the grid's mean, and packing the 64 bits row-major into a hex
+    string; images sharing a hash form a perceptual dup group
+    (group_size, keep-min-doc_id canonical — the ``exact_dedup``
+    policy applied to PIXELS instead of text). aHash is the classic
+    pre-filter in front of byte-exact image dedup: invariant to
+    re-encoding, near-invariant to resizing.
+
+    Exactness: every step is integer math — nearest-neighbor indices
+    (gx·w)//8, gray = (b+g+r)//3, threshold = floor-mean, bit packing
+    — so the DuckDB twin re-derives each sampled PIXEL from the seed
+    tiling (the ``image_channel_stats`` oracle pattern) and must
+    reproduce the hash bit-for-bit. A decoder that mis-strides,
+    mis-rounds the grid mapping, or packs bits in the wrong order
+    mismatches immediately.
+
+    Scale: hashing is stateless Arrow-batched ``mapInPandas`` (no
+    shuffle); grouping ships 16-char hashes, not images — the
+    standard fingerprint-then-group shape at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars")
+
+    def hash_batches(
+            batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "phash": []}
+            for doc_id, text, n_chars in zip(
+                    pdf["doc_id"], pdf["text"], pdf["n_chars"]):
+                payload = encode_bmp(
+                    int(n_chars) % 16 + 1, int(doc_id) % 8 + 1,
+                    (text or "x").encode("utf-8")[:8] or b"x")
+                pix_off = struct.unpack("<I", payload[10:14])[0]
+                w, h = struct.unpack("<ii", payload[18:26])
+                row_bytes = (w * 3 + 3) & ~3
+                grays = []
+                for gy in range(PHASH_GRID):
+                    sy = (gy * h) // PHASH_GRID
+                    for gx in range(PHASH_GRID):
+                        sx = (gx * w) // PHASH_GRID
+                        base = pix_off + sy * row_bytes + sx * 3
+                        grays.append((payload[base] + payload[base + 1]
+                                      + payload[base + 2]) // 3)
+                mean = sum(grays) // (PHASH_GRID * PHASH_GRID)
+                val = 0
+                for g in grays:
+                    val = (val << 1) | (1 if g > mean else 0)
+                out["doc_id"].append(doc_id)
+                out["phash"].append(format(val, "016x"))
+            yield _pd.DataFrame(out)
+
+    from pyspark.sql import Window
+
+    hashed = docs.mapInPandas(hash_batches, "doc_id bigint, phash string")
+    wg = Window.partitionBy("phash")
+    return hashed.select(
+        "doc_id", "phash",
+        F.count(F.lit(1)).over(wg).cast("bigint").alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(wg))
+        .cast("int").cast("bigint").alias("is_canonical"))
+
+
+def _phash_byte_sql(c: int) -> str:
+    return ("('0x' || substr(d.hx, CAST(2 * (((gy.gy * d.h // 8)"
+            " * d.row_bytes + (gx.gx * d.w // 8) * 3 + {c}) % d.L)"
+            " + 1 AS INT), 2))::INT").format(c=c)
+
+
+IMAGE_PHASH_SQL = f"""
+WITH dims AS (
+    SELECT doc_id,
+           n_chars % 16 + 1 AS w,
+           doc_id % 8 + 1 AS h,
+           ((n_chars % 16 + 1) * 3 + 3) // 4 * 4 AS row_bytes,
+           hex(encode(text)) AS hx,
+           least(octet_length(encode(text)), 8) AS L
+    FROM documents
+), g AS (
+    SELECT d.doc_id, gy.gy, gx.gx,
+           ({_phash_byte_sql(0)}
+            + {_phash_byte_sql(1)}
+            + {_phash_byte_sql(2)}) // 3 AS gray
+    FROM dims d
+    CROSS JOIN range(0, {PHASH_GRID}) gy(gy)
+    CROSS JOIN range(0, {PHASH_GRID}) gx(gx)
+), m AS (
+    SELECT doc_id, sum(gray) // {PHASH_GRID * PHASH_GRID} AS mg
+    FROM g GROUP BY doc_id
+), bits AS (
+    SELECT g.doc_id, gy * {PHASH_GRID} + gx AS p,
+           CASE WHEN gray > mg THEN 1 ELSE 0 END AS b
+    FROM g JOIN m USING (doc_id)
+), nibbles AS (
+    SELECT doc_id, p // 4 AS n,
+           sum(b * (8 >> (p % 4))) AS val
+    FROM bits GROUP BY doc_id, p // 4
+), ph AS (
+    SELECT doc_id,
+           string_agg(substr('0123456789abcdef',
+                             CAST(val + 1 AS INT), 1), ''
+                      ORDER BY n) AS phash
+    FROM nibbles GROUP BY doc_id
+)
+SELECT doc_id, phash,
+       CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS group_size,
+       CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY phash)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+FROM ph
+"""

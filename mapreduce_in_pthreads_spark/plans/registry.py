@@ -346,6 +346,10 @@ register("image_channel_stats", mm.image_channel_stats,
          mm.IMAGE_STATS_SQL,
          "per-channel pixel sums/means from real BMP decode; oracle "
          "re-derives every pixel byte from the seed tiling")
+register("image_phash_groups", mm.image_phash_groups,
+         mm.IMAGE_PHASH_SQL,
+         "perceptual-hash (aHash 8x8) image dedup groups; oracle "
+         "re-derives every sampled pixel and the hash bit-for-bit")
 register("audio_rms_windows", mm.audio_rms_windows, mm.AUDIO_RMS_SQL,
          "PCM int16 per-window RMS loudness via numpy mapInPandas "
          "(integer sum-of-squares + one IEEE sqrt: exact DuckDB twin "

@@ -656,3 +656,52 @@ def test_rolling_correlation_vs_numpy(spark, sf_dir):
         want = float(np.corrcoef(wx, wy)[0, 1])
         assert abs(r.r - want) < 1e-6, (i, r.r, want)
         assert -1.0 <= r.r <= 1.0
+
+
+def test_image_phash_group_structure(spark, sf_dir):
+    """pHash grouping contract: exactly one canonical (the min doc_id)
+    per hash group, group sizes sum to the corpus, and a numpy
+    re-derivation of the aHash from independently decoded pixel
+    arrays matches for a 50-doc sample."""
+    import numpy as np
+
+    from mapreduce_in_pthreads_spark.operators.multimodal import (
+        PHASH_GRID, encode_bmp)
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+    import struct as _struct
+
+    rows = REGISTRY["image_phash_groups"].fn(spark, sf_dir).collect()
+    docs = {r.doc_id: r for r in
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "n_chars").collect()}
+    assert sorted(r.doc_id for r in rows) == sorted(docs)
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.phash, []).append(r)
+    for g in groups.values():
+        assert all(r.group_size == len(g) for r in g)
+        canon = [r for r in g if r.is_canonical]
+        assert len(canon) == 1
+        assert canon[0].doc_id == min(r.doc_id for r in g)
+    for r in rows[:50]:
+        d = docs[r.doc_id]
+        payload = encode_bmp(
+            int(d.n_chars) % 16 + 1, int(d.doc_id) % 8 + 1,
+            (d.text or "x").encode("utf-8")[:8] or b"x")
+        off = _struct.unpack("<I", payload[10:14])[0]
+        w, h = _struct.unpack("<ii", payload[18:26])
+        stride = (w * 3 + 3) & ~3
+        # full decode into an array, then grid-sample with numpy
+        px = np.frombuffer(payload[off:off + stride * h],
+                           dtype=np.uint8).reshape(h, stride)
+        grays = []
+        for gy in range(PHASH_GRID):
+            for gx in range(PHASH_GRID):
+                sy, sx = (gy * h) // PHASH_GRID, (gx * w) // PHASH_GRID
+                grays.append(int(px[sy, sx * 3:sx * 3 + 3]
+                                 .astype(int).sum()) // 3)
+        mean = sum(grays) // (PHASH_GRID ** 2)
+        val = 0
+        for g_ in grays:
+            val = (val << 1) | (1 if g_ > mean else 0)
+        assert format(val, "016x") == r.phash, r.doc_id
