@@ -759,3 +759,104 @@ SELECT doc_id, phash,
                  THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
 FROM ph
 """
+
+
+SILENCE_THRESH = 16384  # |sample| below this = low-energy
+SILENCE_MIN_RUN = 2     # minimum consecutive silent samples to report
+
+
+def audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-segment detection over the PCM int16 stream — the
+    trimming pass every audio-training pipeline runs before feature
+    extraction (cut leading/trailing/internal dead air): maximal runs
+    of ≥ ``SILENCE_MIN_RUN`` consecutive samples with
+    ``|s| < SILENCE_THRESH``, one row per run with its start offset
+    and length plus a per-doc run ordinal. The classic
+    gaps-and-islands analytic applied to signal data.
+
+    Exactness: sample parsing and the run/threshold logic are all
+    integer ops; the DuckDB twin re-parses every int16-LE sample from
+    the payload hex dump (the ``audio_rms_windows`` contract) and
+    replays the islands with k − row_number().
+
+    Scale: decode + run detection are stateless per payload inside
+    Arrow-batched ``mapInPandas`` — a payload's runs never span
+    batches, so no shuffle at any corpus size; output is run
+    manifests, not samples.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def run_batches(
+            batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "run_idx": [], "start_sample": [],
+                   "run_len": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = payload[:len(payload) & ~1]
+                samples = _np.frombuffer(buf, dtype="<i2").astype(int)
+                silent = _np.abs(samples) < SILENCE_THRESH
+                runs = []
+                start = None
+                for k, s in enumerate(silent.tolist() + [False]):
+                    if s and start is None:
+                        start = k
+                    elif not s and start is not None:
+                        if k - start >= SILENCE_MIN_RUN:
+                            runs.append((start, k - start))
+                        start = None
+                for idx, (st, ln) in enumerate(runs, start=1):
+                    out["doc_id"].append(doc_id)
+                    out["run_idx"].append(idx)
+                    out["start_sample"].append(st)
+                    out["run_len"].append(ln)
+            yield _pd.DataFrame(out)
+
+    return blobs.mapInPandas(
+        run_batches,
+        "doc_id bigint, run_idx bigint, start_sample bigint, "
+        "run_len bigint")
+
+
+def _audio_silence_sql() -> str:
+    nib = ("(strpos('0123456789abcdef', substr(hx, 4*k + {off}, 1)) - 1)")
+    v = (f"(({nib.format(off=1)} * 16 + {nib.format(off=2)})"
+         f" + 256 * ({nib.format(off=3)} * 16 + {nib.format(off=4)}))")
+    return f"""
+WITH b AS (
+    SELECT doc_id, lower(hex(encode(text))) AS hx,
+           octet_length(encode(text)) // 2 AS n
+    FROM documents
+), samp AS (
+    SELECT doc_id,
+           unnest(list_transform(range(n),
+                  k -> struct_pack(k := k, u := {v})),
+                  recursive := true)
+    FROM b
+), signed AS (
+    SELECT doc_id, k,
+           CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+    FROM samp
+), isl AS (
+    SELECT doc_id, k,
+           k - row_number() OVER (PARTITION BY doc_id ORDER BY k) AS grp
+    FROM signed WHERE abs(s) < {SILENCE_THRESH}
+), runs AS (
+    SELECT doc_id, CAST(min(k) AS BIGINT) AS start_sample,
+           count(*) AS run_len
+    FROM isl GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY start_sample) AS BIGINT)
+           AS run_idx,
+       start_sample, run_len
+FROM runs WHERE run_len >= {SILENCE_MIN_RUN}
+"""
+
+
+AUDIO_SILENCE_SQL = _audio_silence_sql()

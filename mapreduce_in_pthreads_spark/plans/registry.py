@@ -350,6 +350,10 @@ register("image_phash_groups", mm.image_phash_groups,
          mm.IMAGE_PHASH_SQL,
          "perceptual-hash (aHash 8x8) image dedup groups; oracle "
          "re-derives every sampled pixel and the hash bit-for-bit")
+register("audio_silence_runs", mm.audio_silence_runs,
+         mm.AUDIO_SILENCE_SQL,
+         "silence-segment detection (gaps-and-islands over PCM int16 "
+         "samples); oracle re-parses samples from the hex dump")
 register("audio_rms_windows", mm.audio_rms_windows, mm.AUDIO_RMS_SQL,
          "PCM int16 per-window RMS loudness via numpy mapInPandas "
          "(integer sum-of-squares + one IEEE sqrt: exact DuckDB twin "

@@ -705,3 +705,41 @@ def test_image_phash_group_structure(spark, sf_dir):
         for g_ in grays:
             val = (val << 1) | (1 if g_ > mean else 0)
         assert format(val, "016x") == r.phash, r.doc_id
+
+
+def test_audio_silence_runs_reference(spark, sf_dir):
+    """Islands contract: runs recomputed by a direct pure-python pass
+    over each payload's int16 samples match exactly (start, length,
+    ordinal); runs never overlap and are maximal (neighbors above
+    threshold)."""
+    import numpy as np
+
+    from mapreduce_in_pthreads_spark.operators.multimodal import (
+        SILENCE_MIN_RUN, SILENCE_THRESH)
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    rows = REGISTRY["audio_silence_runs"].fn(spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(
+            (r.run_idx, r.start_sample, r.run_len))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    want = {}
+    for d in docs:
+        buf = d.text.encode("utf-8")
+        buf = buf[:len(buf) & ~1]
+        s = np.frombuffer(buf, dtype="<i2").astype(int)
+        silent = (np.abs(s) < SILENCE_THRESH).tolist() + [False]
+        runs, start = [], None
+        for k, f in enumerate(silent):
+            if f and start is None:
+                start = k
+            elif not f and start is not None:
+                if k - start >= SILENCE_MIN_RUN:
+                    runs.append((len(runs) + 1, start, k - start))
+                start = None
+        if runs:
+            want[d.doc_id] = runs
+    assert got == want
+    assert sum(len(v) for v in want.values()) > 0
