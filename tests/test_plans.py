@@ -381,3 +381,51 @@ def test_reliable_checkpoint_switch(spark, sf_dir, tmp_path):
             "reliable mode did not write to the checkpoint dir")
     finally:
         spark.conf.unset(RELIABLE_CONF)
+
+
+def test_cbo_column_stats_drive_broadcast(spark, sf_dir):
+    """Cost-based optimization evidence: with a 4 KB broadcast
+    threshold, the filtered customer dim plans as a SortMergeJoin on
+    file-size estimates alone, but after ANALYZE ... FOR ALL COLUMNS
+    the CBO filter-selectivity estimate shrinks it below threshold and
+    the SAME query plans a BroadcastHashJoin — the stats-driven
+    replanning a warehouse relies on (AQE disabled so the static
+    planner, not runtime sizes, makes the call)."""
+    import shutil
+
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    saved = {k: spark.conf.get(k) for k in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.cbo.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    q = """SELECT o.o_orderkey, c.c_name FROM cbo_t_orders o
+           JOIN cbo_t_customer c ON o.o_custkey = c.c_custkey
+           WHERE c.c_acctbal BETWEEN 0 AND 100"""
+    try:
+        load_table(spark, sf_dir, "orders").write.mode(
+            "overwrite").saveAsTable("cbo_t_orders")
+        load_table(spark, sf_dir, "customer").write.mode(
+            "overwrite").saveAsTable("cbo_t_customer")
+        before = spark.sql(q)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "SortMergeJoin" in before and \
+            "BroadcastHashJoin" not in before
+        spark.sql(
+            "ANALYZE TABLE cbo_t_customer COMPUTE STATISTICS "
+            "FOR ALL COLUMNS")
+        after = spark.sql(q)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in after and \
+            "SortMergeJoin" not in after
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        for t in ("cbo_t_orders", "cbo_t_customer"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if wh.startswith("file:"):
+            shutil.rmtree(wh[5:], ignore_errors=True)
