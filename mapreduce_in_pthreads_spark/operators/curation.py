@@ -32,17 +32,10 @@ MIN_TOKENS = 10
 MIN_DISTINCT_RATIO = 0.5
 
 
-def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-lang manifest with stage-by-stage survivor counts.
-
-    Stages compose by intersection:
-      raw            — every document;
-      quality        — ≥ MIN_TOKENS tokens and distinct-token ratio
-                       ≥ MIN_DISTINCT_RATIO (repetition filter);
-      exact survivor — lowest doc_id per md5(text) among quality docs;
-      kept           — additionally the canonical member of its
-                       near-dup cluster (``connected_components_dedup``).
-    """
+def _funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-doc stage flags (lang, doc_id, n_tokens,
+    pass_quality, is_exact_survivor, kept) — the funnel's stage
+    definitions, factored so composed reports reuse them verbatim."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     base = docs.select(
@@ -67,7 +60,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter("is_canonical").select("doc_id")
              .withColumn("is_cluster_canonical", F.lit(True)))
 
-    flagged = (
+    return (
         base.join(exact_surv, "doc_id", "left")
         .join(canon, "doc_id", "left")
         .withColumn("is_exact_survivor",
@@ -77,6 +70,20 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("is_exact_survivor")
                     & F.coalesce("is_cluster_canonical", F.lit(False)))
     )
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang manifest with stage-by-stage survivor counts.
+
+    Stages compose by intersection:
+      raw            — every document;
+      quality        — ≥ MIN_TOKENS tokens and distinct-token ratio
+                       ≥ MIN_DISTINCT_RATIO (repetition filter);
+      exact survivor — lowest doc_id per md5(text) among quality docs;
+      kept           — additionally the canonical member of its
+                       near-dup cluster (``connected_components_dedup``).
+    """
+    flagged = _funnel_flags(spark, sf_dir)
     cnt_if = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0))
     return (
         flagged.groupBy("lang")
@@ -129,6 +136,132 @@ LEFT JOIN exact_surv e ON e.doc_id = f.doc_id
 LEFT JOIN canon c ON c.doc_id = f.doc_id
 GROUP BY lang
 """
+
+
+
+
+def pretrain_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL modern pretraining-curation recipe as ONE composed
+    per-lang report — ``curation_funnel`` extended with the semantic
+    and selection stages the round-4 operators added:
+
+      raw → quality → exact survivor → near-dup canonical (the funnel
+      stages, reused verbatim via ``_funnel_flags``) →
+      **semantic** (drop docs whose embedding ``semdedup_prune``
+      marks as a within-cluster duplicate; docs without an embedding
+      row cannot be semantically deduped and pass through) →
+      **selected** (docs in ``dsir_importance_weights``' top-N
+      importance resample), with the final stage's token total.
+
+    Like the funnel, every stage reuses its standalone operator's
+    exact definition — the report is a cross-operator consistency
+    proof, and its oracle composes the same standalone SQL twins as
+    subqueries.
+
+    Scale: stage flags stay per-doc columns aggregated with
+    conditional sums; the semantic and selection stages join (bigint)
+    id sets, never documents or vectors.
+    """
+    from .quantizer import semdedup_prune
+
+    flagged = _funnel_flags(spark, sf_dir)
+    sem_pruned = (semdedup_prune(spark, sf_dir)
+                  .filter(F.col("pruned") == 1)
+                  .select(F.col("vec_id").alias("doc_id"))
+                  .withColumn("sem_pruned", F.lit(True)))
+    selected = (dsir_importance_weights(spark, sf_dir)
+                .filter(F.col("selected") == 1)
+                .select("doc_id")
+                .withColumn("dsir_selected", F.lit(True)))
+    full = (
+        flagged.join(sem_pruned, "doc_id", "left")
+        .join(selected, "doc_id", "left")
+        .withColumn("semantic",
+                    F.col("kept")
+                    & ~F.coalesce("sem_pruned", F.lit(False)))
+        .withColumn("final",
+                    F.col("semantic")
+                    & F.coalesce("dsir_selected", F.lit(False))))
+    cnt_if = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0))
+    return (
+        full.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_raw"),
+             cnt_if("pass_quality").alias("n_quality"),
+             cnt_if("is_exact_survivor").alias("n_exact_unique"),
+             cnt_if("kept").alias("n_kept"),
+             cnt_if("semantic").alias("n_semantic"),
+             cnt_if("final").alias("n_selected"),
+             F.sum(F.when(F.col("final"), F.col("n_tokens"))
+                   .otherwise(0)).alias("tokens_selected"))
+    )
+
+
+
+
+def _pretrain_report_sql() -> str:
+    from .quantizer import SEMDEDUP_SQL
+
+    return f"""
+WITH base AS (
+    SELECT lang, doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' ')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)
+               AS distinct_ratio,
+           md5(text) AS fingerprint
+    FROM documents
+),
+flagged AS (
+    SELECT *,
+           n_tokens >= {MIN_TOKENS}
+           AND distinct_ratio >= {MIN_DISTINCT_RATIO} AS pass_quality
+    FROM base
+),
+exact_surv AS (
+    SELECT min(doc_id) AS doc_id
+    FROM flagged WHERE pass_quality GROUP BY fingerprint
+),
+canon AS (
+    SELECT doc_id FROM ({CONNECTED_COMPONENTS_SQL}) WHERE is_canonical
+),
+sem AS (
+    SELECT vec_id AS doc_id FROM ({SEMDEDUP_SQL}) WHERE pruned = 1
+),
+dsel AS (
+    SELECT doc_id FROM ({DSIR_SQL}) WHERE selected = 1
+),
+staged AS (
+    SELECT f.lang, f.n_tokens, f.pass_quality,
+           f.pass_quality AND e.doc_id IS NOT NULL AS is_exact,
+           f.pass_quality AND e.doc_id IS NOT NULL
+               AND c.doc_id IS NOT NULL AS kept,
+           f.pass_quality AND e.doc_id IS NOT NULL
+               AND c.doc_id IS NOT NULL AND s.doc_id IS NULL AS semantic,
+           f.pass_quality AND e.doc_id IS NOT NULL
+               AND c.doc_id IS NOT NULL AND s.doc_id IS NULL
+               AND d.doc_id IS NOT NULL AS final
+    FROM flagged f
+    LEFT JOIN exact_surv e ON e.doc_id = f.doc_id
+    LEFT JOIN canon c ON c.doc_id = f.doc_id
+    LEFT JOIN sem s ON s.doc_id = f.doc_id
+    LEFT JOIN dsel d ON d.doc_id = f.doc_id
+)
+SELECT lang, count(*) AS n_raw,
+       CAST(sum(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quality,
+       CAST(sum(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_unique,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN semantic THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_semantic,
+       CAST(sum(CASE WHEN final THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_selected,
+       CAST(sum(CASE WHEN final THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_selected
+FROM staged GROUP BY lang
+"""
+
+
 
 
 SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.3, "es": 0.3, "fr": 0.2, "zh": 0.1}
@@ -489,3 +622,8 @@ UNION ALL
 SELECT 'lineitem_orderkey_fk', count(*)
 FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
 """
+
+
+# Defined at module end: the composed oracle needs DSIR_SQL, declared below
+# the funnel section.
+PRETRAIN_REPORT_SQL = _pretrain_report_sql()

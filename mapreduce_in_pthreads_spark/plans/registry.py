@@ -259,6 +259,10 @@ register("soft_dedup_weights", cu.soft_dedup_weights,
          cu.SOFT_DEDUP_SQL,
          "SoftDeDup reweighting: 1/commonness sampling weight from "
          "the transitive near-dup cluster size (soft, not hard, dedup)")
+register("pretrain_curation_report", cu.pretrain_curation_report,
+         cu.PRETRAIN_REPORT_SQL,
+         "the full modern curation recipe composed: funnel stages + "
+         "SemDeDup semantic prune + DSIR selection, per-lang manifest")
 
 # --- similarity search ----------------------------------------------------
 register("ann_topk_bruteforce", sim.ann_topk_bruteforce,

@@ -743,3 +743,25 @@ def test_audio_silence_runs_reference(spark, sf_dir):
             want[d.doc_id] = runs
     assert got == want
     assert sum(len(v) for v in want.values()) > 0
+
+
+def test_pretrain_report_extends_funnel(spark, sf_dir):
+    """The composed report's first four stages must equal
+    curation_funnel's counts exactly (same definitions, reused), and
+    the stage chain must narrow monotonically through the new
+    semantic and selection stages."""
+    rep = {r.lang: r for r in
+           REGISTRY["pretrain_curation_report"].fn(spark, sf_dir)
+           .collect()}
+    fun = {r.lang: r for r in
+           REGISTRY["curation_funnel"].fn(spark, sf_dir).collect()}
+    assert set(rep) == set(fun)
+    for lang, r in rep.items():
+        f = fun[lang]
+        assert (r.n_raw, r.n_quality, r.n_exact_unique, r.n_kept) == \
+            (f.n_raw, f.n_quality, f.n_exact_unique, f.n_kept)
+        assert (r.n_raw >= r.n_quality >= r.n_exact_unique
+                >= r.n_kept >= r.n_semantic >= r.n_selected >= 0)
+    assert sum(r.n_semantic for r in rep.values()) < \
+        sum(r.n_kept for r in rep.values()), "semantic stage inert"
+    assert sum(r.n_selected for r in rep.values()) > 0
