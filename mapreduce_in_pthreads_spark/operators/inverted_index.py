@@ -254,3 +254,64 @@ def rdd_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.createDataFrame(
         postings, "word string, n_occurrences bigint, occurrences string")
+
+
+# Fixed two-word phrase queries over the corpus vocabulary (the same
+# term pairs BM25 ranks on — text_analysis.BM25_QUERIES — so retrieval
+# entries share a query workload).
+PHRASES = ((0, "hash", "join"), (1, "window", "merge"),
+           (2, "scan", "filter"))
+
+
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search — the IR capability the flagship
+    index CANNOT answer (word → doc:count loses adjacency): for each
+    fixed two-word phrase, every document containing the exact phrase
+    and its occurrence count, via the classic positional-postings
+    merge: tokens at (doc, p) matching word₁ join tokens at (doc, p+1)
+    matching word₂.
+
+    The tokenizer (and its pre-filter position semantics,
+    mapreduce.c:109-114) is ``tokens()`` — the same relation the
+    flagship builds — so this entry demonstrates how a positional
+    variant of the reference's index extends it to phrase queries.
+
+    Scale: the phrase table broadcasts; BOTH sides of the positional
+    join are pre-filtered to query terms before any shuffle (at 100 TB
+    the posting lists for two terms, not the corpus, meet in the
+    join); the join key is (doc_id, pos) — co-partitioned, no
+    pair blowup beyond true candidate positions.
+    """
+    tok = tokens(spark, sf_dir)
+    phrases = spark.createDataFrame(
+        list(PHRASES), "phrase_id bigint, w1 string, w2 string")
+    t1 = (tok.join(F.broadcast(phrases), tok.word == phrases.w1)
+          .select("phrase_id", "w1", "w2", "doc_id", "pos"))
+    t2 = tok.select(F.col("doc_id").alias("doc_id2"),
+                    F.col("pos").alias("pos2"),
+                    F.col("word").alias("word2"))
+    hits = t1.join(
+        t2, (F.col("doc_id") == F.col("doc_id2"))
+        & (F.col("pos2") == F.col("pos") + 1)
+        & (F.col("word2") == F.col("w2")))
+    return (hits.groupBy("phrase_id",
+                         F.concat_ws(" ", "w1", "w2").alias("phrase"),
+                         "doc_id")
+            .agg(F.count(F.lit(1)).alias("n_matches")))
+
+
+def _phrase_values_sql() -> str:
+    return ", ".join(f"({i}, '{a}', '{b}')" for i, a, b in PHRASES)
+
+
+PHRASE_SEARCH_SQL = f"""
+WITH tok AS ({TOKENS_FILTERED_SQL}),
+q(phrase_id, w1, w2) AS (VALUES {_phrase_values_sql()})
+SELECT q.phrase_id, q.w1 || ' ' || q.w2 AS phrase, t1.doc_id,
+       count(*) AS n_matches
+FROM tok t1
+JOIN q ON t1.word = q.w1
+JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+           AND t2.word = q.w2
+GROUP BY q.phrase_id, phrase, t1.doc_id
+"""

@@ -78,6 +78,10 @@ register("incremental_index_merge", ii.incremental_index_merge,
          ii.INVERTED_INDEX_SQL,
          "state+delta partial-postings merge == full index (mergeable-"
          "monoid proof for the flagship), same oracle")
+register("phrase_search_positional", ii.phrase_search_positional,
+         ii.PHRASE_SEARCH_SQL,
+         "positional-index phrase search: exact two-word phrase "
+         "occurrences via the (doc, pos)->(doc, pos+1) postings merge")
 
 # --- core relational (SURVEY §2.3 rows 1-4, 7-9) -------------------------
 register("q1_pricing_summary", rel.q1_pricing_summary, rel.Q1_SQL,

@@ -765,3 +765,32 @@ def test_pretrain_report_extends_funnel(spark, sf_dir):
     assert sum(r.n_semantic for r in rep.values()) < \
         sum(r.n_kept for r in rep.values()), "semantic stage inert"
     assert sum(r.n_selected for r in rep.values()) > 0
+
+
+def test_phrase_search_vs_python_scan(spark, sf_dir):
+    """Phrase-search ground truth: a direct python scan of every
+    normalized token stream for phrase adjacency produces the same
+    (phrase, doc, count) set."""
+    import re as _re
+
+    from mapreduce_in_pthreads_spark.operators.inverted_index import (
+        PHRASES)
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    rows = REGISTRY["phrase_search_positional"].fn(spark, sf_dir).collect()
+    got = {(r.phrase_id, r.doc_id): r.n_matches for r in rows}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    want = {}
+    for d in docs:
+        # positions are PRE-filter (tokens() semantics): a token that
+        # normalizes to '' still occupies its ordinal, so words
+        # straddling it are NOT phrase-adjacent
+        toks = [_re.match(r"[a-z0-9]*", t.lower()).group(0)
+                for t in d.text.split(" ")]
+        for pid, w1, w2 in PHRASES:
+            n = sum(1 for a, b in zip(toks, toks[1:])
+                    if a == w1 and b == w2)
+            if n:
+                want[(pid, d.doc_id)] = n
+    assert got == want and len(want) > 0
