@@ -630,8 +630,9 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # session-3 additions: semdedup_prune, dsir_importance_weights,
 # rrf_fusion_topk, soft_dedup_weights, asof_join_nearest_event,
 # event_rate_anomaly, equi_depth_deciles, session_path_transitions,
-# daily_profile_similarity, ngram_novelty_curve, rolling_correlation
-# (54 total — more than one window;
+# daily_profile_similarity, ngram_novelty_curve, rolling_correlation,
+# image_phash_groups, audio_silence_runs, pretrain_curation_report,
+# phrase_search_positional (58 total — more than one window;
 # prioritize the paper-anchored LLM-pipeline entries, roll the rest;
 # recount from the CORRECTNESS unions when building the round-5
 # window). pagerank_word_graph was oracle-UPGRADED in session 2
