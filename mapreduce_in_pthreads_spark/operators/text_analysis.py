@@ -1067,3 +1067,131 @@ FROM (SELECT doc_id FROM documents) d
 LEFT JOIN intro i USING (doc_id)
 LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query — the confusion matrix of
+    ``lang_id_heuristic``'s predictions against the declared labels:
+    one row per (declared, predicted) pair with its count, the share
+    of the declared language it represents, and a correct flag. The
+    model-eval analytic (precision/recall derive from these cells)
+    every curation pipeline runs on its quality/language classifiers;
+    composing the standalone classifier entry verbatim makes this a
+    cross-operator consistency proof like ``pretrain_curation_report``.
+
+    Scale: the classifier is per-row expressions (zero shuffle); the
+    matrix aggregation is combinable into ≤ |langs|² groups; the share
+    is a window over those rows. Exactness: counts are integers,
+    share is one correctly-rounded division.
+    """
+    pred = lang_id_heuristic(spark, sf_dir)
+    cells = (pred.groupBy("declared_lang", "pred_lang")
+             .agg(F.count(F.lit(1)).alias("n")))
+    total = F.sum("n").over(Window.partitionBy("declared_lang"))
+    return cells.select(
+        "declared_lang", "pred_lang", "n",
+        F.round(F.col("n").cast("double") / total.cast("double"), 6)
+        .alias("share"),
+        F.when(F.col("declared_lang") == F.col("pred_lang"), 1)
+        .otherwise(0).cast("bigint").alias("correct"))
+
+
+LANG_CONFUSION_SQL = f"""
+WITH pred AS ({LANG_ID_SQL}),
+cells AS (
+    SELECT declared_lang, pred_lang, count(*) AS n
+    FROM pred GROUP BY 1, 2
+)
+SELECT declared_lang, pred_lang, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY declared_lang) AS DOUBLE),
+             6) AS share,
+       CAST(CASE WHEN declared_lang = pred_lang THEN 1 ELSE 0 END
+            AS BIGINT) AS correct
+FROM cells
+"""
+
+
+SKIP_WINDOW = 2      # co-occurrence window: positions 1..K apart
+SKIP_MIN_COUNT = 5   # drop pairs rarer than this
+
+
+def skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts with PMI — the word2vec/GloVe
+    training-data statistic: unordered word pairs within
+    ``SKIP_WINDOW`` positions of each other, their co-occurrence
+    count, and pointwise mutual information
+    ``ln((c_ab/T) / ((c_a/N)·(c_b/N)))``. Extends ``bigram_counts``
+    (adjacent-only) to windowed context; high-PMI pairs are the
+    collocations embedding objectives are built on.
+
+    Scale: the window join is the SHIFT-EXPLODE trick — each token
+    emits ``SKIP_WINDOW`` shifted (doc, pos+d) keys, turning the
+    positional range join into a pure equi-join on (doc_id, pos)
+    (the ``count_min_words`` cell trick); pair counts are combinable;
+    the unigram/total sides are vocabulary-sized broadcasts.
+
+    Exactness: all counts integer; the PMI ratio is fixed-order
+    correctly-rounded double ops into one ln, rounded to 6 dp (the
+    ``tfidf_top_terms`` contract — the value is reported, never
+    ranked, so a 1-ulp ln divergence under the rounding boundary is
+    the only risk, identical to every ln-bearing green entry).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+    offsets = F.array(*[F.lit(d) for d in range(1, SKIP_WINDOW + 1)])
+    left = (tok.withColumn("d", F.explode(offsets))
+            .select("doc_id", F.col("word").alias("w1"),
+                    (F.col("pos") + F.col("d")).alias("pos2")))
+    right = tok.select("doc_id", F.col("pos").alias("pos2"),
+                       F.col("word").alias("w2"))
+    pairs = left.join(right, ["doc_id", "pos2"]).select(
+        F.least("w1", "w2").alias("wa"),
+        F.greatest("w1", "w2").alias("wb"))
+    cab = pairs.groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("c_ab"))
+    tot = pairs.agg(F.count(F.lit(1)).alias("t_pairs"))
+    uni = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    n = tok.agg(F.count(F.lit(1)).alias("n_tokens"))
+    p_ab = F.col("c_ab").cast("double") / F.col("t_pairs").cast("double")
+    p_a = F.col("ca").cast("double") / F.col("n_tokens").cast("double")
+    p_b = F.col("cb").cast("double") / F.col("n_tokens").cast("double")
+    return (
+        cab.filter(F.col("c_ab") >= SKIP_MIN_COUNT)
+        .join(F.broadcast(uni.select(F.col("word").alias("wa"),
+                                     F.col("c").alias("ca"))), "wa")
+        .join(F.broadcast(uni.select(F.col("word").alias("wb"),
+                                     F.col("c").alias("cb"))), "wb")
+        .join(F.broadcast(tot)).join(F.broadcast(n))
+        .select("wa", "wb", "c_ab",
+                F.round(F.log(p_ab / (p_a * p_b)), 6).alias("pmi")))
+
+
+SKIPGRAM_PMI_SQL = f"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           unnest(range(len(string_split(text, ' ')))) AS pos
+    FROM documents
+), pairs AS (
+    SELECT least(t1.word, t2.word) AS wa,
+           greatest(t1.word, t2.word) AS wb
+    FROM tok t1
+    JOIN tok t2 ON t2.doc_id = t1.doc_id
+              AND t2.pos BETWEEN t1.pos + 1 AND t1.pos + {SKIP_WINDOW}
+), cab AS (
+    SELECT wa, wb, count(*) AS c_ab FROM pairs GROUP BY wa, wb
+), tot AS (SELECT count(*) AS t_pairs FROM pairs),
+uni AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+n AS (SELECT count(*) AS n_tokens FROM tok)
+SELECT wa, wb, c_ab,
+       round(ln((CAST(c_ab AS DOUBLE) / CAST(t_pairs AS DOUBLE))
+                / ((CAST(ua.c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                   * (CAST(ub.c AS DOUBLE) / CAST(n_tokens AS DOUBLE)))),
+             6) AS pmi
+FROM cab
+JOIN uni ua ON ua.word = cab.wa
+JOIN uni ub ON ub.word = cab.wb
+CROSS JOIN tot CROSS JOIN n
+WHERE c_ab >= {SKIP_MIN_COUNT}
+"""

@@ -513,6 +513,13 @@ register("ngram_novelty_curve", ta.ngram_novelty_curve,
          ta.NGRAM_NOVELTY_SQL,
          "corpus diversity-saturation curve: trigram types introduced "
          "per doc + cumulative unique count (data-scaling diagnostic)")
+register("lang_confusion_matrix", ta.lang_confusion_matrix,
+         ta.LANG_CONFUSION_SQL,
+         "classifier evaluation: lang_id_heuristic confusion matrix "
+         "vs declared labels (counts, per-lang shares, correct flag)")
+register("skipgram_pmi", ta.skipgram_pmi, ta.SKIPGRAM_PMI_SQL,
+         "word2vec-style windowed co-occurrence + PMI (shift-explode "
+         "turns the positional range join into a pure equi-join)")
 register("approx_top_k_words", ta.approx_top_k_words,
          ta.APPROX_TOP_K_WORDS_SQL,
          "approx_top_k frequent-words sketch (exact with "

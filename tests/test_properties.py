@@ -794,3 +794,59 @@ def test_phrase_search_vs_python_scan(spark, sf_dir):
             if n:
                 want[(pid, d.doc_id)] = n
     assert got == want and len(want) > 0
+
+
+def test_lang_confusion_consistency(spark, sf_dir):
+    """Confusion matrix must recompute exactly from the standalone
+    classifier's per-doc output; per-declared-lang shares sum to 1;
+    cell counts sum to the corpus size."""
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    cells = REGISTRY["lang_confusion_matrix"].fn(spark, sf_dir).collect()
+    pred = REGISTRY["lang_id_heuristic"].fn(spark, sf_dir).collect()
+    want = {}
+    for p in pred:
+        want[(p.declared_lang, p.pred_lang)] = \
+            want.get((p.declared_lang, p.pred_lang), 0) + 1
+    assert {(c.declared_lang, c.pred_lang): c.n for c in cells} == want
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(c.n for c in cells) == n_docs
+    shares = {}
+    for c in cells:
+        shares[c.declared_lang] = shares.get(c.declared_lang, 0.0) + c.share
+        assert c.correct == (1 if c.declared_lang == c.pred_lang else 0)
+    assert all(abs(v - 1.0) < 1e-4 for v in shares.values())
+
+
+def test_skipgram_pmi_recompute(spark, sf_dir):
+    """PMI sanity: pairs are canonical (wa <= wb), every count >= the
+    threshold, and PMI recomputes from raw python co-occurrence
+    counts over the same +-SKIP_WINDOW windows."""
+    import math
+
+    from mapreduce_in_pthreads_spark.operators.text_analysis import (
+        SKIP_MIN_COUNT, SKIP_WINDOW)
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    rows = REGISTRY["skipgram_pmi"].fn(spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    cab, uni, t_pairs, n_tokens = {}, {}, 0, 0
+    for d in docs:
+        toks = d.text.split(" ")
+        n_tokens += len(toks)
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for i, a in enumerate(toks):
+            for j in range(i + 1, min(i + SKIP_WINDOW + 1, len(toks))):
+                key = tuple(sorted((a, toks[j])))
+                cab[key] = cab.get(key, 0) + 1
+                t_pairs += 1
+    for r in rows:
+        assert r.wa <= r.wb and r.c_ab >= SKIP_MIN_COUNT
+        assert cab[(r.wa, r.wb)] == r.c_ab
+        want = math.log((r.c_ab / t_pairs)
+                        / ((uni[r.wa] / n_tokens)
+                           * (uni[r.wb] / n_tokens)))
+        assert abs(r.pmi - round(want, 6)) < 1e-9, (r, want)
+    assert len(rows) == sum(1 for v in cab.values() if v >= SKIP_MIN_COUNT)
