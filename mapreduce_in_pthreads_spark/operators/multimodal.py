@@ -860,3 +860,97 @@ FROM runs WHERE run_len >= {SILENCE_MIN_RUN}
 
 
 AUDIO_SILENCE_SQL = _audio_silence_sql()
+
+
+SHOT_DELTA_THRESH = 160  # |intensity delta| >= this = shot boundary
+
+
+def frame_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection — the video-analysis step after
+    ``frame_sample``'s strided decode: per frame, an intensity
+    feature (byte sum over the frame's ``FRAME_BYTES`` chunk), the
+    absolute delta to the previous frame, and a boundary flag where
+    the delta reaches ``SHOT_DELTA_THRESH`` — the classic
+    frame-difference cut detector every video-curation pipeline runs
+    to segment clips before sampling training frames. One row per
+    frame (the ``frame_sample`` 1:N shape), frame 0 unflagged (no
+    predecessor; delta NULL).
+
+    Exactness: intensities and deltas are pure integer sums over
+    payload bytes, so the DuckDB twin re-derives every byte from the
+    hex dump (the ``audio_rms_windows`` parse) and matches exactly.
+
+    Scale: all frames of a payload live in one Arrow batch row, so
+    the delta needs no window shuffle — the detector is stateless per
+    payload and embarrassingly parallel; output is frame manifests.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def shot_batches(
+            batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "intensity": [],
+                   "delta": [], "is_boundary": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(len(payload) // FRAME_BYTES, 1)
+                prev = None
+                for f in range(n_frames):
+                    chunk = payload[f * FRAME_BYTES:(f + 1) * FRAME_BYTES]
+                    inten = sum(chunk)
+                    delta = None if prev is None else abs(inten - prev)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["intensity"].append(inten)
+                    out["delta"].append(delta)
+                    out["is_boundary"].append(
+                        1 if delta is not None
+                        and delta >= SHOT_DELTA_THRESH else 0)
+                    prev = inten
+            yield _pd.DataFrame(out)
+
+    return blobs.mapInPandas(
+        shot_batches,
+        "doc_id bigint, frame_idx bigint, intensity bigint, "
+        "delta bigint, is_boundary bigint")
+
+
+def _shot_boundaries_sql() -> str:
+    nib = ("(strpos('0123456789abcdef', substr(hx, 2*j + {off}, 1)) - 1)")
+    byte = f"({nib.format(off=1)} * 16 + {nib.format(off=2)})"
+    return f"""
+WITH b AS (
+    SELECT doc_id, lower(hex(encode(text))) AS hx,
+           octet_length(encode(text)) AS nbytes
+    FROM documents
+), fr AS (
+    SELECT doc_id, hx, nbytes,
+           unnest(range(greatest(nbytes // {FRAME_BYTES}, 1)))
+               AS frame_idx
+    FROM b
+), inten AS (
+    SELECT doc_id, frame_idx,
+           list_sum(list_transform(
+               range(frame_idx * {FRAME_BYTES},
+                     least(nbytes, (frame_idx + 1) * {FRAME_BYTES})),
+               j -> {byte})) AS intensity
+    FROM fr
+), d AS (
+    SELECT doc_id, frame_idx,
+           CAST(intensity AS BIGINT) AS intensity,
+           abs(intensity - lag(intensity) OVER (
+               PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+    FROM inten
+)
+SELECT doc_id, frame_idx, intensity,
+       CAST(delta AS BIGINT) AS delta,
+       CAST(CASE WHEN delta >= {SHOT_DELTA_THRESH}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_boundary
+FROM d
+"""
+
+
+SHOT_BOUNDARIES_SQL = _shot_boundaries_sql()

@@ -362,6 +362,10 @@ register("audio_silence_runs", mm.audio_silence_runs,
          mm.AUDIO_SILENCE_SQL,
          "silence-segment detection (gaps-and-islands over PCM int16 "
          "samples); oracle re-parses samples from the hex dump")
+register("frame_shot_boundaries", mm.frame_shot_boundaries,
+         mm.SHOT_BOUNDARIES_SQL,
+         "frame-difference shot-cut detector over the fake-codec "
+         "frame stream; integer intensities, byte-exact oracle")
 register("audio_rms_windows", mm.audio_rms_windows, mm.AUDIO_RMS_SQL,
          "PCM int16 per-window RMS loudness via numpy mapInPandas "
          "(integer sum-of-squares + one IEEE sqrt: exact DuckDB twin "

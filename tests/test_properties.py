@@ -850,3 +850,32 @@ def test_skipgram_pmi_recompute(spark, sf_dir):
                            * (uni[r.wb] / n_tokens)))
         assert abs(r.pmi - round(want, 6)) < 1e-9, (r, want)
     assert len(rows) == sum(1 for v in cab.values() if v >= SKIP_MIN_COUNT)
+
+
+def test_shot_boundaries_reference(spark, sf_dir):
+    """Frame-diff detector ground truth: intensities, deltas, and
+    boundary flags recomputed with a direct python pass over the
+    payload chunks match exactly; frame 0 never flags."""
+    from mapreduce_in_pthreads_spark.operators.multimodal import (
+        FRAME_BYTES, SHOT_DELTA_THRESH)
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    rows = REGISTRY["frame_shot_boundaries"].fn(spark, sf_dir).collect()
+    got = {(r.doc_id, r.frame_idx):
+           (r.intensity, r.delta, r.is_boundary) for r in rows}
+    want = {}
+    for d in load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text").collect():
+        payload = d.text.encode("utf-8")
+        n_frames = max(len(payload) // FRAME_BYTES, 1)
+        prev = None
+        for f in range(n_frames):
+            inten = sum(payload[f * FRAME_BYTES:(f + 1) * FRAME_BYTES])
+            delta = None if prev is None else abs(inten - prev)
+            want[(d.doc_id, f)] = (
+                inten, delta,
+                1 if delta is not None
+                and delta >= SHOT_DELTA_THRESH else 0)
+            prev = inten
+    assert got == want
+    assert sum(v[2] for v in want.values()) > 0
