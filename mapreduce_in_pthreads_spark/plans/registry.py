@@ -643,7 +643,8 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # event_rate_anomaly, equi_depth_deciles, session_path_transitions,
 # daily_profile_similarity, ngram_novelty_curve, rolling_correlation,
 # image_phash_groups, audio_silence_runs, pretrain_curation_report,
-# phrase_search_positional (58 total — more than one window;
+# phrase_search_positional, skipgram_pmi, lang_confusion_matrix,
+# frame_shot_boundaries (61 total — more than one window;
 # prioritize the paper-anchored LLM-pipeline entries, roll the rest;
 # recount from the CORRECTNESS unions when building the round-5
 # window). pagerank_word_graph was oracle-UPGRADED in session 2
