@@ -406,3 +406,94 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
 
 
 ANN_LSH_TOPK_SQL = _lsh_sql()
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as a query — recall@k of every
+    approximate index in the family against the exact brute-force
+    baseline, per query: the measurement that decides nprobe/band
+    tradeoffs in production ANN deployments ("measure, don't guess").
+    One row per (method, query_id) with the hit count and
+    recall = hits / TOP_K; methods = label-cell IVF, trained-k-means
+    IVF, and sign-LSH, all composed VERBATIM from their standalone
+    entries (cross-operator consistency, like
+    ``pretrain_curation_report``).
+
+    The (method × query) grid is built from the baseline's query ids
+    so a method that returns nothing for a query still reports
+    recall 0 — silent-miss-proof.
+
+    Scale: each method's top-k is its own (already scale-audited)
+    plan; the comparison joins k-row-per-query id sets.
+
+    Exactness: hit counts are integers; recall is one
+    correctly-rounded division.
+    """
+    from .quantizer import ann_ivf_trained_topk
+
+    bf = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "vec_id").withColumn("in_bf", F.lit(1))
+    methods = {
+        "ivf_label": ann_ivf_topk(spark, sf_dir),
+        "ivf_trained": ann_ivf_trained_topk(spark, sf_dir),
+        "lsh_sign": ann_lsh_topk(spark, sf_dir),
+    }
+    tagged = None
+    for name, df in methods.items():
+        cur = df.select(F.lit(name).alias("method"),
+                        "query_id", "vec_id")
+        tagged = cur if tagged is None else tagged.unionByName(cur)
+    hits = (tagged.join(bf, ["query_id", "vec_id"], "left")
+            .groupBy("method", "query_id")
+            .agg(F.sum(F.coalesce("in_bf", F.lit(0))).alias("n_hits")))
+    grid = (bf.select("query_id").distinct()
+            .crossJoin(spark.createDataFrame(
+                [(m,) for m in sorted(methods)], "method string")))
+    return (grid.join(hits, ["method", "query_id"], "left")
+            .select("method", "query_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("bigint")
+                    .alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0)).cast("double")
+                            / TOP_K, 6).alias("recall")))
+
+
+def _recall_report_sql() -> str:
+    from .quantizer import ANN_IVF_TRAINED_SQL
+
+    return f"""
+WITH bf AS (
+    SELECT query_id, vec_id FROM ({ANN_TOPK_BRUTEFORCE_SQL})
+), m_ivf AS (
+    SELECT 'ivf_label' AS method, query_id, vec_id
+    FROM ({ANN_IVF_TOPK_SQL})
+), m_tr AS (
+    SELECT 'ivf_trained' AS method, query_id, vec_id
+    FROM ({ANN_IVF_TRAINED_SQL})
+), m_lsh AS (
+    SELECT 'lsh_sign' AS method, query_id, vec_id
+    FROM ({ANN_LSH_TOPK_SQL})
+), tagged AS (
+    SELECT * FROM m_ivf UNION ALL SELECT * FROM m_tr
+    UNION ALL SELECT * FROM m_lsh
+), hits AS (
+    SELECT t.method, t.query_id,
+           sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+    FROM tagged t
+    LEFT JOIN bf b ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+    GROUP BY t.method, t.query_id
+), grid AS (
+    SELECT m.method, q.query_id
+    FROM (SELECT DISTINCT query_id FROM bf) q
+    CROSS JOIN (VALUES ('ivf_label'), ('ivf_trained'),
+                       ('lsh_sign')) m(method)
+)
+SELECT g.method, g.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {TOP_K}, 6)
+           AS recall
+FROM grid g
+LEFT JOIN hits h ON h.method = g.method AND h.query_id = g.query_id
+"""
+
+
+ANN_RECALL_REPORT_SQL = _recall_report_sql()

@@ -302,6 +302,10 @@ register("cluster_balanced_sample", qz.cluster_balanced_sample,
          qz.CLUSTER_SAMPLE_SQL,
          "diversity sampling: top-N per trained cluster in "
          "deterministic md5 order (cluster-space stratified curation)")
+register("ann_recall_report", sim.ann_recall_report,
+         sim.ANN_RECALL_REPORT_SQL,
+         "ANN evaluation: recall@k of IVF/trained-IVF/sign-LSH vs the "
+         "exact brute-force baseline, per query (miss-proof grid)")
 register("semdedup_prune", qz.semdedup_prune, qz.SEMDEDUP_SQL,
          "SemDeDup: within-trained-cluster cosine near-dup pruning, "
          "keep-min-id representative per ε-ball")

@@ -879,3 +879,36 @@ def test_shot_boundaries_reference(spark, sf_dir):
             prev = inten
     assert got == want
     assert sum(v[2] for v in want.values()) > 0
+
+
+def test_ann_recall_report_consistency(spark, sf_dir):
+    """Recall cells recompute exactly from the standalone entries'
+    outputs; every (method, query) cell exists (miss-proof grid);
+    n_hits <= TOP_K; and the trained-IVF mean beats the label-IVF
+    mean which beats single-bucket LSH on this corpus — the ordering
+    the quantizer family exists to demonstrate."""
+    from mapreduce_in_pthreads_spark.operators.similarity import (
+        N_QUERIES, TOP_K)
+
+    rows = REGISTRY["ann_recall_report"].fn(spark, sf_dir).collect()
+    assert len(rows) == 3 * N_QUERIES
+    bf = {}
+    for r in REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir).collect():
+        bf.setdefault(r.query_id, set()).add(r.vec_id)
+    impls = {"ivf_label": "ann_ivf_topk",
+             "ivf_trained": "ann_ivf_trained_topk",
+             "lsh_sign": "ann_lsh_topk"}
+    got = {}
+    for name, entry in impls.items():
+        for r in REGISTRY[entry].fn(spark, sf_dir).collect():
+            if r.vec_id in bf.get(r.query_id, set()):
+                got[(name, r.query_id)] = \
+                    got.get((name, r.query_id), 0) + 1
+    means = {}
+    for r in rows:
+        assert 0 <= r.n_hits <= TOP_K
+        assert abs(r.recall - round(r.n_hits / TOP_K, 6)) < 1e-12
+        assert r.n_hits == got.get((r.method, r.query_id), 0)
+        means.setdefault(r.method, []).append(r.recall)
+    means = {k: sum(v) / len(v) for k, v in means.items()}
+    assert means["ivf_trained"] > means["ivf_label"] > means["lsh_sign"]
