@@ -588,3 +588,89 @@ SELECT query_id, vec_id, adc_dist, rank FROM (
     FROM dists
 ) WHERE rank <= {TOP_K}
 """
+
+
+NPROBE = 2  # cells probed per query (multi-probe IVF)
+
+
+def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF over the trained quantizer: each query probes
+    its ``NPROBE`` nearest cells instead of one — THE standard recall
+    lever in production IVF (FAISS ``nprobe``): candidate volume
+    scales linearly with probes while recall climbs steeply, because
+    true neighbors near a cell boundary land in the second-closest
+    cell. ``ann_recall_report`` measures the gain against the same
+    brute-force baseline (single-probe trained IVF ≈ 0.48 mean
+    recall@10 at sf0.01; two probes roughly double the candidate
+    pool).
+
+    Exactness: probe selection ranks cells by the same integer-code
+    distance fold as assignment, tie-broken by cell id — the
+    ``array_sort`` struct order here IS the oracle's
+    ``ORDER BY dist, cell``; candidate membership uses the final
+    assignment, so a vector appears via exactly one probe (cells
+    partition the corpus — no dedup needed).
+
+    Scale: identical plan shape to single-probe IVF, with the
+    broadcast query side ``NPROBE``× larger (still ≤ N_QUERIES × 2
+    rows) — candidates stay an equi-join on the cell key.
+    """
+    coded, _, cents_final, _ = _train(spark, sf_dir)
+    assigned = _assign(coded, cents_final).withColumn(
+        "nrm", l2_norm("embedding"))
+    scores = F.array_sort(F.array(*[
+        F.struct(_dist(c).alias("dist"), F.lit(int(cell)).alias("cell"))
+        for cell, c in cents_final]))
+    probes = F.transform(F.slice(scores, 1, NPROBE), lambda s: s["cell"])
+    q = (coded.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_emb"),
+                 l2_norm("embedding").alias("query_nrm"),
+                 F.explode(probes).alias("probe_cell")))
+    scored = (
+        assigned.join(F.broadcast(q), assigned.cell == q.probe_cell)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", dot("embedding", "query_emb")
+                    / (F.col("nrm") * F.col("query_nrm"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rank"))
+
+
+ANN_IVF_MULTIPROBE_SQL = f"""{_PREFIX_SQL},{_assign_cte("afinal",
+                                                        f"cents{KM_ITERS}")},
+vecs AS (
+    SELECT c.vec_id, a.cell, CAST(c.embedding AS DOUBLE[]) AS e
+    FROM coded c JOIN afinal a ON c.vec_id = a.vec_id
+),
+qprobe AS (
+    SELECT vec_id AS query_id, cell AS probe_cell FROM (
+        SELECT v.vec_id, t.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_DIST_SQL}, t.cell) AS rn
+        FROM coded v CROSS JOIN cents{KM_ITERS} t
+        WHERE v.vec_id < {N_QUERIES}
+    ) WHERE rn <= {NPROBE}
+),
+q AS (
+    SELECT vec_id AS query_id, e AS query_emb
+    FROM vecs WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT qp.query_id, v.vec_id,
+           list_cosine_similarity(v.e, q.query_emb) AS cos_sim
+    FROM vecs v
+    JOIN qprobe qp ON v.cell = qp.probe_cell
+    JOIN q ON q.query_id = qp.query_id
+    WHERE v.vec_id <> qp.query_id
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id)
+                   AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}
+"""

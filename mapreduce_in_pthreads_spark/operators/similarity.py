@@ -415,7 +415,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tradeoffs in production ANN deployments ("measure, don't guess").
     One row per (method, query_id) with the hit count and
     recall = hits / TOP_K; methods = label-cell IVF, trained-k-means
-    IVF, and sign-LSH, all composed VERBATIM from their standalone
+    IVF, multi-probe trained IVF (nprobe=2), and sign-LSH, all
+    composed VERBATIM from their standalone
     entries (cross-operator consistency, like
     ``pretrain_curation_report``).
 
@@ -429,13 +430,14 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: hit counts are integers; recall is one
     correctly-rounded division.
     """
-    from .quantizer import ann_ivf_trained_topk
+    from .quantizer import ann_ivf_multiprobe_topk, ann_ivf_trained_topk
 
     bf = ann_topk_bruteforce(spark, sf_dir).select(
         "query_id", "vec_id").withColumn("in_bf", F.lit(1))
     methods = {
         "ivf_label": ann_ivf_topk(spark, sf_dir),
         "ivf_trained": ann_ivf_trained_topk(spark, sf_dir),
+        "ivf_multiprobe": ann_ivf_multiprobe_topk(spark, sf_dir),
         "lsh_sign": ann_lsh_topk(spark, sf_dir),
     }
     tagged = None
@@ -458,7 +460,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_report_sql() -> str:
-    from .quantizer import ANN_IVF_TRAINED_SQL
+    from .quantizer import ANN_IVF_MULTIPROBE_SQL, ANN_IVF_TRAINED_SQL
 
     return f"""
 WITH bf AS (
@@ -469,12 +471,15 @@ WITH bf AS (
 ), m_tr AS (
     SELECT 'ivf_trained' AS method, query_id, vec_id
     FROM ({ANN_IVF_TRAINED_SQL})
+), m_mp AS (
+    SELECT 'ivf_multiprobe' AS method, query_id, vec_id
+    FROM ({ANN_IVF_MULTIPROBE_SQL})
 ), m_lsh AS (
     SELECT 'lsh_sign' AS method, query_id, vec_id
     FROM ({ANN_LSH_TOPK_SQL})
 ), tagged AS (
     SELECT * FROM m_ivf UNION ALL SELECT * FROM m_tr
-    UNION ALL SELECT * FROM m_lsh
+    UNION ALL SELECT * FROM m_mp UNION ALL SELECT * FROM m_lsh
 ), hits AS (
     SELECT t.method, t.query_id,
            sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
@@ -485,7 +490,7 @@ WITH bf AS (
     SELECT m.method, q.query_id
     FROM (SELECT DISTINCT query_id FROM bf) q
     CROSS JOIN (VALUES ('ivf_label'), ('ivf_trained'),
-                       ('lsh_sign')) m(method)
+                       ('ivf_multiprobe'), ('lsh_sign')) m(method)
 )
 SELECT g.method, g.query_id,
        CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,

@@ -302,6 +302,10 @@ register("cluster_balanced_sample", qz.cluster_balanced_sample,
          qz.CLUSTER_SAMPLE_SQL,
          "diversity sampling: top-N per trained cluster in "
          "deterministic md5 order (cluster-space stratified curation)")
+register("ann_ivf_multiprobe_topk", qz.ann_ivf_multiprobe_topk,
+         qz.ANN_IVF_MULTIPROBE_SQL,
+         "multi-probe IVF (nprobe=2): each query probes its two "
+         "nearest trained cells — the standard recall lever")
 register("ann_recall_report", sim.ann_recall_report,
          sim.ANN_RECALL_REPORT_SQL,
          "ANN evaluation: recall@k of IVF/trained-IVF/sign-LSH vs the "

@@ -891,12 +891,13 @@ def test_ann_recall_report_consistency(spark, sf_dir):
         N_QUERIES, TOP_K)
 
     rows = REGISTRY["ann_recall_report"].fn(spark, sf_dir).collect()
-    assert len(rows) == 3 * N_QUERIES
+    assert len(rows) == 4 * N_QUERIES
     bf = {}
     for r in REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir).collect():
         bf.setdefault(r.query_id, set()).add(r.vec_id)
     impls = {"ivf_label": "ann_ivf_topk",
              "ivf_trained": "ann_ivf_trained_topk",
+             "ivf_multiprobe": "ann_ivf_multiprobe_topk",
              "lsh_sign": "ann_lsh_topk"}
     got = {}
     for name, entry in impls.items():
@@ -911,4 +912,5 @@ def test_ann_recall_report_consistency(spark, sf_dir):
         assert r.n_hits == got.get((r.method, r.query_id), 0)
         means.setdefault(r.method, []).append(r.recall)
     means = {k: sum(v) / len(v) for k, v in means.items()}
-    assert means["ivf_trained"] > means["ivf_label"] > means["lsh_sign"]
+    assert means["ivf_multiprobe"] > means["ivf_trained"] \
+        > means["ivf_label"] > means["lsh_sign"]
