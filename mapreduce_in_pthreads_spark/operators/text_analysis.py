@@ -1195,3 +1195,125 @@ JOIN uni ub ON ub.word = cab.wb
 CROSS JOIN tot CROSS JOIN n
 WHERE c_ab >= {SKIP_MIN_COUNT}
 """
+
+
+KWIC_WINDOW = 2        # context tokens each side
+KWIC_MAX_PER_TERM = 20  # cap occurrences per term (deterministic order)
+
+
+def keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC concordance — the corpus-exploration view IR systems have
+    shipped since the 1950s: for each retrieval term (the shared BM25
+    workload), up to ``KWIC_MAX_PER_TERM`` occurrences in (doc, pos)
+    order with a ±``KWIC_WINDOW``-token snippet around the match.
+    The positional index (``tokens()``, pre-filter ordinals) finds
+    occurrences; snippets slice the RAW token array at those
+    ordinals, so context shows the original text.
+
+    Scale: occurrence lookup is a filtered scan of the token relation
+    (a posting-list read at 100 TB); the snippet slice joins the doc's
+    token array once per surviving occurrence, AFTER the per-term cap
+    bounds the join size; the cap window partitions by word.
+    """
+    from .inverted_index import tokens
+
+    terms = sorted({t for _, t in BM25_QUERIES})
+    occ = (tokens(spark, sf_dir)
+           .filter(F.col("word").isin(terms)))
+    w = Window.partitionBy("word").orderBy("doc_id", "pos")
+    capped = (occ.withColumn("occ_rank",
+                             F.row_number().over(w).cast("bigint"))
+              .filter(F.col("occ_rank") <= KWIC_MAX_PER_TERM))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t"))
+    start = F.greatest(F.col("pos") - KWIC_WINDOW, F.lit(1))
+    stop = F.least(F.col("pos") + KWIC_WINDOW, F.size("t"))
+    return (capped.join(docs, "doc_id")
+            .select("word", "doc_id", "pos", "occ_rank",
+                    F.concat_ws(
+                        " ", F.slice("t", start, stop - start + 1))
+                    .alias("snippet")))
+
+
+def _kwic_terms_sql() -> str:
+    terms = sorted({t for _, t in BM25_QUERIES})
+    return ", ".join(f"('{t}')" for t in terms)
+
+
+from .inverted_index import TOKENS_FILTERED_SQL as _TOKENS_F_SQL  # noqa: E402
+
+KWIC_SQL = f"""
+WITH tok AS ({_TOKENS_F_SQL}),
+q(word) AS (VALUES {_kwic_terms_sql()}),
+occ AS (
+    SELECT t.doc_id, t.pos, t.word,
+           row_number() OVER (PARTITION BY t.word
+                              ORDER BY t.doc_id, t.pos) AS occ_rank
+    FROM tok t JOIN q USING (word)
+)
+SELECT o.word, o.doc_id, o.pos, CAST(o.occ_rank AS BIGINT) AS occ_rank,
+       array_to_string(
+           string_split(d.text, ' ')[greatest(o.pos - {KWIC_WINDOW}, 1):
+               least(o.pos + {KWIC_WINDOW},
+                     len(string_split(d.text, ' ')))], ' ') AS snippet
+FROM occ o JOIN documents d USING (doc_id)
+WHERE o.occ_rank <= {KWIC_MAX_PER_TERM}
+"""
+
+
+def source_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-balance inequality: per language, the Gini coefficient
+    of its document counts across sources — 0 = perfectly even
+    sourcing, →1 = one source dominates. The one-number balance
+    diagnostic curation dashboards track next to
+    ``mixture_sampling_weights``' rebalancing.
+
+    Formula (rank form): with per-source counts x₁ ≤ … ≤ xₙ,
+    ``G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n`` — integer sums and ranks, so
+    only the final two divisions/subtraction are float (fixed order,
+    identical cross-engine).
+
+    Scale: one combinable (lang, source) count, then windows over the
+    ≤ |langs|·|sources| relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (docs.groupBy("lang", "source")
+              .agg(F.count(F.lit(1)).alias("x")))
+    w = Window.partitionBy("lang").orderBy("x", "source")
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    return (ranked.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_sources"),
+                 F.sum("x").alias("n_docs"),
+                 F.sum(F.col("i") * F.col("x")).alias("iws"))
+            .select("lang", "n_sources", "n_docs",
+                    F.round(
+                        F.lit(2.0) * F.col("iws").cast("double")
+                        / (F.col("n_sources").cast("double")
+                           * F.col("n_docs").cast("double"))
+                        - (F.col("n_sources") + 1).cast("double")
+                        / F.col("n_sources").cast("double"), 6)
+                    .alias("gini")))
+
+
+SOURCE_GINI_SQL = """
+WITH counts AS (
+    SELECT lang, source, count(*) AS x
+    FROM documents GROUP BY 1, 2
+), ranked AS (
+    SELECT lang, x,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY x, source) AS i
+    FROM counts
+), agg AS (
+    SELECT lang, count(*) AS n_sources,
+           CAST(sum(x) AS BIGINT) AS n_docs,
+           CAST(sum(i * x) AS BIGINT) AS iws
+    FROM ranked GROUP BY lang
+)
+SELECT lang, n_sources, n_docs,
+       round(2.0 * CAST(iws AS DOUBLE)
+             / (CAST(n_sources AS DOUBLE) * CAST(n_docs AS DOUBLE))
+             - CAST(n_sources + 1 AS DOUBLE)
+               / CAST(n_sources AS DOUBLE), 6) AS gini
+FROM agg
+"""

@@ -532,6 +532,13 @@ register("lang_confusion_matrix", ta.lang_confusion_matrix,
 register("skipgram_pmi", ta.skipgram_pmi, ta.SKIPGRAM_PMI_SQL,
          "word2vec-style windowed co-occurrence + PMI (shift-explode "
          "turns the positional range join into a pure equi-join)")
+register("keyword_in_context", ta.keyword_in_context, ta.KWIC_SQL,
+         "KWIC concordance: capped per-term occurrences with raw-text "
+         "snippets sliced at positional-index ordinals")
+register("source_balance_gini", ta.source_balance_gini,
+         ta.SOURCE_GINI_SQL,
+         "per-lang Gini coefficient of doc counts across sources "
+         "(corpus-balance diagnostic; rank-form integer sums)")
 register("approx_top_k_words", ta.approx_top_k_words,
          ta.APPROX_TOP_K_WORDS_SQL,
          "approx_top_k frequent-words sketch (exact with "

@@ -914,3 +914,44 @@ def test_ann_recall_report_consistency(spark, sf_dir):
     means = {k: sum(v) / len(v) for k, v in means.items()}
     assert means["ivf_multiprobe"] > means["ivf_trained"] \
         > means["ivf_label"] > means["lsh_sign"]
+
+
+def test_kwic_snippets_contain_match(spark, sf_dir):
+    """Every KWIC snippet contains its keyword at the expected offset
+    within the raw token window, occ_ranks are contiguous per term,
+    and no term exceeds the cap."""
+    from mapreduce_in_pthreads_spark.operators.text_analysis import (
+        KWIC_MAX_PER_TERM, KWIC_WINDOW)
+
+    rows = REGISTRY["keyword_in_context"].fn(spark, sf_dir).collect()
+    per_term = {}
+    for r in rows:
+        per_term.setdefault(r.word, []).append(r)
+        toks = r.snippet.split(" ")
+        assert len(toks) <= 2 * KWIC_WINDOW + 1
+        # the match sits at index pos - start within the snippet
+        start = max(r.pos - KWIC_WINDOW, 1)
+        assert toks[r.pos - start].lower().startswith(r.word), r
+    for word, rs in per_term.items():
+        ranks = sorted(r.occ_rank for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(rs) <= KWIC_MAX_PER_TERM
+
+
+def test_gini_bounds_and_uniform_zero(spark, sf_dir):
+    """Gini in [0, 1); a synthetic check that the rank formula gives 0
+    for perfectly uniform counts and the known value for a dominated
+    distribution."""
+    rows = REGISTRY["source_balance_gini"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+        assert r.n_sources >= 2
+
+    def gini(xs):
+        xs = sorted(xs)
+        n, s = len(xs), sum(xs)
+        return 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * s) \
+            - (n + 1) / n
+    assert abs(gini([10, 10, 10, 10])) < 1e-12
+    assert gini([0.0001, 0.0001, 0.0001, 100]) > 0.74  # one dominates
