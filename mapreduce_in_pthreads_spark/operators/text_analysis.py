@@ -1317,3 +1317,269 @@ SELECT lang, n_sources, n_docs,
                / CAST(n_sources AS DOUBLE), 6) AS gini
 FROM agg
 """
+
+
+# --- boolean retrieval ----------------------------------------------------
+
+# Fixed query set for boolean retrieval: (query_id, must-have terms,
+# must-not-have terms). Chosen from the corpus vocabulary so every
+# clause is selective but non-empty at every SF.
+BOOLEAN_QUERIES = (
+    ("spark_join_not_slow", ("spark", "join"), ("slow",)),
+    ("scan_filter_not_merge", ("scan", "filter"), ("merge",)),
+    ("stream_window_batch", ("stream", "window", "batch"), ()),
+)
+
+
+def boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval (AND / AND-NOT) over the inverted index's
+    postings — the classic search-engine operator the flagship index
+    exists to serve (conjunctive queries as postings intersection,
+    negation as postings subtraction).
+
+    Spark shape: ONE distinct (doc, word) postings relation, broadcast
+    the tiny term table, then per query a single aggregate —
+    ``count(matched must-terms) = |must| AND count(matched not-terms)
+    = 0`` — i.e. the k-way intersection and the subtraction fused into
+    one groupBy instead of k-1 chained semi-joins. One shuffle on
+    doc_id regardless of clause count.
+
+    Scale: postings is the corpus vocabulary relation; the term table
+    is O(queries × terms) and broadcast. No self-joins of postings.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .distinct())
+    terms = [(qid, t, 1, 0) for qid, must, _ in BOOLEAN_QUERIES
+             for t in must]
+    terms += [(qid, t, 0, 1) for qid, _, nots in BOOLEAN_QUERIES
+              for t in nots]
+    tdf = spark.createDataFrame(
+        terms, "query_id string, word string, is_must int, is_not int")
+    need = {qid: len(must) for qid, must, _ in BOOLEAN_QUERIES}
+    need_df = spark.createDataFrame(
+        list(need.items()), "query_id string, n_must int")
+    hits = (postings.join(F.broadcast(tdf), "word")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("is_must").alias("n_hit"),
+                 F.sum("is_not").alias("n_neg")))
+    return (hits.join(F.broadcast(need_df), "query_id")
+            .filter((F.col("n_hit") == F.col("n_must"))
+                    & (F.col("n_neg") == 0))
+            .select("query_id", "doc_id"))
+
+
+def _bool_clause_sql(qid: str, must: tuple, nots: tuple) -> str:
+    inter = "\nINTERSECT\n".join(
+        f"SELECT doc_id FROM postings WHERE word = '{t}'" for t in must)
+    sub = "".join(
+        f"\nEXCEPT\nSELECT doc_id FROM postings WHERE word = '{t}'"
+        for t in nots)
+    return (f"SELECT '{qid}' AS query_id, doc_id FROM ({inter}{sub})")
+
+
+BOOLEAN_SEARCH_SQL = f"""
+WITH postings AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+)
+{" UNION ALL ".join(_bool_clause_sql(q, m, n) for q, m, n in BOOLEAN_QUERIES)}
+"""
+
+
+# --- chi-squared feature selection ---------------------------------------
+
+CHI2_TOP_K = 5
+
+
+def chi2_discriminative_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language chi-squared feature selection: the top-5 words
+    whose document presence is most associated with the language label
+    — the classic term-selection statistic for text classification
+    (and the 'which tokens give the language away' diagnostic next to
+    ``lang_confusion_matrix``).
+
+    2×2 contingency per (lang, word) from document-presence counts:
+    a = docs of lang containing word, b = lang docs without it,
+    c = other-lang docs with it, d = the rest;
+    chi2 = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)).
+
+    Exactness: a, b, c, d are integer counts; numerator and
+    denominator are exact 128-bit integer products (DECIMAL(38,0) on
+    Spark, HUGEINT on DuckDB — N(ad−bc)² ≤ n⁵ overflows int64 past
+    n ≈ 5500 docs), so the single final division is one double op,
+    rounded to 6 dp on both engines.
+
+    Scale: presence = distinct (doc, word), one combinable count per
+    (lang, word), one broadcast of the |langs|-row and |words|-row
+    margins. No per-doc state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    presence = (docs.select(
+        "doc_id", "lang",
+        F.explode(F.split("text", " ")).alias("word")).distinct())
+    lw = (presence.groupBy("lang", "word")
+          .agg(F.count(F.lit(1)).alias("a")))
+    lang_tot = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lang"))
+    word_tot = presence.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_word"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n")) 
+    dec = "decimal(38,0)"
+    full = (lw.join(F.broadcast(lang_tot), "lang")
+            .join(F.broadcast(word_tot), "word")
+            .crossJoin(F.broadcast(n_docs))
+            .withColumn("b", F.col("n_lang") - F.col("a"))
+            .withColumn("c", F.col("n_word") - F.col("a"))
+            .withColumn("d", F.col("n") - F.col("n_lang")
+                        - F.col("c")))
+    num = (F.col("n").cast(dec)
+           * (F.col("a").cast(dec) * F.col("d").cast(dec)
+              - F.col("b").cast(dec) * F.col("c").cast(dec))
+           * (F.col("a").cast(dec) * F.col("d").cast(dec)
+              - F.col("b").cast(dec) * F.col("c").cast(dec)))
+    den = (F.col("n_lang").cast(dec)
+           * (F.col("n") - F.col("n_lang")).cast(dec)
+           * F.col("n_word").cast(dec)
+           * (F.col("n") - F.col("n_word")).cast(dec))
+    scored = full.withColumn(
+        "chi2",
+        F.round(num.cast("double") / den.cast("double"), 6))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("chi2").desc(), F.col("word"))
+    return (scored.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= CHI2_TOP_K)
+        .select("lang", "word", F.col("a").alias("n_docs_with"),
+                "chi2", "rnk"))
+
+
+CHI2_TERMS_SQL = f"""
+WITH presence AS (
+    SELECT DISTINCT doc_id, lang,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents
+), lw AS (
+    SELECT lang, word, count(*) AS a FROM presence GROUP BY 1, 2
+), lang_tot AS (
+    SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1
+), word_tot AS (
+    SELECT word, count(*) AS n_word FROM presence GROUP BY 1
+), n_docs AS (SELECT count(*) AS n FROM documents),
+full_t AS (
+    SELECT lw.lang, lw.word, a, n_lang, n_word, n,
+           n_lang - a AS b, n_word - a AS c,
+           n - n_lang - (n_word - a) AS d
+    FROM lw JOIN lang_tot USING (lang)
+            JOIN word_tot USING (word), n_docs
+), scored AS (
+    SELECT lang, word, a,
+           round(CAST(CAST(n AS HUGEINT)
+                      * (CAST(a AS HUGEINT) * d
+                         - CAST(b AS HUGEINT) * c)
+                      * (CAST(a AS HUGEINT) * d
+                         - CAST(b AS HUGEINT) * c) AS DOUBLE)
+                 / CAST(CAST(n_lang AS HUGEINT)
+                        * (n - n_lang)
+                        * CAST(n_word AS HUGEINT)
+                        * (n - n_word) AS DOUBLE), 6) AS chi2
+    FROM full_t
+)
+SELECT lang, word, a AS n_docs_with, chi2,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY chi2 DESC, word) AS rnk
+      FROM scored)
+WHERE rnk <= {CHI2_TOP_K}
+"""
+
+
+# --- Zipf's-law fit -------------------------------------------------------
+
+
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: OLS slope/intercept of ln(freq) on
+    ln(rank) over the corpus word-frequency table (natural corpora fit
+    slope ≈ −1; synthetic/low-diversity corpora diverge — a standard
+    pretraining-corpus health check).
+
+    Exactness: ranks and frequencies are integers; each ln() is
+    rounded to 10 dp (the ``token_entropy`` trick — a 1-ulp libm
+    divergence cannot survive the round), each product term x·y and
+    x·x is one correctly-rounded double op re-rounded to 10 dp, and
+    every moment sum Σx, Σy, Σxy, Σx² runs over DECIMAL(25,10)-pinned
+    terms so accumulation order cannot perturb the total. Slope and
+    intercept are then a fixed order of double ops rounded to 6 dp.
+
+    Scale: one word-count aggregate, one rank window over the
+    vocabulary relation (vocab-sized, not corpus-sized), then a
+    single-row reduction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("word"))))
+    dec = "decimal(25,10)"
+    x = F.round(F.log(F.col("rnk").cast("double")), 10)
+    y = F.round(F.log(F.col("cnt").cast("double")), 10)
+    pts = ranked.select(
+        x.cast(dec).alias("x"), y.cast(dec).alias("y"),
+        F.round(x * y, 10).cast(dec).alias("xy"),
+        F.round(x * x, 10).cast(dec).alias("x2"))
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"), F.sum("x2").alias("sx2"))
+    k = F.col("k").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    slope = (k * sxy - sx * sy) / (k * sx2 - sx * sx)
+    return mom.select(
+        F.col("k").alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / k, 6).alias("zipf_intercept"))
+
+
+ZIPF_FIT_SQL = """
+WITH freq AS (
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word
+          FROM documents) GROUP BY 1
+), ranked AS (
+    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+    FROM freq
+), lns AS (
+    SELECT round(ln(CAST(rnk AS DOUBLE)), 10) AS x,
+           round(ln(CAST(cnt AS DOUBLE)), 10) AS y
+    FROM ranked
+), pts AS (
+    SELECT CAST(x AS DECIMAL(25,10)) AS x,
+           CAST(y AS DECIMAL(25,10)) AS y,
+           CAST(round(x * y, 10) AS DECIMAL(25,10)) AS xy,
+           CAST(round(x * x, 10) AS DECIMAL(25,10)) AS x2
+    FROM lns
+), mom AS (
+    SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+           sum(xy) AS sxy, sum(x2) AS sx2
+    FROM pts
+)
+SELECT k AS vocab_size,
+       round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(k AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+       AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - ((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(k AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE), 6)
+       AS zipf_intercept
+FROM mom
+"""

@@ -929,3 +929,212 @@ SELECT stage, count(*) AS n_users FROM (
     UNION ALL SELECT 'view>click>purchase', user_id FROM t3
 ) GROUP BY stage
 """
+
+
+# --- exponentially-weighted moving average --------------------------------
+
+EWMA_DEPTH = 8  # trailing events per user in the EWMA frame
+
+
+def ewma_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event EWMA of ``value`` over each user's trailing 8 events
+    (alpha = 1/2) — the streaming-dashboard smoother ("what is this
+    user's activity level right now?") next to ``event_rate_anomaly``'s
+    global z-score.
+
+    ema_t = Σₖ 2⁻ᵏ·v_{t−k} / Σₖ 2⁻ᵏ over the lags that exist; a
+    partial head window just renormalizes over the present terms.
+
+    Exactness without decimals: every weight is a power of two, so each
+    product w·v is an EXACT double scaling; the numerator/denominator
+    are explicit k=0..7 left-associated chains — the identical
+    correctly-rounded op sequence on both engines (no engine-chosen
+    accumulation order, the hazard a plain windowed sum would have).
+
+    Scale: one window partitioned by user ordered by time, 8 lag
+    taps — no self-join, single exchange on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", k).over(w) for k in range(EWMA_DEPTH)]
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(EWMA_DEPTH):
+        wt = 2.0 ** -k
+        num = num + F.coalesce(lags[k], F.lit(0.0)) * F.lit(wt)
+        den = den + F.when(lags[k].isNull(), 0.0).otherwise(wt)
+    return ev.select(
+        "event_id", "user_id",
+        F.round(num / den, 6).alias("ema8"))
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    nums, dens = [], []
+    for k in range(EWMA_DEPTH):
+        lag = (f"lag(value, {k}) OVER (PARTITION BY user_id "
+               f"ORDER BY ts, event_id)")
+        nums.append(f"COALESCE({lag}, 0.0) * {2.0 ** -k!r}")
+        dens.append(f"CASE WHEN {lag} IS NULL THEN 0.0 "
+                    f"ELSE {2.0 ** -k!r} END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+EWMA_SQL = f"""
+SELECT event_id, user_id,
+       round(({_ewma_sql_terms()[0]})
+             / ({_ewma_sql_terms()[1]}), 6) AS ema8
+FROM events
+"""
+
+
+# --- median-absolute-deviation outliers -----------------------------------
+
+
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event type: lower-median of ``value``,
+    MAD (lower-median of |value − med|), and the count of events more
+    than 3·MAD from the median — the heavy-tail filter quality
+    pipelines run before trusting mean/stddev gates.
+
+    Exactness: both "medians" are ORDER STATISTICS (the element at
+    rank ⌊(n+1)/2⌋ under a total order with event_id tiebreak), never
+    interpolated — Spark's and DuckDB's percentile interpolation
+    formulas differ in ulps, but an element selected by rank is the
+    same double bit-for-bit. |v − med| and the 3·MAD compare are
+    fixed-order double ops.
+
+    Scale: two rank windows partitioned by event_type plus broadcast
+    joins of the 5-row median relations — no all-pairs, no sort of
+    anything bigger than the per-type partition.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w1)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    med = (ranked.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+           .select("event_type", F.col("value").alias("med")))
+    diffs = (ev.join(F.broadcast(med), "event_type")
+             .withColumn("adiff", F.abs(F.col("value") - F.col("med"))))
+    w2 = Window.partitionBy("event_type").orderBy("adiff", "event_id")
+    mad = (diffs.withColumn("rn", F.row_number().over(w2)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("adiff").alias("mad")))
+    return (diffs.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.max("med").alias("med"),
+                 F.max("mad").alias("mad"),
+                 F.count(F.when(
+                     F.col("adiff") > F.lit(3.0) * F.col("mad"), 1))
+                 .alias("n_outliers"))
+            .select("event_type", "n_events",
+                    F.round("med", 6).alias("med"),
+                    F.round("mad", 6).alias("mad"), "n_outliers"))
+
+
+MAD_OUTLIER_SQL = """
+WITH ranked AS (
+    SELECT event_type, event_id, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+), med AS (
+    SELECT event_type, value AS med FROM ranked
+    WHERE rn = (n + 1) // 2
+), diffs AS (
+    SELECT e.event_type, e.event_id, abs(e.value - m.med) AS adiff,
+           m.med
+    FROM events e JOIN med m USING (event_type)
+), ranked2 AS (
+    SELECT event_type, adiff,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY adiff, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM diffs
+), mad AS (
+    SELECT event_type, adiff AS mad FROM ranked2
+    WHERE rn = (n + 1) // 2
+)
+SELECT event_type, count(*) AS n_events,
+       round(max(med), 6) AS med, round(max(mad), 6) AS mad,
+       count(CASE WHEN adiff > 3.0 * mad THEN 1 END) AS n_outliers
+FROM diffs JOIN mad USING (event_type)
+GROUP BY event_type
+"""
+
+
+# --- association rules (market basket over event types) -------------------
+
+
+def assoc_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules between event types at user
+    granularity: for each ordered pair (antecedent → consequent),
+    support = P(both), confidence = P(consequent | antecedent),
+    lift = P(both) / (P(a)·P(c)) — the market-basket statistics
+    ("users who click also purchase?") over behavioral event data.
+
+    Exactness: all inputs are integer user counts; each metric is one
+    or two double divisions in fixed order, rounded to 6 dp.
+
+    Scale: the pair relation is the distinct (user, type) table
+    self-joined on user_id — bounded by |types|² per user, with
+    |types| a small vocabulary; per-type totals broadcast. One shuffle
+    on user_id, one on the pair key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(
+        F.countDistinct("user_id").alias("n_users"))
+    per_type = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_type"))
+    pairs = (ut.alias("a")
+             .join(ut.alias("b"), "user_id")
+             .filter(F.col("a.event_type") != F.col("b.event_type"))
+             .groupBy(F.col("a.event_type").alias("antecedent"),
+                      F.col("b.event_type").alias("consequent"))
+             .agg(F.count(F.lit(1)).alias("n_both")))
+    return (pairs
+            .join(F.broadcast(per_type.withColumnRenamed(
+                "event_type", "antecedent")
+                .withColumnRenamed("n_type", "n_ante")), "antecedent")
+            .join(F.broadcast(per_type.withColumnRenamed(
+                "event_type", "consequent")
+                .withColumnRenamed("n_type", "n_cons")), "consequent")
+            .crossJoin(F.broadcast(n_users))
+            .select(
+                "antecedent", "consequent", "n_both",
+                F.round(F.col("n_both") / F.col("n_users"), 6)
+                .alias("support"),
+                F.round(F.col("n_both") / F.col("n_ante"), 6)
+                .alias("confidence"),
+                F.round((F.col("n_both") * F.col("n_users")).cast("double")
+                        / (F.col("n_ante") * F.col("n_cons")), 6)
+                .alias("lift")))
+
+
+ASSOC_RULES_SQL = """
+WITH ut AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), n_users AS (
+    SELECT count(DISTINCT user_id) AS n_users FROM events
+), per_type AS (
+    SELECT event_type, count(*) AS n_type FROM ut GROUP BY 1
+), pairs AS (
+    SELECT a.event_type AS antecedent, b.event_type AS consequent,
+           count(*) AS n_both
+    FROM ut a JOIN ut b USING (user_id)
+    WHERE a.event_type <> b.event_type
+    GROUP BY 1, 2
+)
+SELECT antecedent, consequent, n_both,
+       round(CAST(n_both AS DOUBLE) / n_users, 6) AS support,
+       round(CAST(n_both AS DOUBLE) / ante.n_type, 6) AS confidence,
+       round(CAST(n_both * n_users AS DOUBLE)
+             / (ante.n_type * cons.n_type), 6) AS lift
+FROM pairs
+JOIN per_type ante ON ante.event_type = antecedent
+JOIN per_type cons ON cons.event_type = consequent, n_users
+"""

@@ -589,6 +589,28 @@ register("range_frame_revenue", win.range_frame_revenue,
 register("rank_distribution", win.rank_distribution,
          win.RANK_DISTRIBUTION_SQL,
          "percent_rank + cume_dist ranking surface")
+register("boolean_search", ta.boolean_search, ta.BOOLEAN_SEARCH_SQL,
+         "boolean AND/AND-NOT retrieval: k-way postings intersection "
+         "fused into one groupBy (no chained semi-joins)")
+register("chi2_discriminative_terms", ta.chi2_discriminative_terms,
+         ta.CHI2_TERMS_SQL,
+         "chi-squared term selection per language: exact 128-bit "
+         "contingency products, top-5 words per lang")
+register("zipf_law_fit", ta.zipf_law_fit, ta.ZIPF_FIT_SQL,
+         "Zipf's-law OLS fit over word frequencies: decimal-pinned "
+         "moment sums, corpus-health slope/intercept")
+register("ewma_user_activity", ts.ewma_user_activity, ts.EWMA_SQL,
+         "per-event EWMA (alpha=1/2, depth 8): power-of-two weights "
+         "as an explicit lag chain — exact doubles, no accumulation "
+         "order hazard")
+register("mad_outlier_events", ts.mad_outlier_events,
+         ts.MAD_OUTLIER_SQL,
+         "median-absolute-deviation outlier screen: rank-selected "
+         "medians (no interpolation), 3*MAD count per event type")
+register("assoc_rules_events", ts.assoc_rules_events,
+         ts.ASSOC_RULES_SQL,
+         "market-basket association rules over event types: "
+         "support/confidence/lift from distinct-user counts")
 
 
 # --- adjudication-window rotation -----------------------------------------

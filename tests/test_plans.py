@@ -431,3 +431,50 @@ def test_cbo_column_stats_drive_broadcast(spark, sf_dir):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         if wh.startswith("file:"):
             shutil.rmtree(wh[5:], ignore_errors=True)
+
+
+def test_boolean_search_broadcasts_terms(spark, sf_dir):
+    """The query-term table is tiny and must broadcast; the k-way
+    intersection is ONE aggregate on (query, doc), never chained
+    semi-joins or a cartesian."""
+    p = plan(spark, sf_dir, "boolean_search")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+    # one exchange for postings-distinct, one for the hit aggregate
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_chi2_margins_broadcast(spark, sf_dir):
+    """Language and word margins join the (lang, word) cell relation
+    as broadcasts; the only shuffles are the presence-distinct, the
+    cell aggregate, the margin aggregates, and the per-lang top-k."""
+    p = plan(spark, sf_dir, "chi2_discriminative_terms")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row N(docs) attach
+
+
+def test_ewma_is_single_exchange_no_join(spark, sf_dir):
+    """The EWMA lag chain is one window over user_id — a single
+    exchange, no self-join of events."""
+    p = plan(spark, sf_dir, "ewma_user_activity")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+
+
+def test_mad_medians_broadcast_back(spark, sf_dir):
+    """Both rank-selected median relations (5 rows each) must
+    broadcast back onto events — never shuffle the fact side for
+    them."""
+    p = plan(spark, sf_dir, "mad_outlier_events")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_assoc_rules_margins_broadcast(spark, sf_dir):
+    """The per-type margin relation broadcasts; the only non-broadcast
+    join is the user_id self-join of the distinct (user, type)
+    relation."""
+    p = plan(spark, sf_dir, "assoc_rules_events")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2
