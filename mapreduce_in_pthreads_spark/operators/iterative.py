@@ -416,3 +416,89 @@ WITH RECURSIVE g0 AS (
 SELECT word, CAST(min(dist) AS BIGINT) AS dist
 FROM walk GROUP BY word
 """
+
+
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the same df-banded
+    word co-occurrence graph as ``triangle_count``: for each word,
+    cc = 2·tri(v) / (deg(v)·(deg(v)−1)) — how tightly a word's
+    co-occurrence neighborhood interlinks (topic-cohesion signal per
+    term, where ``triangle_count`` reports only the global census).
+
+    Shape: the oriented-edge (wa < wb) triangle enumeration from
+    ``triangle_count``, then each triangle credits all three corners
+    via one explode; degree is the edge list exploded at both
+    endpoints. Exactness: tri and deg are integer counts; cc is one
+    double division rounded to 6 dp.
+
+    Scale: same hub-guarded edge relation (df band caps degree); the
+    per-node aggregates are combinable counts over the edge/triangle
+    relations — nothing larger than the edge list shuffles.
+    """
+    from .inverted_index import tokens
+
+    dw = tokens(spark, sf_dir).select("doc_id", "word").distinct()
+    dfreq = dw.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
+    qual = dfreq.filter(
+        (F.col("dfreq") >= TRIANGLE_MIN_DF)
+        & (F.col("dfreq") <= TRIANGLE_MAX_DF)).select("word")
+    dwq = dw.join(qual, "word").select("doc_id", "word")
+    a = dwq.select("doc_id", F.col("word").alias("wa"))
+    b = dwq.select("doc_id", F.col("word").alias("wb"))
+    edges = (
+        a.join(b, "doc_id")
+        .filter(F.col("wa") < F.col("wb"))
+        .select("wa", "wb").distinct()
+    )
+    deg = (edges.select(F.explode(F.array("wa", "wb")).alias("word"))
+           .groupBy("word").agg(F.count(F.lit(1)).alias("degree")))
+    e2 = edges.select(F.col("wa").alias("wb"), F.col("wb").alias("wc"))
+    e3 = edges.select(F.col("wa").alias("wa2"), F.col("wb").alias("wc2"))
+    tri = (edges.join(e2, "wb")
+           .join(e3, (F.col("wa") == F.col("wa2"))
+                 & (F.col("wc") == F.col("wc2")))
+           .select(F.explode(F.array("wa", "wb", "wc")).alias("word"))
+           .groupBy("word").agg(F.count(F.lit(1)).alias("n_tri")))
+    return (deg.join(tri, "word", "left")
+            .filter(F.col("degree") >= 2)
+            .select("word", "degree",
+                    F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+                    F.round(
+                        F.lit(2.0)
+                        * F.coalesce("n_tri", F.lit(0)).cast("double")
+                        / (F.col("degree")
+                           * (F.col("degree") - 1)).cast("double"), 6)
+                    .alias("cc")))
+
+
+CLUSTERING_COEFF_SQL = f"""
+WITH dw AS (
+    SELECT DISTINCT doc_id, word FROM ({_TOKENS_FILTERED_SQL}) t
+), df AS (
+    SELECT word, count(*) AS dfreq FROM dw GROUP BY word
+), qual AS (
+    SELECT word FROM df
+    WHERE dfreq BETWEEN {TRIANGLE_MIN_DF} AND {TRIANGLE_MAX_DF}
+), dwq AS (
+    SELECT dw.doc_id, dw.word FROM dw JOIN qual USING (word)
+), edges AS (
+    SELECT DISTINCT a.word AS wa, b.word AS wb
+    FROM dwq a JOIN dwq b ON a.doc_id = b.doc_id AND a.word < b.word
+), deg AS (
+    SELECT word, count(*) AS degree
+    FROM (SELECT wa AS word FROM edges
+          UNION ALL SELECT wb FROM edges) GROUP BY word
+), tri AS (
+    SELECT word, count(*) AS n_tri FROM (
+        SELECT unnest([e1.wa, e1.wb, e2.wb]) AS word
+        FROM edges e1
+        JOIN edges e2 ON e2.wa = e1.wb
+        JOIN edges e3 ON e3.wa = e1.wa AND e3.wb = e2.wb
+    ) GROUP BY word
+)
+SELECT word, degree, COALESCE(n_tri, 0) AS n_tri,
+       round(2.0 * CAST(COALESCE(n_tri, 0) AS DOUBLE)
+             / CAST(degree * (degree - 1) AS DOUBLE), 6) AS cc
+FROM deg LEFT JOIN tri USING (word)
+WHERE degree >= 2
+"""

@@ -1583,3 +1583,63 @@ SELECT k AS vocab_size,
        AS zipf_intercept
 FROM mom
 """
+
+
+# --- tokenizer fertility --------------------------------------------------
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility: characters per BPE-ish token
+    and BPE-tokens per whitespace-word — the standard multilingual
+    tokenizer-efficiency metric (high fertility = the tokenizer
+    fragments that language, inflating training cost per byte).
+
+    Uses the same ``BPE_PATTERN`` as ``pandas_udf_token_count`` but
+    JVM-side (``regexp_extract_all`` inside codegen) — the built-in
+    twin of that declared-UDF demo.
+
+    Exactness: all sums are integers; the two ratios are single double
+    divisions rounded to 6 dp.
+
+    Scale: zero-shuffle scan → expression pipeline, then one
+    combinable per-lang aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        F.size(F.regexp_extract_all(
+            "text", F.lit(BPE_PATTERN), 0)).cast("bigint")
+        .alias("n_bpe"))
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("chars"),
+                 F.sum("n_words").alias("words"),
+                 F.sum("n_bpe").alias("bpe_tokens"))
+            .select("lang", "n_docs", "chars", "words", "bpe_tokens",
+                    F.round(F.col("chars").cast("double")
+                            / F.col("bpe_tokens"), 6)
+                    .alias("chars_per_token"),
+                    F.round(F.col("bpe_tokens").cast("double")
+                            / F.col("words"), 6)
+                    .alias("fertility")))
+
+
+TOKENIZER_FERTILITY_SQL = f"""
+WITH per_doc AS (
+    SELECT lang, length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe
+    FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       CAST(sum(n_words) AS BIGINT) AS words,
+       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+       round(CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe), 6)
+           AS chars_per_token,
+       round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words), 6)
+           AS fertility
+FROM per_doc GROUP BY lang
+"""

@@ -1138,3 +1138,54 @@ FROM pairs
 JOIN per_type ante ON ante.event_type = antecedent
 JOIN per_type cons ON cons.event_type = consequent, n_users
 """
+
+
+# --- user growth curve ----------------------------------------------------
+
+
+def user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily product growth: new users (first-ever event that day),
+    active users, and the cumulative registered-user curve — the
+    canonical DAU/growth dashboard panel, and the batch shape of a
+    streaming first-seen dedup.
+
+    Exactness: everything is an integer count over exact date
+    truncation; the cumulative sum is an integer running total.
+
+    Scale: first-seen is a per-user min (combinable); daily actives a
+    distinct count per day; the running total a window over the
+    DAY-level relation (time-span-sized, not event-sized).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd")
+    first_seen = (ev.groupBy("user_id")
+                  .agg(F.min(day).alias("day")))
+    new_users = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new"))
+    active = (ev.groupBy(day.alias("day"))
+              .agg(F.countDistinct("user_id").alias("n_active")))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (active.join(new_users, "day", "left")
+            .select("day", "n_active",
+                    F.coalesce("n_new", F.lit(0)).alias("n_new"))
+            .withColumn("cum_users", F.sum("n_new").over(w)))
+
+
+USER_GROWTH_SQL = """
+WITH first_seen AS (
+    SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day
+    FROM events GROUP BY 1
+), new_users AS (
+    SELECT day, count(*) AS n_new FROM first_seen GROUP BY 1
+), active AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS n_active
+    FROM events GROUP BY 1
+)
+SELECT day, n_active, COALESCE(n_new, 0) AS n_new,
+       sum(COALESCE(n_new, 0)) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS cum_users
+FROM active LEFT JOIN new_users USING (day)
+"""

@@ -611,6 +611,18 @@ register("assoc_rules_events", ts.assoc_rules_events,
          ts.ASSOC_RULES_SQL,
          "market-basket association rules over event types: "
          "support/confidence/lift from distinct-user counts")
+register("user_growth_curve", ts.user_growth_curve,
+         ts.USER_GROWTH_SQL,
+         "daily new/active/cumulative users: first-seen min + "
+         "running total over the day-level relation")
+register("tokenizer_fertility", ta.tokenizer_fertility,
+         ta.TOKENIZER_FERTILITY_SQL,
+         "per-lang tokenizer fertility (chars/token, tokens/word): "
+         "JVM-side regexp_extract_all twin of the BPE UDF demo")
+register("clustering_coefficient", it.clustering_coefficient,
+         it.CLUSTERING_COEFF_SQL,
+         "per-node local clustering coefficient over the df-banded "
+         "word graph (triangle credit via explode)")
 
 
 # --- adjudication-window rotation -----------------------------------------

@@ -478,3 +478,27 @@ def test_assoc_rules_margins_broadcast(spark, sf_dir):
     p = plan(spark, sf_dir, "assoc_rules_events")
     assert "CartesianProduct" not in p
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_user_growth_day_level_window(spark, sf_dir):
+    """The running total must run over the DAY-level relation; the
+    new-users side joins it without a cartesian."""
+    p = plan(spark, sf_dir, "user_growth_curve")
+    assert "CartesianProduct" not in p
+    assert "Join" in p
+
+
+def test_tokenizer_fertility_zero_shuffle_scan(spark, sf_dir):
+    """Pure scan -> expression -> combinable agg: exactly one exchange
+    (the per-lang aggregate), regexp stays JVM-side (no Python
+    eval)."""
+    p = plan(spark, sf_dir, "tokenizer_fertility")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in p
+
+
+def test_clustering_coeff_no_cartesian(spark, sf_dir):
+    """Triangle enumeration stays an equi-join chain on oriented
+    edges — never a cartesian."""
+    p = plan(spark, sf_dir, "clustering_coefficient")
+    assert "CartesianProduct" not in p
