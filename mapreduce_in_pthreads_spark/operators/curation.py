@@ -627,3 +627,57 @@ FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
 # Defined at module end: the composed oracle needs DSIR_SQL, declared below
 # the funnel section.
 PRETRAIN_REPORT_SQL = _pretrain_report_sql()
+
+
+# --- k-anonymity audit ----------------------------------------------------
+
+K_ANON = 5
+LEN_BUCKET = 100  # n_chars bucket width for the quasi-identifier
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over release-style quasi-identifiers: bucket
+    every document by (lang, source, length-bucket) and report, per
+    language, how many QI groups fall below k=5 members and what
+    fraction of documents sit in those re-identifiable groups — the
+    privacy gate a corpus release runs next to ``pii_scrub``'s
+    content-level scan.
+
+    Exactness: counts and one rounded division.
+
+    Scale: one combinable group count over the QI key, then a tiny
+    per-lang rollup — never wider than the QI-group relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    qi = docs.select(
+        "lang", "source",
+        (F.floor(F.length("text") / LEN_BUCKET)).alias("len_bucket"))
+    groups = (qi.groupBy("lang", "source", "len_bucket")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    return (groups.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.sum("cnt").alias("n_docs"),
+                 F.count(F.when(F.col("cnt") < K_ANON, 1))
+                 .alias("n_small_groups"),
+                 F.sum(F.when(F.col("cnt") < K_ANON, F.col("cnt"))
+                       .otherwise(0)).alias("n_risky_docs"))
+            .withColumn("risk_rate",
+                        F.round(F.col("n_risky_docs").cast("double")
+                                / F.col("n_docs"), 6)))
+
+
+K_ANONYMITY_SQL = f"""
+WITH groups AS (
+    SELECT lang, source, floor(length(text) / {LEN_BUCKET}) AS len_bucket,
+           count(*) AS cnt
+    FROM documents GROUP BY 1, 2, 3
+)
+SELECT lang, count(*) AS n_groups,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       count(CASE WHEN cnt < {K_ANON} THEN 1 END) AS n_small_groups,
+       CAST(sum(CASE WHEN cnt < {K_ANON} THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_risky_docs,
+       round(CAST(sum(CASE WHEN cnt < {K_ANON} THEN cnt ELSE 0 END)
+                  AS DOUBLE) / sum(cnt), 6) AS risk_rate
+FROM groups GROUP BY lang
+"""

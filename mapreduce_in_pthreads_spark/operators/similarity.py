@@ -502,3 +502,102 @@ LEFT JOIN hits h ON h.method = g.method AND h.query_id = g.query_id
 
 
 ANN_RECALL_REPORT_SQL = _recall_report_sql()
+
+
+# --- Matryoshka truncation evaluation -------------------------------------
+
+MRL_DIMS = 16  # truncated prefix length under evaluation
+
+
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: recall@k of cosine
+    top-k computed on the first ``MRL_DIMS`` embedding dimensions
+    against the full-dimension exact top-k — the measurement behind
+    shipping truncated (MRL) embeddings for cheap first-stage
+    retrieval ("how much recall does a 4× smaller vector keep?").
+
+    Same grid/hit-count shape as ``ann_recall_report``; the truncated
+    index is just ``slice(embedding, 1, 16)`` run through the
+    identical expression kernel — norms per row, dot per pair.
+
+    Exactness: both rankings order by sequentially-summed doubles the
+    two engines compute identically (the proven bruteforce kernel);
+    hit counts are integers, recall one rounded division.
+
+    Scale: truncation multiplies the scan's byte budget down before
+    the expensive pair scoring — exactly why MRL prefixes exist; the
+    comparison itself joins k-row-per-query id sets.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "vec_id").withColumn("in_bf", F.lit(1))
+    tr = emb.select(
+        "vec_id", F.slice("embedding", 1, MRL_DIMS).alias("emb16"))
+    q16 = tr.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb16").alias("query_emb16"))
+    scored = (
+        tr.withColumn("nrm16", l2_norm("emb16"))
+        .crossJoin(F.broadcast(
+            q16.withColumn("query_nrm16", l2_norm("query_emb16"))))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", dot("emb16", "query_emb16")
+                    / (F.col("nrm16") * F.col("query_nrm16"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id"))
+    trunc_topk = (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= TOP_K)
+                  .select("query_id", "vec_id"))
+    hits = (trunc_topk.join(bf, ["query_id", "vec_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce("in_bf", F.lit(0))).alias("n_hits")))
+    return (bf.select("query_id").distinct()
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("bigint")
+                    .alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0))
+                            .cast("double") / TOP_K, 6)
+                    .alias("recall")))
+
+
+MATRYOSHKA_RECALL_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+bf AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.query_emb AS DOUBLE[])) DESC,
+                   e.vec_id) AS rank
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ) WHERE rank <= {TOP_K}
+), q16 AS (SELECT vec_id AS query_id,
+                  embedding[1:{MRL_DIMS}] AS query_emb16
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+trunc_topk AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q16.query_id, e.vec_id,
+               row_number() OVER (
+                   PARTITION BY q16.query_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(e.embedding[1:{MRL_DIMS}] AS DOUBLE[]),
+                       CAST(q16.query_emb16 AS DOUBLE[])) DESC,
+                   e.vec_id) AS rank
+        FROM embeddings e, q16 WHERE e.vec_id <> q16.query_id
+    ) WHERE rank <= {TOP_K}
+), hits AS (
+    SELECT t.query_id, count(b.vec_id) AS n_hits
+    FROM trunc_topk t
+    LEFT JOIN bf b ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+    GROUP BY t.query_id
+)
+SELECT query_id, COALESCE(n_hits, 0) AS n_hits,
+       round(CAST(COALESCE(n_hits, 0) AS DOUBLE) / {TOP_K}, 6)
+           AS recall
+FROM (SELECT DISTINCT query_id FROM bf) g
+LEFT JOIN hits USING (query_id)
+"""

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
+from ..functions.numeric import SQL_DEC, davg, dsum, sql_davg, sql_dsum
 from ..sources.tables import load_table
 
 
@@ -1188,4 +1188,82 @@ SELECT day, n_active, COALESCE(n_new, 0) AS n_new,
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        AS cum_users
 FROM active LEFT JOIN new_users USING (day)
+"""
+
+
+# --- winsorized statistics ------------------------------------------------
+
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clamp ``value`` to the exact
+    5th/95th order statistics before averaging — the robust-mean
+    companion to ``mad_outlier_events`` (clamp instead of drop).
+
+    Exactness: the clamp bounds are rank-SELECTED elements (rank
+    ⌊n·5/100⌋⌈n·95/100⌉ with event_id tiebreak, never interpolated);
+    clamped values are therefore raw input doubles, so the decimal-
+    pinned mean (``davg``) is order-insensitive and engine-exact.
+
+    Scale: one rank window per type, two 5-row bound relations
+    broadcast back, one combinable aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    lo = (ranked.filter(
+        F.col("rn") == F.greatest(
+            F.lit(1), F.floor(F.col("n") * 5 / 100)))
+        .select("event_type", F.col("value").alias("lo")))
+    hi = (ranked.filter(F.col("rn") == F.ceil(F.col("n") * 95 / 100))
+          .select("event_type", F.col("value").alias("hi")))
+    clamped = (ev.join(F.broadcast(lo), "event_type")
+               .join(F.broadcast(hi), "event_type")
+               .withColumn("wv", F.greatest(
+                   "lo", F.least("hi", F.col("value")))))
+    return (clamped.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count(F.when(F.col("value") < F.col("lo"), 1))
+                 .alias("n_clamped_lo"),
+                 F.count(F.when(F.col("value") > F.col("hi"), 1))
+                 .alias("n_clamped_hi"),
+                 F.round(F.max("lo"), 6).alias("lo"),
+                 F.round(F.max("hi"), 6).alias("hi"),
+                 davg("value", "raw_mean"),
+                 davg("wv", "winsorized_mean"))
+            .select("event_type", "n_events", "n_clamped_lo",
+                    "n_clamped_hi", "lo", "hi",
+                    F.round("raw_mean", 6).alias("raw_mean"),
+                    F.round("winsorized_mean", 6)
+                    .alias("winsorized_mean")))
+
+
+WINSORIZED_SQL = f"""
+WITH ranked AS (
+    SELECT event_type, event_id, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+), lo AS (
+    SELECT event_type, value AS lo FROM ranked
+    WHERE rn = greatest(1, floor(n * 5 / 100))
+), hi AS (
+    SELECT event_type, value AS hi FROM ranked
+    WHERE rn = ceil(n * 95 / 100)
+), clamped AS (
+    SELECT e.event_type, e.value, lo.lo, hi.hi,
+           greatest(lo.lo, least(hi.hi, e.value)) AS wv
+    FROM events e JOIN lo USING (event_type) JOIN hi USING (event_type)
+)
+SELECT event_type, count(*) AS n_events,
+       count(CASE WHEN value < lo THEN 1 END) AS n_clamped_lo,
+       count(CASE WHEN value > hi THEN 1 END) AS n_clamped_hi,
+       round(max(lo), 6) AS lo, round(max(hi), 6) AS hi,
+       round(CAST(SUM(CAST(value AS {SQL_DEC})) AS DOUBLE)
+             / COUNT(value), 6) AS raw_mean,
+       round(CAST(SUM(CAST(wv AS {SQL_DEC})) AS DOUBLE)
+             / COUNT(wv), 6) AS winsorized_mean
+FROM clamped GROUP BY event_type
 """

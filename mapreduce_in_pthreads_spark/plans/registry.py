@@ -623,6 +623,17 @@ register("clustering_coefficient", it.clustering_coefficient,
          it.CLUSTERING_COEFF_SQL,
          "per-node local clustering coefficient over the df-banded "
          "word graph (triangle credit via explode)")
+register("matryoshka_recall", sim.matryoshka_recall,
+         sim.MATRYOSHKA_RECALL_SQL,
+         "Matryoshka truncation eval: recall@k of 16-dim-prefix "
+         "cosine top-k vs the full-dim exact baseline")
+register("winsorized_stats", ts.winsorized_stats, ts.WINSORIZED_SQL,
+         "winsorized mean per event type: rank-selected p5/p95 clamp "
+         "bounds, decimal-pinned robust mean")
+register("k_anonymity_audit", cu.k_anonymity_audit,
+         cu.K_ANONYMITY_SQL,
+         "k-anonymity release audit: QI-group size census + risky-doc "
+         "fraction per language (k=5)")
 
 
 # --- adjudication-window rotation -----------------------------------------

@@ -502,3 +502,28 @@ def test_clustering_coeff_no_cartesian(spark, sf_dir):
     edges — never a cartesian."""
     p = plan(spark, sf_dir, "clustering_coefficient")
     assert "CartesianProduct" not in p
+
+
+def test_matryoshka_recall_broadcast_queries_no_shuffled_cross(spark, sf_dir):
+    """Both rankings pair candidates with the 10-row broadcast query
+    set — broadcast nested loop is legal, a shuffled cartesian is
+    not."""
+    p = plan(spark, sf_dir, "matryoshka_recall")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_winsorized_bounds_broadcast(spark, sf_dir):
+    """The rank-selected p5/p95 bound relations broadcast back onto
+    events."""
+    p = plan(spark, sf_dir, "winsorized_stats")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_k_anonymity_two_aggregates_only(spark, sf_dir):
+    """QI census is a combinable count + per-lang rollup: no joins at
+    all, at most two exchanges."""
+    p = plan(spark, sf_dir, "k_anonymity_audit")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
