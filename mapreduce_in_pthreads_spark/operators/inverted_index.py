@@ -26,7 +26,7 @@ frequency) DO combine map-side and are the preferred scale surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.normalize import normalize_word
@@ -314,4 +314,58 @@ JOIN q ON t1.word = q.w1
 JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
            AND t2.word = q.w2
 GROUP BY q.phrase_id, phrase, t1.doc_id
+"""
+
+
+def postings_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postings-list compression statistics: per word, delta-encode the
+    sorted doc_id postings (store gaps, not absolutes — the universal
+    inverted-index layout) and report the encoded size in
+    variable-length bits — what the flagship index would cost on disk,
+    and the measurement behind gap-encoding's win over raw ids.
+
+    bits(gap) = ⌊log2(gap)⌋ + 1 computed as length(bin(gap)) — exact
+    integer string length in both engines (first doc_id stored
+    absolute, +1 so doc 0 encodes as a 1-bit gap too).
+
+    Scale: one distinct postings relation, one lag window per word,
+    one combinable aggregate — the same single-exchange profile as the
+    flagship.
+    """
+    dw = (tokens(spark, sf_dir).select("doc_id", "word").distinct())
+    w = Window.partitionBy("word").orderBy("doc_id")
+    gaps = dw.withColumn(
+        "gap", F.col("doc_id") - F.coalesce(
+            F.lag("doc_id").over(w), F.lit(-1)))
+    return (gaps.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n_postings"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("gap").alias("max_gap"),
+                 F.sum(F.length(F.bin("gap"))).alias("encoded_bits"))
+            .withColumn(
+                "raw_bits", F.col("n_postings") * 64)
+            .withColumn(
+                "compression_ratio",
+                F.round(F.col("raw_bits").cast("double")
+                        / F.col("encoded_bits"), 6)))
+
+
+POSTINGS_DELTA_SQL = f"""
+WITH dw AS (
+    SELECT DISTINCT doc_id, word FROM ({TOKENS_FILTERED_SQL}) t
+), gaps AS (
+    SELECT word, doc_id,
+           doc_id - COALESCE(lag(doc_id) OVER (PARTITION BY word
+                                               ORDER BY doc_id), -1)
+               AS gap
+    FROM dw
+)
+SELECT word, count(*) AS n_postings, min(doc_id) AS first_doc,
+       max(gap) AS max_gap,
+       CAST(sum(length(bin(gap))) AS BIGINT) AS encoded_bits,
+       count(*) * 64 AS raw_bits,
+       round(CAST(count(*) * 64 AS DOUBLE)
+             / CAST(sum(length(bin(gap))) AS DOUBLE), 6)
+           AS compression_ratio
+FROM gaps GROUP BY word
 """

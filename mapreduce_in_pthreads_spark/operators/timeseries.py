@@ -1267,3 +1267,166 @@ SELECT event_type, count(*) AS n_events,
              / COUNT(wv), 6) AS winsorized_mean
 FROM clamped GROUP BY event_type
 """
+
+
+# --- cohort LTV matrix ----------------------------------------------------
+
+
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: users grouped by first-activity
+    week, tracked across week offsets — active users, per-week value,
+    and cumulative LTV per cohort member (the retention economics
+    panel next to ``weekly_retention``'s pure activity matrix).
+
+    Exactness: week truncation is Monday-aligned in both engines;
+    value sums are decimal-pinned (``dsum``); the cumulative sum runs
+    over exact decimals; per-user LTV is one rounded division.
+
+    Scale: one (cohort, offset) aggregate over events, a broadcast of
+    the cohort-size relation, and a running-total window over the
+    matrix relation (weeks² rows, not events).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", "ts")
+    cohorts = (ev.groupBy("user_id")
+               .agg(F.min(week).alias("cohort_week")))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size"))
+    joined = (ev.join(cohorts, "user_id")
+              .withColumn("week_offset",
+                          F.floor(
+                              (F.unix_micros(week)
+                               - F.unix_micros("cohort_week"))
+                              / F.lit(7 * 24 * 3600 * 1_000_000))
+                          .cast("bigint")))
+    cell = (joined.groupBy("cohort_week", "week_offset")
+            .agg(F.countDistinct("user_id").alias("n_active"),
+                 F.sum(F.col("value").cast("decimal(25,4)"))
+                 .alias("dec_value")))
+    w = (Window.partitionBy("cohort_week").orderBy("week_offset")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (cell.join(F.broadcast(sizes), "cohort_week")
+            .withColumn("cum_value", F.sum("dec_value").over(w))
+            .select(
+                F.date_format("cohort_week", "yyyy-MM-dd")
+                .alias("cohort_week"),
+                "week_offset", "n_active", "cohort_size",
+                F.round(F.col("dec_value").cast("double"), 6)
+                .alias("week_value"),
+                F.round(F.col("cum_value").cast("double")
+                        / F.col("cohort_size"), 6)
+                .alias("ltv_per_user")))
+
+
+COHORT_LTV_SQL = """
+WITH cohorts AS (
+    SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+    FROM events GROUP BY 1
+), sizes AS (
+    SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+    FROM cohorts GROUP BY 1
+), cell AS (
+    SELECT c.cohort_week,
+           CAST(floor(epoch_us(date_trunc('week', e.ts))
+                      - epoch_us(c.cohort_week))
+                // 604800000000 AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS n_active,
+           sum(CAST(e.value AS DECIMAL(25,4))) AS dec_value
+    FROM events e JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       week_offset, n_active, cohort_size,
+       round(CAST(dec_value AS DOUBLE), 6) AS week_value,
+       round(CAST(sum(dec_value) OVER (
+                 PARTITION BY cohort_week ORDER BY week_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / cohort_size, 6) AS ltv_per_user
+FROM cell JOIN sizes USING (cohort_week)
+"""
+
+
+# --- A/B proportion test --------------------------------------------------
+
+
+AB_CONV_MIN_PURCHASES = 14  # conversion = heavy purchaser (mixed rate)
+
+
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between deterministic user buckets
+    (``user_id % 2``): does bucket A convert (≥ ``AB_CONV_MIN_PURCHASES``
+    purchases) at a
+    different rate than bucket B? The experimentation primitive every
+    product analytics stack runs on event data.
+
+    Exactness: user counts and conversion counts are integers; rates,
+    the pooled rate, and the z statistic are a fixed order of double
+    ops rounded to 6 dp.
+
+    Scale: one distinct-user pass with conditional aggregation — two
+    exchanges total, output is one row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id")
+             .agg(F.when(
+                 F.count(F.when(F.col("event_type") == "purchase", 1))
+                 >= AB_CONV_MIN_PURCHASES, 1).otherwise(0)
+                 .alias("converted"))
+             .withColumn("bucket", (F.col("user_id") % 2).cast("int")))
+    agg = users.groupBy().agg(
+        F.count(F.when(F.col("bucket") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("bucket") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("bucket") == 0, F.col("converted"))
+              .otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("bucket") == 1, F.col("converted"))
+              .otherwise(0)).alias("conv_b"))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("conv_a").cast("double") / na
+    pb = F.col("conv_b").cast("double") / nb
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (na + nb)
+    var = pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    return agg.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.when(var > 0, F.round((pa - pb) / F.sqrt(var), 6))
+        .alias("z_score"))
+
+
+AB_TEST_SQL = f"""
+WITH users AS (
+    SELECT user_id, user_id % 2 AS bucket,
+           CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                     >= {AB_CONV_MIN_PURCHASES} THEN 1 ELSE 0 END
+               AS converted
+    FROM events GROUP BY 1
+), agg AS (
+    SELECT count(CASE WHEN bucket = 0 THEN 1 END) AS n_a,
+           count(CASE WHEN bucket = 1 THEN 1 END) AS n_b,
+           CAST(sum(CASE WHEN bucket = 0 THEN converted ELSE 0 END)
+                AS BIGINT) AS conv_a,
+           CAST(sum(CASE WHEN bucket = 1 THEN converted ELSE 0 END)
+                AS BIGINT) AS conv_b
+    FROM users
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       CASE WHEN (CAST(conv_a + conv_b AS DOUBLE)
+                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 * (1.0 / CAST(n_a AS DOUBLE)
+                    + 1.0 / CAST(n_b AS DOUBLE)) > 0
+       THEN round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                       / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                    * (1.0 / CAST(n_a AS DOUBLE)
+                       + 1.0 / CAST(n_b AS DOUBLE))), 6)
+       END AS z_score
+FROM agg
+"""

@@ -634,6 +634,17 @@ register("k_anonymity_audit", cu.k_anonymity_audit,
          cu.K_ANONYMITY_SQL,
          "k-anonymity release audit: QI-group size census + risky-doc "
          "fraction per language (k=5)")
+register("cohort_ltv_matrix", ts.cohort_ltv_matrix, ts.COHORT_LTV_SQL,
+         "cohort lifetime-value matrix: first-activity-week cohorts x "
+         "week offsets, decimal-pinned cumulative LTV per member")
+register("ab_test_proportions", ts.ab_test_proportions,
+         ts.AB_TEST_SQL,
+         "two-proportion z-test between deterministic user buckets: "
+         "the experimentation primitive, one conditional aggregate")
+register("postings_delta_encode", ii.postings_delta_encode,
+         ii.POSTINGS_DELTA_SQL,
+         "inverted-index postings gap encoding: per-word delta bits "
+         "census + compression ratio vs raw 64-bit ids")
 
 
 # --- adjudication-window rotation -----------------------------------------

@@ -527,3 +527,27 @@ def test_k_anonymity_two_aggregates_only(spark, sf_dir):
     p = plan(spark, sf_dir, "k_anonymity_audit")
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_cohort_ltv_sizes_broadcast(spark, sf_dir):
+    """Cohort sizes broadcast onto the (cohort, offset) matrix; the
+    running total runs over the matrix relation, not events."""
+    p = plan(spark, sf_dir, "cohort_ltv_matrix")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_ab_test_two_aggregates_no_join(spark, sf_dir):
+    """One per-user aggregate + one global conditional aggregate —
+    no joins, bounded exchanges."""
+    p = plan(spark, sf_dir, "ab_test_proportions")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_postings_delta_single_profile(spark, sf_dir):
+    """Same single-hash-exchange-family profile as the flagship: the
+    lag window and the aggregate share the word partitioning."""
+    p = plan(spark, sf_dir, "postings_delta_encode")
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
