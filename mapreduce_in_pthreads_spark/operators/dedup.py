@@ -599,3 +599,121 @@ SELECT doc_a, doc_b,
        CAST(sum(run_len + {SPAN_NGRAM - 1}) AS BIGINT) AS span_tokens
 FROM runs GROUP BY doc_a, doc_b
 """
+
+
+def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator evaluation: for every LSH candidate pair,
+    the signature-agreement Jaccard estimate (agreeing minhashes / 8)
+    next to the exact shingle Jaccard and the absolute error — the
+    dedup-family counterpart of ``ann_recall_report`` ("how good is
+    the sketch that gates the expensive verify?"), and the
+    measurement behind choosing N_HASHES/N_BANDS.
+
+    Exactness: agreement counts are integers (est = k/8 is an exact
+    double); exact Jaccard is the same fixed-order division the LSH
+    verify uses; the error is one subtract + abs, rounded to 6 dp.
+
+    Scale: candidates come from the same band-bucket equi-join as
+    ``minhash_lsh_dedup`` (never all-pairs); signatures re-join as
+    8-int rows keyed by doc_id.
+    """
+    sets = _shingle_sets(spark, sf_dir)
+    sig = _minhash_signatures(sets)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.concat_ws("|", F.col(f"mh{2*b}").cast("string"),
+                        F.col(f"mh{2*b+1}").cast("string"))
+            for b in range(N_BANDS)
+        ])).alias("band", "bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    siga = sig.select(F.col("doc_id").alias("doc_a"),
+                      *[F.col(f"mh{i}").alias(f"a{i}")
+                        for i in range(N_HASHES)])
+    sigb = sig.select(F.col("doc_id").alias("doc_b"),
+                      *[F.col(f"mh{i}").alias(f"b{i}")
+                        for i in range(N_HASHES)])
+    agree = sum(
+        (F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+         for i in range(N_HASHES)), F.lit(0))
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("shset").alias("set_a"),
+                     F.col("n_shingles").alias("na"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("shset").alias("set_b"),
+                     F.col("n_shingles").alias("nb"))
+    return (cand.join(siga, "doc_a").join(sigb, "doc_b")
+            .withColumn("n_agree", agree.cast("bigint"))
+            .join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("shared",
+                        F.size(F.array_intersect("set_a", "set_b")))
+            .withColumn("jaccard",
+                        F.col("shared")
+                        / (F.col("na") + F.col("nb") - F.col("shared")))
+            .select("doc_a", "doc_b", "n_agree",
+                    F.round(F.col("n_agree") / N_HASHES, 6)
+                    .alias("est_jaccard"),
+                    F.round("jaccard", 6).alias("jaccard"),
+                    F.round(F.abs(F.col("n_agree") / N_HASHES
+                                  - F.col("jaccard")), 6)
+                    .alias("abs_err")))
+
+
+_SIG_AGREE_SQL = " + ".join(
+    f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+    for i in range(N_HASHES))
+MINHASH_ESTIMATE_SQL = f"""
+WITH sh AS ({SHINGLES_SQL}),
+hashed AS (
+    SELECT doc_id,
+           ('0x' || substring(md5(shingle), 1, 15))::BIGINT
+               % {P_MINHASH} AS h
+    FROM sh
+),
+sig AS (
+    SELECT doc_id, {_MINHASH_COLS_SQL}
+    FROM hashed GROUP BY doc_id
+),
+bands AS ({_BAND_ROWS_SQL}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS shared
+    FROM cand c
+    JOIN sh ta ON ta.doc_id = c.doc_a
+    JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+    GROUP BY 1, 2
+),
+agree AS (
+    SELECT c.doc_a, c.doc_b,
+           {_SIG_AGREE_SQL} AS n_agree
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT c.doc_a, c.doc_b, CAST(g.n_agree AS BIGINT) AS n_agree,
+       round(CAST(g.n_agree AS DOUBLE) / {N_HASHES}, 6) AS est_jaccard,
+       round(COALESCE(s.shared, 0)
+             / CAST(na.n + nb.n - COALESCE(s.shared, 0) AS DOUBLE), 6)
+           AS jaccard,
+       round(abs(CAST(g.n_agree AS DOUBLE) / {N_HASHES}
+                 - COALESCE(s.shared, 0)
+                   / CAST(na.n + nb.n - COALESCE(s.shared, 0)
+                          AS DOUBLE)), 6) AS abs_err
+FROM cand c
+JOIN agree g ON g.doc_a = c.doc_a AND g.doc_b = c.doc_b
+LEFT JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+JOIN sizes na ON na.doc_id = c.doc_a
+JOIN sizes nb ON nb.doc_id = c.doc_b
+"""

@@ -449,8 +449,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("method", "query_id")
             .agg(F.sum(F.coalesce("in_bf", F.lit(0))).alias("n_hits")))
     grid = (bf.select("query_id").distinct()
-            .crossJoin(spark.createDataFrame(
-                [(m,) for m in sorted(methods)], "method string")))
+            .crossJoin(F.broadcast(spark.createDataFrame(
+                [(m,) for m in sorted(methods)], "method string"))))
     return (grid.join(hits, ["method", "query_id"], "left")
             .select("method", "query_id",
                     F.coalesce("n_hits", F.lit(0)).cast("bigint")

@@ -1643,3 +1643,54 @@ SELECT lang, count(*) AS n_docs,
            AS fertility
 FROM per_doc GROUP BY lang
 """
+
+
+# --- lexical richness -----------------------------------------------------
+
+
+def hapax_ttr_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness diagnostics per language: type-token ratio
+    (vocab / tokens) and hapax-legomena rate (fraction of the vocab
+    occurring exactly once) — the corpus-diversity panel next to
+    ``zipf_law_fit`` (a synthetic or template-heavy corpus shows a
+    collapsed TTR and near-zero hapax mass).
+
+    Exactness: all counts are integers; the two ratios are single
+    rounded double divisions.
+
+    Scale: one (lang, word) combinable count, then a per-lang rollup
+    over the vocabulary relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt")))
+    return (wc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("vocab"),
+                 F.sum("cnt").alias("tokens"),
+                 F.count(F.when(F.col("cnt") == 1, 1)).alias("hapax"))
+            .select("lang", "vocab",
+                    F.col("tokens").cast("bigint").alias("tokens"),
+                    "hapax",
+                    F.round(F.col("vocab").cast("double")
+                            / F.col("tokens"), 6).alias("ttr"),
+                    F.round(F.col("hapax").cast("double")
+                            / F.col("vocab"), 6).alias("hapax_rate")))
+
+
+HAPAX_TTR_SQL = """
+WITH wc AS (
+    SELECT lang, word, count(*) AS cnt
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+    GROUP BY 1, 2
+)
+SELECT lang, count(*) AS vocab,
+       CAST(sum(cnt) AS BIGINT) AS tokens,
+       count(CASE WHEN cnt = 1 THEN 1 END) AS hapax,
+       round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS ttr,
+       round(CAST(count(CASE WHEN cnt = 1 THEN 1 END) AS DOUBLE)
+             / count(*), 6) AS hapax_rate
+FROM wc GROUP BY lang
+"""

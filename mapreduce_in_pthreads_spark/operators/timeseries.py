@@ -1430,3 +1430,80 @@ SELECT n_a, n_b, conv_a, conv_b,
        END AS z_score
 FROM agg
 """
+
+
+# --- burstiness (Fano factor) ---------------------------------------------
+
+
+def burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per event type: the Fano factor
+    (variance / mean of hourly counts over the dense hour grid) —
+    1 means Poisson-like arrivals, > 1 bursty, < 1 regular; the
+    capacity-planning diagnostic next to ``event_rate_anomaly``.
+
+    Exactness: hourly counts are integers over the dense grid (hours
+    with no events count 0, which the grid join makes explicit);
+    variance uses the integer moment identity
+    n·Σx² − (Σx)² over exact sums, so the single division chain is
+    fixed-order doubles rounded to 6 dp.
+
+    Scale: one conditional aggregate to the (hour, type) relation,
+    a grid fill, then per-type integer moments — never wider than
+    hours × types.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                         "event_type")
+              .agg(F.count(F.lit(1)).alias("x")))
+    grid = (ev.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                   F.date_trunc("hour", F.max("ts")).alias("h1"))
+            .select(F.explode(F.sequence(
+                "h0", "h1", F.expr("interval 1 hour"))).alias("hour"))
+            .crossJoin(ev.select("event_type").distinct()))
+    dense = (grid.join(hourly, ["hour", "event_type"], "left")
+             .select("event_type",
+                     F.coalesce("x", F.lit(0)).alias("x")))
+    mom = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"))
+    k = F.col("k").cast("double")
+    sx = F.col("sx").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    mean = sx / k
+    var = (k * sx2 - sx * sx) / (k * k)
+    return mom.select(
+        "event_type", F.col("k").alias("n_hours"),
+        F.col("sx").cast("bigint").alias("n_events"),
+        F.round(mean, 6).alias("mean_per_hour"),
+        F.round(var / mean, 6).alias("fano"))
+
+
+BURSTINESS_SQL = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS x
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT date_trunc('hour', min(ts)) AS h0,
+           date_trunc('hour', max(ts)) AS h1 FROM events
+), grid AS (
+    SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour, t.event_type
+    FROM bounds, (SELECT DISTINCT event_type FROM events) t
+), dense AS (
+    SELECT g.event_type, COALESCE(h.x, 0) AS x
+    FROM grid g LEFT JOIN hourly h
+      ON h.hour = g.hour AND h.event_type = g.event_type
+), mom AS (
+    SELECT event_type, count(*) AS k,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(x * x) AS BIGINT) AS sx2
+    FROM dense GROUP BY 1
+)
+SELECT event_type, k AS n_hours, sx AS n_events,
+       round(CAST(sx AS DOUBLE) / CAST(k AS DOUBLE), 6) AS mean_per_hour,
+       round(((CAST(k AS DOUBLE) * CAST(sx2 AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)))
+             / (CAST(sx AS DOUBLE) / CAST(k AS DOUBLE)), 6) AS fano
+FROM mom
+"""

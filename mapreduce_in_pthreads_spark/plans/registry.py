@@ -645,6 +645,18 @@ register("postings_delta_encode", ii.postings_delta_encode,
          ii.POSTINGS_DELTA_SQL,
          "inverted-index postings gap encoding: per-word delta bits "
          "census + compression ratio vs raw 64-bit ids")
+register("minhash_estimate_quality", dd.minhash_estimate_quality,
+         dd.MINHASH_ESTIMATE_SQL,
+         "MinHash estimator eval: signature-agreement Jaccard vs "
+         "exact, per LSH candidate pair (the dedup-family "
+         "ann_recall_report)")
+register("hapax_ttr_per_lang", ta.hapax_ttr_per_lang,
+         ta.HAPAX_TTR_SQL,
+         "lexical richness per lang: type-token ratio + hapax rate "
+         "(corpus-diversity panel next to zipf_law_fit)")
+register("burstiness_fano", ts.burstiness_fano, ts.BURSTINESS_SQL,
+         "traffic burstiness per event type: Fano factor of dense "
+         "hourly counts from exact integer moments")
 
 
 # --- adjudication-window rotation -----------------------------------------
@@ -715,7 +727,14 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # daily_profile_similarity, ngram_novelty_curve, rolling_correlation,
 # image_phash_groups, audio_silence_runs, pretrain_curation_report,
 # phrase_search_positional, skipgram_pmi, lang_confusion_matrix,
-# frame_shot_boundaries (61 total — more than one window;
+# frame_shot_boundaries, plus the round-4 session-4 additions:
+# keyword_in_context, source_balance_gini, ann_recall_report,
+# ann_ivf_multiprobe_topk, boolean_search, chi2_discriminative_terms,
+# zipf_law_fit, ewma_user_activity, mad_outlier_events,
+# assoc_rules_events, user_growth_curve, tokenizer_fertility,
+# clustering_coefficient, matryoshka_recall, winsorized_stats,
+# k_anonymity_audit, cohort_ltv_matrix, ab_test_proportions,
+# postings_delta_encode (80 total — more than one window;
 # prioritize the paper-anchored LLM-pipeline entries, roll the rest;
 # recount from the CORRECTNESS unions when building the round-5
 # window). pagerank_word_graph was oracle-UPGRADED in session 2

@@ -551,3 +551,32 @@ def test_postings_delta_single_profile(spark, sf_dir):
     p = plan(spark, sf_dir, "postings_delta_encode")
     assert "Join" not in p
     assert "CartesianProduct" not in p
+
+
+def test_minhash_estimate_no_all_pairs(spark, sf_dir):
+    """Candidates must come from the band-bucket equi-join — never a
+    cartesian of documents."""
+    p = plan(spark, sf_dir, "minhash_estimate_quality")
+    assert "CartesianProduct" not in p
+
+
+def test_ann_recall_report_grid_broadcast(spark, sf_dir):
+    """The method x query grid pairs 10 queries with the 4-row method
+    list — broadcast nested loop, never a shuffled cartesian."""
+    p = plan(spark, sf_dir, "ann_recall_report")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_hapax_ttr_two_combinable_aggregates(spark, sf_dir):
+    """(lang, word) count then per-lang rollup — no joins."""
+    p = plan(spark, sf_dir, "hapax_ttr_per_lang")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_burstiness_grid_join_broadcast(spark, sf_dir):
+    """The dense hour x type grid joins the hourly counts without a
+    shuffled cartesian; moments aggregate over the grid relation."""
+    p = plan(spark, sf_dir, "burstiness_fano")
+    assert "CartesianProduct" not in p
