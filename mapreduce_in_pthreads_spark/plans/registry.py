@@ -734,7 +734,8 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # assoc_rules_events, user_growth_curve, tokenizer_fertility,
 # clustering_coefficient, matryoshka_recall, winsorized_stats,
 # k_anonymity_audit, cohort_ltv_matrix, ab_test_proportions,
-# postings_delta_encode (80 total — more than one window;
+# postings_delta_encode, minhash_estimate_quality, hapax_ttr_per_lang,
+# burstiness_fano (83 total — more than one window;
 # prioritize the paper-anchored LLM-pipeline entries, roll the rest;
 # recount from the CORRECTNESS unions when building the round-5
 # window). pagerank_word_graph was oracle-UPGRADED in session 2
