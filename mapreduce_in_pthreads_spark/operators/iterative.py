@@ -418,9 +418,12 @@ FROM walk GROUP BY word
 """
 
 
+CC_MAX_DF_PCT10 = 9  # hub guard: keep words with df <= 90% of docs
+
+
 def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node local clustering coefficient over the same df-banded
-    word co-occurrence graph as ``triangle_count``: for each word,
+    """Per-node local clustering coefficient over the word
+    co-occurrence graph: for each word,
     cc = 2·tri(v) / (deg(v)·(deg(v)−1)) — how tightly a word's
     co-occurrence neighborhood interlinks (topic-cohesion signal per
     term, where ``triangle_count`` reports only the global census).
@@ -431,17 +434,27 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoints. Exactness: tri and deg are integer counts; cc is one
     double division rounded to 6 dp.
 
+    Hub guard: unlike ``triangle_count``'s absolute df band, the cap
+    here is RELATIVE (df ≤ 90% of docs, integer-compared as
+    ``df·10 ≤ n_docs·9`` — no float boundary), so the graph stays
+    non-degenerate at every SF while still dropping corpus-wide
+    stop-words whose neighborhoods carry no topical signal.
+
     Scale: same hub-guarded edge relation (df band caps degree); the
     per-node aggregates are combinable counts over the edge/triangle
     relations — nothing larger than the edge list shuffles.
     """
     from .inverted_index import tokens
 
+    docs_n = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs"))
     dw = tokens(spark, sf_dir).select("doc_id", "word").distinct()
     dfreq = dw.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
-    qual = dfreq.filter(
-        (F.col("dfreq") >= TRIANGLE_MIN_DF)
-        & (F.col("dfreq") <= TRIANGLE_MAX_DF)).select("word")
+    qual = (dfreq.crossJoin(F.broadcast(docs_n))
+            .filter((F.col("dfreq") >= TRIANGLE_MIN_DF)
+                    & (F.col("dfreq") * 10
+                       <= F.col("n_docs") * CC_MAX_DF_PCT10))
+            .select("word"))
     dwq = dw.join(qual, "word").select("doc_id", "word")
     a = dwq.select("doc_id", F.col("word").alias("wa"))
     b = dwq.select("doc_id", F.col("word").alias("wb"))
@@ -474,11 +487,13 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLUSTERING_COEFF_SQL = f"""
 WITH dw AS (
     SELECT DISTINCT doc_id, word FROM ({_TOKENS_FILTERED_SQL}) t
+), docs_n AS (SELECT count(*) AS n_docs FROM documents
 ), df AS (
     SELECT word, count(*) AS dfreq FROM dw GROUP BY word
 ), qual AS (
-    SELECT word FROM df
-    WHERE dfreq BETWEEN {TRIANGLE_MIN_DF} AND {TRIANGLE_MAX_DF}
+    SELECT word FROM df, docs_n
+    WHERE dfreq >= {TRIANGLE_MIN_DF}
+      AND dfreq * 10 <= n_docs * {CC_MAX_DF_PCT10}
 ), dwq AS (
     SELECT dw.doc_id, dw.word FROM dw JOIN qual USING (word)
 ), edges AS (
