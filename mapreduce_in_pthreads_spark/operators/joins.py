@@ -15,7 +15,7 @@ Scale strategy, made explicit per query:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum, sql_dsum
@@ -211,4 +211,77 @@ FROM part a JOIN part b
   ON a.p_brand = b.p_brand AND a.p_size = b.p_size
  AND a.p_partkey < b.p_partkey
 GROUP BY a.p_brand, a.p_size
+"""
+
+
+# --- point-in-time (SCD2-style) join --------------------------------------
+
+TIER_LOW_MAX = 300.0   # click-value tier boundaries (exact doubles)
+TIER_MID_MAX = 700.0
+
+
+def point_in_time_tier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase is enriched with the
+    slowly-changing attribute valid AT ITS TIMESTAMP — here the user's
+    click-value tier (low/mid/high from the most recent prior click) —
+    the FK→SCD2 lookup every warehouse runs, done the scale-correct
+    way: NOT a range join, but a UNION of dimension-change and fact
+    rows with one ``last_value IGNORE NULLS`` window per user. One
+    shuffle on user_id; validity intervals never materialize.
+
+    Tie rule (deterministic total order): at equal timestamps the
+    dimension change sorts BEFORE the fact (kind 0 < 1), then
+    event_id — a same-instant tier change is visible to the purchase.
+
+    Exactness: tier is a CASE over exact double literals; everything
+    else is ordering + NULL propagation.
+
+    Scale: the union relation is |dim changes| + |facts| rows wide and
+    shuffles once; compare with the naive user×validity range join
+    which re-buffers every user's full history per fact row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tier = (F.when(F.col("value") <= TIER_LOW_MAX, "low")
+            .when(F.col("value") <= TIER_MID_MAX, "mid")
+            .otherwise("high"))
+    dim = (ev.filter(F.col("event_type") == "click")
+           .select("user_id", "ts", "event_id",
+                   F.lit(0).alias("kind"), tier.alias("tier")))
+    fact = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts", "event_id",
+                    F.lit(1).alias("kind"),
+                    F.lit(None).cast("string").alias("tier")))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "kind", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    merged = (dim.unionByName(fact)
+              .withColumn("tier_at_ts",
+                          F.last("tier", ignorenulls=True).over(w)))
+    return (merged.filter(F.col("kind") == 1)
+            .select(F.col("event_id").alias("purchase_id"), "user_id",
+                    F.unix_micros("ts").alias("ts_us"),
+                    F.coalesce("tier_at_ts", F.lit("none"))
+                    .alias("tier_at_purchase")))
+
+
+POINT_IN_TIME_SQL = f"""
+WITH dim AS (
+    SELECT user_id, ts, event_id, 0 AS kind,
+           CASE WHEN value <= {TIER_LOW_MAX!r} THEN 'low'
+                WHEN value <= {TIER_MID_MAX!r} THEN 'mid'
+                ELSE 'high' END AS tier
+    FROM events WHERE event_type = 'click'
+), fact AS (
+    SELECT user_id, ts, event_id, 1 AS kind, CAST(NULL AS VARCHAR) AS tier
+    FROM events WHERE event_type = 'purchase'
+), merged AS (
+    SELECT *, last_value(tier IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, kind, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS tier_at_ts
+    FROM (SELECT * FROM dim UNION ALL SELECT * FROM fact)
+)
+SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us,
+       COALESCE(tier_at_ts, 'none') AS tier_at_purchase
+FROM merged WHERE kind = 1
 """

@@ -657,6 +657,10 @@ register("hapax_ttr_per_lang", ta.hapax_ttr_per_lang,
 register("burstiness_fano", ts.burstiness_fano, ts.BURSTINESS_SQL,
          "traffic burstiness per event type: Fano factor of dense "
          "hourly counts from exact integer moments")
+register("point_in_time_tier_join", jn.point_in_time_tier_join,
+         jn.POINT_IN_TIME_SQL,
+         "point-in-time SCD2 lookup: union + last_value IGNORE NULLS "
+         "window instead of a validity range join — one shuffle")
 
 
 # --- adjudication-window rotation -----------------------------------------

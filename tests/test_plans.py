@@ -580,3 +580,12 @@ def test_burstiness_grid_join_broadcast(spark, sf_dir):
     shuffled cartesian; moments aggregate over the grid relation."""
     p = plan(spark, sf_dir, "burstiness_fano")
     assert "CartesianProduct" not in p
+
+
+def test_point_in_time_join_is_window_not_range_join(spark, sf_dir):
+    """The SCD2 lookup must plan as union + window (one user_id
+    exchange), never as a join at all — the validity-interval range
+    join is exactly what this shape avoids."""
+    p = plan(spark, sf_dir, "point_in_time_tier_join")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
