@@ -1507,3 +1507,91 @@ SELECT event_type, k AS n_hours, sx AS n_events,
              / (CAST(sx AS DOUBLE) / CAST(k AS DOUBLE)), 6) AS fano
 FROM mom
 """
+
+
+# --- time to convert ------------------------------------------------------
+
+
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per user, the lag from first
+    view to the first strictly-later purchase; reported as conversion
+    rate plus rank-selected median and p90 latencies — the
+    time-dimension companion of ``ordered_funnel``'s step counts.
+
+    Exactness: latencies are integer microseconds; the median and p90
+    are ORDER STATISTICS at ranks ⌊(n+1)/2⌋ and ⌈n·9/10⌉ under a
+    (latency, user_id) total order — no interpolation, same element
+    bit-for-bit on both engines; the rate is one rounded division.
+
+    Scale: one per-user conditional aggregate (combinable min), one
+    rank window over the CONVERTED-user relation, one global rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.min(F.when(F.col("event_type") == "view",
+                                  F.col("ts"))).alias("first_view")))
+    first_purch = (ev.filter(F.col("event_type") == "purchase")
+                   .join(per_user, "user_id")
+                   .filter(F.col("ts") > F.col("first_view"))
+                   .groupBy("user_id")
+                   .agg(F.min("ts").alias("first_purchase")))
+    conv = (per_user.filter(F.col("first_view").isNotNull())
+            .join(first_purch, "user_id", "left")
+            .withColumn("delta_us",
+                        F.unix_micros("first_purchase")
+                        - F.unix_micros("first_view")))
+    converted = conv.filter(F.col("delta_us").isNotNull())
+    w = Window.orderBy("delta_us", "user_id")
+    ranked = (converted
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy())))
+    med = (ranked.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+           .select(F.col("delta_us").alias("median_us")))
+    p90 = (ranked.filter(F.col("rn") == F.ceil(F.col("n") * 9 / 10))
+           .select(F.col("delta_us").alias("p90_us")))
+    totals = conv.agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.count("delta_us").alias("n_converted"))
+    return (totals.crossJoin(F.broadcast(med))
+            .crossJoin(F.broadcast(p90))
+            .select("n_viewed", "n_converted",
+                    F.round(F.col("n_converted").cast("double")
+                            / F.col("n_viewed"), 6).alias("cvr"),
+                    "median_us", "p90_us"))
+
+
+TIME_TO_CONVERT_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+    FROM events GROUP BY 1
+), first_purch AS (
+    SELECT e.user_id, min(e.ts) AS first_purchase
+    FROM events e JOIN per_user u USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > u.first_view
+    GROUP BY 1
+), conv AS (
+    SELECT u.user_id,
+           epoch_us(p.first_purchase) - epoch_us(u.first_view)
+               AS delta_us
+    FROM per_user u LEFT JOIN first_purch p USING (user_id)
+    WHERE u.first_view IS NOT NULL
+), ranked AS (
+    SELECT delta_us,
+           row_number() OVER (ORDER BY delta_us, user_id) AS rn,
+           count(*) OVER () AS n
+    FROM conv WHERE delta_us IS NOT NULL
+), med AS (SELECT delta_us AS median_us FROM ranked
+           WHERE rn = (n + 1) // 2),
+p90 AS (SELECT delta_us AS p90_us FROM ranked
+        WHERE rn = CAST(ceil(n * 9 / 10.0) AS BIGINT)),
+totals AS (
+    SELECT count(*) AS n_viewed, count(delta_us) AS n_converted
+    FROM conv
+)
+SELECT n_viewed, n_converted,
+       round(CAST(n_converted AS DOUBLE) / n_viewed, 6) AS cvr,
+       median_us, p90_us
+FROM totals, med, p90
+"""

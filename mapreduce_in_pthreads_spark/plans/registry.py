@@ -661,6 +661,10 @@ register("point_in_time_tier_join", jn.point_in_time_tier_join,
          jn.POINT_IN_TIME_SQL,
          "point-in-time SCD2 lookup: union + last_value IGNORE NULLS "
          "window instead of a validity range join — one shuffle")
+register("time_to_convert", ts.time_to_convert,
+         ts.TIME_TO_CONVERT_SQL,
+         "conversion latency: first-view to first-purchase lag with "
+         "rank-selected median/p90 (no interpolation)")
 
 
 # --- adjudication-window rotation -----------------------------------------

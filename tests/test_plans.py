@@ -589,3 +589,11 @@ def test_point_in_time_join_is_window_not_range_join(spark, sf_dir):
     p = plan(spark, sf_dir, "point_in_time_tier_join")
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_time_to_convert_scalar_medians_broadcast(spark, sf_dir):
+    """The rank-selected median/p90 single-row relations attach via
+    broadcast; no shuffled cartesian anywhere."""
+    p = plan(spark, sf_dir, "time_to_convert")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
