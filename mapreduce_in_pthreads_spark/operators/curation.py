@@ -22,7 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -680,4 +680,71 @@ SELECT lang, count(*) AS n_groups,
        round(CAST(sum(CASE WHEN cnt < {K_ANON} THEN cnt ELSE 0 END)
                   AS DOUBLE) / sum(cnt), 6) AS risk_rate
 FROM groups GROUP BY lang
+"""
+
+
+# --- quantile normalization across sources --------------------------------
+
+
+def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a per-document quality score (text
+    length) ACROSS sources: each doc's within-source rank is mapped to
+    the pooled corpus distribution's order statistic at the equivalent
+    quantile — the score-calibration step that makes per-source
+    quality gates comparable before corpus mixing (a crawl that skews
+    short must not be over-pruned by a global length threshold).
+
+    Exactness: everything is ranks and rank-selected elements —
+    target_rank = ⌈r·N/n_s⌉ via exact integer arithmetic (the
+    numerator stays far inside 2⁵³, so the floored double division
+    equals the integer formula on both engines); the normalized score
+    is the pooled element AT that rank, bit-for-bit.
+
+    Scale: two rank windows (per-source and pooled) + one equi-join on
+    target_rank against the pooled relation — no interpolation, no
+    all-pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("score"))
+    ws = Window.partitionBy("source").orderBy("score", "doc_id")
+    ranked = (docs.withColumn("r", F.row_number().over(ws))
+              .withColumn("n_s", F.count(F.lit(1)).over(
+                  Window.partitionBy("source"))))
+    wp = Window.orderBy("score", "doc_id")
+    pooled = (docs
+              .withColumn("target_rank", F.row_number().over(wp))
+              .select("target_rank",
+                      F.col("score").alias("normalized_score")))
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (ranked.crossJoin(F.broadcast(n_total))
+            .withColumn(
+                "target_rank",
+                F.floor((F.col("r") * F.col("n_total")
+                         + F.col("n_s") - 1) / F.col("n_s"))
+                .cast("int"))
+            .join(pooled, "target_rank")
+            .select("doc_id", "source", "score", "r",
+                    F.col("n_s").cast("bigint").alias("n_source"),
+                    "target_rank", "normalized_score"))
+
+
+QUANTILE_NORMALIZE_SQL = """
+WITH scored AS (
+    SELECT doc_id, source, length(text) AS score FROM documents
+), ranked AS (
+    SELECT doc_id, source, score,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY score, doc_id) AS r,
+           count(*) OVER (PARTITION BY source) AS n_s
+    FROM scored
+), pooled AS (
+    SELECT row_number() OVER (ORDER BY score, doc_id) AS target_rank,
+           score AS normalized_score
+    FROM scored
+), n_total AS (SELECT count(*) AS n_total FROM scored)
+SELECT doc_id, source, score, r, n_s AS n_source,
+       CAST((r * n_total + n_s - 1) // n_s AS INT) AS target_rank,
+       normalized_score
+FROM ranked, n_total
+JOIN pooled ON pooled.target_rank = (r * n_total + n_s - 1) // n_s
 """

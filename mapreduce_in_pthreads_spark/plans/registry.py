@@ -665,6 +665,10 @@ register("time_to_convert", ts.time_to_convert,
          ts.TIME_TO_CONVERT_SQL,
          "conversion latency: first-view to first-purchase lag with "
          "rank-selected median/p90 (no interpolation)")
+register("quantile_normalize_scores", cu.quantile_normalize_scores,
+         cu.QUANTILE_NORMALIZE_SQL,
+         "cross-source quantile normalization: within-source rank -> "
+         "pooled order statistic, pure rank arithmetic")
 
 
 # --- adjudication-window rotation -----------------------------------------

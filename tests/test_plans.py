@@ -597,3 +597,11 @@ def test_time_to_convert_scalar_medians_broadcast(spark, sf_dir):
     p = plan(spark, sf_dir, "time_to_convert")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p
+
+
+def test_quantile_normalize_rank_join_no_cartesian(spark, sf_dir):
+    """The pooled order-statistic lookup is an equi-join on
+    target_rank; the 1-row N attaches via broadcast."""
+    p = plan(spark, sf_dir, "quantile_normalize_scores")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
