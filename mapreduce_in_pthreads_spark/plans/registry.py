@@ -747,7 +747,8 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # clustering_coefficient, matryoshka_recall, winsorized_stats,
 # k_anonymity_audit, cohort_ltv_matrix, ab_test_proportions,
 # postings_delta_encode, minhash_estimate_quality, hapax_ttr_per_lang,
-# burstiness_fano (83 total — more than one window;
+# burstiness_fano, point_in_time_tier_join, time_to_convert,
+# quantile_normalize_scores (86 total — more than one window;
 # prioritize the paper-anchored LLM-pipeline entries, roll the rest;
 # recount from the CORRECTNESS unions when building the round-5
 # window). pagerank_word_graph was oracle-UPGRADED in session 2
