@@ -517,3 +517,136 @@ SELECT word, degree, COALESCE(n_tri, 0) AS n_tri,
 FROM deg LEFT JOIN tri USING (word)
 WHERE degree >= 2
 """
+
+
+K_CORE_K = 3          # degree threshold for the core
+K_CORE_ROUNDS = 4     # fixed peeling rounds (converged flag reported)
+
+
+def k_core_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the word co-occurrence graph by
+    BOUNDED PEELING: repeatedly drop nodes with degree < k (k=3) and
+    recompute degrees, ``K_CORE_ROUNDS`` fixed rounds — the graph-
+    cleaning primitive (dense-subgraph extraction) whose peel-loop
+    control pattern differs from PageRank's value iteration and CC's
+    label propagation: the RELATION SHRINKS each round instead of the
+    values updating.
+
+    Reports every surviving node with its degree inside the final
+    core plus a ``converged`` flag (round R−1 == round R survivor
+    count) so a non-converged run is visible, not silent. Fixed
+    rounds keep the plan static — no driver-side convergence collect,
+    and an exact unrolled-CTE oracle (MATERIALIZED CTEs: the inlined
+    default re-evaluates each round's relation 3x, the same
+    exponential blowup ``truncate_lineage`` prevents on the Spark
+    side).
+
+    Exactness: degrees and counts are integers throughout.
+
+    Scale: each round is one aggregate + one semi-join over the edge
+    relation, which only shrinks — and is lineage-truncated per round
+    (``truncate_lineage``): each round references its input three
+    times, so an un-truncated plan grows 3^R subtrees. Same relative
+    hub guard as ``clustering_coefficient``.
+    """
+    from .inverted_index import tokens
+
+    docs_n = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    dw = tokens(spark, sf_dir).select("doc_id", "word").distinct()
+    dfreq = dw.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
+    qual = (dfreq.crossJoin(F.broadcast(docs_n))
+            .filter((F.col("dfreq") >= TRIANGLE_MIN_DF)
+                    & (F.col("dfreq") * 10
+                       <= F.col("n_docs") * CC_MAX_DF_PCT10))
+            .select("word"))
+    dwq = dw.join(qual, "word")
+    a = dwq.select("doc_id", F.col("word").alias("wa"))
+    b = dwq.select("doc_id", F.col("word").alias("wb"))
+    edges = (a.join(b, "doc_id")
+             .filter(F.col("wa") < F.col("wb"))
+             .select("wa", "wb").distinct())
+
+    def survivors(edge_df):
+        deg = (edge_df.select(
+            F.explode(F.array("wa", "wb")).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("degree")))
+        return deg.filter(F.col("degree") >= K_CORE_K).select("word")
+
+    # each round references the edge relation three times (degree agg
+    # + both endpoint semi-restrictions) — without per-round lineage
+    # truncation the plan tree TRIPLES per round (3^R subtrees)
+    cur_edges = truncate_lineage(edges)
+    counts = []
+    for _ in range(K_CORE_ROUNDS):
+        keep = survivors(cur_edges)
+        counts.append(keep.agg(
+            F.count(F.lit(1)).alias("n")))
+        cur_edges = truncate_lineage(
+            cur_edges
+            .join(keep.withColumnRenamed("word", "wa"), "wa")
+            .join(keep.withColumnRenamed("word", "wb"), "wb")
+            .select("wa", "wb"))
+    final_deg = (cur_edges.select(
+        F.explode(F.array("wa", "wb")).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= K_CORE_K))
+    prev_n = counts[-2].withColumnRenamed("n", "n_prev")
+    last_n = counts[-1].withColumnRenamed("n", "n_last")
+    return (final_deg
+            .crossJoin(F.broadcast(prev_n))
+            .crossJoin(F.broadcast(last_n))
+            .select("word", "degree",
+                    (F.col("n_prev") == F.col("n_last"))
+                    .alias("converged")))
+
+
+def _k_core_sql() -> str:
+    rounds = []
+    prev = "edges0"
+    for r in range(1, K_CORE_ROUNDS + 1):
+        rounds.append(f"""
+keep{r} AS MATERIALIZED (
+    SELECT word FROM (
+        SELECT word, count(*) AS degree FROM (
+            SELECT wa AS word FROM {prev}
+            UNION ALL SELECT wb FROM {prev}
+        ) GROUP BY word
+    ) WHERE degree >= {K_CORE_K}
+),
+edges{r} AS MATERIALIZED (
+    SELECT e.wa, e.wb FROM {prev} e
+    JOIN keep{r} ka ON ka.word = e.wa
+    JOIN keep{r} kb ON kb.word = e.wb
+)""")
+        prev = f"edges{r}"
+    last, before = K_CORE_ROUNDS, K_CORE_ROUNDS - 1
+    return f"""
+WITH dw AS (
+    SELECT DISTINCT doc_id, word FROM ({_TOKENS_FILTERED_SQL}) t
+), docs_n AS (SELECT count(*) AS n_docs FROM documents
+), df AS (
+    SELECT word, count(*) AS dfreq FROM dw GROUP BY word
+), qual AS (
+    SELECT word FROM df, docs_n
+    WHERE dfreq >= {TRIANGLE_MIN_DF}
+      AND dfreq * 10 <= n_docs * {CC_MAX_DF_PCT10}
+), dwq AS (
+    SELECT dw.doc_id, dw.word FROM dw JOIN qual USING (word)
+), edges0 AS MATERIALIZED (
+    SELECT DISTINCT a.word AS wa, b.word AS wb
+    FROM dwq a JOIN dwq b ON a.doc_id = b.doc_id AND a.word < b.word
+),{",".join(rounds)}
+SELECT word, degree,
+       (SELECT count(*) FROM keep{before})
+           = (SELECT count(*) FROM keep{last}) AS converged
+FROM (
+    SELECT word, count(*) AS degree FROM (
+        SELECT wa AS word FROM edges{last}
+        UNION ALL SELECT wb FROM edges{last}
+    ) GROUP BY word
+) WHERE degree >= {K_CORE_K}
+"""
+
+
+K_CORE_SQL = _k_core_sql()

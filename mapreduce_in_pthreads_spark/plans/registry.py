@@ -669,6 +669,9 @@ register("quantile_normalize_scores", cu.quantile_normalize_scores,
          cu.QUANTILE_NORMALIZE_SQL,
          "cross-source quantile normalization: within-source rank -> "
          "pooled order statistic, pure rank arithmetic")
+register("k_core_words", it.k_core_words, it.K_CORE_SQL,
+         "k-core (k=3) by bounded peeling: 4 shrink-the-relation "
+         "rounds, unrolled-CTE oracle, converged flag reported")
 
 
 # --- adjudication-window rotation -----------------------------------------

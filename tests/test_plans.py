@@ -605,3 +605,10 @@ def test_quantile_normalize_rank_join_no_cartesian(spark, sf_dir):
     p = plan(spark, sf_dir, "quantile_normalize_scores")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p
+
+
+def test_k_core_no_cartesian(spark, sf_dir):
+    """Peeling is aggregates + equi-joins over a shrinking edge
+    relation — never a cartesian."""
+    p = plan(spark, sf_dir, "k_core_words")
+    assert "CartesianProduct" not in p
