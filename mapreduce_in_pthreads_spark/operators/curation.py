@@ -700,9 +700,12 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the integer formula on both engines); the normalized score
     is the pooled element AT that rank, bit-for-bit.
 
-    Scale: two rank windows (per-source and pooled) + one equi-join on
-    target_rank against the pooled relation — no interpolation, no
-    all-pairs.
+    Scale: the pooled distribution is NEVER per-row-ranked (a global
+    row_number would funnel the whole corpus through one task) — it
+    reduces to the distinct-SCORE relation (value-domain-sized) with
+    cumulative rank intervals [start, end] per score, and the lookup
+    is a broadcast interval probe. The only big-relation window is
+    the per-source rank, partitioned by source.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.length("text").alias("score"))
@@ -710,22 +713,31 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (docs.withColumn("r", F.row_number().over(ws))
               .withColumn("n_s", F.count(F.lit(1)).over(
                   Window.partitionBy("source"))))
-    wp = Window.orderBy("score", "doc_id")
-    pooled = (docs
-              .withColumn("target_rank", F.row_number().over(wp))
-              .select("target_rank",
-                      F.col("score").alias("normalized_score")))
+    # pooled order statistics via the distinct-score interval relation:
+    # score s covers pooled ranks [cum_end - cnt + 1, cum_end]
+    score_counts = docs.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    wsc = (Window.orderBy("score")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    intervals = (score_counts
+                 .withColumn("rank_end", F.sum("cnt").over(wsc))
+                 .select((F.col("rank_end") - F.col("cnt") + 1)
+                         .alias("rank_start"), "rank_end",
+                         F.col("score").alias("normalized_score")))
     n_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
-    return (ranked.crossJoin(F.broadcast(n_total))
-            .withColumn(
-                "target_rank",
-                F.floor((F.col("r") * F.col("n_total")
-                         + F.col("n_s") - 1) / F.col("n_s"))
-                .cast("int"))
-            .join(pooled, "target_rank")
-            .select("doc_id", "source", "score", "r",
-                    F.col("n_s").cast("bigint").alias("n_source"),
-                    "target_rank", "normalized_score"))
+    with_target = (ranked.crossJoin(F.broadcast(n_total))
+                   .withColumn(
+                       "target_rank",
+                       F.floor((F.col("r") * F.col("n_total")
+                                + F.col("n_s") - 1) / F.col("n_s"))
+                       .cast("bigint")))
+    return (with_target.join(
+        F.broadcast(intervals),
+        (F.col("target_rank") >= F.col("rank_start"))
+        & (F.col("target_rank") <= F.col("rank_end")))
+        .select("doc_id", "source", "score", "r",
+                F.col("n_s").cast("bigint").alias("n_source"),
+                "target_rank", "normalized_score"))
 
 
 QUANTILE_NORMALIZE_SQL = """
@@ -737,14 +749,19 @@ WITH scored AS (
                               ORDER BY score, doc_id) AS r,
            count(*) OVER (PARTITION BY source) AS n_s
     FROM scored
-), pooled AS (
-    SELECT row_number() OVER (ORDER BY score, doc_id) AS target_rank,
+), intervals AS (
+    SELECT rank_end - cnt + 1 AS rank_start, rank_end,
            score AS normalized_score
-    FROM scored
+    FROM (SELECT score, count(*) AS cnt,
+                 sum(count(*)) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS rank_end
+          FROM scored GROUP BY score)
 ), n_total AS (SELECT count(*) AS n_total FROM scored)
 SELECT doc_id, source, score, r, n_s AS n_source,
-       CAST((r * n_total + n_s - 1) // n_s AS INT) AS target_rank,
+       CAST((r * n_total + n_s - 1) // n_s AS BIGINT) AS target_rank,
        normalized_score
 FROM ranked, n_total
-JOIN pooled ON pooled.target_rank = (r * n_total + n_s - 1) // n_s
+JOIN intervals
+  ON (r * n_total + n_s - 1) // n_s BETWEEN rank_start AND rank_end
 """

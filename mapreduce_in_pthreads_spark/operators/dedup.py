@@ -242,6 +242,30 @@ GROUP BY doc_id
 """
 
 
+def _lsh_candidate_pairs(sig):
+    """Band-bucket candidate generation shared by the LSH dedup and
+    the estimator-quality report: docs collide only on an equal
+    2-minhash band bucket, so candidates come from a hash equi-join —
+    never an all-pairs comparison. ONE definition so a band/width
+    retune can never make the quality report evaluate a different
+    candidate set than the dedup it measures."""
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.concat_ws("|", F.col(f"mh{2*b}").cast("string"),
+                        F.col(f"mh{2*b+1}").cast("string"))
+            for b in range(N_BANDS)
+        ])).alias("band", "bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection, end to end:
     signature (8 minhashes) → 4 bands of 2 → band-bucket join for
@@ -259,24 +283,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH contract that keeps 100 TB feasible."""
     sets = _shingle_sets(spark, sf_dir)
     sig = _minhash_signatures(sets)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*[
-            F.concat_ws("|", F.col(f"mh{2*b}").cast("string"),
-                        F.col(f"mh{2*b+1}").cast("string"))
-            for b in range(N_BANDS)
-        ])).alias("band", "bucket"),
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _lsh_candidate_pairs(sig)
     # verify candidates against true Jaccard (exact, candidates only;
     # same materialized `sets` — no recompute)
     sa = sets.select(F.col("doc_id").alias("doc_a"),
@@ -300,7 +307,9 @@ _BAND_ROWS_SQL = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, "
     f"mh{2*b}::VARCHAR || '|' || mh{2*b+1}::VARCHAR AS bucket "
     f"FROM sig" for b in range(N_BANDS))
-MINHASH_LSH_SQL = f"""
+# shared SQL: signature + band + candidate CTE bodies (keep the dedup
+# and the estimator report on the SAME candidate definition)
+_LSH_CAND_PREFIX_SQL = f"""
 WITH sh AS ({SHINGLES_SQL}),
 hashed AS (
     SELECT doc_id,
@@ -317,7 +326,9 @@ cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
+)"""
+
+MINHASH_LSH_SQL = f"""{_LSH_CAND_PREFIX_SQL},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 shared AS (
     SELECT c.doc_a, c.doc_b, count(*) AS shared
@@ -619,21 +630,7 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sets = _shingle_sets(spark, sf_dir)
     sig = _minhash_signatures(sets)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*[
-            F.concat_ws("|", F.col(f"mh{2*b}").cast("string"),
-                        F.col(f"mh{2*b+1}").cast("string"))
-            for b in range(N_BANDS)
-        ])).alias("band", "bucket"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    cand = _lsh_candidate_pairs(sig)
     siga = sig.select(F.col("doc_id").alias("doc_a"),
                       *[F.col(f"mh{i}").alias(f"a{i}")
                         for i in range(N_HASHES)])
@@ -669,24 +666,7 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIG_AGREE_SQL = " + ".join(
     f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
     for i in range(N_HASHES))
-MINHASH_ESTIMATE_SQL = f"""
-WITH sh AS ({SHINGLES_SQL}),
-hashed AS (
-    SELECT doc_id,
-           ('0x' || substring(md5(shingle), 1, 15))::BIGINT
-               % {P_MINHASH} AS h
-    FROM sh
-),
-sig AS (
-    SELECT doc_id, {_MINHASH_COLS_SQL}
-    FROM hashed GROUP BY doc_id
-),
-bands AS ({_BAND_ROWS_SQL}),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
+MINHASH_ESTIMATE_SQL = f"""{_LSH_CAND_PREFIX_SQL},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 shared AS (
     SELECT c.doc_a, c.doc_b, count(*) AS shared

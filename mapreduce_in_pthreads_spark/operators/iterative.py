@@ -421,6 +421,53 @@ FROM walk GROUP BY word
 CC_MAX_DF_PCT10 = 9  # hub guard: keep words with df <= 90% of docs
 
 
+def _guarded_word_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-hub-guarded oriented edge list of the word
+    co-occurrence graph, shared by ``clustering_coefficient`` and
+    ``k_core_words``: nodes = words with 2 ≤ df ≤ 90% of docs
+    (integer-compared — no float boundary), edges = distinct
+    same-document pairs oriented ``wa < wb``. ONE definition so a
+    guard retune can never make the two graph analytics disagree
+    about what the graph IS (the sf0.1 band degeneracy had to be
+    fixed per-copy before this was factored)."""
+    from .inverted_index import tokens
+
+    docs_n = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    dw = tokens(spark, sf_dir).select("doc_id", "word").distinct()
+    dfreq = dw.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
+    qual = (dfreq.crossJoin(F.broadcast(docs_n))
+            .filter((F.col("dfreq") >= TRIANGLE_MIN_DF)
+                    & (F.col("dfreq") * 10
+                       <= F.col("n_docs") * CC_MAX_DF_PCT10))
+            .select("word"))
+    dwq = dw.join(qual, "word").select("doc_id", "word")
+    a = dwq.select("doc_id", F.col("word").alias("wa"))
+    b = dwq.select("doc_id", F.col("word").alias("wb"))
+    return (a.join(b, "doc_id")
+            .filter(F.col("wa") < F.col("wb"))
+            .select("wa", "wb").distinct())
+
+
+# SQL twin of _guarded_word_edges: CTE prefix ending at `edges0`
+_GUARDED_EDGES_SQL_PREFIX = f"""
+WITH dw AS (
+    SELECT DISTINCT doc_id, word FROM ({{tokens_sql}}) t
+), docs_n AS (SELECT count(*) AS n_docs FROM documents
+), df AS (
+    SELECT word, count(*) AS dfreq FROM dw GROUP BY word
+), qual AS (
+    SELECT word FROM df, docs_n
+    WHERE dfreq >= {TRIANGLE_MIN_DF}
+      AND dfreq * 10 <= n_docs * {{cc_max}}
+), dwq AS (
+    SELECT dw.doc_id, dw.word FROM dw JOIN qual USING (word)
+), edges0 AS MATERIALIZED (
+    SELECT DISTINCT a.word AS wa, b.word AS wb
+    FROM dwq a JOIN dwq b ON a.doc_id = b.doc_id AND a.word < b.word
+)"""
+
+
 def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node local clustering coefficient over the word
     co-occurrence graph: for each word,
@@ -444,25 +491,7 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node aggregates are combinable counts over the edge/triangle
     relations — nothing larger than the edge list shuffles.
     """
-    from .inverted_index import tokens
-
-    docs_n = load_table(spark, sf_dir, "documents").agg(
-        F.count(F.lit(1)).alias("n_docs"))
-    dw = tokens(spark, sf_dir).select("doc_id", "word").distinct()
-    dfreq = dw.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
-    qual = (dfreq.crossJoin(F.broadcast(docs_n))
-            .filter((F.col("dfreq") >= TRIANGLE_MIN_DF)
-                    & (F.col("dfreq") * 10
-                       <= F.col("n_docs") * CC_MAX_DF_PCT10))
-            .select("word"))
-    dwq = dw.join(qual, "word").select("doc_id", "word")
-    a = dwq.select("doc_id", F.col("word").alias("wa"))
-    b = dwq.select("doc_id", F.col("word").alias("wb"))
-    edges = (
-        a.join(b, "doc_id")
-        .filter(F.col("wa") < F.col("wb"))
-        .select("wa", "wb").distinct()
-    )
+    edges = _guarded_word_edges(spark, sf_dir)
     deg = (edges.select(F.explode(F.array("wa", "wb")).alias("word"))
            .groupBy("word").agg(F.count(F.lit(1)).alias("degree")))
     e2 = edges.select(F.col("wa").alias("wb"), F.col("wb").alias("wc"))
@@ -484,22 +513,10 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("cc")))
 
 
-CLUSTERING_COEFF_SQL = f"""
-WITH dw AS (
-    SELECT DISTINCT doc_id, word FROM ({_TOKENS_FILTERED_SQL}) t
-), docs_n AS (SELECT count(*) AS n_docs FROM documents
-), df AS (
-    SELECT word, count(*) AS dfreq FROM dw GROUP BY word
-), qual AS (
-    SELECT word FROM df, docs_n
-    WHERE dfreq >= {TRIANGLE_MIN_DF}
-      AND dfreq * 10 <= n_docs * {CC_MAX_DF_PCT10}
-), dwq AS (
-    SELECT dw.doc_id, dw.word FROM dw JOIN qual USING (word)
-), edges AS (
-    SELECT DISTINCT a.word AS wa, b.word AS wb
-    FROM dwq a JOIN dwq b ON a.doc_id = b.doc_id AND a.word < b.word
-), deg AS (
+CLUSTERING_COEFF_SQL = f"""{_GUARDED_EDGES_SQL_PREFIX.format(
+    tokens_sql=_TOKENS_FILTERED_SQL, cc_max=CC_MAX_DF_PCT10)},
+edges AS (SELECT wa, wb FROM edges0),
+deg AS (
     SELECT word, count(*) AS degree
     FROM (SELECT wa AS word FROM edges
           UNION ALL SELECT wb FROM edges) GROUP BY word
@@ -549,23 +566,7 @@ def k_core_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     times, so an un-truncated plan grows 3^R subtrees. Same relative
     hub guard as ``clustering_coefficient``.
     """
-    from .inverted_index import tokens
-
-    docs_n = load_table(spark, sf_dir, "documents").agg(
-        F.count(F.lit(1)).alias("n_docs"))
-    dw = tokens(spark, sf_dir).select("doc_id", "word").distinct()
-    dfreq = dw.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
-    qual = (dfreq.crossJoin(F.broadcast(docs_n))
-            .filter((F.col("dfreq") >= TRIANGLE_MIN_DF)
-                    & (F.col("dfreq") * 10
-                       <= F.col("n_docs") * CC_MAX_DF_PCT10))
-            .select("word"))
-    dwq = dw.join(qual, "word")
-    a = dwq.select("doc_id", F.col("word").alias("wa"))
-    b = dwq.select("doc_id", F.col("word").alias("wb"))
-    edges = (a.join(b, "doc_id")
-             .filter(F.col("wa") < F.col("wb"))
-             .select("wa", "wb").distinct())
+    edges = _guarded_word_edges(spark, sf_dir)
 
     def survivors(edge_df):
         deg = (edge_df.select(
@@ -621,22 +622,8 @@ edges{r} AS MATERIALIZED (
 )""")
         prev = f"edges{r}"
     last, before = K_CORE_ROUNDS, K_CORE_ROUNDS - 1
-    return f"""
-WITH dw AS (
-    SELECT DISTINCT doc_id, word FROM ({_TOKENS_FILTERED_SQL}) t
-), docs_n AS (SELECT count(*) AS n_docs FROM documents
-), df AS (
-    SELECT word, count(*) AS dfreq FROM dw GROUP BY word
-), qual AS (
-    SELECT word FROM df, docs_n
-    WHERE dfreq >= {TRIANGLE_MIN_DF}
-      AND dfreq * 10 <= n_docs * {CC_MAX_DF_PCT10}
-), dwq AS (
-    SELECT dw.doc_id, dw.word FROM dw JOIN qual USING (word)
-), edges0 AS MATERIALIZED (
-    SELECT DISTINCT a.word AS wa, b.word AS wb
-    FROM dwq a JOIN dwq b ON a.doc_id = b.doc_id AND a.word < b.word
-),{",".join(rounds)}
+    return f"""{_GUARDED_EDGES_SQL_PREFIX.format(
+        tokens_sql=_TOKENS_FILTERED_SQL, cc_max=CC_MAX_DF_PCT10)},{",".join(rounds)}
 SELECT word, degree,
        (SELECT count(*) FROM keep{before})
            = (SELECT count(*) FROM keep{last}) AS converged

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import SQL_DEC, davg, dsum, sql_davg, sql_dsum
+from ..functions.numeric import DEC, SQL_DEC, davg, dsum, sql_davg, sql_dsum
 from ..sources.tables import load_table
 
 
@@ -1301,7 +1301,7 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .cast("bigint")))
     cell = (joined.groupBy("cohort_week", "week_offset")
             .agg(F.countDistinct("user_id").alias("n_active"),
-                 F.sum(F.col("value").cast("decimal(25,4)"))
+                 F.sum(F.col("value").cast(DEC))
                  .alias("dec_value")))
     w = (Window.partitionBy("cohort_week").orderBy("week_offset")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -1318,7 +1318,7 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("ltv_per_user")))
 
 
-COHORT_LTV_SQL = """
+COHORT_LTV_SQL = f"""
 WITH cohorts AS (
     SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
     FROM events GROUP BY 1
@@ -1331,7 +1331,7 @@ WITH cohorts AS (
                       - epoch_us(c.cohort_week))
                 // 604800000000 AS BIGINT) AS week_offset,
            count(DISTINCT e.user_id) AS n_active,
-           sum(CAST(e.value AS DECIMAL(25,4))) AS dec_value
+           sum(CAST(e.value AS {SQL_DEC})) AS dec_value
     FROM events e JOIN cohorts c USING (user_id)
     GROUP BY 1, 2
 )
@@ -1546,10 +1546,15 @@ def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("rn", F.row_number().over(w))
               .withColumn("n", F.count(F.lit(1)).over(
                   Window.partitionBy())))
-    med = (ranked.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
-           .select(F.col("delta_us").alias("median_us")))
-    p90 = (ranked.filter(F.col("rn") == F.ceil(F.col("n") * 9 / 10))
-           .select(F.col("delta_us").alias("p90_us")))
+    # global AGGREGATES (one row even over an empty converted set —
+    # a zero-conversion slice must report (n, 0, 0.0, NULL, NULL),
+    # never silently vanish)
+    med = ranked.agg(F.max(F.when(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2),
+        F.col("delta_us"))).alias("median_us"))
+    p90 = ranked.agg(F.max(F.when(
+        F.col("rn") == F.ceil(F.col("n") * 9 / 10),
+        F.col("delta_us"))).alias("p90_us"))
     totals = conv.agg(
         F.count(F.lit(1)).alias("n_viewed"),
         F.count("delta_us").alias("n_converted"))
@@ -1582,10 +1587,10 @@ WITH per_user AS (
            row_number() OVER (ORDER BY delta_us, user_id) AS rn,
            count(*) OVER () AS n
     FROM conv WHERE delta_us IS NOT NULL
-), med AS (SELECT delta_us AS median_us FROM ranked
-           WHERE rn = (n + 1) // 2),
-p90 AS (SELECT delta_us AS p90_us FROM ranked
-        WHERE rn = CAST(ceil(n * 9 / 10.0) AS BIGINT)),
+), med AS (SELECT max(CASE WHEN rn = (n + 1) // 2
+                    THEN delta_us END) AS median_us FROM ranked),
+p90 AS (SELECT max(CASE WHEN rn = CAST(ceil(n * 9 / 10.0) AS BIGINT)
+                   THEN delta_us END) AS p90_us FROM ranked),
 totals AS (
     SELECT count(*) AS n_viewed, count(delta_us) AS n_converted
     FROM conv

@@ -751,7 +751,7 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # k_anonymity_audit, cohort_ltv_matrix, ab_test_proportions,
 # postings_delta_encode, minhash_estimate_quality, hapax_ttr_per_lang,
 # burstiness_fano, point_in_time_tier_join, time_to_convert,
-# quantile_normalize_scores (86 total — more than one window;
+# quantile_normalize_scores, k_core_words (87 total — more than one window;
 # prioritize the paper-anchored LLM-pipeline entries, roll the rest;
 # recount from the CORRECTNESS unions when building the round-5
 # window). pagerank_word_graph was oracle-UPGRADED in session 2

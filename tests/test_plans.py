@@ -599,12 +599,18 @@ def test_time_to_convert_scalar_medians_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p
 
 
-def test_quantile_normalize_rank_join_no_cartesian(spark, sf_dir):
-    """The pooled order-statistic lookup is an equi-join on
-    target_rank; the 1-row N attaches via broadcast."""
+def test_quantile_normalize_no_global_per_row_sort(spark, sf_dir):
+    """The corpus-sized relation must NEVER be globally row-ranked
+    (that funnels 100 TB through one task): the only single-partition
+    window runs over the distinct-SCORE relation, the big window is
+    partitioned by source, and the interval probe broadcasts."""
     p = plan(spark, sf_dir, "quantile_normalize_scores")
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" in p
+    assert "BroadcastNestedLoopJoin" in p  # interval probe + N attach
+    assert "hashpartitioning(source" in p  # per-source rank window
+    # single-partition exchanges only for the distinct-score window
+    # and the 1-row global count — both value-domain/scalar sized
+    assert p.count("Exchange SinglePartition") <= 2
 
 
 def test_k_core_no_cartesian(spark, sf_dir):
