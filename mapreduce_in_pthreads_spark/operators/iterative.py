@@ -288,15 +288,22 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical pipeline in DuckDB."""
     from .inverted_index import tokens
 
-    dw = tokens(spark, sf_dir).select("doc_id", "word").distinct()
+    # dw feeds both the df census and the qualified pair join; edges
+    # feeds all three legs of the wedge join plus the census count —
+    # materialize each ONCE (same truncate_lineage the rest of the
+    # family uses) instead of replaying the scan→distinct pipeline
+    # per consumer (was 33 exchanges executed; now each exchange runs
+    # once).
+    dw = truncate_lineage(
+        tokens(spark, sf_dir).select("doc_id", "word").distinct())
     dfreq = dw.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
-    qual = dfreq.filter(
+    qual = truncate_lineage(dfreq.filter(
         (F.col("dfreq") >= TRIANGLE_MIN_DF)
-        & (F.col("dfreq") <= TRIANGLE_MAX_DF)).select("word")
+        & (F.col("dfreq") <= TRIANGLE_MAX_DF)).select("word"))
     dwq = dw.join(qual, "word").select("doc_id", "word")
     a = dwq.select("doc_id", F.col("word").alias("wa"))
     b = dwq.select("doc_id", F.col("word").alias("wb"))
-    edges = (
+    edges = truncate_lineage(
         a.join(b, "doc_id")
         .filter(F.col("wa") < F.col("wb"))
         .select("wa", "wb").distinct()
@@ -429,7 +436,14 @@ def _guarded_word_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-document pairs oriented ``wa < wb``. ONE definition so a
     guard retune can never make the two graph analytics disagree
     about what the graph IS (the sf0.1 band degeneracy had to be
-    fixed per-copy before this was factored)."""
+    fixed per-copy before this was factored).
+
+    The returned relation is MATERIALIZED (``truncate_lineage``):
+    both consumers reference it 3-4 times (degree agg + wedge-join
+    legs / peel-round restrictions), and without the cut each
+    reference replays the whole scan→distinct→band→pair-join
+    pipeline (clustering_coefficient executed 41 exchanges; now the
+    upstream runs once)."""
     from .inverted_index import tokens
 
     docs_n = load_table(spark, sf_dir, "documents").agg(
@@ -444,9 +458,10 @@ def _guarded_word_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     dwq = dw.join(qual, "word").select("doc_id", "word")
     a = dwq.select("doc_id", F.col("word").alias("wa"))
     b = dwq.select("doc_id", F.col("word").alias("wb"))
-    return (a.join(b, "doc_id")
-            .filter(F.col("wa") < F.col("wb"))
-            .select("wa", "wb").distinct())
+    return truncate_lineage(
+        a.join(b, "doc_id")
+        .filter(F.col("wa") < F.col("wb"))
+        .select("wa", "wb").distinct())
 
 
 # SQL twin of _guarded_word_edges: CTE prefix ending at `edges0`
@@ -576,8 +591,9 @@ def k_core_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # each round references the edge relation three times (degree agg
     # + both endpoint semi-restrictions) — without per-round lineage
-    # truncation the plan tree TRIPLES per round (3^R subtrees)
-    cur_edges = truncate_lineage(edges)
+    # truncation the plan tree TRIPLES per round (3^R subtrees).
+    # Round 0's cut already happened inside _guarded_word_edges.
+    cur_edges = edges
     counts = []
     for _ in range(K_CORE_ROUNDS):
         keep = survivors(cur_edges)
