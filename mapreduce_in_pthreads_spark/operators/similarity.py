@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.lineage import truncate_lineage
 from ..functions.vectors import dot, l2_norm
 from ..sources.tables import load_table
 
@@ -432,8 +433,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .quantizer import ann_ivf_multiprobe_topk, ann_ivf_trained_topk
 
-    bf = ann_topk_bruteforce(spark, sf_dir).select(
-        "query_id", "vec_id").withColumn("in_bf", F.lit(1))
+    # The baseline feeds BOTH the hits join and the query grid —
+    # materialize its N_QUERIES×TOP_K rows once (truncate_lineage)
+    # so the exact brute-force scan over embeddings runs once, not
+    # per consumer.
+    bf = truncate_lineage(
+        ann_topk_bruteforce(spark, sf_dir).select(
+            "query_id", "vec_id").withColumn("in_bf", F.lit(1)))
     methods = {
         "ivf_label": ann_ivf_topk(spark, sf_dir),
         "ivf_trained": ann_ivf_trained_topk(spark, sf_dir),
@@ -529,8 +535,11 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison itself joins k-row-per-query id sets.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    bf = ann_topk_bruteforce(spark, sf_dir).select(
-        "query_id", "vec_id").withColumn("in_bf", F.lit(1))
+    # baseline consumed twice (hits join + query grid) — materialize
+    # once, as in ann_recall_report
+    bf = truncate_lineage(
+        ann_topk_bruteforce(spark, sf_dir).select(
+            "query_id", "vec_id").withColumn("in_bf", F.lit(1)))
     tr = emb.select(
         "vec_id", F.slice("embedding", 1, MRL_DIMS).alias("emb16"))
     q16 = tr.filter(F.col("vec_id") < N_QUERIES).select(
