@@ -764,8 +764,35 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # ann_lsh_topk, embedding_near_dup (norm precompute), ordered_funnel
 # (empty-stage fix), lang_id_heuristic + approx_top_k_words (oracle
 # upgrades — approx_top_k is already in the 32), exact_dedup,
-# minhash_lsh_dedup, q1_pricing_summary. Round 5 then completes
-# full-registry driver adjudication.
+# minhash_lsh_dedup, q1_pricing_summary.
+#
+# CONCRETE ROUND-5 WINDOW (validated against the registry, 50 names,
+# session-5 final — paste over _ADJUDICATION_FIRST at round-5 start;
+# prioritizes the paper-anchored LLM-pipeline entries and this
+# round's changed code; rounds 5+6 then complete full-registry
+# driver adjudication — the ~43 sql_surface/advanced/stats leftovers
+# fit round 6's window):
+#   "inverted_index", "word_count", "doc_frequency", "corpus_stats",
+#   "index_top_docs", "rdd_inverted_index",
+#   "semdedup_prune", "soft_dedup_weights", "duplicate_spans",
+#   "minhash_estimate_quality", "pq_adc_topk", "ann_topk_blas",
+#   "kmeans_quantizer_cells", "ann_ivf_trained_topk",
+#   "ann_ivf_multiprobe_topk", "ann_recall_report",
+#   "matryoshka_recall",
+#   "dsir_importance_weights", "mixture_sampling_weights",
+#   "cluster_balanced_sample", "pretrain_curation_report",
+#   "k_anonymity_audit", "quantile_normalize_scores",
+#   "unigram_logprob_filter", "bm25_topk_docs", "rrf_fusion_topk",
+#   "count_min_words", "skipgram_pmi", "lang_confusion_matrix",
+#   "chi2_discriminative_terms", "zipf_law_fit",
+#   "tokenizer_fertility", "hapax_ttr_per_lang", "boolean_search",
+#   "phrase_search_positional", "keyword_in_context",
+#   "source_balance_gini", "postings_delta_encode",
+#   "ngram_novelty_curve", "token_entropy", "approx_top_k_words",
+#   "word_graph_distances", "clustering_coefficient", "k_core_words",
+#   "image_channel_stats", "image_phash_groups",
+#   "audio_silence_runs", "frame_shot_boundaries",
+#   "asof_join_nearest_event", "event_rate_anomaly"
 
 
 def _reorder_for_adjudication(first: tuple[str, ...]) -> None:
