@@ -504,6 +504,36 @@ def test_clustering_coeff_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_graph_edge_relations_materialized_once(spark, sf_dir):
+    """Regression pin for the session-5 lineage cuts: the wedge-join
+    consumers must reference a MATERIALIZED edge relation, not replay
+    the scan→distinct→band→pair-join pipeline per leg.  Pre-cut,
+    triangle_count executed 33 exchanges and clustering_coefficient
+    41; post-cut the visible plans shuffle only the (vocab-bounded)
+    edge/degree relations.  A reappearing parquet scan in these plans
+    means a cut was dropped."""
+    for name, budget in (("triangle_count", 8),
+                         ("clustering_coefficient", 10),
+                         ("k_core_words", 6)):
+        p = plan(spark, sf_dir, name)
+        assert p.count("Exchange hashpartitioning") <= budget, name
+        assert "FileScan parquet" not in p, name  # upstream is cut
+
+
+def test_ann_reports_materialize_bruteforce_once(spark, sf_dir):
+    """The exact brute-force baseline feeds both the hits join and
+    the query grid — it must appear as a materialized scan, never as
+    two replayed embeddings scans."""
+    # remaining parquet scans are the method subplans' own embeddings
+    # reads (each method scans corpus + query side: 4 methods → 8,
+    # truncated-MRL ranking → 2); the bf replay would add two more
+    for name, budget in (("ann_recall_report", 8),
+                         ("matryoshka_recall", 2)):
+        p = plan(spark, sf_dir, name)
+        n_scans = p.count("FileScan parquet")
+        assert n_scans <= budget, f"{name}: {n_scans} scans"
+
+
 def test_matryoshka_recall_broadcast_queries_no_shuffled_cross(spark, sf_dir):
     """Both rankings pair candidates with the 10-row broadcast query
     set — broadcast nested loop is legal, a shuffled cartesian is
