@@ -697,3 +697,86 @@ LEFT JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
 JOIN sizes na ON na.doc_id = c.doc_a
 JOIN sizes nb ON nb.doc_id = c.doc_b
 """
+
+
+# --- containment / overlap-coefficient dedup ----------------------------
+
+CONTAINMENT_THRESHOLD = 0.6   # rounded overlap >= this is a near-dup pair
+CONTAINMENT_DF_CAP = 50       # drop shingles present in more docs (hub guard)
+
+
+def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-coefficient (containment) near-dup pairs:
+    ``|A∩B| / min(|A|, |B|)`` over DF-CAPPED word-trigram shingle
+    sets — the measure that catches SUBSET duplication (a short doc
+    embedded inside a longer one), which Jaccard structurally
+    under-scores: for A ⊆ B, J = |A|/|B| shrinks with the size ratio
+    while the overlap coefficient stays 1.0 (Broder's resemblance-
+    vs-containment distinction, the boilerplate/quotation case every
+    pretraining dedup pass hits).
+
+    Scale: unlike the exact-Jaccard baseline (`jaccard_similarity_join`,
+    deliberately uncapped), the pair join here runs on the df-capped
+    posting relation — shingles in more than ``CONTAINMENT_DF_CAP``
+    docs never generate pairs, so per-shingle fan-out is bounded by
+    CAP²/2 (the `duplicate_spans` hot-gram guard applied to whole-set
+    dedup). Set sizes are counted over the same capped space, so the
+    score remains a true overlap coefficient of the discriminative-
+    shingle sets.
+
+    Exactness: all counts are integers; the overlap is one correctly-
+    rounded double division, and the threshold compares the ROUNDED
+    value on both engines (no ulp boundary).
+    """
+    sets = _shingle_sets(spark, sf_dir)
+    sh = _explode_shingles(sets)
+    rare = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= CONTAINMENT_DF_CAP)
+            .select("shingle"))
+    # the capped posting relation feeds sizes + both pair-join legs —
+    # materialize it once instead of replaying the df-cap join thrice
+    shr = truncate_lineage(sh.join(rare, "shingle"))
+    sizes = shr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shr.alias("a")
+    b = shr.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared")))
+    na = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("n_b"))
+    return (shared.join(na, "doc_a").join(nb, "doc_b")
+            .withColumn("overlap", F.round(
+                F.col("shared").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b")).cast("double"), 6))
+            .filter(F.col("overlap") >= CONTAINMENT_THRESHOLD)
+            .select("doc_a", "doc_b", "n_a", "n_b", "shared", "overlap"))
+
+
+CONTAINMENT_DEDUP_SQL = f"""
+WITH sh AS ({SHINGLES_SQL}),
+rare AS (
+    SELECT shingle FROM (
+        SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+    ) WHERE df <= {CONTAINMENT_DF_CAP}
+),
+shr AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM shr a JOIN shr b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, na.n AS n_a, nb.n AS n_b, shared,
+       round(CAST(shared AS DOUBLE) / least(na.n, nb.n), 6) AS overlap
+FROM shared
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE round(CAST(shared AS DOUBLE) / least(na.n, nb.n), 6)
+      >= {CONTAINMENT_THRESHOLD}
+"""

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.lineage import truncate_lineage
 from ..functions.numeric import davg, sql_davg
 from ..sources.tables import load_table
 
@@ -1693,4 +1694,132 @@ SELECT lang, count(*) AS vocab,
        round(CAST(count(CASE WHEN cnt = 1 THEN 1 END) AS DOUBLE)
              / count(*), 6) AS hapax_rate
 FROM wc GROUP BY lang
+"""
+
+
+# --- doc→doc lexical similarity search ----------------------------------
+
+RELATED_N_QUERY_DOCS = 10   # query set: doc_id < this
+RELATED_TOP_K = 5
+RELATED_MIN_DF = 2          # a linking word must appear in ≥ 2 docs
+# ... and in ≤ 90% of docs (df·10 ≤ n·9).  The RELATIVE guard (the
+# clustering_coefficient lesson): the sf0.1 corpus has a 31-word
+# vocabulary where every word's df sits at 5-78% of docs, so an
+# absolute-feeling 50% band kept ONE word and returned 0 rows.  A
+# tight cap is also not load-bearing here the way it is for pair
+# dedup — the query side is a bounded broadcast (≤ N_QUERY_DOCS
+# vectors), so join fan-out is |postings|·|queries| = linear in
+# postings at any df; the band only needs to drop truly corpus-wide
+# stop-words.
+RELATED_MAX_DF_PCT10 = 9
+
+
+def related_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc→doc lexical similarity search ("find related documents"):
+    for each of the first ``RELATED_N_QUERY_DOCS`` documents, the
+    ``RELATED_TOP_K`` most similar other documents by cosine over raw
+    term-frequency vectors restricted to discriminative words
+    (``RELATED_MIN_DF ≤ df ≤ 50%`` of docs, integer-compared) — the
+    sparse inverted-index formulation of find-similar, and the
+    LEXICAL complement of the embedding ANN family (`bm25_topk_docs`
+    answers term queries; this answers document queries).
+
+    Spark-first shape — NO array/vector column: the tf vector stays a
+    sparse (doc_id, word, tf) relation; dot products come from the
+    word equi-join against the broadcast query postings and one
+    combinable (query, doc) aggregation; squared norms are a
+    reusable aggregate of the same guarded relation (the
+    `daily_profile_similarity` sparse-profile trick at vocabulary
+    scale). The df band is simultaneously the relevance guard
+    (corpus-wide words carry no find-similar signal — poor man's
+    idf) and the scale guard: posting-list length ≤ df cap ⇒ join
+    fan-out per word is bounded, keeping the whole query linear in
+    postings, not docs².
+
+    Exactness: dot and both squared norms are pure integer sums;
+    cosine is 3 correctly-rounded double ops in fixed order —
+    identical cross-engine; ties rank by doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # guarded feeds norms, the query vectors AND the dot-product
+    # probe — materialize the banded tf relation once
+    # (truncate_lineage, the _shingle_sets convention) instead of
+    # replaying tokenize→tf→df-window per consumer.
+    guarded = truncate_lineage(
+        tf.withColumn("df", F.count(F.lit(1)).over(
+            Window.partitionBy("word")))
+        .crossJoin(F.broadcast(n_docs))
+        .filter((F.col("df") >= RELATED_MIN_DF)
+                & (F.col("df") * 10
+                   <= F.col("n_docs") * RELATED_MAX_DF_PCT10))
+        .select("doc_id", "word", "tf"))
+    norms = guarded.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    q_tf = (guarded.filter(F.col("doc_id") < RELATED_N_QUERY_DOCS)
+            .select(F.col("doc_id").alias("query_doc"), "word",
+                    F.col("tf").alias("qtf")))
+    q_norm = (norms.filter(F.col("doc_id") < RELATED_N_QUERY_DOCS)
+              .select(F.col("doc_id").alias("query_doc"),
+                      F.col("n2").alias("qn2")))
+    dots = (guarded.join(F.broadcast(q_tf), "word")
+            .filter(F.col("doc_id") != F.col("query_doc"))
+            .groupBy("query_doc", "doc_id")
+            .agg(F.sum(F.col("tf") * F.col("qtf")).alias("dot")))
+    scored = (dots.join(norms, "doc_id")
+              .join(F.broadcast(q_norm), "query_doc")
+              .select("query_doc", "doc_id",
+                      F.round(F.col("dot").cast("double")
+                              / (F.sqrt(F.col("n2").cast("double"))
+                                 * F.sqrt(F.col("qn2").cast("double"))),
+                              6).alias("cos_sim")))
+    w = Window.partitionBy("query_doc").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id"))
+    return (scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= RELATED_TOP_K))
+
+
+RELATED_DOCS_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+), tf AS (
+    SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word
+), nd AS (SELECT count(*) AS n_docs FROM documents),
+guarded AS (
+    SELECT doc_id, word, tf FROM (
+        SELECT tf.*, count(*) OVER (PARTITION BY word) AS df FROM tf
+    ), nd
+    WHERE df >= {RELATED_MIN_DF}
+      AND df * 10 <= n_docs * {RELATED_MAX_DF_PCT10}
+), norms AS (
+    SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+    FROM guarded GROUP BY doc_id
+), dots AS (
+    SELECT q.doc_id AS query_doc, g.doc_id,
+           CAST(sum(g.tf * q.tf) AS BIGINT) AS dot
+    FROM guarded g
+    JOIN guarded q ON q.word = g.word
+                  AND q.doc_id < {RELATED_N_QUERY_DOCS}
+                  AND g.doc_id <> q.doc_id
+    GROUP BY 1, 2
+), scored AS (
+    SELECT d.query_doc, d.doc_id,
+           round(CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(n.n2 AS DOUBLE))
+                    * sqrt(CAST(qn.n2 AS DOUBLE))), 6) AS cos_sim
+    FROM dots d
+    JOIN norms n ON n.doc_id = d.doc_id
+    JOIN norms qn ON qn.doc_id = d.query_doc
+)
+SELECT query_doc, doc_id, cos_sim, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_doc
+        ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= {RELATED_TOP_K}
 """

@@ -672,6 +672,16 @@ register("quantile_normalize_scores", cu.quantile_normalize_scores,
 register("k_core_words", it.k_core_words, it.K_CORE_SQL,
          "k-core (k=3) by bounded peeling: 4 shrink-the-relation "
          "rounds, unrolled-CTE oracle, converged flag reported")
+register("containment_dedup", dd.containment_dedup,
+         dd.CONTAINMENT_DEDUP_SQL,
+         "overlap-coefficient near-dup over df-capped shingles: "
+         "catches subset duplication Jaccard under-scores; bounded "
+         "pair fan-out (hot-shingle hub guard)")
+register("related_docs_topk", ta.related_docs_topk,
+         ta.RELATED_DOCS_SQL,
+         "doc→doc find-similar: sparse tf cosine over df-banded "
+         "words via inverted-index join + broadcast query vectors "
+         "(lexical complement of the ANN family)")
 
 
 # --- adjudication-window rotation -----------------------------------------
@@ -751,7 +761,9 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # k_anonymity_audit, cohort_ltv_matrix, ab_test_proportions,
 # postings_delta_encode, minhash_estimate_quality, hapax_ttr_per_lang,
 # burstiness_fano, point_in_time_tier_join, time_to_convert,
-# quantile_normalize_scores, k_core_words (87 total — more than one window;
+# quantile_normalize_scores, k_core_words, plus the round-4
+# session-5 additions containment_dedup, related_docs_topk (89 total
+# — more than one window;
 # prioritize the paper-anchored LLM-pipeline entries, roll the rest;
 # recount from the CORRECTNESS unions when building the round-5
 # window). pagerank_word_graph was oracle-UPGRADED in session 2

@@ -518,6 +518,13 @@ def test_graph_edge_relations_materialized_once(spark, sf_dir):
         p = plan(spark, sf_dir, name)
         assert p.count("Exchange hashpartitioning") <= budget, name
         assert "FileScan parquet" not in p, name  # upstream is cut
+    # same pattern: the capped-posting / banded-tf relations feed
+    # 3-4 consumers each and must be cut once (7→3 and 12→4
+    # exchanges when added)
+    for name, budget in (("containment_dedup", 5),
+                         ("related_docs_topk", 6)):
+        p = plan(spark, sf_dir, name)
+        assert p.count("Exchange hashpartitioning") <= budget, name
 
 
 def test_ann_reports_materialize_bruteforce_once(spark, sf_dir):
