@@ -765,3 +765,72 @@ FROM ranked, n_total
 JOIN intervals
   ON (r * n_total + n_s - 1) // n_s BETWEEN rank_start AND rank_end
 """
+
+
+# --- shard routing + balance manifest -----------------------------------
+
+N_SHARDS = 16
+
+
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard routing + the balance manifest a pipeline
+    checks BEFORE writing training shards: every document routes to
+    ``shard = md5(doc_id)[:15hex] % N_SHARDS`` (a pure function of the
+    id — stable across runs, machines and engines, no seed
+    bookkeeping, the `hash_train_test_split` contract applied to
+    output partitioning), and the report shows what each shard would
+    receive: doc count, token/char totals, language spread, and the
+    load factor versus a perfectly even split (the number that
+    decides whether the shard count or the key needs changing before
+    the expensive write).
+
+    Scale: assignment is a per-row projection (zero shuffle — at
+    write time it becomes ``repartition(N, shard)``, this query IS
+    the pre-flight audit of that partitioning); the manifest is one
+    combinable aggregation into ≤ N_SHARDS groups plus a broadcast
+    1-row total.
+
+    Exactness: the md5→conv bucket identity is the count_min-proven
+    contract; all sums are integers; the load factor is one
+    correctly-rounded double division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (F.conv(F.substring(h, 1, 15), 16, 10)
+             .cast("long") % N_SHARDS)
+    per = (docs.withColumn("shard", shard)
+           .groupBy("shard")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size(F.split("text", " ")))
+                .alias("total_tokens"),
+                F.sum("n_chars").alias("total_chars"),
+                F.countDistinct("lang").alias("n_langs")))
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (per.crossJoin(F.broadcast(total))
+            .select("shard", "n_docs", "total_tokens", "total_chars",
+                    "n_langs",
+                    F.round(F.col("n_docs")
+                            * F.lit(N_SHARDS).cast("double")
+                            / F.col("n_total"), 6)
+                    .alias("load_factor")))
+
+
+SHARD_ASSIGNMENT_SQL = f"""
+WITH assigned AS (
+    SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % {N_SHARDS} AS shard,
+           len(string_split(text, ' ')) AS n_tokens,
+           n_chars, lang
+    FROM documents
+), per AS (
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM assigned GROUP BY shard
+), total AS (SELECT count(*) AS n_total FROM documents)
+SELECT shard, n_docs, total_tokens, total_chars, n_langs,
+       round(n_docs * CAST({N_SHARDS} AS DOUBLE) / n_total, 6)
+           AS load_factor
+FROM per, total
+"""

@@ -682,6 +682,11 @@ register("related_docs_topk", ta.related_docs_topk,
          "doc→doc find-similar: sparse tf cosine over df-banded "
          "words via inverted-index join + broadcast query vectors "
          "(lexical complement of the ANN family)")
+register("shard_assignment", cu.shard_assignment,
+         cu.SHARD_ASSIGNMENT_SQL,
+         "deterministic md5 shard routing + per-shard balance "
+         "manifest (the pre-flight audit before writing training "
+         "shards)")
 
 
 # --- adjudication-window rotation -----------------------------------------
@@ -762,8 +767,8 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # postings_delta_encode, minhash_estimate_quality, hapax_ttr_per_lang,
 # burstiness_fano, point_in_time_tier_join, time_to_convert,
 # quantile_normalize_scores, k_core_words, plus the round-4
-# session-5 additions containment_dedup, related_docs_topk (89 total
-# — more than one window;
+# session-5 additions containment_dedup, related_docs_topk,
+# shard_assignment (90 total — more than one window;
 # prioritize the paper-anchored LLM-pipeline entries, roll the rest;
 # recount from the CORRECTNESS unions when building the round-5
 # window). pagerank_word_graph was oracle-UPGRADED in session 2
