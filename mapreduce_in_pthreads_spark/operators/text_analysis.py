@@ -1823,3 +1823,74 @@ SELECT query_doc, doc_id, cos_sim, rank FROM (
     FROM scored
 ) WHERE rank <= {RELATED_TOP_K}
 """
+
+
+# --- BPE tokenizer-training step ----------------------------------------
+
+BPE_TOP = 20
+
+
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE iteration of byte-pair-encoding tokenizer TRAINING
+    (Sennrich et al. 2016): over the corpus vocabulary in its initial
+    character-symbol state, count every adjacent symbol pair weighted
+    by word frequency and report the top ``BPE_TOP`` merge candidates
+    — the argmax of this relation IS the first BPE merge rule. The
+    training-side complement of `tokenizer_fertility` (which measures
+    an already-trained tokenizer).
+
+    Spark-first shape: word frequencies are one combinable agg; pair
+    generation is a per-row expression (``transform`` over an index
+    sequence — no UDF); pair totals are a second combinable agg whose
+    group count is bounded by |alphabet|² — tiny at any corpus scale;
+    top-k via TakeOrderedAndProject, no global sort. Counting is
+    positional (overlapping pairs count per occurrence: 'aaa' yields
+    (a,a) twice), matching the reference BPE algorithm.
+
+    Exactness: all counts are integer sums; ties order by the pair
+    itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split("text", " ")).alias("word"))
+    words = (tok.filter(F.length("word") >= 2)
+             .groupBy("word").agg(F.count(F.lit(1)).alias("wf")))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("word") - 1),
+        lambda i: F.concat(F.col("word").substr(i, F.lit(1)),
+                           F.lit(" "),
+                           F.col("word").substr(i + 1, F.lit(1))))
+    pair_counts = (words.select(F.explode(pairs).alias("pair"), "wf")
+                   .groupBy("pair")
+                   .agg(F.sum("wf").alias("pair_count")))
+    return (pair_counts
+            .select(F.substring_index("pair", " ", 1).alias("left"),
+                    F.substring_index("pair", " ", -1).alias("right"),
+                    "pair_count")
+            .orderBy(F.col("pair_count").desc(), "left", "right")
+            .limit(BPE_TOP))
+
+
+BPE_MERGE_SQL = f"""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), words AS (
+    SELECT word, count(*) AS wf FROM tok
+    WHERE len(word) >= 2 GROUP BY word
+), pairs AS (
+    SELECT unnest(list_transform(
+               range(1, len(word)),
+               i -> word[i] || ' ' || word[i+1])) AS pair,
+           wf
+    FROM words
+), pc AS (
+    SELECT pair, CAST(sum(wf) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+)
+SELECT string_split(pair, ' ')[1] AS "left",
+       string_split(pair, ' ')[2] AS "right",
+       pair_count
+FROM pc
+ORDER BY pair_count DESC, "left", "right"
+LIMIT {BPE_TOP}
+"""

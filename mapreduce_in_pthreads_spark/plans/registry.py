@@ -687,6 +687,10 @@ register("shard_assignment", cu.shard_assignment,
          "deterministic md5 shard routing + per-shard balance "
          "manifest (the pre-flight audit before writing training "
          "shards)")
+register("bpe_merge_step", ta.bpe_merge_step, ta.BPE_MERGE_SQL,
+         "one BPE tokenizer-TRAINING iteration: frequency-weighted "
+         "adjacent char-pair counts, top merge candidates "
+         "(training-side complement of tokenizer_fertility)")
 
 
 # --- adjudication-window rotation -----------------------------------------
@@ -768,7 +772,7 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # burstiness_fano, point_in_time_tier_join, time_to_convert,
 # quantile_normalize_scores, k_core_words, plus the round-4
 # session-5 additions containment_dedup, related_docs_topk,
-# shard_assignment (90 total — more than one window;
+# shard_assignment, bpe_merge_step (91 total — more than one window;
 # prioritize the paper-anchored LLM-pipeline entries, roll the rest;
 # recount from the CORRECTNESS unions when building the round-5
 # window). pagerank_word_graph was oracle-UPGRADED in session 2
