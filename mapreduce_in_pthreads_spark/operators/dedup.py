@@ -780,3 +780,136 @@ JOIN sizes nb ON nb.doc_id = doc_b
 WHERE round(CAST(shared AS DOUBLE) / least(na.n, nb.n), 6)
       >= {CONTAINMENT_THRESHOLD}
 """
+
+
+# --- incremental dedup: incoming batch vs existing corpus ---------------
+
+DELTA_EXISTING_HEX = "c"   # md5(doc_id)[0] < 'c' → existing corpus (75%)
+
+
+def delta_dedup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (asymmetric) dedup — the ingestion-time shape every
+    production pipeline actually runs: dedup an INCOMING batch against
+    the EXISTING training corpus, never the corpus against itself.
+    Membership is a deterministic md5 split (the
+    `hash_train_test_split` contract): ~75% of docs play the standing
+    corpus, ~25% the new crawl snapshot. Per incoming doc the manifest
+    reports exact-duplicate membership (md5 fingerprint seen in the
+    corpus), the count of near-duplicate corpus docs (the
+    MinHash-LSH candidate pipeline REUSED VERBATIM —
+    `_lsh_candidate_pairs` + true-Jaccard verify — restricted to
+    cross-membership pairs), and the resulting
+    drop_exact / drop_near / keep decision.
+
+    Scale: identical to `minhash_lsh_dedup` (band-bucket equi-join
+    candidates, verify only candidates) plus one cross-membership
+    filter — the asymmetry COSTS nothing and halves the verified
+    pairs; the exact check is a fingerprint semi-join (16-byte keys,
+    never text). At 100 TB the existing side's signatures/fingerprints
+    would be read from the catalog instead of recomputed — the plan
+    below the membership filter is unchanged.
+
+    Exactness: fingerprints and counts are exact; the Jaccard verify
+    is integer-ratio arithmetic (the proven contract).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    member = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    mem = docs.select(
+        "doc_id", F.md5("text").alias("fingerprint"),
+        (member < F.lit(DELTA_EXISTING_HEX)).alias("is_existing"))
+    existing_fp = (mem.filter("is_existing")
+                   .select("fingerprint").distinct()
+                   .withColumn("fp_exists", F.lit(1)))
+    incoming = (mem.filter(~F.col("is_existing"))
+                .select("doc_id", "fingerprint"))
+
+    sets = _shingle_sets(spark, sf_dir)
+    sig = _minhash_signatures(sets)
+    cand = _lsh_candidate_pairs(sig)
+    m_a = mem.select(F.col("doc_id").alias("doc_a"),
+                     F.col("is_existing").alias("ex_a"))
+    m_b = mem.select(F.col("doc_id").alias("doc_b"),
+                     F.col("is_existing").alias("ex_b"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("shset").alias("set_a"),
+                     F.col("n_shingles").alias("na"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("shset").alias("set_b"),
+                     F.col("n_shingles").alias("nb"))
+    near = (
+        cand.join(m_a, "doc_a").join(m_b, "doc_b")
+        .filter(F.col("ex_a") != F.col("ex_b"))
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("shared",
+                    F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn("jaccard",
+                    F.col("shared")
+                    / (F.col("na") + F.col("nb") - F.col("shared")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(F.when(~F.col("ex_a"), F.col("doc_a"))
+                .otherwise(F.col("doc_b")).alias("doc_id")))
+    near_counts = near.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_near"))
+    return (
+        incoming
+        .join(existing_fp, "fingerprint", "left")
+        .join(near_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("fp_exists", F.lit(0)).cast("bigint")
+            .alias("is_exact_dup"),
+            F.coalesce("n_near", F.lit(0)).cast("bigint")
+            .alias("n_near_dups"),
+            F.when(F.coalesce("fp_exists", F.lit(0)) == 1,
+                   F.lit("drop_exact"))
+            .when(F.coalesce("n_near", F.lit(0)) > 0,
+                  F.lit("drop_near"))
+            .otherwise(F.lit("keep")).alias("decision")))
+
+
+DELTA_DEDUP_SQL = f"""{_LSH_CAND_PREFIX_SQL},
+mem AS (
+    SELECT doc_id, md5(text) AS fingerprint,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               < '{DELTA_EXISTING_HEX}' AS is_existing
+    FROM documents
+),
+existing_fp AS (SELECT DISTINCT fingerprint FROM mem WHERE is_existing),
+incoming AS (SELECT doc_id, fingerprint FROM mem WHERE NOT is_existing),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+xpairs AS (
+    SELECT c.doc_a, c.doc_b, ma.is_existing AS ex_a
+    FROM cand c
+    JOIN mem ma ON ma.doc_id = c.doc_a
+    JOIN mem mb ON mb.doc_id = c.doc_b
+    WHERE ma.is_existing <> mb.is_existing
+),
+shared AS (
+    SELECT x.doc_a, x.doc_b, count(*) AS shared
+    FROM xpairs x
+    JOIN sh ta ON ta.doc_id = x.doc_a
+    JOIN sh tb ON tb.doc_id = x.doc_b AND tb.shingle = ta.shingle
+    GROUP BY 1, 2
+),
+near AS (
+    SELECT CASE WHEN NOT x.ex_a THEN x.doc_a ELSE x.doc_b END AS doc_id,
+           count(*) AS n_near
+    FROM xpairs x
+    JOIN shared s ON s.doc_a = x.doc_a AND s.doc_b = x.doc_b
+    JOIN sizes na ON na.doc_id = x.doc_a
+    JOIN sizes nb ON nb.doc_id = x.doc_b
+    WHERE s.shared / CAST(na.n + nb.n - s.shared AS DOUBLE)
+          >= {JACCARD_THRESHOLD}
+    GROUP BY 1
+)
+SELECT i.doc_id,
+       CAST(CASE WHEN e.fingerprint IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS is_exact_dup,
+       CAST(COALESCE(nr.n_near, 0) AS BIGINT) AS n_near_dups,
+       CASE WHEN e.fingerprint IS NOT NULL THEN 'drop_exact'
+            WHEN COALESCE(nr.n_near, 0) > 0 THEN 'drop_near'
+            ELSE 'keep' END AS decision
+FROM incoming i
+LEFT JOIN existing_fp e ON e.fingerprint = i.fingerprint
+LEFT JOIN near nr ON nr.doc_id = i.doc_id
+"""

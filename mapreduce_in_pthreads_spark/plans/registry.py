@@ -691,6 +691,11 @@ register("bpe_merge_step", ta.bpe_merge_step, ta.BPE_MERGE_SQL,
          "one BPE tokenizer-TRAINING iteration: frequency-weighted "
          "adjacent char-pair counts, top merge candidates "
          "(training-side complement of tokenizer_fertility)")
+register("delta_dedup_vs_corpus", dd.delta_dedup_vs_corpus,
+         dd.DELTA_DEDUP_SQL,
+         "incremental ingestion dedup: incoming batch vs existing "
+         "corpus (exact fingerprint semi-join + cross-membership "
+         "LSH near-dup), per-doc keep/drop manifest")
 
 
 # --- adjudication-window rotation -----------------------------------------
@@ -772,7 +777,8 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # burstiness_fano, point_in_time_tier_join, time_to_convert,
 # quantile_normalize_scores, k_core_words, plus the round-4
 # session-5 additions containment_dedup, related_docs_topk,
-# shard_assignment, bpe_merge_step (91 total — more than one window;
+# shard_assignment, bpe_merge_step, delta_dedup_vs_corpus (92 total
+# — more than one window;
 # prioritize the paper-anchored LLM-pipeline entries, roll the rest;
 # recount from the CORRECTNESS unions when building the round-5
 # window). pagerank_word_graph was oracle-UPGRADED in session 2
