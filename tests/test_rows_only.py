@@ -313,3 +313,45 @@ def test_ann_lsh_same_bucket_and_scores_match_bruteforce(spark, sf_dir):
                 r.query_id, r.vec_id)
     # the score-parity clause must actually bite, not vacuously pass
     assert n_overlap > 0, "no (query, vec) overlap with bruteforce top-k"
+
+
+def test_delta_dedup_consistent_with_lsh_and_exact(spark, sf_dir):
+    """Cross-operator consistency for the incremental dedup: every
+    drop_near incoming doc must appear in a minhash_lsh_dedup verified
+    pair (the delta op reuses that exact candidate pipeline, filtered
+    to cross-membership pairs), and every drop_exact doc's fingerprint
+    must be a multi-copy group in exact_dedup."""
+    import hashlib
+
+    delta = REGISTRY["delta_dedup_vs_corpus"].fn(spark, sf_dir).collect()
+    assert delta, "incoming batch must not be empty"
+    incoming_ids = {r.doc_id for r in delta}
+    # membership split must match the md5 contract
+    for r in delta:
+        assert hashlib.md5(str(r.doc_id).encode()).hexdigest()[0] >= "c"
+
+    lsh_pairs = REGISTRY["minhash_lsh_dedup"].fn(spark, sf_dir).collect()
+    lsh_docs = {r.doc_a for r in lsh_pairs} | {r.doc_b for r in lsh_pairs}
+    for r in delta:
+        if r.decision == "drop_near":
+            assert r.n_near_dups > 0
+            assert r.doc_id in lsh_docs, r.doc_id
+        if r.decision == "drop_exact":
+            assert r.is_exact_dup == 1
+
+    # every drop_exact doc's content fingerprint must be a multi-copy
+    # group in the symmetric exact census (an exact dup of an existing
+    # doc implies ≥ 2 copies corpus-wide)
+    exact = REGISTRY["exact_dedup"].fn(spark, sf_dir).collect()
+    dup_groups = {r.fingerprint for r in exact if r.n_copies > 1}
+    from pyspark.sql import functions as F
+    fp_by_doc = {
+        r.doc_id: r.fp
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.md5("text").alias("fp")).collect()}
+    for r in delta:
+        if r.is_exact_dup == 1:
+            assert fp_by_doc[r.doc_id] in dup_groups, r.doc_id
+    # decisions partition the incoming set
+    assert {r.decision for r in delta} <= {"drop_exact", "drop_near", "keep"}
+    assert len(incoming_ids) == len(delta)  # one manifest row per doc
