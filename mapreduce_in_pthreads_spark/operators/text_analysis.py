@@ -1894,3 +1894,73 @@ FROM pc
 ORDER BY pair_count DESC, "left", "right"
 LIMIT {BPE_TOP}
 """
+
+
+# --- vocabulary coverage curve ------------------------------------------
+
+VOCAB_CUTOFFS = (5, 10, 25, 1000)
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative token coverage at vocabulary-size cutoffs: "a
+    vocabulary of the top-N words covers X% of all token
+    occurrences" — the actionable number behind vocab-size /
+    OOV-budget decisions (where `zipf_law_fit` reports the
+    distribution's SHAPE parameter, this reports the design table a
+    tokenizer builder actually reads). Cutoffs where the corpus
+    vocabulary is smaller than N are absent on both engines (the
+    synthetic documents table has a 31-word vocabulary at every SF,
+    so the 1000 cutoff is absent here and present on any real
+    corpus).
+
+    Scale: word counts are one combinable aggregation; everything
+    downstream (ranking + running sum) is a single-partition window
+    over the VOCABULARY-sized relation — the value-domain-size
+    exception (`winsorized_stats` convention), never a corpus-sized
+    global sort.
+
+    Exactness: counts and running sums are integers under a total
+    (count desc, word) order; coverage is one correctly-rounded
+    division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+          .filter(F.length("word") > 0)
+          .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+    total = wc.agg(F.sum("cnt").alias("total_tokens"))
+    w = Window.orderBy(F.col("cnt").desc(), "word")
+    ranked = (wc.withColumn("vocab_size", F.row_number().over(w)
+                            .cast("bigint"))
+              .withColumn("cum_tokens",
+                          F.sum("cnt").over(
+                              w.rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow))))
+    return (ranked
+            .filter(F.col("vocab_size").isin(*VOCAB_CUTOFFS))
+            .crossJoin(F.broadcast(total))
+            .select("vocab_size", "cum_tokens", "total_tokens",
+                    F.round(F.col("cum_tokens").cast("double")
+                            / F.col("total_tokens"), 6)
+                    .alias("coverage")))
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), wc AS (
+    SELECT word, count(*) AS cnt FROM tok
+    WHERE len(word) > 0 GROUP BY word
+), total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM wc),
+ranked AS (
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT)
+               AS vocab_size,
+           CAST(sum(cnt) OVER (ORDER BY cnt DESC, word
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+    FROM wc
+)
+SELECT vocab_size, cum_tokens, total_tokens,
+       round(CAST(cum_tokens AS DOUBLE) / total_tokens, 6) AS coverage
+FROM ranked, total
+WHERE vocab_size IN {VOCAB_CUTOFFS}
+"""

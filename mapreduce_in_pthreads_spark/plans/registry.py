@@ -696,6 +696,11 @@ register("delta_dedup_vs_corpus", dd.delta_dedup_vs_corpus,
          "incremental ingestion dedup: incoming batch vs existing "
          "corpus (exact fingerprint semi-join + cross-membership "
          "LSH near-dup), per-doc keep/drop manifest")
+register("vocab_coverage_curve", ta.vocab_coverage_curve,
+         ta.VOCAB_COVERAGE_SQL,
+         "cumulative token coverage at vocab-size cutoffs — the "
+         "vocab-size/OOV design table (shape-param complement of "
+         "zipf_law_fit)")
 
 
 # --- adjudication-window rotation -----------------------------------------
@@ -777,8 +782,8 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # burstiness_fano, point_in_time_tier_join, time_to_convert,
 # quantile_normalize_scores, k_core_words, plus the round-4
 # session-5 additions containment_dedup, related_docs_topk,
-# shard_assignment, bpe_merge_step, delta_dedup_vs_corpus (92 total
-# — more than one window;
+# shard_assignment, bpe_merge_step, delta_dedup_vs_corpus,
+# vocab_coverage_curve (93 total — more than one window;
 # prioritize the paper-anchored LLM-pipeline entries, roll the rest;
 # recount from the CORRECTNESS unions when building the round-5
 # window). pagerank_word_graph was oracle-UPGRADED in session 2
