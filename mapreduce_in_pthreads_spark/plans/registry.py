@@ -825,6 +825,13 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 #   "image_channel_stats", "image_phash_groups",
 #   "audio_silence_runs", "frame_shot_boundaries",
 #   "asof_join_nearest_event", "event_rate_anomaly"
+# The 6 session-5 additions (containment_dedup, related_docs_topk,
+# shard_assignment, bpe_merge_step, delta_dedup_vs_corpus,
+# vocab_coverage_curve) are strong swap-in candidates — all are
+# LLM-pipeline entries with fresh oracles; consider replacing
+# token_entropy / approx_top_k_words / keyword_in_context /
+# source_balance_gini / ngram_novelty_curve / hapax_ttr_per_lang
+# (solid but lower-signal) when building the final round-5 tuple.
 
 
 def _reorder_for_adjudication(first: tuple[str, ...]) -> None:
