@@ -610,3 +610,116 @@ SELECT query_id, COALESCE(n_hits, 0) AS n_hits,
 FROM (SELECT DISTINCT query_id FROM bf) g
 LEFT JOIN hits USING (query_id)
 """
+
+
+# --- embedding table quality audit --------------------------------------
+
+EMB_DIM = 64
+
+
+def embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate for the embedding table — the audit a
+    pipeline runs BEFORE building any index over new vectors: one
+    row reporting corpus size, schema violations (wrong
+    dimensionality), value violations (NULL/NaN elements), zero
+    vectors (cosine-undefined), rank-exact p05/median/p95 of the L2
+    norm, and the count of norm outliers (outside [median/2,
+    2·median] — the band that catches unnormalized or truncated
+    batches mixed into a normalized corpus).
+
+    Exactness: norms are the proven sequential-fold kernel (identical
+    doubles cross-engine); the percentiles are ORDER STATISTICS at
+    fixed ranks under a (norm, vec_id) total order — no
+    interpolation; counts are integers; outputs rounded once.
+
+    Scale: per-row expressions + one vocabulary-of-norms ranking
+    window (single-partition over the vector COUNT — swap for
+    approx_percentile at 100 TB, same documented trade as
+    `unigram_logprob_filter`); every count is map-side combinable.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    de = F.col("embedding").cast("array<double>")
+    checked = emb.select(
+        "vec_id",
+        (F.size("embedding") == EMB_DIM).alias("dim_ok"),
+        F.exists(de, lambda x: x.isNull() | F.isnan(x)).alias("has_bad"),
+        l2_norm("embedding").alias("norm"))
+    valid = checked.filter(F.col("dim_ok") & ~F.col("has_bad"))
+    w = Window.orderBy("norm", "vec_id")
+    ranked = (valid
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy())))
+    stats = ranked.agg(
+        F.max(F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2),
+                     F.col("norm"))).alias("median_norm"),
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 5 / 100),
+                     F.col("norm"))).alias("p05_norm"),
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 95 / 100),
+                     F.col("norm"))).alias("p95_norm"))
+    counts = checked.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(~F.col("dim_ok"), 1).otherwise(0))
+        .cast("bigint").alias("n_bad_dim"),
+        F.sum(F.when(F.col("has_bad"), 1).otherwise(0))
+        .cast("bigint").alias("n_bad_value"),
+        F.sum(F.when(F.col("norm") == 0.0, 1).otherwise(0))
+        .cast("bigint").alias("n_zero_norm"))
+    outliers = (valid.crossJoin(F.broadcast(stats))
+                .agg(F.sum(F.when(
+                    (F.col("norm") * 2 < F.col("median_norm"))
+                    | (F.col("norm") > F.col("median_norm") * 2),
+                    1).otherwise(0)).cast("bigint").alias("n_outliers")))
+    return (counts.crossJoin(F.broadcast(stats))
+            .crossJoin(F.broadcast(outliers))
+            .select("n_vecs", "n_bad_dim", "n_bad_value", "n_zero_norm",
+                    F.round("p05_norm", 6).alias("p05_norm"),
+                    F.round("median_norm", 6).alias("median_norm"),
+                    F.round("p95_norm", 6).alias("p95_norm"),
+                    "n_outliers"))
+
+
+EMB_QUALITY_SQL = f"""
+WITH checked AS (
+    SELECT vec_id,
+           len(embedding) = {EMB_DIM} AS dim_ok,
+           len(list_filter(embedding,
+                           x -> x IS NULL OR isnan(x))) > 0 AS has_bad,
+           sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS norm
+    FROM embeddings
+), valid AS (SELECT * FROM checked WHERE dim_ok AND NOT has_bad),
+ranked AS (
+    SELECT norm,
+           row_number() OVER (ORDER BY norm, vec_id) AS rn,
+           count(*) OVER () AS n
+    FROM valid
+), stats AS (
+    SELECT max(CASE WHEN rn = (n + 1) // 2 THEN norm END) AS median_norm,
+           max(CASE WHEN rn = CAST(ceil(n * 5 / 100.0) AS BIGINT)
+                    THEN norm END) AS p05_norm,
+           max(CASE WHEN rn = CAST(ceil(n * 95 / 100.0) AS BIGINT)
+                    THEN norm END) AS p95_norm
+    FROM ranked
+), counts AS (
+    SELECT count(*) AS n_vecs,
+           CAST(sum(CASE WHEN NOT dim_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bad_dim,
+           CAST(sum(CASE WHEN has_bad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bad_value,
+           CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_norm
+    FROM checked
+), outliers AS (
+    SELECT CAST(sum(CASE WHEN v.norm * 2 < s.median_norm
+                           OR v.norm > s.median_norm * 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM valid v, stats s
+)
+SELECT n_vecs, n_bad_dim, n_bad_value, n_zero_norm,
+       round(p05_norm, 6) AS p05_norm,
+       round(median_norm, 6) AS median_norm,
+       round(p95_norm, 6) AS p95_norm,
+       n_outliers
+FROM counts, stats, outliers
+"""

@@ -701,6 +701,11 @@ register("vocab_coverage_curve", ta.vocab_coverage_curve,
          "cumulative token coverage at vocab-size cutoffs — the "
          "vocab-size/OOV design table (shape-param complement of "
          "zipf_law_fit)")
+register("embedding_quality_audit", sim.embedding_quality_audit,
+         sim.EMB_QUALITY_SQL,
+         "embedding-table quality gate: dim/NaN/zero-vector "
+         "violations + rank-exact norm percentiles + norm-outlier "
+         "count (run before building any index)")
 
 
 # --- adjudication-window rotation -----------------------------------------
@@ -783,7 +788,8 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # quantile_normalize_scores, k_core_words, plus the round-4
 # session-5 additions containment_dedup, related_docs_topk,
 # shard_assignment, bpe_merge_step, delta_dedup_vs_corpus,
-# vocab_coverage_curve (93 total — more than one window;
+# vocab_coverage_curve, embedding_quality_audit (94 total — more
+# than one window;
 # prioritize the paper-anchored LLM-pipeline entries, roll the rest;
 # recount from the CORRECTNESS unions when building the round-5
 # window). pagerank_word_graph was oracle-UPGRADED in session 2

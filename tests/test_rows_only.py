@@ -355,3 +355,39 @@ def test_delta_dedup_consistent_with_lsh_and_exact(spark, sf_dir):
     # decisions partition the incoming set
     assert {r.decision for r in delta} <= {"drop_exact", "drop_near", "keep"}
     assert len(incoming_ids) == len(delta)  # one manifest row per doc
+
+
+def test_embedding_quality_audit_flags_dirty_vectors(spark, tmp_path):
+    """The audit's violation branches fire on a synthetic dirty table:
+    wrong dim, NaN element, zero vector, and a norm outlier — none of
+    which the clean committed corpus contains (its report is all-zero
+    violations with unit norms, verified by the oracle contract)."""
+    import math
+
+    from mapreduce_in_pthreads_spark.operators.similarity import (
+        EMB_DIM, embedding_quality_audit)
+
+    def vec(scale):
+        return [float(scale)] * EMB_DIM
+
+    rows = [
+        (0, vec(1.0), 0),               # good, norm 8
+        (1, vec(1.0), 0),               # good, norm 8
+        (2, vec(1.0), 0),               # good, norm 8 (median group)
+        (3, vec(10.0), 0),              # good but outlier (norm 80)
+        (4, [1.0] * (EMB_DIM - 1), 0),  # wrong dimensionality
+        (5, [float("nan")] + [1.0] * (EMB_DIM - 1), 0),  # NaN element
+        (6, vec(0.0), 0),               # zero vector (norm 0)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = embedding_quality_audit(spark, str(tmp_path)).collect()[0]
+    assert out.n_vecs == 7
+    assert out.n_bad_dim == 1
+    assert out.n_bad_value == 1
+    assert out.n_zero_norm == 1
+    # valid set = {0,1,2,3,6}: ranks over norms [0, 8, 8, 8, 80]
+    assert out.median_norm == round(math.sqrt(EMB_DIM), 6)
+    # outliers vs median 8: the zero vector (0 < 4) and the 80 (> 16)
+    assert out.n_outliers == 2
