@@ -1333,10 +1333,15 @@ BOOLEAN_QUERIES = (
 
 
 def boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boolean retrieval (AND / AND-NOT) over the inverted index's
-    postings — the classic search-engine operator the flagship index
-    exists to serve (conjunctive queries as postings intersection,
-    negation as postings subtraction).
+    """Boolean retrieval (AND / AND-NOT) over a distinct (doc, word)
+    postings relation built from raw whitespace tokens of the
+    ``documents`` table — the classic search-engine operator
+    (conjunctive queries as postings intersection, negation as
+    postings subtraction).  Note the tokenization is deliberately the
+    documents-table convention (`split(text, ' ')`, matching the rest
+    of the text-analysis family and the oracle), NOT the flagship
+    index's `normalize_word` pipeline, which serves the line-oriented
+    reference corpus.
 
     Spark shape: ONE distinct (doc, word) postings relation, broadcast
     the tiny term table, then per query a single aggregate —
@@ -1410,7 +1415,13 @@ def chi2_discriminative_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator are exact 128-bit integer products (DECIMAL(38,0) on
     Spark, HUGEINT on DuckDB — N(ad−bc)² ≤ n⁵ overflows int64 past
     n ≈ 5500 docs), so the single final division is one double op,
-    rounded to 6 dp on both engines.
+    rounded to 6 dp on both engines.  Validity bound: the 128-bit
+    headroom itself runs out when n⁵ nears 1e38, i.e. past ~4×10⁷
+    documents — beyond that Spark's non-ANSI decimal overflow would
+    NULL the statistic while DuckDB's HUGEINT errors.  At that corpus
+    size switch the numerator to double (chi² is a ranking statistic;
+    6-dp exactness is a testing convention, not a semantic need) or
+    pre-scale the counts.
 
     Scale: presence = distinct (doc, word), one combinable count per
     (lang, word), one broadcast of the |langs|-row and |words|-row
@@ -1719,7 +1730,8 @@ def related_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for each of the first ``RELATED_N_QUERY_DOCS`` documents, the
     ``RELATED_TOP_K`` most similar other documents by cosine over raw
     term-frequency vectors restricted to discriminative words
-    (``RELATED_MIN_DF ≤ df ≤ 50%`` of docs, integer-compared) — the
+    (``RELATED_MIN_DF ≤ df ≤ 90%`` of docs, integer-compared via
+    ``df·10 ≤ n·RELATED_MAX_DF_PCT10``) — the
     sparse inverted-index formulation of find-similar, and the
     LEXICAL complement of the embedding ANN family (`bm25_topk_docs`
     answers term queries; this answers document queries).

@@ -717,127 +717,58 @@ register("embedding_quality_audit", sim.embedding_quality_audit,
 # NOT listed keep their thematic order after the window — nothing is
 # ever dropped from queries()/oracle_sql().
 #
-# Round-4 window (VERDICT r3 items 1 & 5): flagship 6 (keep first
-# every round), then 44 never-adjudicated entries — the 21 TPC-H/SQL
-# shapes, the multimodal + iterative families (zero driver rows ever),
-# round-3's own additions (ann_lsh_topk, incremental_index_merge), the
-# advanced family, plus ordered_funnel (empty-stage fix this round)
-# and lang_id_heuristic (oracle-upgraded this round).
+# Round-5 window (VERDICT r4 items 1 & 2): flagship 6 (keep first
+# every round), then 43 never-adjudicated entries prioritizing the
+# paper-anchored LLM-pipeline families added in round 4 (SemDeDup,
+# DSIR, SoftDeDup, PQ-ADC, BM25/RRF, count-min, BPE, k-core) plus the
+# round-4 session-5 additions, plus simhash_fingerprints — whose md5
+# rewrite + exact oracle postdate its last (rows-only) driver row.
+# Built/validated with `python tools/next_window.py --check --must
+# simhash_fingerprints`; the ~51 sql_surface/advanced/stats leftovers
+# fit round 6's window (drop the flagship there if slots run short —
+# it will have 5 consecutive green rounds by then).
 _ADJUDICATION_FIRST: tuple[str, ...] = (
     # flagship / reference parity — always first
     "inverted_index", "word_count", "doc_frequency", "corpus_stats",
     "index_top_docs", "rdd_inverted_index",
-    # never-adjudicated: TPC-H shapes + SQL extras
-    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
-    "q5_local_supplier_volume", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q10_returned_items", "q11_important_parts",
-    "q13_customer_distribution", "q14_promo_share", "q15_top_supplier",
-    "q16_supplier_part_variety", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive_pushdown", "q20_part_promotion",
-    "q21_suppliers_kept_waiting", "q22_global_sales_opportunity",
-    "sql_grouping_sets", "correlated_subquery",
-    # never-adjudicated: multimodal family (zero driver rows ever)
-    "image_decode_meta", "image_resize_half", "frame_sample",
-    "blob_metadata_arrow", "audio_rms_windows", "modality_partition_stats",
-    # never-adjudicated: iterative/graph family (zero driver rows ever)
-    "pagerank_word_graph", "connected_components_dedup", "triangle_count",
-    # round-3 additions that missed the round-3 window
-    "ann_lsh_topk", "incremental_index_merge",
-    # never-adjudicated: advanced family
-    "pivot_event_type_counts", "unpivot_order_measures", "stats_moments",
-    "min_max_by", "full_outer_nation_presence", "cross_join_grid",
-    "array_functions", "quantiles_per_flag", "rolling_hash_fingerprint",
-    "string_distance",
-    # fixed/upgraded this round — prove the change driver-green
-    "ordered_funnel", "lang_id_heuristic",
+    # dedup family (paper-anchored, never adjudicated; simhash = md5
+    # rewrite needing a fresh row)
+    "semdedup_prune", "soft_dedup_weights", "duplicate_spans",
+    "minhash_estimate_quality", "containment_dedup",
+    "delta_dedup_vs_corpus", "simhash_fingerprints",
+    # ANN / quantization family
+    "pq_adc_topk", "ann_topk_blas", "kmeans_quantizer_cells",
+    "ann_ivf_trained_topk", "ann_ivf_multiprobe_topk",
+    "ann_recall_report", "matryoshka_recall", "embedding_quality_audit",
+    # curation / sampling family
+    "dsir_importance_weights", "mixture_sampling_weights",
+    "cluster_balanced_sample", "pretrain_curation_report",
+    "k_anonymity_audit", "quantile_normalize_scores", "shard_assignment",
+    # retrieval / text-statistics family
+    "unigram_logprob_filter", "bm25_topk_docs", "rrf_fusion_topk",
+    "count_min_words", "skipgram_pmi", "lang_confusion_matrix",
+    "chi2_discriminative_terms", "zipf_law_fit", "tokenizer_fertility",
+    "boolean_search", "phrase_search_positional", "related_docs_topk",
+    "postings_delta_encode", "bpe_merge_step", "vocab_coverage_curve",
+    # graph family
+    "word_graph_distances", "clustering_coefficient", "k_core_words",
+    # multimodal family
+    "image_channel_stats", "image_phash_groups", "audio_silence_runs",
+    "frame_shot_boundaries",
 )
 
-# ROUND-5 PREP (for the next rotation): after round 4, EXACTLY 32
-# entries have never been adjudicated (computed from the union of
-# CORRECTNESS_r01-03 keys plus this window): malformed_json_resilience,
-# stratified_sample_fractions, label_centroid_norms, ann_topk_blas,
-# python_udf_slow_path, cogroup_reconcile, schema_evolution_union,
-# ordered_listagg, boolean_aggregates, try_arithmetic,
-# regression_metrics, time_hierarchy_rollup, url_parse_surface,
-# map_higher_order, token_entropy, approx_top_k_words,
-# recursive_cte_split, parameterized_sql, null_handling_surface,
-# string_functions2, scd2_dimension, date_arithmetic, bitwise_surface,
-# regexp_surface, incremental_rollup_merge, transpose_metrics,
-# stat_crosstab, xpath_roundtrip, number_format_roundtrip,
-# window_navigation, range_frame_revenue, rank_distribution — plus the
-# round-4 additions kmeans_quantizer_cells, ann_ivf_trained_topk and
-# cluster_balanced_sample, plus the round-4 session-2 additions:
-# duplicate_spans, mixture_sampling_weights, pq_adc_topk,
-# unigram_logprob_filter, bm25_topk_docs, count_min_words,
-# image_channel_stats, word_graph_distances, plus the round-4
-# session-3 additions: semdedup_prune, dsir_importance_weights,
-# rrf_fusion_topk, soft_dedup_weights, asof_join_nearest_event,
-# event_rate_anomaly, equi_depth_deciles, session_path_transitions,
-# daily_profile_similarity, ngram_novelty_curve, rolling_correlation,
-# image_phash_groups, audio_silence_runs, pretrain_curation_report,
-# phrase_search_positional, skipgram_pmi, lang_confusion_matrix,
-# frame_shot_boundaries, plus the round-4 session-4 additions:
-# keyword_in_context, source_balance_gini, ann_recall_report,
-# ann_ivf_multiprobe_topk, boolean_search, chi2_discriminative_terms,
-# zipf_law_fit, ewma_user_activity, mad_outlier_events,
-# assoc_rules_events, user_growth_curve, tokenizer_fertility,
-# clustering_coefficient, matryoshka_recall, winsorized_stats,
-# k_anonymity_audit, cohort_ltv_matrix, ab_test_proportions,
-# postings_delta_encode, minhash_estimate_quality, hapax_ttr_per_lang,
-# burstiness_fano, point_in_time_tier_join, time_to_convert,
-# quantile_normalize_scores, k_core_words, plus the round-4
-# session-5 additions containment_dedup, related_docs_topk,
-# shard_assignment, bpe_merge_step, delta_dedup_vs_corpus,
-# vocab_coverage_curve, embedding_quality_audit (94 total — more
-# than one window;
-# prioritize the paper-anchored LLM-pipeline entries, roll the rest;
-# recount from the CORRECTNESS unions when building the round-5
-# window). pagerank_word_graph was oracle-UPGRADED in session 2
-# (decimal-pinned) — it is in this round's window, so its fresh row
-# already covers the new code.
-# With the flagship 6 that is 41; fill the 9 spare slots with the
-# round-4-CHANGED entries whose new code/oracles deserve fresh driver
-# rows: simhash_fingerprints (md5 rewrite + new oracle),
-# audio_rms_windows (new oracle), ann_topk_bruteforce, ann_ivf_topk,
-# ann_lsh_topk, embedding_near_dup (norm precompute), ordered_funnel
-# (empty-stage fix), lang_id_heuristic + approx_top_k_words (oracle
-# upgrades — approx_top_k is already in the 32), exact_dedup,
-# minhash_lsh_dedup, q1_pricing_summary.
-#
-# CONCRETE ROUND-5 WINDOW (validated against the registry, 50 names,
-# session-5 final — paste over _ADJUDICATION_FIRST at round-5 start;
-# prioritizes the paper-anchored LLM-pipeline entries and this
-# round's changed code; rounds 5+6 then complete full-registry
-# driver adjudication — the ~43 sql_surface/advanced/stats leftovers
-# fit round 6's window):
-#   "inverted_index", "word_count", "doc_frequency", "corpus_stats",
-#   "index_top_docs", "rdd_inverted_index",
-#   "semdedup_prune", "soft_dedup_weights", "duplicate_spans",
-#   "minhash_estimate_quality", "pq_adc_topk", "ann_topk_blas",
-#   "kmeans_quantizer_cells", "ann_ivf_trained_topk",
-#   "ann_ivf_multiprobe_topk", "ann_recall_report",
-#   "matryoshka_recall",
-#   "dsir_importance_weights", "mixture_sampling_weights",
-#   "cluster_balanced_sample", "pretrain_curation_report",
-#   "k_anonymity_audit", "quantile_normalize_scores",
-#   "unigram_logprob_filter", "bm25_topk_docs", "rrf_fusion_topk",
-#   "count_min_words", "skipgram_pmi", "lang_confusion_matrix",
-#   "chi2_discriminative_terms", "zipf_law_fit",
-#   "tokenizer_fertility", "hapax_ttr_per_lang", "boolean_search",
-#   "phrase_search_positional", "keyword_in_context",
-#   "source_balance_gini", "postings_delta_encode",
-#   "ngram_novelty_curve", "token_entropy", "approx_top_k_words",
-#   "word_graph_distances", "clustering_coefficient", "k_core_words",
-#   "image_channel_stats", "image_phash_groups",
-#   "audio_silence_runs", "frame_shot_boundaries",
-#   "asof_join_nearest_event", "event_rate_anomaly"
-# The 6 session-5 additions (containment_dedup, related_docs_topk,
-# shard_assignment, bpe_merge_step, delta_dedup_vs_corpus,
-# vocab_coverage_curve) are strong swap-in candidates — all are
-# LLM-pipeline entries with fresh oracles; consider replacing
-# token_entropy / approx_top_k_words / keyword_in_context /
-# source_balance_gini / ngram_novelty_curve / hapax_ttr_per_lang
-# (solid but lower-signal) when building the final round-5 tuple.
+# ROUND-6 PREP: the window above covers 43 never-adjudicated entries +
+# simhash_fingerprints; ~51 never-adjudicated remain (sql_surface /
+# advanced / stats leftovers plus anything added in round 5).  Do NOT
+# hand-curate the next rotation from comments — run
+#     python tools/next_window.py --must <entries whose code changed>
+# which derives coverage debt from the committed CORRECTNESS_r*.json
+# files and the registry itself, proposes the next 50-name tuple, and
+# (with --check) validates whatever is pasted here: exactly 50 names,
+# no duplicates, no typos, no slot wasted on an already-adjudicated
+# entry outside the flagship/--must set.  If the leftovers exceed 44,
+# drop the flagship from the round-6 window (edit FLAGSHIP in the tool
+# or paste manually) — it will have had 5 consecutive green rounds.
 
 
 def _reorder_for_adjudication(first: tuple[str, ...]) -> None:

@@ -1,0 +1,159 @@
+#!/usr/bin/env python3
+"""Adjudication-window planner: compute driver-coverage debt and propose
+the next 50-entry ``_ADJUDICATION_FIRST`` rotation.
+
+The driver adjudicates only the FIRST 50 registry entries per round
+(``CORRECTNESS_r{N}.json``).  Rotating that window by hand from the PREP
+comments proved error-prone as the registry grew past 200 entries, so this
+tool derives everything from the committed artifacts:
+
+  * registry order + names  — imported from ``plans.registry`` (the real
+    thing the driver sees, so typos are impossible);
+  * adjudication history    — union of every ``CORRECTNESS_r*.json`` at the
+    repo root, keeping the LATEST round each entry was seen;
+  * the proposed window     — flagship entries first (always re-proven),
+    then ``--must`` names (code changed this round — deserves a fresh row),
+    then never-adjudicated entries in registry-thematic order, then the
+    stalest previously-green entries as filler.
+
+Usage:
+    python tools/next_window.py                  # report + proposed window
+    python tools/next_window.py --check          # validate the CURRENT window
+    python tools/next_window.py --must simhash_fingerprints ...
+
+``--check`` exits non-zero if the current ``_ADJUDICATION_FIRST`` contains a
+duplicate, is not exactly WINDOW entries, or wastes a slot on an entry that
+is neither flagship, never-adjudicated, nor listed in ``--must``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+# The reference-parity flagship — re-adjudicated every round so the judge
+# always has a fresh row for the headline queries.
+FLAGSHIP = (
+    "inverted_index", "word_count", "doc_frequency", "corpus_stats",
+    "index_top_docs", "rdd_inverted_index",
+)
+
+
+def registry_order() -> list[str]:
+    """Registry names in THEMATIC source order (pre-rotation).
+
+    Imports the registry module, then re-derives the original grouping by
+    parsing ``register("name"`` calls from the source — the in-memory dict
+    has already been reordered by ``_reorder_for_adjudication``.
+    """
+    sys.path.insert(0, REPO)
+    from mapreduce_in_pthreads_spark.plans import registry as reg  # noqa: F401
+
+    src = open(os.path.join(
+        REPO, "mapreduce_in_pthreads_spark", "plans", "registry.py")).read()
+    names = re.findall(r'^register\(\s*"([a-zA-Z0-9_]+)"', src, re.M)
+    live = set(reg.REGISTRY)
+    missing = [n for n in names if n not in live]
+    extra = sorted(live - set(names))
+    if missing or extra:
+        raise SystemExit(f"source/registry drift: missing={missing} extra={extra}")
+    return names
+
+
+def adjudication_history() -> dict[str, int]:
+    """name -> latest round number in which the driver adjudicated it."""
+    seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        for name in json.load(open(path)):
+            seen[name] = max(rnd, seen.get(name, 0))
+    return seen
+
+
+def current_window() -> list[str]:
+    sys.path.insert(0, REPO)
+    from mapreduce_in_pthreads_spark.plans import registry as reg
+
+    return list(reg._ADJUDICATION_FIRST)
+
+
+def propose(names: list[str], seen: dict[str, int], must: list[str]) -> list[str]:
+    window: list[str] = list(FLAGSHIP)
+    for n in must:
+        if n not in names:
+            raise SystemExit(f"--must {n!r} is not a registry entry")
+        if n not in window:
+            window.append(n)
+    for n in names:  # never-adjudicated, thematic order
+        if len(window) >= WINDOW:
+            break
+        if n not in seen and n not in window:
+            window.append(n)
+    if len(window) < WINDOW:  # filler: stalest previously-adjudicated first
+        for n in sorted(names, key=lambda n: seen.get(n, 0)):
+            if len(window) >= WINDOW:
+                break
+            if n not in window:
+                window.append(n)
+    return window[:WINDOW]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true",
+                    help="validate the current _ADJUDICATION_FIRST instead")
+    ap.add_argument("--must", nargs="*", default=[],
+                    help="entries whose code changed this round")
+    args = ap.parse_args()
+
+    names = registry_order()
+    seen = adjudication_history()
+    never = [n for n in names if n not in seen]
+    print(f"registry entries:        {len(names)}")
+    print(f"ever driver-adjudicated: {len(seen)}")
+    print(f"never adjudicated:       {len(never)}")
+
+    if args.check:
+        win = current_window()
+        errors = []
+        if len(win) != WINDOW:
+            errors.append(f"window has {len(win)} entries, want {WINDOW}")
+        if len(set(win)) != len(win):
+            dupes = sorted({n for n in win if win.count(n) > 1})
+            errors.append(f"duplicates: {dupes}")
+        unknown = [n for n in win if n not in names]
+        if unknown:
+            errors.append(f"not in registry: {unknown}")
+        wasted = [n for n in win
+                  if n in seen and n not in FLAGSHIP and n not in args.must]
+        if wasted:
+            errors.append(
+                "slots re-spent on already-adjudicated entries not in "
+                f"--must: {wasted}")
+        covered = [n for n in win if n not in seen]
+        print(f"current window: {len(win)} entries, "
+              f"{len(covered)} never-adjudicated covered, "
+              f"{len(never) - len(covered)} left for later rounds")
+        for e in errors:
+            print(f"ERROR: {e}")
+        return 1 if errors else 0
+
+    win = propose(names, seen, args.must)
+    leftover = [n for n in never if n not in win]
+    print(f"\nproposed window ({len(win)}):")
+    for i in range(0, len(win), 3):
+        print("    " + ", ".join(f'"{n}"' for n in win[i:i + 3]) + ",")
+    print(f"\nleft for the round after ({len(leftover)}):")
+    print("  " + ", ".join(leftover))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
