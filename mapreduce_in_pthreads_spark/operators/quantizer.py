@@ -34,6 +34,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.lineage import truncate_lineage
 from ..functions.vectors import dot, l2_norm
 from ..sources.tables import load_table
 
@@ -673,4 +674,142 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
                    AS BIGINT) AS rank
     FROM scored
 ) WHERE rank <= {TOP_K}
+"""
+
+
+PCA_D = KM_D     # embedding dims
+PCA_ITERS = 4    # fixed power-iteration steps (a spec, not a tolerance)
+PCA_SCALE = 1000000.0  # per-iteration re-quantization scale (1e6)
+
+
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding table by POWER
+    ITERATION on the exact integer Gram matrix — the embedding-wide
+    spectral summary (dominant variance direction + its Rayleigh-
+    quotient eigenvalue) that drives whitening / ABTT-style
+    post-processing decisions, computed fully distributed.
+
+    Method: over the int8-quantized codes (the module's exactness
+    contract), build the uncentered second-moment matrix
+    M_ij = Σ_n c[n,i]·c[n,j] — one combinable n·D²-row aggregation —
+    then run ``PCA_ITERS`` fixed steps of w = M·v with the vector
+    re-quantized to integers after every step
+    (v' = round(w/max|w|·1e6)): integer sums are order-independent,
+    so every iterate is bit-identical on any engine and the float
+    work per step is 3 correctly-rounded double ops per element.
+    Output: one row per dimension with the unit-norm loading and the
+    Rayleigh quotient vᵀMv / vᵀv (identical on all rows) — the
+    4-step power-iteration estimate BY SPEC, so the oracle unrolls
+    the same 4 steps as CTEs rather than chasing a convergence
+    tolerance.
+
+    Exactness bounds: M_ij ≤ n·127² stays int64-exact past 5×10¹¹
+    rows and DECIMAL(38,0)-exact effectively forever; the per-step
+    products M·v ≤ D·M·1e6 exceed double's 2⁵³ around n ≈ 10⁹ rows,
+    after which the decimal→double cast before the division is still
+    correctly rounded and engine-identical — only the printed 6-dp
+    loadings' last digit could differ from an infinite-precision run,
+    never between the two engines.
+
+    Scale: the Gram aggregation is the only data-sized stage (n·D²
+    exploded rows, map-side combinable; at 100 TB swap in a
+    mapInArrow per-partition int64 outer-product partial — same
+    output contract, D² rows per partition instead of n·D²); the
+    iteration joins touch D²-row relations with the D-row vector
+    broadcast; the Gram relation is lineage-truncated once so its
+    five consumers (4 steps + Rayleigh) re-read D² rows, not the
+    corpus, and each step's D-row iterate is cut too — the final
+    vector has three downstream consumers (norm, Rayleigh, output),
+    which would otherwise each replay the whole iteration chain
+    (static plan: 150 exchanges un-cut vs 8 cut).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = _coded(emb)
+    e1 = coded.select("codes", F.posexplode("codes").alias("i0", "ci"))
+    pairs = e1.select(
+        (F.col("i0") + 1).alias("i"), "ci",
+        F.posexplode("codes").alias("j0", "cj"))
+    gram = truncate_lineage(
+        pairs.groupBy("i", (F.col("j0") + 1).alias("j"))
+        .agg(F.sum((F.col("ci") * F.col("cj")).cast("decimal(38,0)"))
+             .alias("m")))
+    v = spark.range(1, PCA_D + 1).select(
+        F.col("id").alias("j"), F.lit(1).cast("long").alias("v"))
+    for _ in range(PCA_ITERS):
+        w = (gram.join(F.broadcast(v), "j")
+             .groupBy("i")
+             .agg(F.sum(F.col("m") * F.col("v")).alias("w")))
+        mx = w.agg(F.max(F.abs("w")).alias("mx"))
+        v = truncate_lineage(
+            w.join(F.broadcast(mx))
+            .select(F.col("i").alias("j"),
+                    F.round(F.col("w").cast("double")
+                            / F.col("mx").cast("double")
+                            * F.lit(PCA_SCALE))
+                    .cast("long").alias("v")))
+    norm2 = v.agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
+    vtmv = (gram.join(F.broadcast(v), "j")
+            .join(F.broadcast(v.select(F.col("j").alias("i"),
+                                       F.col("v").alias("vi"))), "i")
+            .agg(F.sum(F.col("m") * F.col("v") * F.col("vi"))
+                 .alias("vtmv")))
+    eig = (norm2.join(F.broadcast(vtmv))
+           .select(F.round(F.col("vtmv").cast("double")
+                           / F.col("n2").cast("double"), 6)
+                   .alias("eigenvalue")))
+    return (v.join(F.broadcast(norm2)).join(F.broadcast(eig))
+            .select(F.col("j").cast("bigint").alias("dim"),
+                    F.round(F.col("v").cast("double")
+                            / F.sqrt(F.col("n2").cast("double")), 6)
+                    .alias("loading"),
+                    "eigenvalue")
+            .orderBy("dim"))
+
+
+def _pca_iteration_ctes() -> str:
+    blocks = []
+    for it in range(1, PCA_ITERS + 1):
+        blocks.append(f""",
+w{it} AS (
+    SELECT i, sum(m * v) AS w
+    FROM gram JOIN v{it - 1} USING (j) GROUP BY i
+),
+v{it} AS (
+    SELECT i AS j,
+           CAST(round(CAST(w AS DOUBLE)
+                      / CAST((SELECT max(abs(w)) FROM w{it}) AS DOUBLE)
+                      * {PCA_SCALE!r}) AS BIGINT) AS v
+    FROM w{it}
+)""")
+    return "".join(blocks)
+
+
+PCA_POWER_SQL = f"""
+WITH coded AS (
+    SELECT vec_id, {_CODES_SQL} AS codes FROM embeddings
+),
+gram AS (
+    SELECT i, j, CAST(sum(codes[i] * codes[j]) AS DECIMAL(38,0)) AS m
+    FROM coded
+    CROSS JOIN range(1, {PCA_D + 1}) t(i)
+    CROSS JOIN range(1, {PCA_D + 1}) u(j)
+    GROUP BY i, j
+),
+v0 AS (
+    SELECT j, CAST(1 AS BIGINT) AS v FROM range(1, {PCA_D + 1}) t(j)
+){_pca_iteration_ctes()},
+n2 AS (SELECT sum(v * v) AS n2 FROM v{PCA_ITERS}),
+vtmv AS (
+    SELECT sum(g.m * a.v * b.v) AS vtmv
+    FROM gram g
+    JOIN v{PCA_ITERS} a ON a.j = g.j
+    JOIN v{PCA_ITERS} b ON b.j = g.i
+)
+SELECT CAST(f.j AS BIGINT) AS dim,
+       round(CAST(f.v AS DOUBLE) / sqrt(CAST(n2.n2 AS DOUBLE)), 6)
+           AS loading,
+       round(CAST(vtmv.vtmv AS DOUBLE) / CAST(n2.n2 AS DOUBLE), 6)
+           AS eigenvalue
+FROM v{PCA_ITERS} f CROSS JOIN n2 CROSS JOIN vtmv
+ORDER BY dim
 """

@@ -885,6 +885,225 @@ FROM (
 """
 
 
+QL_MU = 100.0    # Dirichlet smoothing mass (μ); ~ mean doc length here
+QL_TOP_K = 10
+
+
+def query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet-prior smoothing (Zhai
+    & Lafferty 2004) — the language-modeling counterpart of
+    ``bm25_topk_docs`` over the same fixed query set:
+    score(q, d) = Σ_{t∈q} ln((tf(t,d) + μ·P(t|C)) / (|d| + μ)),
+    P(t|C) = collection term frequency / total tokens, μ = 100.
+
+    Unlike BM25, a candidate document is scored on EVERY query term —
+    a missing term contributes the smoothed background mass, not zero
+    — so the plan builds the (candidate doc × query term) grid with a
+    left join against the term-frequency relation. Candidates are
+    still docs matching ≥ 1 term (the standard top-k restriction; the
+    background-only score of a no-term doc is a constant per length
+    and cannot enter a top-10 over matching docs of similar length).
+
+    Exactness: tf, dl, cf, total are exact integers; the smoothed
+    ratio is 4 correctly-rounded double ops in one written order; each
+    per-term ln is round(·,10)-pinned to DECIMAL(25,10) before the
+    per-(query, doc) sum (the ``token_entropy`` trick).
+
+    Scale: cf/total live in a vocab-sized broadcast filtered to query
+    terms; the grid is |candidates|×|terms| — candidate lists are df-
+    bounded exactly like BM25's postings; one combinable aggregation
+    per (query, doc); top-k is a per-query window, never a global
+    sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = sorted({t for _, t in BM25_QUERIES})
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word"))
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl"))
+    total = tok.agg(F.count(F.lit(1)).alias("total_tokens"))
+    cf = (tok.filter(F.col("word").isin(terms))
+          .groupBy("word").agg(F.count(F.lit(1)).alias("cf")))
+    tf = (tok.filter(F.col("word").isin(terms))
+          .groupBy("doc_id", "word")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    qdf = spark.createDataFrame(
+        list(BM25_QUERIES), "query_id bigint, word string")
+    cands = (tf.join(F.broadcast(qdf), "word")
+             .select("query_id", "doc_id").distinct())
+    grid = cands.join(F.broadcast(qdf), "query_id")
+    p_bg = F.lit(QL_MU) * (F.col("cf").cast("double")
+                           / F.col("total_tokens"))
+    logp = (
+        F.round(F.log((F.coalesce(F.col("tf"), F.lit(0)) + p_bg)
+                      / (F.col("dl") + F.lit(QL_MU))), 10)
+        .cast("decimal(25,10)"))
+    scored = (
+        grid.join(tf, ["doc_id", "word"], "left")
+        .join(F.broadcast(cf.join(F.broadcast(total))), "word")
+        .join(dl, "doc_id")
+        .select("query_id", "doc_id", logp.alias("logp")))
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("logp").alias("ql_sum"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ql_sum").desc(), F.col("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= QL_TOP_K)
+        .select("query_id", "doc_id",
+                F.round(F.col("ql_sum").cast("double"), 6)
+                .alias("ql_score"), "rank"))
+
+
+QUERY_LIKELIHOOD_SQL = f"""
+WITH q(query_id, word) AS (VALUES {_bm25_values_sql()}),
+tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+), dl AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), total AS (SELECT count(*) AS total_tokens FROM tok),
+cf AS (
+    SELECT word, count(*) AS cf FROM tok
+    WHERE word IN (SELECT DISTINCT word FROM q) GROUP BY word
+), tf AS (
+    SELECT doc_id, word, count(*) AS tf FROM tok
+    WHERE word IN (SELECT DISTINCT word FROM q)
+    GROUP BY doc_id, word
+), cands AS (
+    SELECT DISTINCT q.query_id, tf.doc_id
+    FROM tf JOIN q USING (word)
+), grid AS (
+    SELECT c.query_id, c.doc_id, q.word
+    FROM cands c JOIN q USING (query_id)
+), scored AS (
+    SELECT g.query_id, g.doc_id,
+           CAST(round(ln((coalesce(tf.tf, 0)
+                          + {QL_MU!r} * (CAST(cf.cf AS DOUBLE)
+                                         / total.total_tokens))
+                         / (dl.dl + {QL_MU!r})), 10)
+                AS DECIMAL(25,10)) AS logp
+    FROM grid g
+    LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.word = g.word
+    JOIN cf ON cf.word = g.word
+    JOIN dl ON dl.doc_id = g.doc_id
+    CROSS JOIN total
+), per_doc AS (
+    SELECT query_id, doc_id, sum(logp) AS ql_sum
+    FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id,
+       round(CAST(ql_sum AS DOUBLE), 6) AS ql_score, rank
+FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                      ORDER BY ql_sum DESC, doc_id)
+                   AS BIGINT) AS rank
+    FROM per_doc
+) WHERE rank <= {QL_TOP_K}
+"""
+
+
+ROCCHIO_R = 3    # pseudo-relevant docs per query (BM25 top-R)
+ROCCHIO_E = 3    # expansion terms returned per query
+
+
+def rocchio_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio 1971, the
+    PRF step of classic probabilistic retrieval): take each query's
+    BM25 top-``ROCCHIO_R`` documents as pseudo-relevant, score every
+    term they contain by the Rocchio centroid weight
+    Σ_{d∈R} tf(t,d)·idf(t) with idf = ln((N+1)/(df+1)), drop the
+    original query terms, and return the top-``ROCCHIO_E`` expansion
+    terms per query — the terms a second retrieval pass would add.
+
+    Exactness: idf is round(·,10)→DECIMAL(25,10)-pinned, tf is int,
+    so each weight is an exact decimal sum of decimal×int products;
+    ranking ties break on the term string.
+
+    Scale: reuses the shared BM25 candidate aggregation for the
+    feedback ranking; the R-doc set is tiny per query (broadcast into
+    the token join); df is one vocab-sized combinable aggregation (a
+    100 TB corpus still has a bounded vocabulary); the final top-E is
+    a per-query window.
+    """
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("score_sum").desc(), F.col("doc_id"))
+    rel = (per_doc.withColumn("r", F.row_number().over(wa))
+           .filter(F.col("r") <= ROCCHIO_R)
+           .select("query_id", "doc_id"))
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfs = tok.distinct().groupBy("word").agg(
+        F.count(F.lit(1)).alias("df"))
+    idf = (
+        dfs.join(F.broadcast(n_docs))
+        .select("word",
+                F.round(F.log((F.col("n_docs") + F.lit(1.0))
+                              / (F.col("df") + F.lit(1.0))), 10)
+                .cast("decimal(25,10)").alias("idf")))
+    qdf = spark.createDataFrame(
+        list(BM25_QUERIES), "query_id bigint, word string")
+    weights = (
+        tok.join(F.broadcast(rel), "doc_id")
+        .groupBy("query_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf_sum"))
+        .join(F.broadcast(qdf.withColumn("is_q", F.lit(1))),
+              ["query_id", "word"], "left")
+        .filter(F.col("is_q").isNull())
+        .join(idf, "word")
+        .select("query_id", "word",
+                (F.col("tf_sum") * F.col("idf")).alias("w")))
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("w").desc(), F.col("word"))
+    return (
+        weights.withColumn("term_rank",
+                           F.row_number().over(we).cast("bigint"))
+        .filter(F.col("term_rank") <= ROCCHIO_E)
+        .select("query_id", F.col("word").alias("term"),
+                F.round(F.col("w").cast("double"), 6)
+                .alias("rocchio_weight"), "term_rank"))
+
+
+ROCCHIO_PRF_SQL = f"""{_BM25_PREFIX_SQL},
+rel AS (
+    SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score_sum DESC, doc_id) AS r
+        FROM per_doc
+    ) WHERE r <= {ROCCHIO_R}
+), nd AS (SELECT count(*) AS n_docs FROM documents),
+dfs_all AS (
+    SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word
+), idf_all AS (
+    SELECT word,
+           CAST(round(ln((n_docs + 1.0) / (df + 1.0)), 10)
+                AS DECIMAL(25,10)) AS idf
+    FROM dfs_all CROSS JOIN nd
+), weights AS (
+    SELECT r.query_id, t.word, count(*) * any_value(i.idf) AS w
+    FROM tok t
+    JOIN rel r ON r.doc_id = t.doc_id
+    JOIN idf_all i ON i.word = t.word
+    WHERE NOT EXISTS (SELECT 1 FROM q
+                      WHERE q.query_id = r.query_id
+                        AND q.word = t.word)
+    GROUP BY r.query_id, t.word
+)
+SELECT query_id, word AS term,
+       round(CAST(w AS DOUBLE), 6) AS rocchio_weight, term_rank
+FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                      ORDER BY w DESC, word)
+                   AS BIGINT) AS term_rank
+    FROM weights
+) WHERE term_rank <= {ROCCHIO_E}
+"""
+
+
 CMS_DEPTH = 4    # independent hash rows
 CMS_WIDTH = 64   # buckets per row (small so collisions are visible)
 CMS_TOP = 20     # report the sketch estimate for the top-20 words

@@ -706,6 +706,22 @@ register("embedding_quality_audit", sim.embedding_quality_audit,
          "embedding-table quality gate: dim/NaN/zero-vector "
          "violations + rank-exact norm percentiles + norm-outlier "
          "count (run before building any index)")
+register("query_likelihood_dirichlet", ta.query_likelihood_dirichlet,
+         ta.QUERY_LIKELIHOOD_SQL,
+         "Dirichlet-smoothed query-likelihood retrieval (Zhai & "
+         "Lafferty 2004) — the LM ranker beside bm25_topk_docs; "
+         "missing terms score background mass via a left-joined "
+         "candidate×term grid")
+register("rocchio_prf_expansion", ta.rocchio_prf_expansion,
+         ta.ROCCHIO_PRF_SQL,
+         "pseudo-relevance-feedback query expansion (Rocchio): "
+         "tf·idf-weighted top terms of each query's BM25 top-R docs, "
+         "original terms excluded")
+register("pca_power_iteration", qz.pca_power_iteration,
+         qz.PCA_POWER_SQL,
+         "top principal direction of the embeddings: 4 fixed power-"
+         "iteration steps on the exact integer Gram matrix, unit-norm "
+         "loadings + Rayleigh-quotient eigenvalue")
 
 
 # --- adjudication-window rotation -----------------------------------------

@@ -655,3 +655,34 @@ def test_k_core_no_cartesian(spark, sf_dir):
     relation — never a cartesian."""
     p = plan(spark, sf_dir, "k_core_words")
     assert "CartesianProduct" not in p
+
+
+def test_query_likelihood_grid_left_join_broadcast(spark, sf_dir):
+    """The candidate x term grid attaches tf via joins whose build
+    sides (terms, cf, totals) are broadcast — no shuffled cartesian,
+    and the corpus-sized token relation is aggregated before any
+    join."""
+    p = plan(spark, sf_dir, "query_likelihood_dirichlet")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_rocchio_feedback_docs_broadcast_into_token_join(spark, sf_dir):
+    """The R-doc pseudo-relevant set must broadcast into the token
+    join (it is ROCCHIO_R x |queries| rows); no cartesian anywhere."""
+    p = plan(spark, sf_dir, "rocchio_prf_expansion")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_pca_iteration_chain_is_cut(spark, sf_dir):
+    """The Gram relation and every power-iteration iterate are
+    lineage-truncated: the final plan must join only D- and D²-row
+    cached relations — zero hash exchanges, no re-scan of the
+    embeddings, no cartesian (the 1-row norm/eigenvalue attaches are
+    the only single-partition exchanges)."""
+    p = plan(spark, sf_dir, "pca_power_iteration")
+    assert "FileScan parquet" not in p
+    assert p.count("Exchange hashpartitioning") == 0
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange SinglePartition") <= 3
