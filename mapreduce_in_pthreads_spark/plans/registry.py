@@ -717,6 +717,17 @@ register("rocchio_prf_expansion", ta.rocchio_prf_expansion,
          "pseudo-relevance-feedback query expansion (Rocchio): "
          "tf·idf-weighted top terms of each query's BM25 top-R docs, "
          "original terms excluded")
+register("gopher_quality_gate", ta.gopher_quality_gate,
+         ta.GOPHER_GATE_SQL,
+         "Gopher-rule composite quality gate (Rae et al. 2021): "
+         "per-doc pass/fail flags for length / repetition / top-token "
+         "/ TTR / word-length rules + conjunctive pass_all — pure "
+         "per-row expressions, zero shuffle")
+register("bigram_logprob_interpolated", ta.bigram_logprob_interpolated,
+         ta.BIGRAM_LOGPROB_SQL,
+         "interpolated bigram LM doc scoring (Jelinek-Mercer λ=1/2): "
+         "mean ln(λP(w|v)+(1-λ)P(w)) per doc — the context-aware step "
+         "beyond unigram_logprob_filter")
 register("pca_power_iteration", qz.pca_power_iteration,
          qz.PCA_POWER_SQL,
          "top principal direction of the embeddings: 4 fixed power-"

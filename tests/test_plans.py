@@ -686,3 +686,21 @@ def test_pca_iteration_chain_is_cut(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 0
     assert "CartesianProduct" not in p
     assert p.count("Exchange SinglePartition") <= 3
+
+
+def test_gopher_gate_zero_shuffle_scan(spark, sf_dir):
+    """The rule battery is pure per-row expressions — the gate must
+    run inside the scan's projection: no exchange, no join."""
+    p = plan(spark, sf_dir, "gopher_quality_gate")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_bigram_lm_vocab_relations_broadcast(spark, sf_dir):
+    """The (v,w)/prefix/unigram LM relations are vocab-bounded and
+    must attach to the doc-bigram occurrences by broadcast — no
+    shuffled join of two corpus-sized relations, no cartesian."""
+    p = plan(spark, sf_dir, "bigram_logprob_interpolated")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
