@@ -1077,6 +1077,133 @@ FROM (
 """
 
 
+HYBRID_POOL = 20   # per-run candidate pool fed into the fusion
+HYBRID_TOP_K = 10
+HYBRID_RRF_K = 60
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical + dense retrieval — THE production search stack
+    shape (a BM25 run and an embedding-cosine run fused with
+    reciprocal-rank fusion, Cormack et al. 2009): for each query id,
+    take the top-``HYBRID_POOL`` documents from (a) the BM25 term
+    ranking and (b) exact cosine against the query's embedding over
+    the shared doc_id = vec_id key space, full-outer-join the two
+    runs, and score ``rrf = Σ 1/(K + rank)`` over whichever ranks are
+    present. This is the cross-modal upgrade ``rrf_fusion_topk``'s
+    docstring promises: ranker B really is the ANN run here, and the
+    fusion needs only ranks, never calibrated scores.
+
+    Exactness: the BM25 side is the shared decimal-pinned candidate
+    aggregation; the cosine kernel is the bit-exact expression fold
+    the ANN family oracle-matches; each reciprocal is one
+    correctly-rounded division and the (≤ 2)-term sum is one written
+    order, rounded to 10 dp before the fused ranking.
+
+    Scale: both runs end in per-query top-``HYBRID_POOL`` windows, so
+    the fusion join touches ≤ 2·POOL rows per query regardless of
+    corpus size; the dense run broadcasts the |queries| embedding
+    rows against the candidate scan exactly like
+    ``ann_topk_bruteforce`` (swap in the IVF/LSH variant for the
+    100 TB path — the fusion is rank-only and does not change).
+    """
+    from ..functions.vectors import dot, l2_norm
+
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("score_sum").desc(), F.col("doc_id"))
+    lex = (per_doc.withColumn("rank_lex", F.row_number().over(wl))
+           .filter(F.col("rank_lex") <= HYBRID_POOL)
+           .select("query_id", "doc_id", "rank_lex"))
+    qids = sorted({q for q, _ in BM25_QUERIES})
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id").isin(qids))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_emb"),
+                 l2_norm("embedding").alias("query_nrm")))
+    scored = (
+        emb.withColumn("nrm", l2_norm("embedding"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim",
+                    dot("embedding", "query_emb")
+                    / (F.col("nrm") * F.col("query_nrm"))))
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id"))
+    den = (scored.withColumn("rank_dense", F.row_number().over(wd))
+           .filter(F.col("rank_dense") <= HYBRID_POOL)
+           .select("query_id", F.col("vec_id").alias("doc_id"),
+                   "rank_dense"))
+    fused = (
+        lex.join(den, ["query_id", "doc_id"], "full_outer")
+        .withColumn("rrf", F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(HYBRID_RRF_K)
+                                     + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(HYBRID_RRF_K)
+                                       + F.col("rank_dense")),
+                         F.lit(0.0)), 10)))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("fused_rank",
+                         F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("fused_rank") <= HYBRID_TOP_K)
+        .select("query_id", "doc_id",
+                F.round("rrf", 6).alias("rrf_score"),
+                F.col("rank_lex").cast("bigint").alias("rank_lex"),
+                F.col("rank_dense").cast("bigint").alias("rank_dense"),
+                "fused_rank"))
+
+
+HYBRID_SEARCH_SQL = f"""{_BM25_PREFIX_SQL},
+lex AS (
+    SELECT query_id, doc_id, rank_lex FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score_sum DESC, doc_id)
+                   AS rank_lex
+        FROM per_doc
+    ) WHERE rank_lex <= {HYBRID_POOL}
+), qe AS (
+    SELECT vec_id AS query_id, embedding AS query_emb
+    FROM embeddings
+    WHERE vec_id IN (SELECT DISTINCT query_id FROM q)
+), den AS (
+    SELECT query_id, doc_id, rank_dense FROM (
+        SELECT qe.query_id, e.vec_id AS doc_id,
+               row_number() OVER (
+                   PARTITION BY qe.query_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(qe.query_emb AS DOUBLE[])) DESC, e.vec_id)
+                   AS rank_dense
+        FROM embeddings e, qe
+        WHERE e.vec_id <> qe.query_id
+    ) WHERE rank_dense <= {HYBRID_POOL}
+), fused AS (
+    SELECT coalesce(lex.query_id, den.query_id) AS query_id,
+           coalesce(lex.doc_id, den.doc_id) AS doc_id,
+           lex.rank_lex, den.rank_dense,
+           round(coalesce(CAST(1 AS DOUBLE)
+                          / ({HYBRID_RRF_K} + lex.rank_lex), 0.0)
+                 + coalesce(CAST(1 AS DOUBLE)
+                            / ({HYBRID_RRF_K} + den.rank_dense), 0.0),
+                 10) AS rrf
+    FROM lex FULL OUTER JOIN den
+      ON lex.query_id = den.query_id AND lex.doc_id = den.doc_id
+)
+SELECT query_id, doc_id, round(rrf, 6) AS rrf_score,
+       CAST(rank_lex AS BIGINT) AS rank_lex,
+       CAST(rank_dense AS BIGINT) AS rank_dense, fused_rank
+FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rrf DESC, doc_id)
+                   AS BIGINT) AS fused_rank
+    FROM fused
+) WHERE fused_rank <= {HYBRID_TOP_K}
+"""
+
+
 QL_MU = 100.0    # Dirichlet smoothing mass (μ); ~ mean doc length here
 QL_TOP_K = 10
 

@@ -717,6 +717,11 @@ register("rocchio_prf_expansion", ta.rocchio_prf_expansion,
          "pseudo-relevance-feedback query expansion (Rocchio): "
          "tf·idf-weighted top terms of each query's BM25 top-R docs, "
          "original terms excluded")
+register("hybrid_search_rrf", ta.hybrid_search_rrf,
+         ta.HYBRID_SEARCH_SQL,
+         "hybrid lexical+dense retrieval: BM25 run ⊕ exact-cosine run "
+         "over the shared doc_id=vec_id key space, fused by "
+         "reciprocal-rank fusion over the per-run top-20 pools")
 register("gopher_quality_gate", ta.gopher_quality_gate,
          ta.GOPHER_GATE_SQL,
          "Gopher-rule composite quality gate (Rae et al. 2021): "

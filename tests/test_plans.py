@@ -704,3 +704,12 @@ def test_bigram_lm_vocab_relations_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_hybrid_search_fusion_joins_pool_sized_runs(spark, sf_dir):
+    """Both runs are cut to per-query top-POOL before the fusion
+    join; the dense run broadcasts the query embeddings (no shuffled
+    cartesian of the embedding table with itself)."""
+    p = plan(spark, sf_dir, "hybrid_search_rrf")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # broadcast query-set cross
