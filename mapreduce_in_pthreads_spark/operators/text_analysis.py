@@ -1204,6 +1204,196 @@ FROM (
 """
 
 
+MMR_LAMBDA = 0.5   # relevance/diversity mix; power of two ⇒ exact
+MMR_POOL = 10      # BM25 candidates per query entering the rerank
+MMR_SELECT = 3     # greedy selections (unrolled — a spec, not a loop)
+
+
+def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified reranking (Carbonell &
+    Goldstein 1998): from each query's BM25 top-``MMR_POOL``, greedily
+    pick ``MMR_SELECT`` documents maximizing
+    λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) — the classic
+    redundancy-killing rerank between retrieval and an LLM context
+    window. rel = the exact decimal BM25 score; sim = Jaccard over
+    distinct token sets (exact integer rational); λ = 1/2.
+
+    The greedy recurrence is UNROLLED to its 3 fixed steps (the
+    ``pagerank`` oracle discipline): step 1 is argmax rel; steps 2-3
+    join the shrinking remainder against the selected set's pairwise
+    similarities and re-argmax — each step one window over ≤ POOL
+    rows per query. Scores are round(·,10)-pinned before every argmax
+    and ties break on doc_id, so selection is engine-deterministic.
+
+    Scale: everything after the BM25 ranking operates on POOL-sized
+    per-query relations (the pairwise-sim self-join is POOL² ≤ 100
+    rows per query, an equi-join on query_id) — rerank cost is
+    independent of corpus size by construction, which is the whole
+    point of pool-then-rerank architectures.
+    """
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("score_sum").desc(), F.col("doc_id"))
+    # pool and sims are POOL- and POOL²-per-query sized and consumed
+    # by every unrolled step — lineage-cut them once or each of the 7
+    # downstream references replays the BM25 aggregation and the
+    # corpus scan (68 FileScans in the un-cut static plan, 2 cut)
+    pool = truncate_lineage(
+        per_doc.withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") <= MMR_POOL)
+        .select("query_id", "doc_id",
+                F.col("score_sum").cast("double").alias("rel")))
+    docs = load_table(spark, sf_dir, "documents")
+    tsets = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ts"))
+    pool_t = pool.join(tsets, "doc_id")
+    a = pool_t.select("query_id", F.col("doc_id").alias("doc_a"),
+                      F.col("ts").alias("ts_a"))
+    b = pool_t.select("query_id", F.col("doc_id").alias("doc_b"),
+                      F.col("ts").alias("ts_b"))
+    shared = F.size(F.array_intersect("ts_a", "ts_b"))
+    sims = truncate_lineage(
+        a.join(b, "query_id")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("query_id", "doc_a", "doc_b",
+                (shared / (F.size("ts_a") + F.size("ts_b") - shared))
+                .alias("sim")))
+    lam = F.lit(MMR_LAMBDA)
+
+    def argmax(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("mmr").desc(), F.col("doc_id"))
+        return (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("query_id", "doc_id", "mmr"))
+
+    # step 1: empty selected set — argmax λ·rel
+    s1 = argmax(pool.select(
+        "query_id", "doc_id",
+        F.round(lam * F.col("rel"), 10).alias("mmr")))
+    # step 2: redundancy vs s1
+    rem1 = pool.join(s1.select("query_id",
+                               F.col("doc_id").alias("sel1")), "query_id") \
+               .filter(F.col("doc_id") != F.col("sel1"))
+    s2 = argmax(
+        rem1.join(sims.select("query_id",
+                              F.col("doc_a").alias("doc_id"),
+                              F.col("doc_b").alias("sel1"),
+                              F.col("sim").alias("sim1")),
+                  ["query_id", "doc_id", "sel1"])
+        .select("query_id", "doc_id",
+                F.round(lam * F.col("rel")
+                        - (F.lit(1.0) - lam) * F.col("sim1"), 10)
+                .alias("mmr")))
+    # step 3: redundancy vs {s1, s2} — max of the two sims
+    rem2 = (rem1.join(s2.select("query_id",
+                                F.col("doc_id").alias("sel2")),
+                      "query_id")
+            .filter(F.col("doc_id") != F.col("sel2")))
+    s3 = argmax(
+        rem2
+        .join(sims.select("query_id", F.col("doc_a").alias("doc_id"),
+                          F.col("doc_b").alias("sel1"),
+                          F.col("sim").alias("sim1")),
+              ["query_id", "doc_id", "sel1"])
+        .join(sims.select("query_id", F.col("doc_a").alias("doc_id"),
+                          F.col("doc_b").alias("sel2"),
+                          F.col("sim").alias("sim2")),
+              ["query_id", "doc_id", "sel2"])
+        .select("query_id", "doc_id",
+                F.round(lam * F.col("rel")
+                        - (F.lit(1.0) - lam)
+                        * F.greatest("sim1", "sim2"), 10)
+                .alias("mmr")))
+    out = (s1.withColumn("mmr_rank", F.lit(1))
+           .unionByName(s2.withColumn("mmr_rank", F.lit(2)))
+           .unionByName(s3.withColumn("mmr_rank", F.lit(3))))
+    return out.select(
+        "query_id", "doc_id",
+        F.round("mmr", 6).alias("mmr_score"),
+        F.col("mmr_rank").cast("bigint").alias("mmr_rank"))
+
+
+MMR_RERANK_SQL = f"""{_BM25_PREFIX_SQL},
+pool AS (
+    SELECT query_id, doc_id, CAST(score_sum AS DOUBLE) AS rel FROM (
+        SELECT query_id, doc_id, score_sum,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score_sum DESC, doc_id) AS r
+        FROM per_doc
+    ) WHERE r <= {MMR_POOL}
+), tsets AS (
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+    FROM documents
+), sims AS (
+    SELECT a.query_id, a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(ta.ts, tb.ts))
+           / CAST(len(ta.ts) + len(tb.ts)
+                  - len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) AS sim
+    FROM pool a
+    JOIN pool b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+    JOIN tsets ta ON ta.doc_id = a.doc_id
+    JOIN tsets tb ON tb.doc_id = b.doc_id
+), s1 AS (
+    SELECT query_id, doc_id, mmr FROM (
+        SELECT query_id, doc_id,
+               round({MMR_LAMBDA!r} * rel, 10) AS mmr,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round({MMR_LAMBDA!r} * rel,
+                                                 10) DESC, doc_id) AS rn
+        FROM pool
+    ) WHERE rn = 1
+), s2 AS (
+    SELECT query_id, doc_id, mmr FROM (
+        SELECT p.query_id, p.doc_id,
+               round({MMR_LAMBDA!r} * p.rel
+                     - {1.0 - MMR_LAMBDA!r} * s.sim, 10) AS mmr,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY round({MMR_LAMBDA!r} * p.rel
+                                  - {1.0 - MMR_LAMBDA!r} * s.sim, 10)
+                            DESC, p.doc_id) AS rn
+        FROM pool p
+        JOIN s1 ON s1.query_id = p.query_id
+               AND p.doc_id <> s1.doc_id
+        JOIN sims s ON s.query_id = p.query_id
+                   AND s.doc_a = p.doc_id AND s.doc_b = s1.doc_id
+    ) WHERE rn = 1
+), s3 AS (
+    SELECT query_id, doc_id, mmr FROM (
+        SELECT p.query_id, p.doc_id,
+               round({MMR_LAMBDA!r} * p.rel
+                     - {1.0 - MMR_LAMBDA!r}
+                       * greatest(x.sim, y.sim), 10) AS mmr,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY round({MMR_LAMBDA!r} * p.rel
+                                  - {1.0 - MMR_LAMBDA!r}
+                                    * greatest(x.sim, y.sim), 10)
+                            DESC, p.doc_id) AS rn
+        FROM pool p
+        JOIN s1 ON s1.query_id = p.query_id
+               AND p.doc_id <> s1.doc_id
+        JOIN s2 ON s2.query_id = p.query_id
+               AND p.doc_id <> s2.doc_id
+        JOIN sims x ON x.query_id = p.query_id
+                   AND x.doc_a = p.doc_id AND x.doc_b = s1.doc_id
+        JOIN sims y ON y.query_id = p.query_id
+                   AND y.doc_a = p.doc_id AND y.doc_b = s2.doc_id
+    ) WHERE rn = 1
+)
+SELECT query_id, doc_id, round(mmr, 6) AS mmr_score,
+       CAST(mmr_rank AS BIGINT) AS mmr_rank
+FROM (
+    SELECT query_id, doc_id, mmr, 1 AS mmr_rank FROM s1
+    UNION ALL
+    SELECT query_id, doc_id, mmr, 2 AS mmr_rank FROM s2
+    UNION ALL
+    SELECT query_id, doc_id, mmr, 3 AS mmr_rank FROM s3
+)
+"""
+
+
 QL_MU = 100.0    # Dirichlet smoothing mass (μ); ~ mean doc length here
 QL_TOP_K = 10
 

@@ -722,6 +722,11 @@ register("hybrid_search_rrf", ta.hybrid_search_rrf,
          "hybrid lexical+dense retrieval: BM25 run ⊕ exact-cosine run "
          "over the shared doc_id=vec_id key space, fused by "
          "reciprocal-rank fusion over the per-run top-20 pools")
+register("mmr_diversified_rerank", ta.mmr_diversified_rerank,
+         ta.MMR_RERANK_SQL,
+         "Maximal-Marginal-Relevance rerank (Carbonell & Goldstein "
+         "1998): 3 unrolled greedy selections over the BM25 top-10 "
+         "pool, exact token-Jaccard redundancy, λ=1/2")
 register("gopher_quality_gate", ta.gopher_quality_gate,
          ta.GOPHER_GATE_SQL,
          "Gopher-rule composite quality gate (Rae et al. 2021): "

@@ -713,3 +713,12 @@ def test_hybrid_search_fusion_joins_pool_sized_runs(spark, sf_dir):
     p = plan(spark, sf_dir, "hybrid_search_rrf")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p  # broadcast query-set cross
+
+
+def test_mmr_rerank_pool_relations_cut(spark, sf_dir):
+    """The POOL/POOL²-sized pool and sims relations are lineage-cut,
+    so the unrolled greedy steps must not re-scan the corpus: zero
+    FileScans and no cartesian in the final plan."""
+    p = plan(spark, sf_dir, "mmr_diversified_rerank")
+    assert "FileScan parquet" not in p
+    assert "CartesianProduct" not in p
