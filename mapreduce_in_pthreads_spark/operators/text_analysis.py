@@ -2636,6 +2636,136 @@ LIMIT {BPE_TOP}
 """
 
 
+BPE_TRAIN_MERGES = 3   # unrolled training rounds (a spec, not a loop)
+
+
+def _bpe_apply_merge(seq: F.Column, left: F.Column,
+                     right: F.Column) -> F.Column:
+    """Apply ONE BPE merge rule to a space-separated symbol sequence,
+    left-to-right non-overlapping (the reference BPE semantics), as
+    pure string expressions — no lambdas, no UDF, engine-identical.
+
+    The double-space trick: pad so every symbol has exactly one space
+    flank on each side; the literal search ``' l  r '`` then consumes
+    one flank from each end, leaving the neighbor's flank intact, so
+    consecutive occurrences all merge in ONE global replace() pass
+    ('a a a a' + (a,a) → 'aa aa', never 'aa a a')."""
+    padded = F.concat(F.lit(" "),
+                      F.replace(seq, F.lit(" "), F.lit("  ")),
+                      F.lit(" "))
+    search = F.concat(F.lit(" "), left, F.lit("  "), right, F.lit(" "))
+    repl = F.concat(F.lit(" "), left, right, F.lit(" "))
+    return F.trim(F.replace(F.replace(padded, search, repl),
+                            F.lit("  "), F.lit(" ")))
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL byte-pair-encoding tokenizer training, ``BPE_TRAIN_MERGES``
+    rounds unrolled (Sennrich et al. 2016) — where ``bpe_merge_step``
+    scores the FIRST merge's candidates, this learns the actual merge
+    TABLE: each round counts frequency-weighted adjacent symbol pairs
+    over the current vocabulary state, picks the argmax rule, and
+    applies it to every word before the next round. Output: the
+    learned rules (merge_idx, left, right, pair_count).
+
+    Spark-first iteration WITHOUT driver collects: the argmax rule is
+    a 1-row relation cross-joined (broadcast) into the vocabulary
+    state; merge application is the `_bpe_apply_merge` string-
+    expression pass, so each round is (combinable pair count) →
+    (1-row argmax) → (per-row projection). The vocabulary-state
+    relation is vocab-sized (NOT corpus-sized — word frequencies are
+    aggregated once up front) and lineage-cut per round, the
+    ``k_core_words`` discipline against the 3^R plan blowup.
+
+    Exactness: counts are integer sums; argmax ties break on the pair
+    string; merge application is deterministic string surgery.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    words = (tok.filter(F.length("word") >= 2)
+             .groupBy("word").agg(F.count(F.lit(1)).alias("wf")))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)))
+    state = truncate_lineage(
+        words.select(F.concat_ws(" ", chars).alias("seq"), "wf"))
+    rules = []
+    for idx in range(1, BPE_TRAIN_MERGES + 1):
+        syms = F.split("seq", " ")
+        pair_col = F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.concat(F.element_at(syms, i), F.lit(" "),
+                               F.element_at(syms, i + 1)))
+        pc = (state.filter(F.size(syms) >= 2)
+              .select(F.explode(pair_col).alias("pair"), "wf")
+              .groupBy("pair").agg(F.sum("wf").alias("pair_count")))
+        top = truncate_lineage(
+            pc.orderBy(F.col("pair_count").desc(), "pair").limit(1)
+            .select(F.substring_index("pair", " ", 1).alias("left"),
+                    F.substring_index("pair", " ", -1).alias("right"),
+                    "pair_count"))
+        rules.append(top.select(
+            F.lit(idx).cast("bigint").alias("merge_idx"),
+            "left", "right", "pair_count"))
+        state = truncate_lineage(
+            state.join(F.broadcast(top))
+            .select(_bpe_apply_merge(F.col("seq"), F.col("left"),
+                                     F.col("right")).alias("seq"),
+                    "wf"))
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _bpe_round_ctes() -> str:
+    blocks = []
+    for i in range(1, BPE_TRAIN_MERGES + 1):
+        blocks.append(f""",
+pc{i} AS (
+    SELECT s[CAST(j AS INT)] || ' ' || s[CAST(j AS INT) + 1] AS pair,
+           CAST(sum(wf) AS BIGINT) AS pair_count
+    FROM (SELECT string_split(seq, ' ') AS s, wf FROM state{i - 1}
+          WHERE len(string_split(seq, ' ')) >= 2),
+         unnest(range(1, len(s))) t(j)
+    GROUP BY 1
+),
+top{i} AS (
+    SELECT string_split(pair, ' ')[1] AS lft,
+           string_split(pair, ' ')[2] AS rgt, pair_count
+    FROM pc{i} ORDER BY pair_count DESC, pair LIMIT 1
+),
+state{i} AS (
+    SELECT trim(replace(replace(
+               ' ' || replace(seq, ' ', '  ') || ' ',
+               ' ' || lft || '  ' || rgt || ' ',
+               ' ' || lft || rgt || ' '), '  ', ' ')) AS seq, wf
+    FROM state{i - 1} CROSS JOIN top{i}
+)""")
+    return "".join(blocks)
+
+
+BPE_TRAIN_SQL = f"""
+WITH words AS (
+    SELECT word, count(*) AS wf
+    FROM (SELECT unnest(string_split(text, ' ')) AS word
+          FROM documents)
+    WHERE len(word) >= 2 GROUP BY word
+),
+state0 AS (
+    SELECT array_to_string(list_transform(
+               range(1, len(word) + 1),
+               i -> word[CAST(i AS INT)]), ' ') AS seq, wf
+    FROM words
+){_bpe_round_ctes()}
+SELECT merge_idx, lft AS "left", rgt AS "right", pair_count FROM (
+    {" UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_idx, lft, rgt, pair_count "
+        f"FROM top{i}" for i in range(1, BPE_TRAIN_MERGES + 1))}
+)
+"""
+
+
 # --- vocabulary coverage curve ------------------------------------------
 
 VOCAB_CUTOFFS = (5, 10, 25, 1000)

@@ -722,6 +722,13 @@ register("hybrid_search_rrf", ta.hybrid_search_rrf,
          "hybrid lexical+dense retrieval: BM25 run ⊕ exact-cosine run "
          "over the shared doc_id=vec_id key space, fused by "
          "reciprocal-rank fusion over the per-run top-20 pools")
+register("bpe_train_merges", ta.bpe_train_merges,
+         ta.BPE_TRAIN_SQL,
+         "full BPE tokenizer training, 3 unrolled rounds (Sennrich "
+         "2016): count→argmax→apply-merge per round, merge applied as "
+         "the double-space string-expression pass — no collects, no "
+         "UDFs; learns the actual merge table bpe_merge_step only "
+         "scores")
 register("mmr_diversified_rerank", ta.mmr_diversified_rerank,
          ta.MMR_RERANK_SQL,
          "Maximal-Marginal-Relevance rerank (Carbonell & Goldstein "

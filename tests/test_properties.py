@@ -955,3 +955,58 @@ def test_gini_bounds_and_uniform_zero(spark, sf_dir):
             - (n + 1) / n
     assert abs(gini([10, 10, 10, 10])) < 1e-12
     assert gini([0.0001, 0.0001, 0.0001, 100]) > 0.74  # one dominates
+
+
+def _py_bpe_apply(seq: str, left: str, right: str) -> str:
+    """Reference BPE merge application: left-to-right non-overlapping
+    over the symbol list (Sennrich 2016 semantics)."""
+    syms = seq.split(" ")
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return " ".join(out)
+
+
+@given(st.lists(st.sampled_from(["a", "b", "ab", "aa"]),
+                min_size=1, max_size=12),
+       st.sampled_from([("a", "a"), ("a", "b"), ("b", "a"),
+                        ("ab", "a"), ("aa", "ab")]))
+@settings(max_examples=25, deadline=None)
+def test_bpe_apply_merge_matches_reference(spark, syms, pair):
+    """The double-space replace() trick must implement exactly the
+    greedy left-to-right non-overlapping merge — including the
+    'a a a a' + (a,a) → 'aa aa' consecutive-occurrence case and
+    merged-symbol operands like ('ab','a')."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_in_pthreads_spark.operators.text_analysis import (
+        _bpe_apply_merge,
+    )
+
+    seq = " ".join(syms)
+    left, right = pair
+    got = (spark.createDataFrame([(seq,)], "seq string")
+           .select(_bpe_apply_merge(
+               F.col("seq"), F.lit(left), F.lit(right)).alias("m"))
+           .collect()[0]["m"])
+    assert got == _py_bpe_apply(seq, left, right)
+
+
+def test_bpe_train_rounds_consistent_with_merge_step(spark, sf_dir):
+    """Round 1 of the trainer must pick exactly the argmax of
+    bpe_merge_step's candidate relation (same counting, same
+    tie-break)."""
+    step = REGISTRY["bpe_merge_step"].fn(spark, sf_dir).collect()
+    best = sorted(step, key=lambda r: (-r["pair_count"],
+                                       r["left"], r["right"]))[0]
+    train = {r["merge_idx"]: r
+             for r in REGISTRY["bpe_train_merges"].fn(spark, sf_dir)
+             .collect()}
+    assert (train[1]["left"], train[1]["right"],
+            train[1]["pair_count"]) == (
+        best["left"], best["right"], best["pair_count"])
