@@ -813,3 +813,102 @@ SELECT CAST(f.j AS BIGINT) AS dim,
 FROM v{PCA_ITERS} f CROSS JOIN n2 CROSS JOIN vtmv
 ORDER BY dim
 """
+
+
+KNN_K = 5   # neighbors consulted per vector for the label audit
+
+
+def label_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit by k-NN label agreement (the confident-
+    learning / deep-kNN screen, Northcutt et al. 2021 lineage): for
+    every vector, the fraction of its ``KNN_K`` nearest within-cell
+    neighbors (trained k-means cells, exact cosine) sharing its label;
+    reported per label as the member count, mean agreement, and how
+    many members a majority of neighbors CONTRADICT — the table that
+    decides whether a label column is trustworthy enough to train on.
+
+    Neighborhoods are cell-restricted on purpose: that is the IVF
+    candidate discipline (`ann_ivf_trained_topk`) — at 100 TB the
+    k-NN graph is only computable per-bucket, and a label audit needs
+    exactly the same pruning to stay linear. Cells with fewer than
+    K+1 members use every available neighbor (the denominator is the
+    per-anchor neighbor count, never a padded constant).
+
+    Exactness: shared/neighbor counts are integers; the per-anchor
+    ratio is one exact-int division round(·,10)-pinned to decimal
+    before the per-label sum; mean agreement is one final division.
+
+    Scale: one Σ|cell|² within-cell pair relation (never n²), one
+    rank window per anchor, two combinable aggregations. The
+    assignment reuses the trained centroids as plan literals.
+    """
+    coded, _, cents_final, _ = _train(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = (_assign(coded, cents_final)
+                .join(emb.select("vec_id", "label"), "vec_id")
+                .withColumn("nrm", l2_norm("embedding")))
+    nb = assigned.select(F.col("vec_id").alias("nb_id"),
+                         F.col("cell").alias("nb_cell"),
+                         F.col("embedding").alias("nb_emb"),
+                         F.col("nrm").alias("nb_nrm"),
+                         F.col("label").alias("nb_label"))
+    pairs = (assigned.join(nb, assigned.cell == nb.nb_cell)
+             .filter(F.col("vec_id") != F.col("nb_id"))
+             .withColumn("cos_sim", dot("embedding", "nb_emb")
+                         / (F.col("nrm") * F.col("nb_nrm"))))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nb_id"))
+    knn = (pairs.withColumn("rnk", F.row_number().over(w))
+           .filter(F.col("rnk") <= KNN_K))
+    anchors = (knn.groupBy("vec_id", "label")
+               .agg(F.count(F.lit(1)).alias("n_nb"),
+                    F.sum((F.col("nb_label") == F.col("label"))
+                          .cast("int")).alias("shared"))
+               .select("vec_id", "label", "n_nb", "shared",
+                       F.round(F.col("shared") / F.col("n_nb"), 10)
+                       .cast("decimal(25,10)").alias("ratio")))
+    return (anchors.groupBy(F.col("label").cast("bigint").alias("label"))
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.sum("ratio").cast("double")
+                         / F.count(F.lit(1)), 6).alias("avg_agreement"),
+                 F.sum((F.col("shared") * 2 < F.col("n_nb"))
+                       .cast("int")).cast("bigint").alias("n_flagged"))
+            .orderBy("label"))
+
+
+LABEL_KNN_SQL = f"""{_PREFIX_SQL},{_assign_cte("afinal",
+                                               f"cents{KM_ITERS}")},
+vecs AS (
+    SELECT c.vec_id, a.cell, CAST(c.embedding AS DOUBLE[]) AS e,
+           e2.label
+    FROM coded c
+    JOIN afinal a ON a.vec_id = c.vec_id
+    JOIN embeddings e2 ON e2.vec_id = c.vec_id
+),
+knn AS (
+    SELECT vec_id, label, nb_label FROM (
+        SELECT v.vec_id, v.label, n.label AS nb_label,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(v.e, n.e) DESC,
+                            n.vec_id) AS rnk
+        FROM vecs v JOIN vecs n
+          ON n.cell = v.cell AND n.vec_id <> v.vec_id
+    ) WHERE rnk <= {KNN_K}
+),
+anchors AS (
+    SELECT vec_id, label, count(*) AS n_nb,
+           CAST(sum(CASE WHEN nb_label = label THEN 1 ELSE 0 END)
+                AS BIGINT) AS shared,
+           CAST(round(sum(CASE WHEN nb_label = label THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 10)
+                AS DECIMAL(25,10)) AS ratio
+    FROM knn GROUP BY vec_id, label
+)
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+       round(CAST(sum(ratio) AS DOUBLE) / count(*), 6)
+           AS avg_agreement,
+       CAST(count(CASE WHEN shared * 2 < n_nb THEN 1 END) AS BIGINT)
+           AS n_flagged
+FROM anchors GROUP BY label ORDER BY label
+"""

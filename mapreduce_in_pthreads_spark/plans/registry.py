@@ -745,6 +745,11 @@ register("bigram_logprob_interpolated", ta.bigram_logprob_interpolated,
          "interpolated bigram LM doc scoring (Jelinek-Mercer λ=1/2): "
          "mean ln(λP(w|v)+(1-λ)P(w)) per doc — the context-aware step "
          "beyond unigram_logprob_filter")
+register("label_knn_agreement", qz.label_knn_agreement,
+         qz.LABEL_KNN_SQL,
+         "label-noise audit: per-label k-NN label agreement within "
+         "trained k-means cells (exact cosine, cell-restricted "
+         "candidates — the IVF discipline keeps it linear)")
 register("pca_power_iteration", qz.pca_power_iteration,
          qz.PCA_POWER_SQL,
          "top principal direction of the embeddings: 4 fixed power-"

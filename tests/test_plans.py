@@ -722,3 +722,11 @@ def test_mmr_rerank_pool_relations_cut(spark, sf_dir):
     p = plan(spark, sf_dir, "mmr_diversified_rerank")
     assert "FileScan parquet" not in p
     assert "CartesianProduct" not in p
+
+
+def test_label_knn_pairs_are_cell_equi_join(spark, sf_dir):
+    """The k-NN candidate relation must come from the cell equi-join
+    (the IVF discipline) — never a cartesian of the embedding table
+    with itself."""
+    p = plan(spark, sf_dir, "label_knn_agreement")
+    assert "CartesianProduct" not in p
