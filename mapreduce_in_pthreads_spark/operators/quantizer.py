@@ -30,6 +30,7 @@ BASELINE.json.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -86,12 +87,26 @@ def _assign(coded: DataFrame,
     return coded.withColumn("cell", F.array_min(scores)["cell"])
 
 
+# Trained-artifact memo (a tiny in-process model registry): training
+# is DETERMINISTIC per sf_dir (md5-seeded, integer Lloyd updates), and
+# ~9 registry entries consume the same trained centroids — without the
+# memo each entry re-runs the seed + per-iteration driver collects.
+# Only plain-Python centroid/count data is cached (a few KB); the
+# ``coded`` DataFrame is rebuilt per call because DataFrames are bound
+# to the session that created them.
+_TRAIN_MEMO: dict = {}
+
+
 def _train(spark: SparkSession, sf_dir: str):
     """Returns (coded, cents_prev, cents_final, last_counts): the coded
     relation, the centroids that produced the final assignment, the
     final re-estimated centroids, and the final per-cell counts."""
+    key = ("km", os.path.abspath(sf_dir))
     emb = load_table(spark, sf_dir, "embeddings")
     coded = _coded(emb)
+    if key in _TRAIN_MEMO:
+        cents_prev, cents, counts = _TRAIN_MEMO[key]
+        return coded, cents_prev, cents, counts
     seeds = (
         coded.withColumn(
             "r", F.md5(F.col("vec_id").cast("string").cast("binary")))
@@ -114,6 +129,7 @@ def _train(spark: SparkSession, sf_dir: str):
             (int(r["cell"]), [r[f"s{d}"] / r["n"] for d in range(KM_D)])
             for r in stats)
         counts = {int(r["cell"]): int(r["n"]) for r in stats}
+    _TRAIN_MEMO[key] = (cents_prev, cents, counts)
     return coded, cents_prev, cents, counts
 
 
@@ -394,8 +410,11 @@ def _pq_train(spark: SparkSession, sf_dir: str):
     M × K × (PQ_SUB + 1) scalars per iteration — the same
     bounded-collect contract as ``_train``. Integer sums keep every
     iteration bit-identical cross-engine (module docstring)."""
+    key = ("pq", os.path.abspath(sf_dir))
     emb = load_table(spark, sf_dir, "embeddings")
     coded = _coded(emb)
+    if key in _TRAIN_MEMO:
+        return coded, _TRAIN_MEMO[key]
     seeds = (
         coded.withColumn(
             "r", F.md5(F.col("vec_id").cast("string").cast("binary")))
@@ -431,6 +450,7 @@ def _pq_train(spark: SparkSession, sf_dir: str):
                        [r[f"s{d}"] / r["n"] for d in range(PQ_SUB)])
                       for r in rows if r["m"] == m)
             for m in range(PQ_M)}
+    _TRAIN_MEMO[key] = cents
     return coded, cents
 
 
