@@ -171,3 +171,22 @@ def test_pq_adc_tracks_code_space_exact(spark):
     approx, true = np.array(approx), np.array(true)
     assert np.corrcoef(approx, true)[0, 1] > 0.4  # measured ~0.60
     assert float(np.mean(np.abs(approx - true) / true)) < 0.6  # ~0.36
+
+
+def test_train_memo_equals_fresh_training(spark):
+    """The in-process trained-artifact memo must be a pure cache:
+    clearing it and retraining yields bit-identical centroids and
+    counts (training is deterministic per sf_dir by design)."""
+    from mapreduce_in_pthreads_spark.operators import quantizer as qz
+
+    _, prev_a, fin_a, counts_a = qz._train(spark, SF_SMOKE)
+    assert qz._TRAIN_MEMO  # warm
+    saved = dict(qz._TRAIN_MEMO)
+    qz._TRAIN_MEMO.clear()
+    try:
+        _, prev_b, fin_b, counts_b = qz._train(spark, SF_SMOKE)
+        assert prev_a == prev_b
+        assert fin_a == fin_b
+        assert counts_a == counts_b
+    finally:
+        qz._TRAIN_MEMO.update(saved)
