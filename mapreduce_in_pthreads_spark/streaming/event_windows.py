@@ -95,6 +95,23 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``timeseries.sliding_2h_1h`` — overlapping
+    2-hour windows sliding hourly, so every event feeds exactly two
+    concurrent window states. The overlap is the state-cost point this
+    twin exists to make: watermarking still bounds retention to
+    (window length + lateness) per key, it just holds length/slide
+    copies of each in-flight hour."""
+    ev = _read_event_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value", "sum_value"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                "n_events", "sum_value")
+    )
+
+
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``timeseries.session_windows_30m`` — native
     merging session state with watermark-bounded retention."""

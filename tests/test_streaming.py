@@ -22,6 +22,8 @@ def _rows(df, cols):
      ["window_start_us", "event_type", "n_events", "sum_value"], "complete"),
     (st.streaming_session_windows, "session_windows_30m",
      ["user_id", "session_start_us", "n_events", "sum_value"], "complete"),
+    (st.streaming_sliding_2h_1h, "sliding_2h_1h",
+     ["window_start_us", "n_events", "sum_value"], "complete"),
 ])
 def test_stream_batch_parity(spark, sf_dir, stream_fn, batch_name, cols, mode,
                              request):
@@ -150,3 +152,36 @@ def test_foreach_batch_idempotent_sink(spark, sf_dir, tmp_path):
                          .cast("double").alias("s")))
     assert stream_totals.exceptAll(batch_totals).count() == 0
     assert batch_totals.exceptAll(stream_totals).count() == 0
+
+
+def test_wordline_streaming_index_parity(spark, tmp_path):
+    """The flagship index built INCREMENTALLY — reference corpus files
+    arriving one per micro-batch through the wordline stream source —
+    must equal the identical logical plan run in batch, string-exact
+    (sort_array pins arrival order away, as in the batch flagship)."""
+    import os
+    from mapreduce_in_pthreads_spark.streaming import wordline_index as wi
+
+    corpus = "/root/reference/testfiles"
+    if not os.path.isdir(corpus):
+        pytest.skip("reference corpus not present")
+
+    q = (wi.streaming_reference_index(spark, corpus)
+         .writeStream.format("memory")
+         .queryName("mem_wordline_index").outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        n_batches = len([p for p in q.recentProgress
+                         if p["numInputRows"] > 0])
+        got = sorted(map(tuple,
+                         spark.table("mem_wordline_index").collect()))
+    finally:
+        q.stop()
+
+    want = sorted(map(tuple,
+                      wi.batch_reference_index(spark, corpus).collect()))
+    assert n_batches >= 2          # genuinely incremental, not one gulp
+    assert len(got) == 4135        # SURVEY corpus fact: distinct words
+    assert got == want
