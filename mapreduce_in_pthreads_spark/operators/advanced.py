@@ -530,3 +530,64 @@ SELECT p_partkey,
        levenshtein(p_name, reverse(p_name)) AS palindrome_dist
 FROM part
 """
+
+
+# --- Benford first-digit audit --------------------------------------------
+
+# Benford expectations P(d) = log10(1 + 1/d) as 10-dp literals computed
+# ONCE here — injected into both engines so neither runs its own log10
+# (libm results are not contractually identical across engines).
+import math as _math
+
+BENFORD_EXPECTED = {d: round(_math.log10(1 + 1 / d), 10) for d in range(1, 10)}
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    anomaly/fraud screen for monetary columns: observed first-digit
+    shares vs the logarithmic expectation P(d) = log10(1+1/d)
+    (Benford 1938, Newcomb 1881). Synthetic TPC-H prices are ~uniform,
+    so the deltas HERE are large — which is the point: the audit
+    flags non-Benford generators, and a uniform RNG is one.
+
+    First digit via fixed '%.2f' formatting (identical string surgery
+    on both engines — no log10/pow float edge cases at decade
+    boundaries); all totals are ≥ 1 by schema so the lead char is the
+    digit. Share and delta are single correctly-rounded double ops
+    over exact integer counts; the expected column is a literal.
+
+    Scale: one combinable 9-group aggregation over the scan; the
+    share window runs on the 9-row digit relation. Zero joins."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(F.format_string("%.2f", "o_totalprice"), 1, 1)
+    counts = (o.groupBy(digit.cast("int").alias("digit"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    expected = F.element_at(
+        F.create_map(*[F.lit(x) for d, p in BENFORD_EXPECTED.items()
+                       for x in (d, p)]), F.col("digit"))
+    total = F.sum("n").over(Window.partitionBy())
+    return (counts.select(
+        "digit", "n",
+        F.round(F.col("n") / total, 10).alias("share"),
+        expected.alias("benford_expected"))
+        .withColumn("delta",
+                    F.round(F.col("share") - F.col("benford_expected"), 10)))
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in BENFORD_EXPECTED.items())
+
+BENFORD_SQL = f"""
+WITH counts AS (
+    SELECT CAST(substring(printf('%.2f', o_totalprice), 1, 1) AS INT)
+               AS digit,
+           count(*) AS n
+    FROM orders GROUP BY 1
+)
+SELECT digit, n,
+       round(n / CAST(sum(n) OVER () AS DOUBLE), 10) AS share,
+       CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE) AS benford_expected,
+       round(round(n / CAST(sum(n) OVER () AS DOUBLE), 10)
+             - CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE), 10) AS delta
+FROM counts
+"""

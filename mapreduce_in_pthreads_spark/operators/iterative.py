@@ -653,3 +653,142 @@ FROM (
 
 
 K_CORE_SQL = _k_core_sql()
+
+
+# --- HITS hubs & authorities ----------------------------------------------
+
+HITS_ITERATIONS = 4
+
+
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) over the bigram word graph: mutually
+    recursive hub/authority scores — a word is a good hub if it
+    precedes good authorities, a good authority if good hubs precede
+    it. The directed complement of ``pagerank_word_graph`` (PageRank
+    ranks by incoming mass only; HITS separates the two roles).
+
+    Iteration shape = the PageRank discipline verbatim: the edge
+    relation is computed once and cached; each half-step is one join
+    against it + one combinable aggregation; L1 normalization is a
+    broadcast 1-row total (no collect); lineage is truncated per
+    half-step. Nodes with no in-edges carry authority 0, no out-edges
+    hub 0 (the left-join coalesce).
+
+    Exactness (oracle-checkable): every float contribution is
+    round(·,10)-pinned and summed in DECIMAL(25,10) — order-free —
+    and each normalization is one correctly-rounded double division
+    by the exact decimal L1 total, so all ``HITS_ITERATIONS``
+    iterations replay bit-identically as unrolled DuckDB CTEs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(F.get(toks, i).alias("src"),
+                           F.get(toks, i + 1).alias("dst")),
+    )
+    edges = (
+        docs.select(F.explode(bigrams).alias("e"))
+        .select("e.src", "e.dst")
+        .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+        .cache()
+    )
+    nodes = (edges.select(F.col("src").alias("word"))
+             .union(edges.select(F.col("dst").alias("word")))
+             .distinct().cache())
+    n_nodes = nodes.count()
+
+    dec = "decimal(25,10)"
+    zero = F.lit(0).cast(dec)
+    hubs = nodes.withColumn(
+        "hub", F.round(F.lit(1.0) / F.lit(n_nodes), 10).cast(dec))
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        total = raw.agg(F.sum("raw").alias("s"))
+        return truncate_lineage(
+            nodes.join(raw, "word", "left")
+            .crossJoin(F.broadcast(total))
+            .select("word",
+                    F.round(F.coalesce("raw", zero).cast("double")
+                            / F.col("s").cast("double"), 10)
+                    .cast(dec).alias(col)))
+
+    auth = None
+    for _ in range(HITS_ITERATIONS):
+        araw = (edges.join(hubs, edges.src == hubs.word)
+                .select(F.col("dst").alias("word"),
+                        F.round(F.col("hub").cast("double")
+                                * F.col("weight"), 10)
+                        .cast(dec).alias("contrib"))
+                .groupBy("word").agg(F.sum("contrib").alias("raw")))
+        auth = _normalize(araw, "authority")
+        hraw = (edges.join(auth, edges.dst == auth.word)
+                .select(F.col("src").alias("word"),
+                        F.round(F.col("authority").cast("double")
+                                * F.col("weight"), 10)
+                        .cast(dec).alias("contrib"))
+                .groupBy("word").agg(F.sum("contrib").alias("raw")))
+        hubs = _normalize(hraw, "hub")
+
+    return (hubs.join(auth, "word")
+            .select("word", F.col("hub").cast("double").alias("hub"),
+                    F.col("authority").cast("double").alias("authority")))
+
+
+def _hits_iteration_ctes() -> str:
+    blocks = []
+    for i in range(1, HITS_ITERATIONS + 1):
+        blocks.append(f""",
+ar{i} AS MATERIALIZED (
+    SELECT e.dst AS word,
+           sum(CAST(round(CAST(h.hub AS DOUBLE) * e.weight, 10)
+                    AS DECIMAL(25,10))) AS raw
+    FROM edges e JOIN h{i - 1} h ON e.src = h.word GROUP BY e.dst
+),
+at{i} AS MATERIALIZED (SELECT sum(raw) AS s FROM ar{i}),
+a{i} AS MATERIALIZED (
+    SELECT n.word,
+           CAST(round(CAST(COALESCE(ar.raw, CAST(0 AS DECIMAL(25,10)))
+                           AS DOUBLE) / CAST(t.s AS DOUBLE), 10)
+                AS DECIMAL(25,10)) AS authority
+    FROM nodes n LEFT JOIN ar{i} ar ON n.word = ar.word CROSS JOIN at{i} t
+),
+hr{i} AS MATERIALIZED (
+    SELECT e.src AS word,
+           sum(CAST(round(CAST(a.authority AS DOUBLE) * e.weight, 10)
+                    AS DECIMAL(25,10))) AS raw
+    FROM edges e JOIN a{i} a ON e.dst = a.word GROUP BY e.src
+),
+ht{i} AS MATERIALIZED (SELECT sum(raw) AS s FROM hr{i}),
+h{i} AS MATERIALIZED (
+    SELECT n.word,
+           CAST(round(CAST(COALESCE(hr.raw, CAST(0 AS DECIMAL(25,10)))
+                           AS DOUBLE) / CAST(t.s AS DOUBLE), 10)
+                AS DECIMAL(25,10)) AS hub
+    FROM nodes n LEFT JOIN hr{i} hr ON n.word = hr.word CROSS JOIN ht{i} t
+)""")
+    return "".join(blocks)
+
+
+HITS_SQL = f"""
+WITH g0 AS (
+    SELECT list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> struct_pack(src := string_split(text, ' ')[i],
+                                dst := string_split(text, ' ')[i + 1]))
+               AS lst
+    FROM documents
+), pairs AS (
+    SELECT unnest(lst, recursive := true) FROM g0
+), edges AS MATERIALIZED (
+    SELECT src, dst, count(*) AS weight FROM pairs GROUP BY src, dst
+), nodes AS MATERIALIZED (
+    SELECT src AS word FROM edges UNION SELECT dst FROM edges
+), nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+h0 AS MATERIALIZED (
+    SELECT word, CAST(round(1.0 / nn.n, 10) AS DECIMAL(25,10)) AS hub
+    FROM nodes CROSS JOIN nn
+){_hits_iteration_ctes()}
+SELECT h.word, CAST(h.hub AS DOUBLE) AS hub,
+       CAST(a.authority AS DOUBLE) AS authority
+FROM h{HITS_ITERATIONS} h JOIN a{HITS_ITERATIONS} a ON h.word = a.word
+"""

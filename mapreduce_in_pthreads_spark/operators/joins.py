@@ -285,3 +285,76 @@ SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us,
        COALESCE(tier_at_ts, 'none') AS tier_at_purchase
 FROM merged WHERE kind = 1
 """
+
+
+# --- bloom-prefiltered semi join ------------------------------------------
+
+BLOOM_M = 4096          # bloom bitmap size (bits)
+BLOOM_K = 2             # hash functions per key
+BLOOM_ACCTBAL_MAX = 2500.0   # key-set predicate: suppliers in the low
+                             # account-balance band (~25% of suppliers at
+                             # every SF — a single nation is empty at
+                             # sf0.001's 10-supplier table)
+
+
+def _bloom_positions(key: F.Column) -> list[F.Column]:
+    """BLOOM_K bit positions for a key — xxhash64 with distinct seeds,
+    pmod'd into the bitmap domain. Spark-side only: the bloom filter
+    never changes the RESULT (candidates are exactly verified), so the
+    hash needs no cross-engine twin and can use the fastest one."""
+    return [F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(BLOOM_M))
+            for seed in range(1, BLOOM_K + 1)]
+
+
+def bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier line count + revenue for one nation's suppliers,
+    with the fact scan pre-filtered by a BLOOM FILTER built from the
+    key set — the runtime-filter technique (Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter`` / Bloom 1970) made
+    explicit as a composable operator.
+
+    Why it matters at 100 TB: a semi join against a dimension too big
+    to broadcast as an exact hash set shuffles the ENTIRE fact table.
+    Its Bloom bitmap is orders of magnitude smaller than the key set
+    (here: ≤ 4096 bits regardless of key count), broadcasts for free,
+    and discards most non-matching fact rows AT THE SCAN, so only
+    survivors reach the exchange. False positives cost nothing but
+    wasted transfer — the exact semi join behind the filter removes
+    them, so the RESULT is identical to the plain semi join (which is
+    exactly what the oracle runs).
+
+    Plan shape: keys → explode(K positions) → collect_set = the
+    bitmap as a sorted position array (one tiny agg); fact rows check
+    all K positions via array_contains against the broadcast 1-row
+    bitmap; survivors flow into the ordinary (broadcast) semi join +
+    combinable aggregation."""
+    sup = (load_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < BLOOM_ACCTBAL_MAX)
+           .select("s_suppkey"))
+    bloom = (sup.select(F.explode(F.array(
+                 *_bloom_positions(F.col("s_suppkey")))).alias("bit"))
+             .agg(F.sort_array(F.collect_set("bit")).alias("bits")))
+    li = load_table(spark, sf_dir, "lineitem")
+    pos = _bloom_positions(F.col("l_suppkey"))
+    survivors = (li.join(F.broadcast(bloom))
+                 .filter(F.array_contains("bits", pos[0])
+                         & F.array_contains("bits", pos[1]))
+                 .drop("bits"))
+    exact = survivors.join(F.broadcast(sup),
+                           F.col("l_suppkey") == F.col("s_suppkey"),
+                           "left_semi")
+    return (exact.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 dsum("l_extendedprice", "revenue"))
+            .select(F.col("l_suppkey").alias("suppkey"),
+                    "n_items", "revenue"))
+
+
+BLOOM_SEMI_JOIN_SQL = f"""
+SELECT l_suppkey AS suppkey, count(*) AS n_items,
+       {sql_dsum('l_extendedprice', 'revenue')}
+FROM lineitem
+WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < {BLOOM_ACCTBAL_MAX!r})
+GROUP BY l_suppkey
+"""

@@ -2834,3 +2834,130 @@ SELECT vocab_size, cum_tokens, total_tokens,
 FROM ranked, total
 WHERE vocab_size IN {VOCAB_CUTOFFS}
 """
+
+
+# --- BPE encode with the trained merge table ------------------------------
+
+def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the tokenizer loop: ENCODE the corpus with the merge
+    table ``bpe_train_merges`` learns — per document, the word count,
+    character count, BPE token count after applying all
+    ``BPE_TRAIN_MERGES`` trained merges, and the chars-per-token
+    compression ratio (the number a tokenizer eval actually reports;
+    Sennrich et al. 2016 §5).
+
+    Spark-first: training state is VOCAB-sized (word → current
+    segmentation, word kept as the join key), re-derived with the
+    same argmax-broadcast rounds as ``bpe_train_merges``; encoding is
+    then a broadcast join of corpus tokens against the final
+    segmentation — token count per occurrence = subword count of its
+    word type (single-char words segment to themselves: the left-join
+    coalesce to 1). No per-document string surgery: the corpus-sized
+    pass is one explode + one combinable aggregation.
+
+    Exactness: all counts are integer sums; the ratio is one
+    correctly-rounded double division."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    words = (tok.filter(F.length("word") >= 2)
+             .groupBy("word").agg(F.count(F.lit(1)).alias("wf")))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)))
+    state = truncate_lineage(
+        words.select("word", F.concat_ws(" ", chars).alias("seq"), "wf"))
+    for _ in range(BPE_TRAIN_MERGES):
+        syms = F.split("seq", " ")
+        pair_col = F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.concat(F.element_at(syms, i), F.lit(" "),
+                               F.element_at(syms, i + 1)))
+        pc = (state.filter(F.size(syms) >= 2)
+              .select(F.explode(pair_col).alias("pair"), "wf")
+              .groupBy("pair").agg(F.sum("wf").alias("pair_count")))
+        top = truncate_lineage(
+            pc.orderBy(F.col("pair_count").desc(), "pair").limit(1)
+            .select(F.substring_index("pair", " ", 1).alias("left"),
+                    F.substring_index("pair", " ", -1).alias("right")))
+        state = truncate_lineage(
+            state.join(F.broadcast(top))
+            .select("word",
+                    _bpe_apply_merge(F.col("seq"), F.col("left"),
+                                     F.col("right")).alias("seq"),
+                    "wf"))
+    seg = state.select(
+        "word", F.size(F.split("seq", " ")).alias("n_sub"))
+    occ = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return (occ.filter(F.col("word") != "")
+            .join(F.broadcast(seg), "word", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(F.length("word")).alias("n_chars"),
+                 F.sum(F.coalesce("n_sub", F.lit(1)))
+                 .alias("n_bpe_tokens"))
+            .withColumn("chars_per_token",
+                        F.round(F.col("n_chars")
+                                / F.col("n_bpe_tokens"), 10)))
+
+
+def _bpe_encode_round_ctes() -> str:
+    """The training rounds of ``BPE_TRAIN_SQL`` with ``word`` carried
+    through the state — the encode oracle needs it as the join key."""
+    blocks = []
+    for i in range(1, BPE_TRAIN_MERGES + 1):
+        blocks.append(f""",
+epc{i} AS (
+    SELECT s[CAST(j AS INT)] || ' ' || s[CAST(j AS INT) + 1] AS pair,
+           CAST(sum(wf) AS BIGINT) AS pair_count
+    FROM (SELECT string_split(seq, ' ') AS s, wf FROM est{i - 1}
+          WHERE len(string_split(seq, ' ')) >= 2),
+         unnest(range(1, len(s))) t(j)
+    GROUP BY 1
+),
+etop{i} AS (
+    SELECT string_split(pair, ' ')[1] AS lft,
+           string_split(pair, ' ')[2] AS rgt
+    FROM epc{i} ORDER BY pair_count DESC, pair LIMIT 1
+),
+est{i} AS (
+    SELECT word, trim(replace(replace(
+               ' ' || replace(seq, ' ', '  ') || ' ',
+               ' ' || lft || '  ' || rgt || ' ',
+               ' ' || lft || rgt || ' '), '  ', ' ')) AS seq, wf
+    FROM est{i - 1} CROSS JOIN etop{i}
+)""")
+    return "".join(blocks)
+
+
+BPE_ENCODE_SQL = f"""
+WITH ewords AS (
+    SELECT word, count(*) AS wf
+    FROM (SELECT unnest(string_split(text, ' ')) AS word
+          FROM documents)
+    WHERE len(word) >= 2 GROUP BY word
+),
+est0 AS (
+    SELECT word, array_to_string(list_transform(
+               range(1, len(word) + 1),
+               i -> word[CAST(i AS INT)]), ' ') AS seq, wf
+    FROM ewords
+){_bpe_encode_round_ctes()},
+seg AS (
+    SELECT word, len(string_split(seq, ' ')) AS n_sub
+    FROM est{BPE_TRAIN_MERGES}
+),
+occ AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+)
+SELECT doc_id,
+       count(*) AS n_words,
+       CAST(sum(len(word)) AS BIGINT) AS n_chars,
+       CAST(sum(COALESCE(n_sub, 1)) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(len(word)) AS DOUBLE)
+             / sum(COALESCE(n_sub, 1)), 10) AS chars_per_token
+FROM occ LEFT JOIN seg USING (word)
+WHERE word <> ''
+GROUP BY doc_id
+"""

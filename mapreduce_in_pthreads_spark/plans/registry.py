@@ -755,6 +755,27 @@ register("pca_power_iteration", qz.pca_power_iteration,
          "top principal direction of the embeddings: 4 fixed power-"
          "iteration steps on the exact integer Gram matrix, unit-norm "
          "loadings + Rayleigh-quotient eigenvalue")
+register("bloom_prefilter_semi_join", jn.bloom_prefilter_semi_join,
+         jn.BLOOM_SEMI_JOIN_SQL,
+         "runtime-filter technique as a composable operator: fact scan "
+         "pre-filtered by a broadcast 4096-bit bloom bitmap of the key "
+         "set, exact semi-join behind it — result identical to the "
+         "plain semi join the oracle runs")
+register("benford_first_digit", adv.benford_first_digit,
+         adv.BENFORD_SQL,
+         "Benford's-law first-digit audit of order totals: observed "
+         "digit shares vs the log10(1+1/d) expectation — the classic "
+         "monetary-column anomaly screen")
+register("hits_hubs_authorities", it.hits_hubs_authorities,
+         it.HITS_SQL,
+         "HITS hub/authority scores over the bigram word graph, 4 "
+         "L1-normalized iterations — decimal-pinned like pagerank, "
+         "oracle replays every iteration as unrolled CTEs")
+register("bpe_apply_encode", ta.bpe_apply_encode,
+         ta.BPE_ENCODE_SQL,
+         "encode the corpus with the trained BPE merge table: per-doc "
+         "word/char/BPE-token counts + chars-per-token compression "
+         "(closes the train->apply tokenizer loop)")
 
 
 # --- adjudication-window rotation -----------------------------------------
