@@ -834,3 +834,102 @@ SELECT shard, n_docs, total_tokens, total_chars, n_langs,
            AS load_factor
 FROM per, total
 """
+
+
+# --- per-source distribution-drift audit (two-sample KS) ------------------
+
+def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift audit, each source vs the
+    rest of the corpus, over the document-length distribution — the
+    "which ingest shard drifted?" monitor a training-data pipeline
+    runs per delivery (the KS statistic is THE standard distribution-
+    drift test precisely because it is rank-based: no binning
+    choices, no moment assumptions).
+
+    D_s = max_x |F_s(x) − F_rest(x)| evaluated on the observed
+    support, computed EXACTLY in integers: |c_s·n_rest − c_rest·n_s|
+    carried in DECIMAL(38,0) (cross-engine exact far past int64; the
+    count products overflow int64 at ~3×10⁹ docs per side), divided
+    once at the end. Argmax ties break on the smallest length.
+
+    Scale: one combinable (source, len) count over the corpus; the
+    dense source×support grid is VALUE-DOMAIN-sized (|sources| ×
+    |distinct lengths|, independent of row count), so the per-source
+    cumulative windows run over bounded partitions. The corpus is
+    scanned once and shuffled never (the counts agg is the only
+    exchange of corpus-derived data).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (docs.groupBy("source", "n_chars")
+              .agg(F.count(F.lit(1)).alias("c")))
+    support = docs.select("n_chars").distinct()
+    sources = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    glob = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("gc"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+
+    grid = (sources.crossJoin(F.broadcast(support))
+            .join(counts, ["source", "n_chars"], "left")
+            .join(F.broadcast(glob), "n_chars")
+            .crossJoin(F.broadcast(total))
+            .withColumn("c", F.coalesce("c", F.lit(0))))
+    w = Window.partitionBy("source").orderBy("n_chars")
+    dec = "decimal(38,0)"
+    g = (grid
+         .withColumn("cum_s", F.sum("c").over(w))
+         .withColumn("cum_all", F.sum("gc").over(w))
+         .withColumn("cum_rest", F.col("cum_all") - F.col("cum_s"))
+         .withColumn("n_rest", F.col("n_total") - F.col("n_s"))
+         .withColumn("num",
+                     F.abs(F.col("cum_s").cast(dec) * F.col("n_rest")
+                           - F.col("cum_rest").cast(dec) * F.col("n_s"))))
+    pick = Window.partitionBy("source").orderBy(
+        F.col("num").desc(), F.col("n_chars"))
+    return (g.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("source", "n_s",
+                    F.round(F.col("num").cast("double")
+                            / (F.col("n_s") * F.col("n_rest"))
+                            .cast("double"), 10).alias("ks_stat"),
+                    F.col("n_chars").alias("ks_at_len")))
+
+
+KS_DRIFT_SQL = """
+WITH counts AS (
+    SELECT source, n_chars, count(*) AS c
+    FROM documents GROUP BY 1, 2
+),
+support AS (SELECT DISTINCT n_chars FROM documents),
+sources AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+gdist AS (SELECT n_chars, count(*) AS gc FROM documents GROUP BY 1),
+total AS (SELECT count(*) AS n_total FROM documents),
+grid AS (
+    SELECT s.source, s.n_s, p.n_chars,
+           COALESCE(c.c, 0) AS c, g.gc, t.n_total
+    FROM sources s CROSS JOIN support p
+    LEFT JOIN counts c ON c.source = s.source AND c.n_chars = p.n_chars
+    JOIN gdist g ON g.n_chars = p.n_chars
+    CROSS JOIN total t
+),
+cums AS (
+    SELECT source, n_s, n_chars,
+           sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum_s,
+           sum(gc) OVER (PARTITION BY source ORDER BY n_chars) AS cum_all,
+           n_total - n_s AS n_rest
+    FROM grid
+),
+nums AS (
+    SELECT source, n_s, n_chars, n_rest,
+           abs(CAST(cum_s AS DECIMAL(38,0)) * n_rest
+               - CAST(cum_all - cum_s AS DECIMAL(38,0)) * n_s) AS num
+    FROM cums
+)
+SELECT source, n_s,
+       round(CAST(num AS DOUBLE)
+             / CAST(n_s * n_rest AS DOUBLE), 10) AS ks_stat,
+       n_chars AS ks_at_len
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY num DESC, n_chars) AS rn
+    FROM nums
+) WHERE rn = 1
+"""

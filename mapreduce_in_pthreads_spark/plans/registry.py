@@ -771,6 +771,12 @@ register("hits_hubs_authorities", it.hits_hubs_authorities,
          "HITS hub/authority scores over the bigram word graph, 4 "
          "L1-normalized iterations — decimal-pinned like pagerank, "
          "oracle replays every iteration as unrolled CTEs")
+register("ks_drift_by_source", cu.ks_drift_by_source,
+         cu.KS_DRIFT_SQL,
+         "per-source distribution-drift audit: exact two-sample KS "
+         "statistic (source vs rest) over doc lengths, integer-exact "
+         "ECDF differences in DECIMAL(38,0) — the per-delivery drift "
+         "monitor")
 register("bpe_apply_encode", ta.bpe_apply_encode,
          ta.BPE_ENCODE_SQL,
          "encode the corpus with the trained BPE merge table: per-doc "
