@@ -782,8 +782,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("v").cast("double")
                             / F.sqrt(F.col("n2").cast("double")), 6)
                     .alias("loading"),
-                    "eigenvalue")
-            .orderBy("dim"))
+                    "eigenvalue"))
 
 
 def _pca_iteration_ctes() -> str:
@@ -892,8 +891,7 @@ def label_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("ratio").cast("double")
                          / F.count(F.lit(1)), 6).alias("avg_agreement"),
                  F.sum((F.col("shared") * 2 < F.col("n_nb"))
-                       .cast("int")).cast("bigint").alias("n_flagged"))
-            .orderBy("label"))
+                       .cast("int")).cast("bigint").alias("n_flagged")))
 
 
 LABEL_KNN_SQL = f"""{_PREFIX_SQL},{_assign_cte("afinal",
