@@ -2961,3 +2961,106 @@ FROM occ LEFT JOIN seg USING (word)
 WHERE word <> ''
 GROUP BY doc_id
 """
+
+
+# --- Kneser-Ney bigram LM scoring -----------------------------------------
+
+KN_DISCOUNT = 0.75   # absolute discount D = 3/4 (exactly representable)
+
+
+def kneser_ney_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney bigram document scoring (Kneser & Ney 1995; the
+    smoothing KenLM actually ships, so this is the faithful step
+    toward CCNet next to ``bigram_logprob_interpolated``'s
+    Jelinek-Mercer mix): per document, the mean ln of
+    P_KN(w|v) = max(c(v,w)−D, 0)/c(v,·)
+              + D·N₁₊(v·)/c(v,·) · N₁₊(·w)/N₁₊(··),
+    D = 3/4. The signature Kneser-Ney move is the CONTINUATION
+    unigram: a word scores by how many distinct contexts precede it,
+    not by raw frequency — "francisco" is frequent but follows only
+    "san", so its continuation mass is tiny.
+
+    Exactness: every count is an integer aggregation (type counts
+    N₁₊ are row counts of the bigram-type relation); D = 3/4 keeps
+    the discount subtraction exact; the probability is evaluated in
+    ONE pinned operator order on both engines; the ln per bigram TYPE
+    is round(·,10)→DECIMAL(25,10)-pinned before the per-doc
+    occurrence sum (the ``token_entropy`` trick). max(c−D, 0) is
+    vacuous for observed bigrams (c ≥ 1 > D) — scoring the training
+    corpus never sees an unseen bigram, so every probability is
+    strictly positive by construction.
+
+    Scale: identical plan family to the JM scorer — the LM is one
+    combinable vocab²-bounded (v,w) aggregation; prefix totals,
+    continuation counts and the 1-row type total attach by broadcast;
+    one combinable per-doc sum. No windows, no self-joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bg = docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws("\x01", F.slice(toks, i, 2))))
+        .alias("bigram"))
+    bg = bg.select(
+        "doc_id",
+        F.split_part("bigram", F.lit("\x01"), F.lit(1)).alias("v"),
+        F.split_part("bigram", F.lit("\x01"), F.lit(2)).alias("w"))
+    lm2 = truncate_lineage(
+        bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c2")))
+    pref = lm2.groupBy("v").agg(F.sum("c2").alias("cv"),
+                                F.count(F.lit(1)).alias("n1v"))
+    cont = lm2.groupBy("w").agg(F.count(F.lit(1)).alias("n1w"))
+    types = lm2.agg(F.count(F.lit(1)).alias("n1tot"))
+    p_kn = ((F.col("c2") - F.lit(KN_DISCOUNT)) / F.col("cv")
+            + F.lit(KN_DISCOUNT) * F.col("n1v") / F.col("cv")
+            * (F.col("n1w") / F.col("n1tot").cast("double")))
+    scored = (
+        lm2.join(F.broadcast(pref), "v")
+        .join(F.broadcast(cont), "w")
+        .join(F.broadcast(types))
+        .select("v", "w",
+                F.round(F.log(p_kn), 10).cast("decimal(25,10)")
+                .alias("logp")))
+    return (
+        bg.join(F.broadcast(scored), ["v", "w"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum("logp").alias("lp_sum"))
+        .select("doc_id", "n_bigrams",
+                F.round(F.col("lp_sum").cast("double")
+                        / F.col("n_bigrams"), 6)
+                .alias("avg_kn_logprob")))
+
+
+KNESER_NEY_SQL = f"""
+WITH bg AS (
+    SELECT doc_id, toks[CAST(i AS INT)] AS v,
+           toks[CAST(i AS INT) + 1] AS w
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents),
+         unnest(range(1, len(toks))) t(i)
+), lm2 AS (
+    SELECT v, w, count(*) AS c2 FROM bg GROUP BY v, w
+), pref AS (
+    SELECT v, CAST(sum(c2) AS BIGINT) AS cv, count(*) AS n1v
+    FROM lm2 GROUP BY v
+), cont AS (
+    SELECT w, count(*) AS n1w FROM lm2 GROUP BY w
+), types AS (SELECT count(*) AS n1tot FROM lm2),
+scored AS (
+    SELECT lm2.v, lm2.w,
+           CAST(round(ln((c2 - {KN_DISCOUNT!r}) / cv
+                         + {KN_DISCOUNT!r} * n1v / cv
+                         * (n1w / CAST(n1tot AS DOUBLE))), 10)
+                AS DECIMAL(25,10)) AS logp
+    FROM lm2
+    JOIN pref USING (v) JOIN cont USING (w) CROSS JOIN types
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(logp) AS DOUBLE) / count(*), 6)
+           AS avg_kn_logprob
+FROM bg JOIN scored USING (v, w)
+GROUP BY doc_id
+"""

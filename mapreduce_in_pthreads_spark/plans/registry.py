@@ -771,6 +771,11 @@ register("hits_hubs_authorities", it.hits_hubs_authorities,
          "HITS hub/authority scores over the bigram word graph, 4 "
          "L1-normalized iterations — decimal-pinned like pagerank, "
          "oracle replays every iteration as unrolled CTEs")
+register("kneser_ney_bigram_logprob", ta.kneser_ney_bigram_logprob,
+         ta.KNESER_NEY_SQL,
+         "Kneser-Ney bigram LM doc scoring (D=3/4, continuation "
+         "unigrams) — the smoothing KenLM ships, beside the "
+         "Jelinek-Mercer scorer")
 register("ks_drift_by_source", cu.ks_drift_by_source,
          cu.KS_DRIFT_SQL,
          "per-source distribution-drift audit: exact two-sample KS "
