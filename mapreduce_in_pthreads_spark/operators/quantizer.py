@@ -930,3 +930,73 @@ SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
            AS n_flagged
 FROM anchors GROUP BY label ORDER BY label
 """
+
+
+# --- simplified silhouette (cluster-quality audit) ------------------------
+
+def silhouette_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell simplified-silhouette audit of the trained coarse
+    quantizer (Vendramin et al. 2010's "simplified silhouette": a =
+    distance to the OWN centroid, b = distance to the nearest OTHER
+    centroid, s = (b−a)/max(a,b)) — the cluster-quality gate that
+    decides whether the IVF index is worth probing before anything
+    builds on its cells. Near 1 = compact/separated; near 0 = the
+    cell boundary cuts through mass (multiprobe territory); negative
+    = vectors landed in the wrong cell (centroid drift).
+
+    Why the SIMPLIFIED variant: the classical silhouette's a/b are
+    mean pairwise distances — Σ|cell|² work, the SemDeDup cost
+    profile. Against centroids it is K distance expressions per row,
+    all map-side (the same broadcast-literal matrix the assignment
+    itself evaluates) — linear at any scale, no joins, one combinable
+    aggregation.
+
+    Exactness: distances are the ``_dist`` sequential fold (exact-
+    double, engine-identical per that helper's contract); sqrt is
+    IEEE-correctly-rounded on both engines; each s is one pinned
+    round(·,10) → DECIMAL(25,10); per-cell mean = exact decimal sum /
+    count. The degenerate max(a,b)=0 guard (a vector EQUAL to two
+    centroids) returns 0 identically on both engines."""
+    coded, cents_prev, _, _ = _train(spark, sf_dir)
+    scores = F.array(*[
+        F.struct(_dist(c).alias("dist"), F.lit(int(cell)).alias("cell"))
+        for cell, c in cents_prev
+    ])
+    best = F.array_min(scores)
+    rows = (coded.withColumn("own", best["cell"])
+            .withColumn("da", F.sqrt(best["dist"]))
+            .withColumn("db", F.sqrt(F.array_min(
+                F.filter(scores,
+                         lambda s: s["cell"] != F.col("own")))["dist"]))
+            .withColumn("s", F.when(
+                F.greatest("da", "db") > 0,
+                F.round((F.col("db") - F.col("da"))
+                        / F.greatest("da", "db"), 10))
+                .otherwise(F.lit(0.0)).cast("decimal(25,10)")))
+    return (rows.groupBy(F.col("own").cast("bigint").alias("cell"))
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.sum("s").cast("double")
+                         / F.count(F.lit(1)), 6)
+                 .alias("mean_silhouette")))
+
+
+SILHOUETTE_SQL = f"""{_PREFIX_SQL},
+sil AS (
+    SELECT a.vec_id, a.cell AS own,
+           sqrt(min(CASE WHEN t.cell = a.cell
+                         THEN {_DIST_SQL} END)) AS da,
+           sqrt(min(CASE WHEN t.cell <> a.cell
+                         THEN {_DIST_SQL} END)) AS db
+    FROM coded v
+    JOIN a{KM_ITERS} a ON v.vec_id = a.vec_id
+    CROSS JOIN cents{KM_ITERS - 1} t
+    GROUP BY a.vec_id, a.cell
+)
+SELECT CAST(own AS BIGINT) AS cell, count(*) AS n_vecs,
+       round(CAST(sum(CAST(CASE WHEN greatest(da, db) > 0
+                                THEN round((db - da) / greatest(da, db),
+                                           10)
+                                ELSE 0 END AS DECIMAL(25,10)))
+                  AS DOUBLE) / count(*), 6) AS mean_silhouette
+FROM sil GROUP BY own
+"""

@@ -771,6 +771,11 @@ register("hits_hubs_authorities", it.hits_hubs_authorities,
          "HITS hub/authority scores over the bigram word graph, 4 "
          "L1-normalized iterations — decimal-pinned like pagerank, "
          "oracle replays every iteration as unrolled CTEs")
+register("silhouette_cells", qz.silhouette_cells,
+         qz.SILHOUETTE_SQL,
+         "per-cell simplified-silhouette audit of the trained coarse "
+         "quantizer — linear centroid-distance variant (never the "
+         "pairwise n-squared classic), the IVF cluster-quality gate")
 register("kneser_ney_bigram_logprob", ta.kneser_ney_bigram_logprob,
          ta.KNESER_NEY_SQL,
          "Kneser-Ney bigram LM doc scoring (D=3/4, continuation "
