@@ -1246,14 +1246,14 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tsets = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("ts"))
-    pool_t = pool.join(tsets, "doc_id")
+    pool_t = tsets.join(F.broadcast(pool), "doc_id")
     a = pool_t.select("query_id", F.col("doc_id").alias("doc_a"),
                       F.col("ts").alias("ts_a"))
     b = pool_t.select("query_id", F.col("doc_id").alias("doc_b"),
                       F.col("ts").alias("ts_b"))
     shared = F.size(F.array_intersect("ts_a", "ts_b"))
     sims = truncate_lineage(
-        a.join(b, "query_id")
+        a.join(F.broadcast(b), "query_id")
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("query_id", "doc_a", "doc_b",
                 (shared / (F.size("ts_a") + F.size("ts_b") - shared))
@@ -1272,33 +1272,36 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id",
         F.round(lam * F.col("rel"), 10).alias("mmr")))
     # step 2: redundancy vs s1
-    rem1 = pool.join(s1.select("query_id",
-                               F.col("doc_id").alias("sel1")), "query_id") \
+    rem1 = pool.join(F.broadcast(s1.select(
+                   "query_id", F.col("doc_id").alias("sel1"))),
+                     "query_id") \
                .filter(F.col("doc_id") != F.col("sel1"))
     s2 = argmax(
-        rem1.join(sims.select("query_id",
-                              F.col("doc_a").alias("doc_id"),
-                              F.col("doc_b").alias("sel1"),
-                              F.col("sim").alias("sim1")),
+        rem1.join(F.broadcast(sims.select(
+                      "query_id", F.col("doc_a").alias("doc_id"),
+                      F.col("doc_b").alias("sel1"),
+                      F.col("sim").alias("sim1"))),
                   ["query_id", "doc_id", "sel1"])
         .select("query_id", "doc_id",
                 F.round(lam * F.col("rel")
                         - (F.lit(1.0) - lam) * F.col("sim1"), 10)
                 .alias("mmr")))
     # step 3: redundancy vs {s1, s2} — max of the two sims
-    rem2 = (rem1.join(s2.select("query_id",
-                                F.col("doc_id").alias("sel2")),
+    rem2 = (rem1.join(F.broadcast(s2.select(
+                      "query_id", F.col("doc_id").alias("sel2"))),
                       "query_id")
             .filter(F.col("doc_id") != F.col("sel2")))
     s3 = argmax(
         rem2
-        .join(sims.select("query_id", F.col("doc_a").alias("doc_id"),
-                          F.col("doc_b").alias("sel1"),
-                          F.col("sim").alias("sim1")),
+        .join(F.broadcast(sims.select(
+                  "query_id", F.col("doc_a").alias("doc_id"),
+                  F.col("doc_b").alias("sel1"),
+                  F.col("sim").alias("sim1"))),
               ["query_id", "doc_id", "sel1"])
-        .join(sims.select("query_id", F.col("doc_a").alias("doc_id"),
-                          F.col("doc_b").alias("sel2"),
-                          F.col("sim").alias("sim2")),
+        .join(F.broadcast(sims.select(
+                  "query_id", F.col("doc_a").alias("doc_id"),
+                  F.col("doc_b").alias("sel2"),
+                  F.col("sim").alias("sim2"))),
               ["query_id", "doc_id", "sel2"])
         .select("query_id", "doc_id",
                 F.round(lam * F.col("rel")
@@ -1562,7 +1565,7 @@ def rocchio_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qdf.withColumn("is_q", F.lit(1))),
               ["query_id", "word"], "left")
         .filter(F.col("is_q").isNull())
-        .join(idf, "word")
+        .join(F.broadcast(idf), "word")
         .select("query_id", "word",
                 (F.col("tf_sum") * F.col("idf")).alias("w")))
     we = Window.partitionBy("query_id").orderBy(
