@@ -21,10 +21,11 @@ single-key hotspots.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.inverted_index import TOKENS_FILTERED_SQL, tokens
+from ..sources.tables import load_table
 
 SALT_BUCKETS = 16
 
@@ -44,4 +45,69 @@ def salted_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 SALTED_WORD_COUNT_SQL = f"""
 SELECT word, count(*) AS n_occurrences
 FROM ({TOKENS_FILTERED_SQL}) w GROUP BY word
+"""
+
+
+def gini_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis: per event_type, the concentration
+    profile of the ``user_id`` key population — key count, total rows,
+    the hottest key's share, and the Gini coefficient of the per-key
+    row-count distribution. This is the audit you run BEFORE picking a
+    shuffle key at 100 TB: Gini near 0 = uniform keys (hash partition
+    and move on), Gini near 1 / high max_share = a salted rewrite
+    (``salted_word_count``) or AQE skew-split territory.
+
+    Gini via the rank identity over ascending-sorted counts x_1..x_n:
+        G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n · Σ x_i)
+    — every term an exact BIGINT (Σ i·x_i ≤ n·Σx fits int64 far past
+    any real key population), so the single final division is one
+    correctly-rounded double op on both engines (round 10 dp). Ties in
+    the sort order are harmless: equal x values contribute the same
+    Σ i·x_i over their rank block in any permutation.
+
+    Scale: one combinable (event_type, user_id) count, then a window
+    over the PER-KEY relation (|users| rows per type, not |events|) —
+    the window partitions by event_type whose per-partition population
+    is the key count, already reduced. No joins, no global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    ranked = per_key.withColumn("i", F.row_number().over(w))
+    return (ranked.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.sum("x").alias("total_rows"),
+                 F.max("x").alias("max_key_rows"),
+                 F.sum(F.col("i") * F.col("x")).alias("s_ix"))
+            .select(
+                "event_type", "n_keys", "total_rows",
+                F.round(F.col("max_key_rows")
+                        / F.col("total_rows").cast("double"), 10)
+                .alias("max_share"),
+                F.round((2 * F.col("s_ix")
+                         - (F.col("n_keys") + 1) * F.col("total_rows"))
+                        / (F.col("n_keys")
+                           * F.col("total_rows")).cast("double"), 10)
+                .alias("gini")))
+
+
+GINI_KEY_SKEW_SQL = """
+WITH per_key AS (
+    SELECT event_type, user_id, count(*) AS x
+    FROM events GROUP BY event_type, user_id
+), ranked AS (
+    SELECT event_type, x,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY x, user_id) AS i
+    FROM per_key
+)
+SELECT event_type,
+       count(*) AS n_keys,
+       CAST(sum(x) AS BIGINT) AS total_rows,
+       round(max(x) / CAST(sum(x) AS DOUBLE), 10) AS max_share,
+       round((2 * sum(i * x) - (count(*) + 1) * sum(x))
+             / CAST(count(*) * sum(x) AS DOUBLE), 10) AS gini
+FROM ranked
+GROUP BY event_type
 """

@@ -792,6 +792,18 @@ register("bpe_apply_encode", ta.bpe_apply_encode,
          "encode the corpus with the trained BPE merge table: per-doc "
          "word/char/BPE-token counts + chars-per-token compression "
          "(closes the train->apply tokenizer loop)")
+register("gini_key_skew", sk.gini_key_skew,
+         sk.GINI_KEY_SKEW_SQL,
+         "shuffle-key skew diagnosis: per event_type, key count / "
+         "hottest-key share / Gini of the user_id row-count "
+         "distribution — the pre-shuffle audit that decides between "
+         "plain hash partitioning and the salted rewrite")
+register("simhash_hamming_dedup", dd.simhash_hamming_dedup,
+         dd.SIMHASH_HAMMING_SQL,
+         "SimHash near-dup pairs at Hamming <= 3 via Manku et al. "
+         "2007 4x16-bit band blocking — pigeonhole-lossless candidate "
+         "generation (65x prune at sf0.1) + exact nibble-XOR popcount "
+         "verify")
 
 
 # --- adjudication-window rotation -----------------------------------------
