@@ -933,3 +933,117 @@ FROM (
     FROM nums
 ) WHERE rn = 1
 """
+
+
+WINSOR_TAIL_PCT10 = 1   # winsorize n//10 values at each tail (10 %)
+
+
+def winsorized_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust location/scale profile of document lengths —
+    the outlier-resistant complement of ``stats_moments`` (a handful
+    of truncated or concatenated crawl records move a mean/stddev
+    arbitrarily; they barely move these): lower median, 10 %-winsorized
+    mean, and MAD (median absolute deviation, the robust sigma).
+
+    All three are RANK-SELECTED order statistics (the repo's float-
+    exactness convention — Spark and DuckDB interpolate percentiles
+    differently, order statistics are engine-exact): median = value at
+    ascending rank ⌈n/2⌉; the winsorized sum clamps the k = n//10
+    smallest values to x_(k+1) and the k largest to x_(n-k), computed
+    WITHOUT a clamp-join as mid_sum + k·x_(k+1) + k·x_(n-k) from one
+    conditional aggregation; MAD re-ranks |x − median| per source.
+
+    Scale: two window passes over the corpus partitioned BY SOURCE
+    (each a real parallel key, never a single global partition) + one
+    broadcast of the per-source medians; every aggregation is
+    combinable. At 100 TB the same shape holds — the per-source
+    partitions are the natural delivery shards.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source", "doc_id", "n_chars",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"))
+    k = F.floor(F.col("n") / 10).cast("long")
+    m = F.floor((F.col("n") + 1) / 2).cast("long")
+    base = (ranked
+            .groupBy("source")
+            .agg(F.max("n").alias("n_docs"),
+                 F.max(F.when(F.col("i") <= m, F.col("n_chars")))
+                 .alias("median_chars"),
+                 F.max(F.when(F.col("i") <= k + 1, F.col("n_chars")))
+                 .alias("lo_val"),
+                 F.min(F.when(F.col("i") >= F.col("n") - k,
+                              F.col("n_chars"))).alias("hi_val"),
+                 F.sum(F.when((F.col("i") > k)
+                              & (F.col("i") <= F.col("n") - k),
+                              F.col("n_chars")).otherwise(F.lit(0)))
+                 .alias("mid_sum")))
+    kk = F.floor(F.col("n_docs") / 10).cast("long")
+    stats = base.select(
+        "source", "n_docs", "median_chars",
+        F.round((F.col("mid_sum") + kk * F.col("lo_val")
+                 + kk * F.col("hi_val"))
+                / F.col("n_docs").cast("double"), 10)
+        .alias("winsor_mean_chars"))
+    devs = docs.join(
+        F.broadcast(stats.select("source", "median_chars")), "source")
+    wd = Window.partitionBy("source").orderBy("dev", "doc_id")
+    mad = (devs.select(
+        "source",
+        F.abs(F.col("n_chars") - F.col("median_chars")).alias("dev"),
+        "doc_id")
+        .select("source", "dev", F.row_number().over(wd).alias("i"),
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("source")).alias("n"))
+        .groupBy("source")
+        .agg(F.max(F.when(
+            F.col("i") <= F.floor((F.col("n") + 1) / 2).cast("long"),
+            F.col("dev"))).alias("mad_chars")))
+    return stats.join(mad, "source")
+
+
+WINSORIZED_STATS_SQL = """
+WITH ranked AS (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS i,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM documents
+),
+base AS (
+    SELECT source,
+           max(n) AS n_docs,
+           max(CASE WHEN i <= (n + 1) // 2 THEN n_chars END)
+               AS median_chars,
+           max(CASE WHEN i <= n // 10 + 1 THEN n_chars END) AS lo_val,
+           min(CASE WHEN i >= n - n // 10 THEN n_chars END) AS hi_val,
+           sum(CASE WHEN i > n // 10 AND i <= n - n // 10
+                    THEN n_chars ELSE 0 END) AS mid_sum
+    FROM ranked GROUP BY source
+),
+stats AS (
+    SELECT source, n_docs, median_chars,
+           round((mid_sum + (n_docs // 10) * lo_val
+                  + (n_docs // 10) * hi_val)
+                 / CAST(n_docs AS DOUBLE), 10) AS winsor_mean_chars
+    FROM base
+),
+devr AS (
+    SELECT d.source, abs(d.n_chars - s.median_chars) AS dev,
+           row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY abs(d.n_chars - s.median_chars), d.doc_id) AS i,
+           count(*) OVER (PARTITION BY d.source) AS n
+    FROM documents d JOIN stats s ON s.source = d.source
+),
+mad AS (
+    SELECT source,
+           max(CASE WHEN i <= (n + 1) // 2 THEN dev END) AS mad_chars
+    FROM devr GROUP BY source
+)
+SELECT s.source, s.n_docs, s.median_chars, s.winsor_mean_chars,
+       m.mad_chars
+FROM stats s JOIN mad m ON m.source = s.source
+"""

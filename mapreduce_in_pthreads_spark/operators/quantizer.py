@@ -1000,3 +1000,193 @@ SELECT CAST(own AS BIGINT) AS cell, count(*) AS n_vecs,
                   AS DOUBLE) / count(*), 6) AS mean_silhouette
 FROM sil GROUP BY own
 """
+
+
+KC_SEEDS = 4   # 1 deterministic start + 3 farthest-first selections
+
+
+def kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez farthest-first traversal (the classic 2-approximation
+    for k-center, Gonzalez 1985) over the int8-quantized embeddings —
+    the coverage-maximizing seed selector used for quantizer init and
+    coreset/data-pruning anchors (pick the K most mutually distant
+    exemplars, then audit how well they cover the corpus).
+
+    Selection: seed 1 is the minimum vec_id (a deterministic start, as
+    the algorithm permits any); each next seed is the point with the
+    LARGEST distance to its nearest already-chosen seed (argmax of the
+    running min — ties break on vec_id). The report then assigns every
+    point to its nearest seed and emits per-seed member counts and the
+    covering radius — max-over-members of the min-distance, i.e. the
+    k-center objective the traversal 2-approximates.
+
+    Exactness: distances are squared L2 over int codes — integer-
+    valued doubles (≤ 64·254² per pair), exact in both engines; the
+    selection trace and the radius are emitted as BIGINT.
+
+    Scale: each of the 3 selection rounds is ONE full scan with a
+    broadcast ≤K-row seed list folded into a `least(...)` expression +
+    a TakeOrdered(1) — bounded driver traffic (one row per round), no
+    shuffle of the corpus; the final assignment is the same broadcast
+    argmin expression + one combinable aggregation. The O(n·K) total
+    work is the textbook cost of farthest-first.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = _coded(emb).select("vec_id", "codes")
+    first = coded.orderBy("vec_id").limit(1).collect()[0]
+    seeds = [(int(first.vec_id),
+              [float(v) for v in first.codes], 0)]
+    for _ in range(KC_SEEDS - 1):
+        dists = [_dist(c) for _, c, _ in seeds]
+        mind = F.least(*dists) if len(dists) > 1 else dists[0]
+        far = (coded.select("vec_id", "codes", mind.alias("d"))
+               .orderBy(F.col("d").desc(), "vec_id").limit(1)
+               .collect()[0])
+        seeds.append((int(far.vec_id),
+                      [float(v) for v in far.codes], int(far.d)))
+    scores = F.array(*[
+        F.struct(_dist(c).alias("dist"),
+                 F.lit(i + 1).alias("seed_rank"))
+        for i, (_, c, _) in enumerate(seeds)
+    ])
+    nearest = coded.select(
+        F.array_min(scores)["seed_rank"].alias("seed_rank"),
+        F.array_min(scores)["dist"].alias("d"))
+    members = nearest.groupBy("seed_rank").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("d").cast("bigint").alias("radius_sq"))
+    trace = spark.createDataFrame(
+        [(i + 1, sid, d) for i, (sid, _, d) in enumerate(seeds)],
+        "seed_rank int, vec_id bigint, picked_dist_sq bigint")
+    return (trace.join(members, "seed_rank")
+            .select(F.col("seed_rank").cast("bigint").alias("seed_rank"),
+                    "vec_id", "picked_dist_sq", "n_members", "radius_sq"))
+
+
+def _kc_dist(a: str, b: str) -> str:
+    return (f"list_reduce(list_transform(range(1, {KM_D + 1}), i -> "
+            f"(CAST({a}.codes[i] AS DOUBLE) - CAST({b}.codes[i] AS "
+            f"DOUBLE)) * (CAST({a}.codes[i] AS DOUBLE) - "
+            f"CAST({b}.codes[i] AS DOUBLE))), (x, y) -> x + y)")
+
+
+def _kcenter_sql() -> str:
+    picks = ["s1 AS (SELECT vec_id, codes, CAST(0 AS DOUBLE) AS d "
+             "FROM coded ORDER BY vec_id LIMIT 1)"]
+    for r in range(2, KC_SEEDS + 1):
+        mind = ", ".join(_kc_dist("v", f"p{j}") for j in range(1, r))
+        mind = f"least({mind})" if r > 2 else mind
+        froms = " ".join(f"CROSS JOIN s{j} p{j}" for j in range(1, r))
+        picks.append(
+            f"s{r} AS (SELECT v.vec_id, v.codes, {mind} AS d "
+            f"FROM coded v {froms} "
+            f"ORDER BY d DESC, v.vec_id LIMIT 1)")
+    seeds_union = " UNION ALL ".join(
+        f"SELECT {r} AS seed_rank, vec_id, codes, d FROM s{r}"
+        for r in range(1, KC_SEEDS + 1))
+    return f"""
+WITH coded AS (
+    SELECT vec_id, {_CODES_SQL} AS codes FROM embeddings
+),
+{", ".join(picks)},
+seeds AS ({seeds_union}),
+assigned AS (
+    SELECT seed_rank, dd FROM (
+        SELECT s.seed_rank, {_kc_dist("v", "s")} AS dd,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_kc_dist("v", "s")},
+                                           s.seed_rank) AS rn
+        FROM coded v CROSS JOIN seeds s
+    ) WHERE rn = 1
+),
+members AS (
+    SELECT seed_rank, count(*) AS n_members,
+           CAST(max(dd) AS BIGINT) AS radius_sq
+    FROM assigned GROUP BY seed_rank
+)
+SELECT CAST(s.seed_rank AS BIGINT) AS seed_rank, s.vec_id,
+       CAST(s.d AS BIGINT) AS picked_dist_sq, m.n_members, m.radius_sq
+FROM seeds s JOIN members m ON m.seed_rank = s.seed_rank
+"""
+
+
+KCENTER_SEEDS_SQL = _kcenter_sql()
+
+
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift audit over the int8-quantized codes:
+    for each label, the cosine between the label centroid and the
+    GLOBAL centroid plus the centroid's own L2 norm — the
+    embedding-space counterpart of ``ks_drift_by_source`` (is one
+    slice of the corpus pointing somewhere else?), and the audit run
+    before trusting per-label balanced sampling.
+
+    The scaling identity that makes this oracle-exact: cosine is
+    scale-invariant, so cos(mean_l, mean_g) == cos(SUM_l, SUM_g) — and
+    the per-dimension SUMS of integer codes are exact integers
+    (associative, order-independent), unlike float means
+    (``label_centroid_norms`` is rows-only for exactly that reason).
+    Every dot/norm is an exact integer; the single sqrt+division is
+    one written order on both engines, round 10 dp. Int64 headroom:
+    Σ s·g per dim is bounded by (127·n_l)·(127·n) — overflows int64
+    past n ≈ 7.5×10⁸ vectors; switch the products to DECIMAL(38,0)
+    beyond that.
+
+    Scale: ONE combinable (label, dim) aggregation over the exploded
+    codes (the only corpus-sized shuffle, lineage-cut because both the
+    global rollup and the per-label dot consume it); everything
+    downstream is |labels|×D rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", F.abs))
+    scale = F.lit(127.0) / absmax
+    codes = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * scale)
+        .cast("long"))
+    pc = truncate_lineage(
+        emb.select("label", F.posexplode(codes).alias("d", "c"))
+        .groupBy("label", "d").agg(F.sum("c").alias("s")))
+    glob = pc.groupBy("d").agg(F.sum("s").alias("g"))
+    n2g = glob.agg(F.sum(F.col("g") * F.col("g")).alias("n2g"))
+    nl = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    per = (pc.join(F.broadcast(glob), "d")
+           .groupBy("label")
+           .agg(F.sum(F.col("s") * F.col("g")).alias("dot"),
+                F.sum(F.col("s") * F.col("s")).alias("n2l")))
+    return (per.join(F.broadcast(nl), "label")
+            .crossJoin(F.broadcast(n2g))
+            .select(F.col("label").cast("bigint").alias("label"),
+                    "n_vecs",
+                    F.round(F.col("dot")
+                            / F.sqrt(F.col("n2l").cast("double")
+                                     * F.col("n2g").cast("double")), 10)
+                    .alias("cos_to_global"),
+                    F.round(F.sqrt(F.col("n2l").cast("double"))
+                            / F.col("n_vecs"), 10)
+                    .alias("centroid_norm")))
+
+
+CENTROID_DRIFT_SQL = f"""
+WITH coded AS (
+    SELECT vec_id, label, {_CODES_SQL} AS codes FROM embeddings
+),
+pc AS (
+    SELECT label, d, sum(codes[d]) AS s
+    FROM coded CROSS JOIN range(1, {KM_D + 1}) t(d)
+    GROUP BY 1, 2
+),
+gsum AS (SELECT d, sum(s) AS g FROM pc GROUP BY d),
+n2gt AS (SELECT sum(g * g) AS n2g FROM gsum),
+nl AS (SELECT label, count(*) AS n_vecs FROM coded GROUP BY label),
+per AS (
+    SELECT p.label, sum(p.s * g.g) AS dot, sum(p.s * p.s) AS n2l
+    FROM pc p JOIN gsum g ON g.d = p.d
+    GROUP BY p.label
+)
+SELECT CAST(per.label AS BIGINT) AS label, nl.n_vecs,
+       round(CAST(dot AS DOUBLE)
+             / sqrt(CAST(n2l AS DOUBLE) * CAST(n2g AS DOUBLE)), 10)
+           AS cos_to_global,
+       round(sqrt(CAST(n2l AS DOUBLE)) / nl.n_vecs, 10) AS centroid_norm
+FROM per JOIN nl ON nl.label = per.label CROSS JOIN n2gt
+"""

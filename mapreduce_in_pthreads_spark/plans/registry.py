@@ -804,6 +804,23 @@ register("simhash_hamming_dedup", dd.simhash_hamming_dedup,
          "2007 4x16-bit band blocking — pigeonhole-lossless candidate "
          "generation (65x prune at sf0.1) + exact nibble-XOR popcount "
          "verify")
+register("winsorized_robust_stats", cu.winsorized_robust_stats,
+         cu.WINSORIZED_STATS_SQL,
+         "per-source robust length profile: rank-exact median, 10%-"
+         "winsorized mean (clamp-free conditional-sum formulation), "
+         "and MAD — the outlier-resistant twin of stats_moments")
+register("kcenter_seeds", qz.kcenter_seeds,
+         qz.KCENTER_SEEDS_SQL,
+         "Gonzalez farthest-first k-center seeds over int8 codes "
+         "(3 scan+argmax rounds, bounded 1-row collects) + per-seed "
+         "member counts and covering radius — coreset/quantizer-init "
+         "anchor selection")
+register("embedding_centroid_drift", qz.embedding_centroid_drift,
+         qz.CENTROID_DRIFT_SQL,
+         "per-label centroid-vs-global cosine drift over int8 codes — "
+         "exact via the scale-invariance identity cos(mean_l, mean_g) "
+         "= cos(sum_l, sum_g); the embedding-space twin of "
+         "ks_drift_by_source")
 
 
 # --- adjudication-window rotation -----------------------------------------
