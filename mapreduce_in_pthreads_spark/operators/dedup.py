@@ -988,3 +988,83 @@ FROM incoming i
 LEFT JOIN existing_fp e ON e.fingerprint = i.fingerprint
 LEFT JOIN near nr ON nr.doc_id = i.doc_id
 """
+
+
+EDIT_MAX = 2        # near-duplicate = edit distance <= 2
+EDIT_BUCKET_W = 3   # length-bucket width for candidate blocking
+
+
+def edit_distance_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance entity resolution over part names — the
+    record-linkage primitive (find product-name variants that are
+    typos/reformulations of each other) built as composite-key
+    blocking + bounded verify, the standard ER recipe at scale:
+
+    1. collapse to DISTINCT (brand, name) with occurrence counts —
+       dedup-by-group before any pair math;
+    2. candidate generation is an EQUI-join on (brand, length-bucket):
+       edit distance ≤ 2 forces |len(a) − len(b)| ≤ 2, so with W=3
+       buckets a qualifying pair sits at most one bucket apart — the
+       left side probes {B−1, B, B+1}, the right side keeps its own
+       bucket, and `name_a < name_b` makes each pair match EXACTLY
+       once (the right side's bucket is unique). Lossless blocking,
+       like the simhash bands — never an all-pairs comparison;
+    3. verify: exact Levenshtein (unit costs — Spark `levenshtein` and
+       DuckDB `levenshtein` agree) on candidates only.
+
+    Scale: the name relation is the DISTINCT name catalog (orders of
+    magnitude below fact row counts); pair fan-out is bounded by
+    block populations — brand × 3-char length band — and a skewed
+    block is AQE skew-split territory, not a plan change.
+    """
+    part = load_table(spark, sf_dir, "part")
+    names = (part.groupBy("p_brand", "p_name")
+             .agg(F.count(F.lit(1)).alias("n_rows"))
+             .withColumn("len", F.length("p_name"))
+             .withColumn("bucket",
+                         F.floor(F.col("len") / EDIT_BUCKET_W)
+                         .cast("long")))
+    left = names.select(
+        F.col("p_brand").alias("brand"), F.col("p_name").alias("name_a"),
+        F.col("n_rows").alias("n_rows_a"), F.col("len").alias("len_a"),
+        F.explode(F.array(F.col("bucket") - 1, F.col("bucket"),
+                          F.col("bucket") + 1)).alias("probe"))
+    right = names.select(
+        F.col("p_brand").alias("brand"), F.col("p_name").alias("name_b"),
+        F.col("n_rows").alias("n_rows_b"), F.col("len").alias("len_b"),
+        F.col("bucket").alias("probe"))
+    return (left.join(right, ["brand", "probe"])
+            .filter((F.col("name_a") < F.col("name_b"))
+                    & (F.abs(F.col("len_a") - F.col("len_b")) <= EDIT_MAX))
+            .withColumn("edit_dist",
+                        F.levenshtein("name_a", "name_b"))
+            .filter(F.col("edit_dist") <= EDIT_MAX)
+            .select(F.col("brand").alias("p_brand"), "name_a", "name_b",
+                    F.col("edit_dist").cast("int").alias("edit_dist"),
+                    "n_rows_a", "n_rows_b"))
+
+
+EDIT_DISTANCE_PAIRS_SQL = f"""
+WITH names AS (
+    SELECT p_brand, p_name, count(*) AS n_rows, len(p_name) AS l,
+           len(p_name) // {EDIT_BUCKET_W} AS bucket
+    FROM part GROUP BY 1, 2
+),
+lft AS (
+    SELECT p_brand AS brand, p_name AS name_a, n_rows AS n_rows_a,
+           l AS len_a, bucket + b AS probe
+    FROM names, unnest([-1, 0, 1]) AS t(b)
+),
+rgt AS (
+    SELECT p_brand AS brand, p_name AS name_b, n_rows AS n_rows_b,
+           l AS len_b, bucket AS probe
+    FROM names
+)
+SELECT lft.brand AS p_brand, name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS INTEGER) AS edit_dist,
+       n_rows_a, n_rows_b
+FROM lft JOIN rgt ON lft.brand = rgt.brand AND lft.probe = rgt.probe
+WHERE name_a < name_b
+  AND abs(len_a - len_b) <= {EDIT_MAX}
+  AND levenshtein(name_a, name_b) <= {EDIT_MAX}
+"""

@@ -410,6 +410,15 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.date_trunc("hour", "ts").alias("hour"))
         .agg(F.count(F.lit(1)).alias("n"),
              davg("value", "avg_value")))
+    return gap_fill_finish(hourly)
+
+
+def gap_fill_finish(hourly: DataFrame) -> DataFrame:
+    """Grid + forward-fill finishing over an (event_type, hour, n,
+    avg_value) relation — shared verbatim by the batch operator above
+    and the streaming twin (``streaming/foreach_batch.py`` runs it per
+    trigger over the complete-mode aggregate state), so the two modes
+    cannot drift."""
     grid = (
         hourly.groupBy("event_type")
         .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))

@@ -815,6 +815,12 @@ register("kcenter_seeds", qz.kcenter_seeds,
          "(3 scan+argmax rounds, bounded 1-row collects) + per-seed "
          "member counts and covering radius — coreset/quantizer-init "
          "anchor selection")
+register("edit_distance_name_pairs", dd.edit_distance_name_pairs,
+         dd.EDIT_DISTANCE_PAIRS_SQL,
+         "blocked edit-distance entity resolution over the part-name "
+         "catalog: (brand, length-bucket) equi-join blocking — "
+         "lossless for edit <= 2 — + exact Levenshtein verify on "
+         "candidates only")
 register("embedding_centroid_drift", qz.embedding_centroid_drift,
          qz.CENTROID_DRIFT_SQL,
          "per-label centroid-vs-global cosine drift over int8 codes — "

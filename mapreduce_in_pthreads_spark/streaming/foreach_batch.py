@@ -50,3 +50,52 @@ def run_idempotent_foreach_batch(spark: SparkSession, sf_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def run_gap_fill_stream(spark: SparkSession, sf_dir: str,
+                        checkpoint_dir: str, holder: dict) -> None:
+    """Streaming twin of ``timeseries.gap_fill_hourly`` — the
+    "streaming ingest, batch finish per trigger" production pattern
+    (SURVEY.md §7 stretch: one more window family as a Structured
+    Streaming variant):
+
+    - the INCREMENTAL part — per-(event_type, hour) count + decimal
+      avg — runs as a complete-mode streaming aggregation (hour via
+      ``date_trunc``, the batch twin's exact definition; no watermark:
+      complete-mode series state never expires, the same contract as
+      ``streaming/wordline_index.py``'s index);
+    - the NON-INCREMENTAL finishing — dense grid + forward fill, which
+      no streaming aggregation can express because a fill depends on
+      NEIGHBOR rows — re-runs per trigger in ``foreachBatch`` over the
+      (bounded: groups × hours) aggregate state, via the SAME
+      ``gap_fill_finish`` the batch operator uses, so the two modes
+      cannot drift semantically.
+
+    Parity (tests/test_streaming.py): after an availableNow drain the
+    last trigger's finished rows equal the batch operator exactly.
+
+    Scale: streaming state is one row per (event_type, hour) — the
+    regularized SERIES, not the events; the per-trigger finish is a
+    window over that same bounded relation. At 100 TB of events the
+    state is still |types| × |hours|.
+    """
+    from ..functions.numeric import davg
+    from ..operators.timeseries import gap_fill_finish
+
+    ev = _read_event_stream(spark, sf_dir)
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   davg("value", "avg_value")))
+
+    def finish(batch_df: DataFrame, batch_id: int) -> None:
+        holder["rows"] = gap_fill_finish(batch_df).collect()
+        holder["n_triggers"] = holder.get("n_triggers", 0) + 1
+
+    q = (hourly.writeStream
+         .foreachBatch(finish)
+         .outputMode("complete")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

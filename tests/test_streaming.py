@@ -185,3 +185,70 @@ def test_wordline_streaming_index_parity(spark, tmp_path):
     assert n_batches >= 2          # genuinely incremental, not one gulp
     assert len(got) == 4135        # SURVEY corpus fact: distinct words
     assert got == want
+
+
+def test_streaming_gap_fill_parity(spark, sf_dir, tmp_path):
+    """Streaming ingest + per-trigger batch finishing (foreachBatch)
+    equals the batch gap_fill_hourly exactly: the incremental hourly
+    aggregation runs as a complete-mode streaming agg, the dense-grid
+    + forward-fill finishing re-runs per trigger via the SAME
+    gap_fill_finish helper the batch operator calls."""
+    from mapreduce_in_pthreads_spark.streaming.foreach_batch import (
+        run_gap_fill_stream)
+
+    holder: dict = {}
+    run_gap_fill_stream(spark, sf_dir, str(tmp_path / "ckpt"), holder)
+    assert holder.get("n_triggers", 0) >= 1
+    cols = ["event_type", "hour_us", "n_events", "avg_value_ffill",
+            "is_gap"]
+    got = sorted(tuple(r[c] for c in cols) for r in holder["rows"])
+    want = _rows(REGISTRY["gap_fill_hourly"].fn(spark, sf_dir), cols)
+    assert got == want
+
+
+def test_wordline_stream_picks_up_files_landing_mid_stream(spark, tmp_path):
+    """Second wordline micro-batch scenario (SURVEY.md §7 stretch):
+    corpus shards LAND WHILE THE QUERY IS RUNNING. The stream starts
+    over a directory holding one shard, drains, then two more shards
+    are written and the SAME query drains again — the offset advances
+    over the grown listing (shards land in sorted-name order, the
+    production shard-naming contract the source documents) and the
+    complete-mode index equals the batch index over the final corpus.
+    The intermediate snapshot proves incremental consumption: it must
+    equal the batch index over shard 1 alone."""
+    import os
+    from mapreduce_in_pthreads_spark.streaming import wordline_index as wi
+
+    corpus = tmp_path / "corpus"
+    os.makedirs(corpus)
+    (corpus / "shard-000.txt").write_text(
+        "the\nquick\nfox\nthe\nlazy\ndog\n")
+
+    q = (wi.streaming_reference_index(spark, str(corpus))
+         .writeStream.format("memory")
+         .queryName("mem_wordline_live").outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        snap1 = sorted(map(tuple,
+                           spark.table("mem_wordline_live").collect()))
+        want1 = sorted(map(tuple,
+                           wi.batch_reference_index(
+                               spark, str(corpus)).collect()))
+        assert snap1 == want1 and len(snap1) == 5
+
+        (corpus / "shard-001.txt").write_text("quick\nbrown\nfox\n")
+        (corpus / "shard-002.txt").write_text("dog\ndays\nthe\nend\n")
+        q.processAllAvailable()
+        snap2 = sorted(map(tuple,
+                           spark.table("mem_wordline_live").collect()))
+    finally:
+        q.stop()
+
+    want2 = sorted(map(tuple,
+                       wi.batch_reference_index(spark,
+                                                str(corpus)).collect()))
+    assert snap2 == want2
+    assert len(snap2) == 8      # the, quick, fox, lazy, dog, brown, days, end
+    assert snap2 != snap1       # the second drain actually changed the index
