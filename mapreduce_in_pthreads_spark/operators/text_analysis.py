@@ -1427,6 +1427,23 @@ def query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (query, doc); top-k is a per-query window, never a global
     sort.
     """
+    per_doc = _ql_per_doc(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ql_sum").desc(), F.col("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= QL_TOP_K)
+        .select("query_id", "doc_id",
+                F.round(F.col("ql_sum").cast("double"), 6)
+                .alias("ql_score"), "rank"))
+
+
+def _ql_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Dirichlet query-likelihood candidate scoring: one row per
+    (query_id, doc_id) with the exact decimal ``ql_sum``. Candidates =
+    docs containing ≥ 1 query term — the SAME set ``_bm25_per_doc``
+    produces, which is what makes the rank-correlation audit a
+    like-for-like comparison."""
     docs = load_table(spark, sf_dir, "documents")
     terms = sorted({t for _, t in BM25_QUERIES})
     tok = docs.select(
@@ -1455,20 +1472,12 @@ def query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cf.join(F.broadcast(total))), "word")
         .join(dl, "doc_id")
         .select("query_id", "doc_id", logp.alias("logp")))
-    per_doc = scored.groupBy("query_id", "doc_id").agg(
+    return scored.groupBy("query_id", "doc_id").agg(
         F.sum("logp").alias("ql_sum"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("ql_sum").desc(), F.col("doc_id"))
-    return (
-        per_doc.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= QL_TOP_K)
-        .select("query_id", "doc_id",
-                F.round(F.col("ql_sum").cast("double"), 6)
-                .alias("ql_score"), "rank"))
 
 
-QUERY_LIKELIHOOD_SQL = f"""
-WITH q(query_id, word) AS (VALUES {_bm25_values_sql()}),
+_QL_PREFIX_SQL = f"""
+WITH q(query_id, word) AS (VALUES {{values}}),
 tok AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS word
     FROM documents
@@ -1503,7 +1512,10 @@ cf AS (
 ), per_doc AS (
     SELECT query_id, doc_id, sum(logp) AS ql_sum
     FROM scored GROUP BY query_id, doc_id
-)
+)"""
+
+QUERY_LIKELIHOOD_SQL = f"""{_QL_PREFIX_SQL.format(
+    values=_bm25_values_sql())}
 SELECT query_id, doc_id,
        round(CAST(ql_sum AS DOUBLE), 6) AS ql_score, rank
 FROM (
@@ -3066,4 +3078,90 @@ SELECT doc_id, count(*) AS n_bigrams,
            AS avg_kn_logprob
 FROM bg JOIN scored USING (v, w)
 GROUP BY doc_id
+"""
+
+
+def ranker_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the BM25 and Dirichlet
+    query-likelihood rankings, per query — the ranker-agreement audit
+    run before swapping retrieval models (high ρ = the cheaper ranker
+    is a drop-in; low ρ = re-judge). Both rankers score the SAME
+    candidate set (docs matching ≥ 1 query term, via the shared
+    ``_bm25_per_doc`` / ``_ql_per_doc`` builders), so the comparison
+    is like-for-like over n = |candidates| items.
+
+    ρ = 1 − 6·Σd² / (n³ − n) over deterministic ranks (row_number by
+    score desc, doc_id — the tie convention every ranked entry in this
+    module uses, documented in place of classic mid-ranks). Σd² and
+    n³−n are exact integers (n³ overflows int64 past ~2 M candidates
+    per query — switch to DECIMAL(38,0) there); the single division is
+    one correctly-rounded double op (round 10), NULL-guarded at n ≤ 1.
+    ``top1_agree`` flags whether the two rankers pick the same #1 doc.
+
+    Scale: both score relations aggregate query-term postings only;
+    the rank windows partition per query; the join is per-(query, doc)
+    on already-reduced relations. Nothing corpus-sized shuffles twice.
+    """
+    bm = _bm25_per_doc(spark, sf_dir)
+    ql = _ql_per_doc(spark, sf_dir)
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("score_sum").desc(), F.col("doc_id"))
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("ql_sum").desc(), F.col("doc_id"))
+    ra = bm.select("query_id", "doc_id",
+                   F.row_number().over(wa).alias("r1"))
+    rb = ql.select("query_id", "doc_id",
+                   F.row_number().over(wb).alias("r2"))
+    j = ra.join(rb, ["query_id", "doc_id"])
+    d2 = (F.col("r1") - F.col("r2")).cast("long")
+    n = F.count(F.lit(1)).cast("long")
+    agg = j.groupBy("query_id").agg(
+        n.alias("n_candidates"),
+        F.sum(d2 * d2).alias("sum_d2"),
+        F.max(F.when(F.col("r1") == 1, F.col("doc_id")))
+        .alias("top_a"),
+        F.max(F.when(F.col("r2") == 1, F.col("doc_id")))
+        .alias("top_b"))
+    nn = F.col("n_candidates")
+    rho = F.round(
+        F.lit(1.0) - (6 * F.col("sum_d2")).cast("double")
+        / (nn * nn * nn - nn).cast("double"), 10)
+    return agg.select(
+        "query_id", "n_candidates",
+        F.when(nn > 1, rho).alias("spearman_rho"),
+        (F.col("top_a") == F.col("top_b")).cast("int")
+        .alias("top1_agree"))
+
+
+RANK_CORRELATION_SQL = f"""
+WITH bm AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score_sum DESC, doc_id) AS r1
+    FROM ({_BM25_PREFIX_SQL}
+          SELECT query_id, doc_id, score_sum FROM per_doc) t
+),
+qlr AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ql_sum DESC, doc_id) AS r2
+    FROM ({_QL_PREFIX_SQL.format(values=_bm25_values_sql())}
+          SELECT query_id, doc_id, ql_sum FROM per_doc) t
+),
+j AS (
+    SELECT bm.query_id, bm.doc_id, r1, r2
+    FROM bm JOIN qlr ON qlr.query_id = bm.query_id
+                    AND qlr.doc_id = bm.doc_id
+)
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CASE WHEN count(*) > 1 THEN
+           round(1.0 - CAST(6 * sum((r1 - r2) * (r1 - r2)) AS DOUBLE)
+                 / CAST(count(*) * count(*) * count(*) - count(*)
+                        AS DOUBLE), 10)
+       END AS spearman_rho,
+       CAST(max(CASE WHEN r1 = 1 THEN doc_id END)
+            = max(CASE WHEN r2 = 1 THEN doc_id END) AS INT)
+           AS top1_agree
+FROM j GROUP BY query_id
 """

@@ -815,6 +815,12 @@ register("kcenter_seeds", qz.kcenter_seeds,
          "(3 scan+argmax rounds, bounded 1-row collects) + per-seed "
          "member counts and covering radius — coreset/quantizer-init "
          "anchor selection")
+register("ranker_rank_correlation", ta.ranker_rank_correlation,
+         ta.RANK_CORRELATION_SQL,
+         "per-query Spearman rho between BM25 and Dirichlet-QL "
+         "rankings over the shared candidate set + top-1 agreement — "
+         "the ranker-swap audit (exact integer d-squared sums, "
+         "deterministic tie ranks)")
 register("edit_distance_name_pairs", dd.edit_distance_name_pairs,
          dd.EDIT_DISTANCE_PAIRS_SQL,
          "blocked edit-distance entity resolution over the part-name "
