@@ -1047,3 +1047,75 @@ SELECT s.source, s.n_docs, s.median_chars, s.winsor_mean_chars,
        m.mad_chars
 FROM stats s JOIN mad m ON m.source = s.source
 """
+
+
+def kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary drift: KL(P_source ‖ P_corpus) over the
+    word distribution — the TOKEN-level drift monitor beside
+    ``ks_drift_by_source``'s length-level KS (a delivery can keep its
+    length profile while its vocabulary shifts; this catches that).
+    P_corpus is the all-sources mixture, so every source word has
+    corpus support and the divergence is finite.
+
+    Exactness (the ``token_entropy`` convention): each p·ln(p/q) term
+    is computed as doubles in ONE written order, round(·,10)-pinned to
+    DECIMAL(25,10), and summed exactly — float accumulation order can
+    never flip the result across engines.
+
+    Scale: ONE combinable (source, word) count over the token
+    explosion; the per-source totals, global word counts, and grand
+    total are windows over that aggregated |sources|×|vocab| relation
+    — no second pass over the corpus, no joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word"))
+    counts = tok.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("c"))
+    n_s = F.sum("c").over(Window.partitionBy("source"))
+    c_g = F.sum("c").over(Window.partitionBy("word"))
+    n_g = F.sum("c").over(Window.partitionBy())
+    p_s = F.col("c").cast("double") / F.col("n_s")
+    p_g = F.col("c_g").cast("double") / F.col("n_g")
+    terms = (counts
+             .select("source", "word", "c",
+                     n_s.alias("n_s"), c_g.alias("c_g"), n_g.alias("n_g"))
+             .select("source", "c", "n_s",
+                     F.round(p_s * F.log(p_s / p_g), 10)
+                     .cast("decimal(25,10)").alias("term")))
+    return (terms.groupBy("source")
+            .agg(F.max("n_s").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_words"),
+                 F.sum("term").alias("kl_dec"))
+            .select("source",
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    "n_words",
+                    F.round(F.col("kl_dec").cast("double"), 6)
+                    .alias("kl_to_corpus")))
+
+
+KL_DRIFT_SQL = """
+WITH counts AS (
+    SELECT source, word, count(*) AS c
+    FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+    GROUP BY source, word
+),
+terms AS (
+    SELECT source, c,
+           sum(c) OVER (PARTITION BY source) AS n_s,
+           CAST(round((CAST(c AS DOUBLE)
+                       / sum(c) OVER (PARTITION BY source))
+                      * ln((CAST(c AS DOUBLE)
+                            / sum(c) OVER (PARTITION BY source))
+                           / (CAST(sum(c) OVER (PARTITION BY word)
+                                   AS DOUBLE)
+                              / sum(c) OVER ())), 10)
+                AS DECIMAL(25,10)) AS term
+    FROM counts
+)
+SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+       count(*) AS n_words,
+       round(CAST(sum(term) AS DOUBLE), 6) AS kl_to_corpus
+FROM terms GROUP BY source
+"""

@@ -1068,3 +1068,86 @@ WHERE name_a < name_b
   AND abs(len_a - len_b) <= {EDIT_MAX}
   AND levenshtein(name_a, name_b) <= {EDIT_MAX}
 """
+
+
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method near-dup agreement audit: the pair sets found by
+    the three shipped detectors — exact shingle-Jaccard (≥ 0.5, the
+    ground truth), MinHash-LSH (probabilistic bands over the SAME
+    Jaccard), and SimHash Hamming ≤ 3 (a different similarity notion
+    entirely) — with per-method pair counts, overlap against truth,
+    precision and recall. This is the calibration table a pipeline
+    owner reads before picking the production detector (LSH's recall
+    shortfall here is its designed 1−(1−J²)⁴ band miss;
+    ``minhash_estimate_quality`` reports the estimator side of the
+    same trade).
+
+    Consistency proof by construction (the ``curation_funnel``
+    pattern): each method's pairs come from THE SAME registry operator
+    the standalone entry runs — not a re-implementation — so this
+    audit can never drift from what the detectors actually do.
+
+    Scale: all three detectors are candidate-pruned (inverted-index /
+    band / band joins); this audit only joins their PAIR outputs —
+    relations orders of magnitude below the corpus. The truth relation
+    is lineage-cut (it feeds every comparison).
+    """
+    truth = truncate_lineage(
+        jaccard_similarity_join(spark, sf_dir).select("doc_a", "doc_b"))
+    methods = [
+        ("exact_jaccard", truth),
+        ("minhash_lsh",
+         minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")),
+        ("simhash_h3",
+         simhash_hamming_dedup(spark, sf_dir).select("doc_a", "doc_b")),
+    ]
+    labeled = None
+    for name, df in methods:
+        part = df.withColumn("method", F.lit(name))
+        labeled = part if labeled is None else labeled.unionByName(part)
+    flagged = labeled.join(
+        truth.withColumn("in_truth", F.lit(1)), ["doc_a", "doc_b"],
+        "left")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (flagged.groupBy("method")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(F.coalesce("in_truth", F.lit(0)))
+                 .alias("n_overlap"))
+            .crossJoin(F.broadcast(n_truth))
+            .select("method", "n_pairs",
+                    F.col("n_overlap").cast("bigint").alias("n_overlap"),
+                    F.round(F.col("n_overlap")
+                            / F.col("n_pairs").cast("double"), 10)
+                    .alias("precision_vs_truth"),
+                    F.round(F.col("n_overlap")
+                            / F.col("n_truth").cast("double"), 10)
+                    .alias("recall_vs_truth")))
+
+
+DEDUP_AGREEMENT_SQL = f"""
+WITH truth AS (
+    SELECT doc_a, doc_b FROM ({JACCARD_JOIN_SQL}) t
+),
+labeled AS (
+    SELECT 'exact_jaccard' AS method, doc_a, doc_b FROM truth
+    UNION ALL
+    SELECT 'minhash_lsh', doc_a, doc_b FROM ({MINHASH_LSH_SQL}) t
+    UNION ALL
+    SELECT 'simhash_h3', doc_a, doc_b FROM ({SIMHASH_HAMMING_SQL}) t
+),
+flagged AS (
+    SELECT l.method,
+           CASE WHEN t.doc_a IS NULL THEN 0 ELSE 1 END AS in_truth
+    FROM labeled l
+    LEFT JOIN truth t ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+),
+nt AS (SELECT count(*) AS n_truth FROM truth)
+SELECT method, count(*) AS n_pairs,
+       CAST(sum(in_truth) AS BIGINT) AS n_overlap,
+       round(sum(in_truth) / CAST(count(*) AS DOUBLE), 10)
+           AS precision_vs_truth,
+       round(sum(in_truth) / CAST(n_truth AS DOUBLE), 10)
+           AS recall_vs_truth
+FROM flagged CROSS JOIN nt
+GROUP BY method, n_truth
+"""

@@ -1609,3 +1609,80 @@ SELECT n_viewed, n_converted,
        median_us, p90_us
 FROM totals, med, p90
 """
+
+
+RFM_Q = 5   # quintile segmentation on each RFM dimension
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    purchase events — the classic marketing-analytics operator: score
+    every purchasing user 1..5 on each dimension (1 = best: most
+    recent, most frequent, highest spend), then report the segment
+    grid with member counts and total spend. Segments are EXPLICIT
+    rank-derived quintiles, seg = (i−1)·5 // n + 1 over the ranked
+    user list — deterministic and engine-exact, unlike ntile's
+    remainder-distribution conventions; ties break on user_id after
+    the dimension value (decimal-exact monetary comparison).
+
+    Scale: events reduce to ONE row per purchasing user (combinable
+    max/count/decimal-sum aggregation) before any ranking; the three
+    rank windows run over that per-user relation — documented
+    single-partition windows on an already-reduced relation (the
+    ``quantile_normalize_scores`` convention); at cluster scale swap
+    the explicit ranks for approx-percentile cutpoints + a CASE, the
+    same swap note as ``unigram_logprob_filter``. Output is the ≤ 5³
+    segment grid.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.filter(F.col("event_type") == "purchase")
+                .groupBy("user_id")
+                .agg(F.max(F.unix_micros("ts")).alias("last_us"),
+                     F.count(F.lit(1)).alias("n_purchases"),
+                     F.sum(F.col("value").cast(DEC)).alias("spend")))
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+    ranked = per_user.select(
+        "user_id", "spend", n.alias("n"),
+        F.row_number().over(
+            Window.orderBy(F.col("last_us").desc(), "user_id"))
+        .alias("ir"),
+        F.row_number().over(
+            Window.orderBy(F.col("n_purchases").desc(), "user_id"))
+        .alias("if_"),
+        F.row_number().over(
+            Window.orderBy(F.col("spend").desc(), "user_id"))
+        .alias("im"))
+    # `div` = true integer division (the oracle's `//`) — a double
+    # `/`-then-cast can round up across an integer boundary at extreme
+    # rank×n magnitudes
+    scored = ranked.selectExpr(
+        "user_id", "spend",
+        f"(ir - 1) * {RFM_Q} div n + 1 AS r_seg",
+        f"(if_ - 1) * {RFM_Q} div n + 1 AS f_seg",
+        f"(im - 1) * {RFM_Q} div n + 1 AS m_seg")
+    return (scored.groupBy("r_seg", "f_seg", "m_seg")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("spend").cast("double").alias("total_spend")))
+
+
+RFM_SQL = f"""
+WITH per_user AS (
+    SELECT user_id, max(epoch_us(ts)) AS last_us,
+           count(*) AS n_purchases,
+           sum(CAST(value AS {SQL_DEC})) AS spend
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+scored AS (
+    SELECT user_id, spend,
+           ((row_number() OVER (ORDER BY last_us DESC, user_id) - 1)
+            * {RFM_Q}) // count(*) OVER () + 1 AS r_seg,
+           ((row_number() OVER (ORDER BY n_purchases DESC, user_id) - 1)
+            * {RFM_Q}) // count(*) OVER () + 1 AS f_seg,
+           ((row_number() OVER (ORDER BY spend DESC, user_id) - 1)
+            * {RFM_Q}) // count(*) OVER () + 1 AS m_seg
+    FROM per_user
+)
+SELECT r_seg, f_seg, m_seg, count(*) AS n_users,
+       CAST(sum(spend) AS DOUBLE) AS total_spend
+FROM scored GROUP BY 1, 2, 3
+"""

@@ -815,6 +815,24 @@ register("kcenter_seeds", qz.kcenter_seeds,
          "(3 scan+argmax rounds, bounded 1-row collects) + per-seed "
          "member counts and covering radius — coreset/quantizer-init "
          "anchor selection")
+register("dedup_method_agreement", dd.dedup_method_agreement,
+         dd.DEDUP_AGREEMENT_SQL,
+         "cross-method near-dup calibration: exact-Jaccard truth vs "
+         "MinHash-LSH vs SimHash-Hamming pair sets with precision/"
+         "recall — composed from the SAME operators the standalone "
+         "entries run")
+register("kl_divergence_by_source", cu.kl_divergence_by_source,
+         cu.KL_DRIFT_SQL,
+         "token-level drift monitor: KL(P_source || P_corpus) over "
+         "word distributions, decimal-pinned term sums — catches "
+         "vocabulary shift that ks_drift_by_source's length-level KS "
+         "cannot see")
+register("rfm_segmentation", ts.rfm_segmentation,
+         ts.RFM_SQL,
+         "RFM quintile segmentation of purchasing users: explicit "
+         "rank-derived segments (1=best) over one combinable per-user "
+         "reduction, reported as the <=125-cell segment grid with "
+         "member counts and decimal-exact spend")
 register("ranker_rank_correlation", ta.ranker_rank_correlation,
          ta.RANK_CORRELATION_SQL,
          "per-query Spearman rho between BM25 and Dirichlet-QL "
