@@ -161,6 +161,16 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-precision embeddings for candidates only — train-on-codes,
     verify-on-floats, the production IVF recipe end to end. Recall < 1
     by design (single-probe)."""
+    ranked = _ivf_ranked(spark, sf_dir)
+    return (ranked.filter(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id", "cos_sim", "rank"))
+
+
+def _ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared IVF scoring: every same-cell candidate exact-cosine
+    ranked per query (trained quantizer assignment, broadcast query
+    set) — ``ann_ivf_trained_topk`` reads the head, the hard-negative
+    miner reads the band behind it."""
     coded, _, cents_final, _ = _train(spark, sf_dir)
     assigned = _assign(coded, cents_final).withColumn(
         "nrm", l2_norm("embedding"))
@@ -178,11 +188,29 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", "cos_sim", "rank")
-    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint"))
+
+
+def hard_negatives_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    query, the candidates ranked JUST BEHIND the top-k — rank
+    k+1 .. 2k by exact cosine among the query's own IVF cell — the
+    near-misses that make informative negatives (random negatives are
+    trivially separable; in-cell near-top ones are not). This is the
+    standard retrieval-training companion of ``ann_ivf_trained_topk``:
+    same trained quantizer, same scored relation (shared
+    ``_ivf_ranked`` builder), one rank band over.
+
+    Scale: identical plan to the IVF search — cell-pruned broadcast
+    join + per-query window; the band filter changes WHICH rows
+    survive, not what shuffles.
+    """
+    ranked = _ivf_ranked(spark, sf_dir)
+    return (ranked
+            .filter((F.col("rank") > TOP_K)
+                    & (F.col("rank") <= 2 * TOP_K))
+            .select("query_id", "vec_id", "cos_sim", "rank"))
 
 
 _DIST_SQL = ("list_reduce(list_transform(range(1, {d1}), i -> "
@@ -381,6 +409,10 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
     FROM scored
 ) WHERE rank <= {TOP_K}
 """
+
+HARD_NEGATIVES_SQL = (
+    ANN_IVF_TRAINED_SQL.rsplit("WHERE rank", 1)[0]
+    + f"WHERE rank > {TOP_K} AND rank <= {2 * TOP_K}\n")
 
 # --- product quantization + ADC search ----------------------------------
 

@@ -815,6 +815,12 @@ register("kcenter_seeds", qz.kcenter_seeds,
          "(3 scan+argmax rounds, bounded 1-row collects) + per-seed "
          "member counts and covering radius — coreset/quantizer-init "
          "anchor selection")
+register("hard_negatives_mining", qz.hard_negatives_mining,
+         qz.HARD_NEGATIVES_SQL,
+         "contrastive-training hard negatives: per query the rank "
+         "k+1..2k band of exact-cosine in-cell candidates behind the "
+         "IVF top-k — same trained quantizer and scored relation as "
+         "ann_ivf_trained_topk")
 register("dedup_method_agreement", dd.dedup_method_agreement,
          dd.DEDUP_AGREEMENT_SQL,
          "cross-method near-dup calibration: exact-Jaccard truth vs "
