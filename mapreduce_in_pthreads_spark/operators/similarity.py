@@ -723,3 +723,96 @@ SELECT n_vecs, n_bad_dim, n_bad_value, n_zero_norm,
        n_outliers
 FROM counts, stats, outliers
 """
+
+
+def _ndcg_idcg() -> float:
+    """Ideal DCG@k under the linear gain (k+1−rank): a CONSTANT of k,
+    computed once here with the SAME 10-dp term pinning the per-row
+    terms use, then embedded as a literal in BOTH engines' plans — the
+    two sides divide by bit-identical denominators by construction."""
+    import math
+    from decimal import Decimal
+    total = sum(
+        Decimal(f"{round((TOP_K + 1 - i) / math.log2(i + 1), 10):.10f}")
+        for i in range(1, TOP_K + 1))
+    return float(total)
+
+
+NDCG_IDCG = _ndcg_idcg()
+
+
+def ndcg_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the trained-IVF index against the exact brute-force
+    ranking — the GRADED companion of ``ann_recall_report``'s recall:
+    recall treats every true neighbor equally; NDCG pays more for
+    getting the TOP of the ranking right (rank-1 misses cost ~3× a
+    rank-10 miss under the log2 discount), which is what ranking
+    consumers actually feel.
+
+    Relevance is derived from the exact ranking (the standard offline
+    protocol when no human judgments exist): gain(d) = k+1−rank_exact
+    for the exact top-k, 0 beyond. DCG terms round(gain / log2(
+    rank_sys+1), 10)-pin to DECIMAL(25,10) before the per-query sum
+    (the ``token_entropy`` convention); the ideal DCG is the
+    ``NDCG_IDCG`` literal, identical in both plans.
+
+    Scale: joins two k-rows-per-query relations (each already
+    scale-audited); the grid from the baseline's query ids keeps
+    zero-overlap queries visible at ndcg 0 — silent-miss-proof, like
+    the recall report.
+    """
+    from .quantizer import ann_ivf_trained_topk
+
+    bf = truncate_lineage(
+        ann_topk_bruteforce(spark, sf_dir).select(
+            "query_id", "vec_id", F.col("rank").alias("rank_exact")))
+    sys_ = ann_ivf_trained_topk(spark, sf_dir).select(
+        "query_id", "vec_id", "rank")
+    term = (F.round((F.lit(TOP_K + 1) - F.col("rank_exact"))
+                    / F.log2(F.col("rank") + 1), 10)
+            .cast("decimal(25,10)"))
+    dcg = (sys_.join(bf, ["query_id", "vec_id"])
+           .select("query_id", term.alias("term"))
+           .groupBy("query_id")
+           .agg(F.count(F.lit(1)).alias("n_overlap"),
+                F.sum("term").alias("dcg")))
+    grid = bf.select("query_id").distinct()
+    return (grid.join(dcg, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_overlap", F.lit(0)).cast("bigint")
+                    .alias("n_overlap"),
+                    F.round(F.coalesce(F.col("dcg").cast("double"),
+                                       F.lit(0.0))
+                            / F.lit(NDCG_IDCG), 6).alias("ndcg")))
+
+
+NDCG_EVAL_SQL = f"""
+WITH bf AS (
+    SELECT query_id, vec_id, rank AS rank_exact
+    FROM ({ANN_TOPK_BRUTEFORCE_SQL}) t
+),
+sys AS (
+    SELECT query_id, vec_id, rank FROM ({{ivf_sql}}) t
+),
+dcg AS (
+    SELECT s.query_id, count(*) AS n_overlap,
+           sum(CAST(round(({TOP_K} + 1 - b.rank_exact)
+                          / log2(s.rank + 1), 10)
+                    AS DECIMAL(25,10))) AS dcg
+    FROM sys s JOIN bf b ON b.query_id = s.query_id
+                        AND b.vec_id = s.vec_id
+    GROUP BY s.query_id
+)
+SELECT g.query_id,
+       CAST(COALESCE(d.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(COALESCE(CAST(d.dcg AS DOUBLE), 0.0) / {NDCG_IDCG!r}, 6)
+           AS ndcg
+FROM (SELECT DISTINCT query_id FROM bf) g
+LEFT JOIN dcg d ON d.query_id = g.query_id
+"""
+
+# bake the trained-IVF system run into the oracle (no circularity:
+# quantizer never imports this module at top level)
+from .quantizer import ANN_IVF_TRAINED_SQL as _IVF_SQL  # noqa: E402
+
+NDCG_EVAL_SQL = NDCG_EVAL_SQL.format(ivf_sql=_IVF_SQL)

@@ -815,6 +815,12 @@ register("kcenter_seeds", qz.kcenter_seeds,
          "(3 scan+argmax rounds, bounded 1-row collects) + per-seed "
          "member counts and covering radius — coreset/quantizer-init "
          "anchor selection")
+register("ndcg_eval_ivf", sim.ndcg_eval_ivf,
+         sim.NDCG_EVAL_SQL,
+         "NDCG@k of the trained IVF vs the exact ranking (graded "
+         "companion of ann_recall_report's recall): linear gain from "
+         "exact ranks, decimal-pinned log2-discounted terms, shared "
+         "IDCG literal")
 register("hard_negatives_mining", qz.hard_negatives_mining,
          qz.HARD_NEGATIVES_SQL,
          "contrastive-training hard negatives: per query the rank "
