@@ -591,3 +591,171 @@ SELECT digit, n,
              - CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE), 10) AS delta
 FROM counts
 """
+
+
+def ab_split_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic 50/50 user split (arm A =
+    md5 of the user id starts with hex 0-7 — the same md5 bucketing
+    every deterministic-sampling operator here uses, so assignment is
+    reproducible across engines and runs), then per event_type the
+    Welch unequal-variance t statistic and Welch–Satterthwaite degrees
+    of freedom comparing event values between arms — the standard
+    experimentation-platform aggregate.
+
+    Exactness (the ``stats_moments`` convention): Σv and Σv² are exact
+    DECIMAL(25,4) sums cast to double ONCE, and every downstream
+    mean/variance/t/df is the identical written order of
+    correctly-rounded double ops in both engines, round 6.
+
+    Scale: ONE combinable aggregation — arms fold in as conditional
+    sums per event_type, so no join, no second pass, no shuffle beyond
+    the |event_types|-group agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arm_a = F.substring(
+        F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1) \
+        .isin(*list("01234567"))
+    v = F.col("value").cast(DEC)
+
+    def side(flag: F.Column, tag: str):
+        return [
+            F.sum(F.when(flag, 1).otherwise(0)).alias(f"n_{tag}"),
+            F.sum(F.when(flag, v)).cast("double").alias(f"{tag}_s1"),
+            F.sum(F.when(flag, v * v)).cast("double").alias(f"{tag}_s2"),
+        ]
+
+    base = ev.groupBy("event_type").agg(
+        *side(arm_a, "a"), *side(~arm_a, "b"))
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma = F.col("a_s1") / na
+    mb = F.col("b_s1") / nb
+    va = (F.col("a_s2") - F.col("a_s1") * F.col("a_s1") / na) / (na - 1)
+    vb = (F.col("b_s2") - F.col("b_s1") * F.col("b_s1") / nb) / (nb - 1)
+    sea = va / na
+    seb = vb / nb
+    se2 = sea + seb
+    t = (ma - mb) / F.sqrt(se2)
+    df = se2 * se2 / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    return base.select(
+        "event_type", "n_a", "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("welch_t"),
+        F.round(df, 4).alias("welch_df"))
+
+
+AB_WELCH_SQL = """
+WITH base AS (
+    SELECT event_type,
+           sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 1 ELSE 0 END) AS n_a,
+           CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                              IN ('0','1','2','3','4','5','6','7')
+                         THEN CAST(value AS DECIMAL(25,4)) END)
+                AS DOUBLE) AS a_s1,
+           CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                              IN ('0','1','2','3','4','5','6','7')
+                         THEN CAST(value AS DECIMAL(25,4))
+                              * CAST(value AS DECIMAL(25,4)) END)
+                AS DOUBLE) AS a_s2,
+           sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 0 ELSE 1 END) AS n_b,
+           CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                              IN ('0','1','2','3','4','5','6','7')
+                         THEN NULL
+                         ELSE CAST(value AS DECIMAL(25,4)) END)
+                AS DOUBLE) AS b_s1,
+           CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                              IN ('0','1','2','3','4','5','6','7')
+                         THEN NULL
+                         ELSE CAST(value AS DECIMAL(25,4))
+                              * CAST(value AS DECIMAL(25,4)) END)
+                AS DOUBLE) AS b_s2
+    FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(a_s1 / n_a, 6) AS mean_a,
+       round(b_s1 / n_b, 6) AS mean_b,
+       round((a_s1 / n_a - b_s1 / n_b)
+             / sqrt(((a_s2 - a_s1 * a_s1 / n_a) / (n_a - 1)) / n_a
+                    + ((b_s2 - b_s1 * b_s1 / n_b) / (n_b - 1)) / n_b), 6)
+           AS welch_t,
+       round((((a_s2 - a_s1 * a_s1 / n_a) / (n_a - 1)) / n_a
+              + ((b_s2 - b_s1 * b_s1 / n_b) / (n_b - 1)) / n_b)
+             * (((a_s2 - a_s1 * a_s1 / n_a) / (n_a - 1)) / n_a
+                + ((b_s2 - b_s1 * b_s1 / n_b) / (n_b - 1)) / n_b)
+             / ((((a_s2 - a_s1 * a_s1 / n_a) / (n_a - 1)) / n_a)
+                * (((a_s2 - a_s1 * a_s1 / n_a) / (n_a - 1)) / n_a)
+                / (n_a - 1)
+                + (((b_s2 - b_s1 * b_s1 / n_b) / (n_b - 1)) / n_b)
+                * (((b_s2 - b_s1 * b_s1 / n_b) / (n_b - 1)) / n_b)
+                / (n_b - 1)), 4) AS welch_df
+FROM base
+"""
+
+
+def itemset_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association pairs over user event baskets: for
+    every unordered event-type pair, the number of users exhibiting
+    both (support), and the lift n_ab·N / (n_a·n_b) — the classic
+    association-rule screen (lift > 1 = the behaviors co-occur beyond
+    chance), complementing ``session_path_transitions``' ORDERED
+    transition view with the order-free co-occurrence view.
+
+    Exactness: supports are integers; lift is one correctly-rounded
+    double division of exact integer products (n_ab·N ≤ N², int64-safe
+    to ~3×10⁹ users), round 6.
+
+    Scale: baskets reduce to DISTINCT (user, type) first — the
+    |types|²-bounded pair explosion happens per user row via a
+    self-join on user_id whose per-user fan-out is ≤ |types| (a
+    bounded value domain, like the hour×type grids); marginals are a
+    |types|-row broadcast; N is a 1-row broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    marg = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (a.join(b, "user_id")
+             .filter(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.count(F.lit(1)).alias("n_ab")))
+    return (pairs
+            .join(F.broadcast(marg.select(
+                F.col("event_type").alias("type_a"),
+                F.col("n_t").alias("n_a"))), "type_a")
+            .join(F.broadcast(marg.select(
+                F.col("event_type").alias("type_b"),
+                F.col("n_t").alias("n_b"))), "type_b")
+            .crossJoin(F.broadcast(n_users))
+            .select("type_a", "type_b", "n_ab", "n_a", "n_b",
+                    F.round((F.col("n_ab") * F.col("n_users"))
+                            / (F.col("n_a") * F.col("n_b"))
+                            .cast("double"), 6).alias("lift")))
+
+
+ITEMSET_LIFT_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+marg AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_ab
+    FROM ut a JOIN ut b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_ab,
+       ma.n_t AS n_a, mb.n_t AS n_b,
+       round((n_ab * n_users) / CAST(ma.n_t * mb.n_t AS DOUBLE), 6)
+           AS lift
+FROM pairs
+JOIN marg ma ON ma.event_type = type_a
+JOIN marg mb ON mb.event_type = type_b
+CROSS JOIN nu
+"""

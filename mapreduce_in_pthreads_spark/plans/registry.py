@@ -815,6 +815,16 @@ register("kcenter_seeds", qz.kcenter_seeds,
          "(3 scan+argmax rounds, bounded 1-row collects) + per-seed "
          "member counts and covering radius — coreset/quantizer-init "
          "anchor selection")
+register("itemset_pairs_lift", adv.itemset_pairs_lift,
+         adv.ITEMSET_LIFT_SQL,
+         "market-basket association pairs over user event baskets: "
+         "support + lift per unordered type pair — the order-free "
+         "complement of session_path_transitions")
+register("ab_split_welch_ttest", adv.ab_split_welch_ttest,
+         adv.AB_WELCH_SQL,
+         "experimentation readout: deterministic md5 50/50 user "
+         "split, Welch t statistic + Satterthwaite df per event_type "
+         "from exact decimal moment sums — one combinable aggregation")
 register("ndcg_eval_ivf", sim.ndcg_eval_ivf,
          sim.NDCG_EVAL_SQL,
          "NDCG@k of the trained IVF vs the exact ranking (graded "
