@@ -925,17 +925,23 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 )
 
 # ROUND-6 PREP: the window above covers 43 never-adjudicated entries +
-# simhash_fingerprints; ~51 never-adjudicated remain (sql_surface /
-# advanced / stats leftovers plus anything added in round 5).  Do NOT
-# hand-curate the next rotation from comments — run
+# simhash_fingerprints; ~81 never-adjudicated remain at 247 entries
+# (sql_surface / advanced / stats leftovers plus the 15 round-5
+# session additions: gini_key_skew, simhash_hamming_dedup,
+# winsorized_robust_stats, kcenter_seeds, embedding_centroid_drift,
+# edit_distance_name_pairs, ranker_rank_correlation, rfm_segmentation,
+# kl_divergence_by_source, dedup_method_agreement,
+# hard_negatives_mining, ndcg_eval_ivf, ab_split_welch_ttest,
+# itemset_pairs_lift — all contract-green at sf0.001/0.01/0.1).  Do
+# NOT hand-curate the next rotation from comments — run
 #     python tools/next_window.py --must <entries whose code changed>
 # which derives coverage debt from the committed CORRECTNESS_r*.json
 # files and the registry itself, proposes the next 50-name tuple, and
 # (with --check) validates whatever is pasted here: exactly 50 names,
 # no duplicates, no typos, no slot wasted on an already-adjudicated
-# entry outside the flagship/--must set.  If the leftovers exceed 44,
-# drop the flagship from the round-6 window (edit FLAGSHIP in the tool
-# or paste manually) — it will have had 5 consecutive green rounds.
+# entry outside the flagship/--must set.  The leftovers now exceed one
+# round: drop the flagship from the round-6 window (it will have had 5
+# consecutive green rounds) and finish the tail in round 7.
 
 
 def _reorder_for_adjudication(first: tuple[str, ...]) -> None:

@@ -295,3 +295,27 @@ def test_ignore_corrupt_files_contract(spark, sf_dir, tmp_path):
 
     with _pytest.raises((Py4JJavaError, CapturedException)):
         spark.read.parquet(str(mixed)).count()
+
+
+def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """Schema evolution contract: a shard written BEFORE a column was
+    added and a shard written after coexist in one table when read
+    with mergeSchema — the old shard's missing column reads as NULL,
+    and the unified schema is the superset. This is the append-only
+    ingestion reality at 100 TB: producers upgrade schemas mid-corpus
+    and readers must not re-write history."""
+    from pyspark.sql import functions as F
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    out = str(tmp_path / "evolved")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").limit(5).write.parquet(out)
+    (docs.select("doc_id", "text", "lang").limit(7)
+     .write.mode("append").parquet(out))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    assert merged.count() == 12
+    # rows from the pre-evolution shard surface the new column as NULL
+    assert merged.filter(F.col("lang").isNull()).count() == 5
+    assert merged.filter(F.col("lang").isNotNull()).count() == 7
