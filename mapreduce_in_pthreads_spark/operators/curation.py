@@ -1119,3 +1119,84 @@ SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
        round(CAST(sum(term) AS DOUBLE), 6) AS kl_to_corpus
 FROM terms GROUP BY source
 """
+
+
+def forget_customer_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge PRE-FLIGHT: given a deterministic
+    tombstone set (customers whose md5 starts with hex 'f' — the same
+    reproducible md5 bucketing the sampling operators use, ≈ 1/16 of
+    customers standing in for a real deletion-request list), the
+    cascade impact across every table that carries the key: customer
+    rows directly, orders via c_custkey, lineitem via the tombstoned
+    orders — one row per table with exact purge counts and share.
+    This is the audit a compliance pipeline runs BEFORE the
+    destructive pass (beside ``k_anonymity_audit``'s release gate).
+
+    Scale: the tombstone key set is a broadcast id relation; each
+    table contributes ONE combinable conditional count — the cascade
+    is two semi-join-shaped flag joins, never a row-level delete
+    simulation; output is 3 rows.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    is_tomb = F.substring(
+        F.md5(F.col("c_custkey").cast("string").cast("binary")), 1, 1) == "f"
+    tomb = cust.filter(is_tomb).select(F.col("c_custkey").alias("k"))
+
+    def audit(df: DataFrame, table: str, key: str) -> DataFrame:
+        return (df.join(F.broadcast(tomb.withColumn("hit", F.lit(1))),
+                        df[key] == F.col("k"), "left")
+                .agg(F.lit(table).alias("table_name"),
+                     F.count(F.lit(1)).alias("n_rows"),
+                     F.sum(F.coalesce("hit", F.lit(0))).cast("bigint")
+                     .alias("n_purged")))
+
+    ord_tomb = (orders.join(F.broadcast(tomb),
+                            orders.o_custkey == F.col("k"), "left_semi")
+                .select(F.col("o_orderkey").alias("k")))
+    per_table = (
+        audit(cust, "customer", "c_custkey")
+        .unionByName(audit(orders, "orders", "o_custkey"))
+        .unionByName(
+            li.join(F.broadcast(ord_tomb.withColumn("hit", F.lit(1))),
+                    li.l_orderkey == F.col("k"), "left")
+            .agg(F.lit("lineitem").alias("table_name"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.coalesce("hit", F.lit(0))).cast("bigint")
+                 .alias("n_purged"))))
+    return per_table.select(
+        "table_name", "n_rows", "n_purged",
+        F.round(F.col("n_purged") / F.col("n_rows").cast("double"), 10)
+        .alias("purge_share"))
+
+
+FORGET_PURGE_SQL = """
+WITH tomb AS (
+    SELECT c_custkey AS k FROM customer
+    WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = 'f'
+),
+ord_tomb AS (
+    SELECT o_orderkey AS k FROM orders
+    WHERE o_custkey IN (SELECT k FROM tomb)
+),
+per_table AS (
+    SELECT 'customer' AS table_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN c_custkey IN (SELECT k FROM tomb)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_purged
+    FROM customer
+    UNION ALL
+    SELECT 'orders', count(*),
+           CAST(sum(CASE WHEN o_custkey IN (SELECT k FROM tomb)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', count(*),
+           CAST(sum(CASE WHEN l_orderkey IN (SELECT k FROM ord_tomb)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+)
+SELECT table_name, n_rows, n_purged,
+       round(n_purged / CAST(n_rows AS DOUBLE), 10) AS purge_share
+FROM per_table
+"""

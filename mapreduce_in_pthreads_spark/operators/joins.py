@@ -358,3 +358,59 @@ WHERE l_suppkey IN (
     SELECT s_suppkey FROM supplier WHERE s_acctbal < {BLOOM_ACCTBAL_MAX!r})
 GROUP BY l_suppkey
 """
+
+
+def join_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality audit of the orders⋈lineitem key — the
+    planning query a pipeline owner runs BEFORE shipping a fact⋈fact
+    join at 100 TB (the join-side twin of ``gini_key_skew``'s
+    aggregation-side audit): per-side key counts, the shared-key
+    count, the hottest key's fan-out on each side, and the EXACT join
+    output cardinality Σ lᵢ·rᵢ — the number AQE only discovers at
+    runtime, computed here from two combinable per-key counts.
+
+    Exactness: all counts and the Σ lᵢ·rᵢ products are integers
+    (int64-safe to ~3×10⁹ rows per key pair; DECIMAL(38,0) beyond).
+
+    Scale: each side reduces to one row per key (map-side combinable)
+    before the key-profile join — the profile never joins the facts
+    themselves; output is ONE row.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lprof = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("l_n"))
+    rprof = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("r_n"))
+    joined = lprof.join(rprof, "k", "full_outer")
+    return joined.agg(
+        F.count(F.col("l_n")).alias("n_keys_left"),
+        F.count(F.col("r_n")).alias("n_keys_right"),
+        F.sum(F.when(F.col("l_n").isNotNull()
+                     & F.col("r_n").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_keys_shared"),
+        F.max("l_n").alias("max_fanout_left"),
+        F.max("r_n").alias("max_fanout_right"),
+        F.sum(F.when(F.col("l_n").isNotNull(),
+                     F.col("l_n") * F.coalesce(F.col("r_n"), F.lit(0)))
+              .otherwise(0)).cast("bigint").alias("join_rows_exact"))
+
+
+JOIN_FANOUT_SQL = """
+WITH lprof AS (
+    SELECT o_orderkey AS k, count(*) AS l_n FROM orders GROUP BY 1
+),
+rprof AS (
+    SELECT l_orderkey AS k, count(*) AS r_n FROM lineitem GROUP BY 1
+)
+SELECT count(l_n) AS n_keys_left,
+       count(r_n) AS n_keys_right,
+       CAST(sum(CASE WHEN l_n IS NOT NULL AND r_n IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_shared,
+       max(l_n) AS max_fanout_left,
+       max(r_n) AS max_fanout_right,
+       CAST(sum(CASE WHEN l_n IS NOT NULL
+                     THEN l_n * COALESCE(r_n, 0) ELSE 0 END)
+            AS BIGINT) AS join_rows_exact
+FROM lprof FULL OUTER JOIN rprof USING (k)
+"""

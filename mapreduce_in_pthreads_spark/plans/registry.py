@@ -815,6 +815,17 @@ register("kcenter_seeds", qz.kcenter_seeds,
          "(3 scan+argmax rounds, bounded 1-row collects) + per-seed "
          "member counts and covering radius — coreset/quantizer-init "
          "anchor selection")
+register("join_fanout_profile", jn.join_fanout_profile,
+         jn.JOIN_FANOUT_SQL,
+         "pre-join cardinality audit of orders x lineitem: per-side "
+         "key counts, hottest fan-outs, and the EXACT join output "
+         "cardinality sum(l_i*r_i) from two combinable per-key counts "
+         "— the join-side twin of gini_key_skew")
+register("forget_customer_purge_audit", cu.forget_customer_purge_audit,
+         cu.FORGET_PURGE_SQL,
+         "right-to-be-forgotten pre-flight: cascade purge impact of a "
+         "deterministic tombstone set across customer -> orders -> "
+         "lineitem, exact counts + share per table")
 register("itemset_pairs_lift", adv.itemset_pairs_lift,
          adv.ITEMSET_LIFT_SQL,
          "market-basket association pairs over user event baskets: "
