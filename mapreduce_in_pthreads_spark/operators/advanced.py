@@ -694,68 +694,3 @@ SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
                 / (n_b - 1)), 4) AS welch_df
 FROM base
 """
-
-
-def itemset_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket association pairs over user event baskets: for
-    every unordered event-type pair, the number of users exhibiting
-    both (support), and the lift n_ab·N / (n_a·n_b) — the classic
-    association-rule screen (lift > 1 = the behaviors co-occur beyond
-    chance), complementing ``session_path_transitions``' ORDERED
-    transition view with the order-free co-occurrence view.
-
-    Exactness: supports are integers; lift is one correctly-rounded
-    double division of exact integer products (n_ab·N ≤ N², int64-safe
-    to ~3×10⁹ users), round 6.
-
-    Scale: baskets reduce to DISTINCT (user, type) first — the
-    |types|²-bounded pair explosion happens per user row via a
-    self-join on user_id whose per-user fan-out is ≤ |types| (a
-    bounded value domain, like the hour×type grids); marginals are a
-    |types|-row broadcast; N is a 1-row broadcast.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
-    n_users = ev.agg(F.countDistinct("user_id").alias("n_users"))
-    marg = ut.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_t"))
-    a = ut.select("user_id", F.col("event_type").alias("type_a"))
-    b = ut.select("user_id", F.col("event_type").alias("type_b"))
-    pairs = (a.join(b, "user_id")
-             .filter(F.col("type_a") < F.col("type_b"))
-             .groupBy("type_a", "type_b")
-             .agg(F.count(F.lit(1)).alias("n_ab")))
-    return (pairs
-            .join(F.broadcast(marg.select(
-                F.col("event_type").alias("type_a"),
-                F.col("n_t").alias("n_a"))), "type_a")
-            .join(F.broadcast(marg.select(
-                F.col("event_type").alias("type_b"),
-                F.col("n_t").alias("n_b"))), "type_b")
-            .crossJoin(F.broadcast(n_users))
-            .select("type_a", "type_b", "n_ab", "n_a", "n_b",
-                    F.round((F.col("n_ab") * F.col("n_users"))
-                            / (F.col("n_a") * F.col("n_b"))
-                            .cast("double"), 6).alias("lift")))
-
-
-ITEMSET_LIFT_SQL = """
-WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
-nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
-marg AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
-pairs AS (
-    SELECT a.event_type AS type_a, b.event_type AS type_b,
-           count(*) AS n_ab
-    FROM ut a JOIN ut b ON a.user_id = b.user_id
-                       AND a.event_type < b.event_type
-    GROUP BY 1, 2
-)
-SELECT type_a, type_b, n_ab,
-       ma.n_t AS n_a, mb.n_t AS n_b,
-       round((n_ab * n_users) / CAST(ma.n_t * mb.n_t AS DOUBLE), 6)
-           AS lift
-FROM pairs
-JOIN marg ma ON ma.event_type = type_a
-JOIN marg mb ON mb.event_type = type_b
-CROSS JOIN nu
-"""

@@ -1091,10 +1091,15 @@ def assoc_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the pair relation is the distinct (user, type) table
     self-joined on user_id — bounded by |types|² per user, with
     |types| a small vocabulary; per-type totals broadcast. One shuffle
-    on user_id, one on the pair key.
+    on user_id, one on the pair key. The basket relation feeds three
+    consumers (both self-join sides + the marginals), so it is
+    lineage-cut — without the cut each consumer replays the
+    scan+distinct (audited round 5: 8 executed exchanges → 4).
     """
+    from ..functions.lineage import truncate_lineage
+
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    ut = truncate_lineage(ev.select("user_id", "event_type").distinct())
     n_users = ev.agg(
         F.countDistinct("user_id").alias("n_users"))
     per_type = ut.groupBy("event_type").agg(

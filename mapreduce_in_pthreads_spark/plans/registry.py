@@ -826,11 +826,6 @@ register("forget_customer_purge_audit", cu.forget_customer_purge_audit,
          "right-to-be-forgotten pre-flight: cascade purge impact of a "
          "deterministic tombstone set across customer -> orders -> "
          "lineitem, exact counts + share per table")
-register("itemset_pairs_lift", adv.itemset_pairs_lift,
-         adv.ITEMSET_LIFT_SQL,
-         "market-basket association pairs over user event baskets: "
-         "support + lift per unordered type pair — the order-free "
-         "complement of session_path_transitions")
 register("ab_split_welch_ttest", adv.ab_split_welch_ttest,
          adv.AB_WELCH_SQL,
          "experimentation readout: deterministic md5 50/50 user "
@@ -943,7 +938,7 @@ _ADJUDICATION_FIRST: tuple[str, ...] = (
 # edit_distance_name_pairs, ranker_rank_correlation, rfm_segmentation,
 # kl_divergence_by_source, dedup_method_agreement,
 # hard_negatives_mining, ndcg_eval_ivf, ab_split_welch_ttest,
-# itemset_pairs_lift — all contract-green at sf0.001/0.01/0.1).  Do
+# join_fanout_profile, forget_customer_purge_audit — all contract-green at sf0.001/0.01/0.1).  Do
 # NOT hand-curate the next rotation from comments — run
 #     python tools/next_window.py --must <entries whose code changed>
 # which derives coverage debt from the committed CORRECTNESS_r*.json
