@@ -1200,3 +1200,98 @@ SELECT table_name, n_rows, n_purged,
        round(n_purged / CAST(n_rows AS DOUBLE), 10) AS purge_share
 FROM per_table
 """
+
+
+RESHARD_FROM = N_SHARDS        # 16 -> 17: the classic +1 rebalance
+RESHARD_TO = N_SHARDS + 1
+
+
+def reshard_movement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding-cost audit: when the shard count grows 16 → 17, what
+    fraction of documents MOVE under (a) mod-hash routing — the
+    ``shard_assignment`` scheme — versus (b) rendezvous (highest-
+    random-weight) hashing, where each doc goes to the shard whose
+    md5(doc_id ‖ shard) is largest. The textbook result this measures:
+    mod moves ≈ 16/17 of all keys (every bucket relabels), rendezvous
+    moves ≈ 1/17 (only keys whose new shard wins) — the reason
+    consistent-hashing schemes exist. Run this before growing a
+    sharded corpus store; the two rows ARE the migration bill.
+
+    Exactness: both schemes are pure md5 functions of the id —
+    bit-identical across engines (the ``shard_assignment`` /
+    ``hash_train_test_split`` contract); movement flags are integer
+    compares; the share is one correctly-rounded division.
+
+    Scale: per-row expressions only (the rendezvous argmax is a
+    greatest-of-K struct comparison over K ≤ 17 md5 literals-per-row,
+    no explode) + ONE 2-group combinable aggregation. Zero joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def mod_shard(n: int) -> F.Column:
+        return (F.conv(F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
+            16, 10).cast("long") % n)
+
+    def rdv_shard(n: int) -> F.Column:
+        scores = F.array(*[
+            F.struct(
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(f"|{s}")).cast("binary"))
+                .alias("w"),
+                F.lit(s).alias("shard"))
+            for s in range(n)
+        ])
+        return F.array_max(scores)["shard"]
+
+    flags = docs.select(
+        (mod_shard(RESHARD_FROM) != mod_shard(RESHARD_TO))
+        .cast("int").alias("mod_moved"),
+        (rdv_shard(RESHARD_FROM) != rdv_shard(RESHARD_TO))
+        .cast("int").alias("rdv_moved"))
+    agg = flags.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("mod_moved").alias("mod_n"),
+                    F.sum("rdv_moved").alias("rdv_n"))
+    out = None
+    for name, col in (("mod_hash", "mod_n"), ("rendezvous", "rdv_n")):
+        row = agg.select(F.lit(name).alias("strategy"), "n_docs",
+                         F.col(col).cast("bigint").alias("n_moved"),
+                         F.round(F.col(col)
+                                 / F.col("n_docs").cast("double"), 10)
+                         .alias("moved_share"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _rdv_sql(n: int) -> str:
+    structs = ", ".join(
+        f"{{'w': md5(CAST(doc_id AS VARCHAR) || '|{s}'), 's': {s}}}"
+        for s in range(n))
+    return f"list_max([{structs}])['s']"
+
+
+RESHARD_AUDIT_SQL = f"""
+WITH flags AS (
+    SELECT CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 15))::BIGINT % {RESHARD_FROM}
+                  <> ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 15))::BIGINT % {RESHARD_TO}
+                THEN 1 ELSE 0 END AS mod_moved,
+           CASE WHEN {_rdv_sql(RESHARD_FROM)} <> {_rdv_sql(RESHARD_TO)}
+                THEN 1 ELSE 0 END AS rdv_moved
+    FROM documents
+),
+agg AS (
+    SELECT count(*) AS n_docs,
+           CAST(sum(mod_moved) AS BIGINT) AS mod_n,
+           CAST(sum(rdv_moved) AS BIGINT) AS rdv_n
+    FROM flags
+)
+SELECT 'mod_hash' AS strategy, n_docs, mod_n AS n_moved,
+       round(mod_n / CAST(n_docs AS DOUBLE), 10) AS moved_share
+FROM agg
+UNION ALL
+SELECT 'rendezvous', n_docs, rdv_n,
+       round(rdv_n / CAST(n_docs AS DOUBLE), 10)
+FROM agg
+"""

@@ -826,6 +826,12 @@ register("forget_customer_purge_audit", cu.forget_customer_purge_audit,
          "right-to-be-forgotten pre-flight: cascade purge impact of a "
          "deterministic tombstone set across customer -> orders -> "
          "lineitem, exact counts + share per table")
+register("reshard_movement_audit", cu.reshard_movement_audit,
+         cu.RESHARD_AUDIT_SQL,
+         "resharding-cost audit 16->17 shards: fraction of docs that "
+         "move under mod-hash (~16/17) vs rendezvous hashing (~1/17) "
+         "— per-row md5 expressions + one 2-group aggregation, the "
+         "migration bill before growing a sharded store")
 register("ab_split_welch_ttest", adv.ab_split_welch_ttest,
          adv.AB_WELCH_SQL,
          "experimentation readout: deterministic md5 50/50 user "
