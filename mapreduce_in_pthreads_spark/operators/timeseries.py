@@ -746,6 +746,15 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type",
                    F.date_trunc("hour", "ts").alias("hour"))
         .agg(F.count(F.lit(1)).alias("n")))
+    return event_rate_anomaly_finish(hourly)
+
+
+def event_rate_anomaly_finish(hourly: DataFrame) -> DataFrame:
+    """Dense-grid + trailing-window z-score finishing over an
+    (event_type, hour, n) relation — shared verbatim by the batch
+    operator above and the streaming twin
+    (``streaming/foreach_batch.py`` re-runs it per trigger over the
+    complete-mode aggregate state), so the two modes cannot drift."""
     grid = (
         hourly.groupBy("event_type")
         .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
@@ -1690,4 +1699,85 @@ scored AS (
 SELECT r_seg, f_seg, m_seg, count(*) AS n_users,
        CAST(sum(spend) AS DOUBLE) AS total_spend
 FROM scored GROUP BY 1, 2, 3
+"""
+
+
+def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile of the event stream — the measurement
+    that PICKS a watermark (`streaming/` hard-codes 10 minutes; this
+    query is where such a number should come from): treating
+    ``event_id`` as arrival order (the generator's write order), an
+    event's lateness is how far its event-time sits behind the maximum
+    event-time already arrived for that user. Per event_type: the
+    share of late events, the max lateness, and the rank-exact p95
+    lateness — set the watermark at/above the tail you are willing to
+    drop.
+
+    Exactness: lateness = greatest(0, running-max-µs − ts-µs), all
+    integers; p95 is the order statistic at ascending rank
+    ⌈0.95·n⌉ (never interpolated).
+
+    Scale: ONE user-keyed window pass over the stream computes the
+    running max (the same single exchange the as-of family rides);
+    the per-type ranking windows run on the (type, lateness) relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ts_us = F.unix_micros("ts")
+    late = F.greatest(
+        F.lit(0).cast("long"),
+        F.max(ts_us).over(w) - ts_us).alias("late_us")
+    lates = ev.select("event_type", late).na.fill({"late_us": 0})
+    wr = Window.partitionBy("event_type").orderBy("late_us")
+    ranked = lates.select(
+        "event_type", "late_us",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")).alias("n"))
+    return (ranked.groupBy("event_type")
+            .agg(F.max("n").alias("n_events"),
+                 F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_late"),
+                 F.max("late_us").alias("max_late_us"),
+                 F.max(F.when(
+                     F.col("i") * 20 <= F.col("n") * 19,
+                     F.col("late_us"))).alias("p95_late_us"))
+            .select("event_type", "n_events", "n_late",
+                    F.round(F.col("n_late")
+                            / F.col("n_events").cast("double"), 10)
+                    .alias("late_share"),
+                    "max_late_us", "p95_late_us"))
+
+
+WATERMARK_LATENESS_SQL = """
+WITH lates AS (
+    SELECT event_type,
+           greatest(0, COALESCE(max(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)
+                       - CASE WHEN max(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id ORDER BY event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) IS NULL
+                              THEN 0 ELSE epoch_us(ts) END) AS late_us
+    FROM events
+),
+ranked AS (
+    SELECT event_type, late_us,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY late_us) AS i,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM lates
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late,
+       round(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+             / CAST(max(n) AS DOUBLE), 10) AS late_share,
+       max(late_us) AS max_late_us,
+       max(CASE WHEN i * 20 <= n * 19 THEN late_us END) AS p95_late_us
+FROM ranked GROUP BY event_type
 """

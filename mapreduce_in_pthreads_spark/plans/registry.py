@@ -826,6 +826,11 @@ register("forget_customer_purge_audit", cu.forget_customer_purge_audit,
          "right-to-be-forgotten pre-flight: cascade purge impact of a "
          "deterministic tombstone set across customer -> orders -> "
          "lineitem, exact counts + share per table")
+register("watermark_lateness_profile", ts.watermark_lateness_profile,
+         ts.WATERMARK_LATENESS_SQL,
+         "out-of-orderness profile that PICKS a streaming watermark: "
+         "per-type late-event share, max and rank-exact p95 lateness "
+         "vs arrival order — one user-keyed window pass")
 register("reshard_movement_audit", cu.reshard_movement_audit,
          cu.RESHARD_AUDIT_SQL,
          "resharding-cost audit 16->17 shards: fraction of docs that "

@@ -99,3 +99,36 @@ def run_gap_fill_stream(spark: SparkSession, sf_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def run_event_anomaly_stream(spark: SparkSession, sf_dir: str,
+                             checkpoint_dir: str, holder: dict) -> None:
+    """Streaming twin of ``timeseries.event_rate_anomaly`` — the second
+    instance of the "streaming ingest, batch finish per trigger"
+    pattern (``run_gap_fill_stream`` is the first): hourly counts
+    accumulate as a complete-mode streaming aggregation; the
+    non-incremental finishing (dense grid + trailing-24h z-scores,
+    which needs NEIGHBOR hours) re-runs per trigger in ``foreachBatch``
+    via the SAME ``event_rate_anomaly_finish`` the batch operator
+    calls. This is exactly how a production rate monitor runs: state =
+    the regularized series (bounded by groups × hours), alarms
+    recomputed on each micro-batch.
+    """
+    from ..operators.timeseries import event_rate_anomaly_finish
+
+    ev = _read_event_stream(spark, sf_dir)
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n")))
+
+    def finish(batch_df: DataFrame, batch_id: int) -> None:
+        holder["rows"] = event_rate_anomaly_finish(batch_df).collect()
+        holder["n_triggers"] = holder.get("n_triggers", 0) + 1
+
+    q = (hourly.writeStream
+         .foreachBatch(finish)
+         .outputMode("complete")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -252,3 +252,21 @@ def test_wordline_stream_picks_up_files_landing_mid_stream(spark, tmp_path):
     assert snap2 == want2
     assert len(snap2) == 8      # the, quick, fox, lazy, dog, brown, days, end
     assert snap2 != snap1       # the second drain actually changed the index
+
+
+def test_streaming_event_anomaly_parity(spark, sf_dir, tmp_path):
+    """Second instance of the foreachBatch finishing pattern: the
+    complete-mode hourly aggregate + per-trigger dense-grid/z-score
+    finishing equals batch event_rate_anomaly exactly (shared
+    event_rate_anomaly_finish)."""
+    from mapreduce_in_pthreads_spark.streaming.foreach_batch import (
+        run_event_anomaly_stream)
+
+    holder: dict = {}
+    run_event_anomaly_stream(spark, sf_dir, str(tmp_path / "ckpt"),
+                             holder)
+    assert holder.get("n_triggers", 0) >= 1
+    cols = ["event_type", "hour_us", "n_events", "z", "is_anomaly"]
+    got = sorted(tuple(r[c] for c in cols) for r in holder["rows"])
+    want = _rows(REGISTRY["event_rate_anomaly"].fn(spark, sf_dir), cols)
+    assert got == want
