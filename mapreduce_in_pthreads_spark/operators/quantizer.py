@@ -1222,3 +1222,85 @@ SELECT CAST(per.label AS BIGINT) AS label, nl.n_vecs,
        round(sqrt(CAST(n2l AS DOUBLE)) / nl.n_vecs, 10) AS centroid_norm
 FROM per JOIN nl ON nl.label = per.label CROSS JOIN n2gt
 """
+
+
+CTFIDF_TOP = 5   # labeling terms per cluster
+
+
+def ctfidf_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling by class-based TF-IDF (the BERTopic recipe,
+    Grootendorst 2022): assign every document to its trained k-means
+    cell through the shared doc_id = vec_id key space (the
+    ``hybrid_search_rrf`` convention), then score each (cell, word) by
+    c-TF-IDF = tf(word, cell) · ln(1 + A / tf_corpus(word)), A = mean
+    per-cell token mass, and emit the top-5 terms per cell — "what is
+    this embedding cluster ABOUT", the human-readable face of the
+    quantizer family (SemDeDup prunes cells, this names them).
+
+    Exactness: term frequencies are integers; the ln factor is
+    round(·,10)-pinned before the tf multiply; one final round 6.
+    Ranking ties break on word.
+
+    Scale: docs join the broadcast cell assignment (vec-count-sized id
+    pairs, not text); one combinable (cell, word) aggregation; the idf
+    side is a vocab-sized relation; top-k is a per-cell window.
+    """
+    coded, _, cents_final, _ = _train(spark, sf_dir)
+    assigned = _assign(coded, cents_final).select("vec_id", "cell")
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.join(F.broadcast(assigned),
+                     docs.doc_id == assigned.vec_id)
+           .select("cell", F.explode(F.split("text", " ")).alias("word")))
+    tf = truncate_lineage(
+        tok.groupBy("cell", "word").agg(F.count(F.lit(1)).alias("tf")))
+    corpus_tf = tf.groupBy("word").agg(F.sum("tf").alias("ctf"))
+    avg_mass = (tf.groupBy("cell").agg(F.sum("tf").alias("mass"))
+                .agg((F.sum("mass") / F.count(F.lit(1)))
+                     .alias("a")))
+    idf = (corpus_tf.crossJoin(F.broadcast(avg_mass))
+           .select("word",
+                   F.round(F.log(F.lit(1.0)
+                                 + F.col("a") / F.col("ctf")), 10)
+                   .cast("decimal(25,10)").alias("idf")))
+    scored = (tf.join(F.broadcast(idf), "word")
+              .select("cell", "word",
+                      F.round(F.col("tf")
+                              * F.col("idf").cast("double"), 6)
+                      .alias("ctfidf")))
+    w = Window.partitionBy("cell").orderBy(
+        F.col("ctfidf").desc(), "word")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= CTFIDF_TOP)
+            .select(F.col("cell").cast("bigint").alias("cell"), "word",
+                    "ctfidf", F.col("rnk").cast("bigint").alias("rnk")))
+
+
+CTFIDF_SQL = f"""{_PREFIX_SQL},{_assign_cte("afinal", f"cents{KM_ITERS}")},
+tok AS (
+    SELECT a.cell, unnest(string_split(d.text, ' ')) AS word
+    FROM documents d JOIN afinal a ON a.vec_id = d.doc_id
+),
+tf AS (SELECT cell, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+ctf AS (SELECT word, sum(tf) AS ctf FROM tf GROUP BY word),
+am AS (
+    SELECT sum(mass) / count(*) AS a FROM (
+        SELECT cell, sum(tf) AS mass FROM tf GROUP BY cell)
+),
+idf AS (
+    SELECT word,
+           CAST(round(ln(1.0 + a / ctf), 10) AS DECIMAL(25,10)) AS idf
+    FROM ctf CROSS JOIN am
+),
+scored AS (
+    SELECT tf.cell, tf.word,
+           round(tf.tf * CAST(idf.idf AS DOUBLE), 6) AS ctfidf
+    FROM tf JOIN idf ON idf.word = tf.word
+)
+SELECT CAST(cell AS BIGINT) AS cell, word, ctfidf,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY cell
+                                 ORDER BY ctfidf DESC, word) AS rnk
+    FROM scored
+) WHERE rnk <= {CTFIDF_TOP}
+"""

@@ -826,6 +826,11 @@ register("forget_customer_purge_audit", cu.forget_customer_purge_audit,
          "right-to-be-forgotten pre-flight: cascade purge impact of a "
          "deterministic tombstone set across customer -> orders -> "
          "lineitem, exact counts + share per table")
+register("ctfidf_cluster_terms", qz.ctfidf_cluster_terms,
+         qz.CTFIDF_SQL,
+         "cluster labeling by class-based TF-IDF (BERTopic recipe): "
+         "top-5 terms per trained k-means cell through the doc_id = "
+         "vec_id key space — names the clusters SemDeDup prunes")
 register("watermark_lateness_profile", ts.watermark_lateness_profile,
          ts.WATERMARK_LATENESS_SQL,
          "out-of-orderness profile that PICKS a streaming watermark: "
