@@ -1295,3 +1295,179 @@ SELECT 'rendezvous', n_docs, rdv_n,
        round(rdv_n / CAST(n_docs AS DOUBLE), 10)
 FROM agg
 """
+
+
+def cluster_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection — the policy layer on
+    top of transitive near-dup clustering: instead of the naive
+    keep-min-id canonical ``connected_components_dedup`` flags, keep
+    the BEST member of each multi-doc cluster (Gopher ``pass_all``
+    first, then the longest document, doc_id as the final tie-break —
+    the policy real pretraining pipelines apply, since the first crawl
+    of a page is often its worst copy). One row per non-singleton
+    cluster, including whether the quality pick DIFFERS from the
+    min-id pick — the measurable value of the policy.
+
+    Consistency by construction (the ``curation_funnel`` pattern):
+    clusters come from ``connected_components_dedup`` and quality
+    flags from ``gopher_quality_gate`` — the standalone operators
+    themselves, not re-implementations.
+
+    Scale: clustering and the gate are already-audited plans; this
+    adds one broadcast-joinable per-doc flag relation and ONE
+    cluster-keyed window over the clustered docs.
+    """
+    from .text_analysis import gopher_quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    cc = connected_components_dedup(spark, sf_dir).select(
+        "doc_id", "cluster_id")
+    gop = gopher_quality_gate(spark, sf_dir).select("doc_id", "pass_all")
+    lens = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    j = (cc.join(gop, "doc_id").join(lens, "doc_id")
+         .withColumn("n_members", F.count(F.lit(1)).over(
+             Window.partitionBy("cluster_id")))
+         .filter(F.col("n_members") >= 2))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("pass_all").desc(), F.col("n_tokens").desc(), "doc_id")
+    return (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cluster_id",
+                    F.col("n_members").cast("bigint").alias("n_members"),
+                    F.col("doc_id").alias("survivor_doc_id"),
+                    F.col("pass_all").cast("int")
+                    .alias("survivor_pass_all"),
+                    F.col("n_tokens").cast("bigint")
+                    .alias("survivor_tokens"),
+                    (F.col("doc_id") != F.col("cluster_id")).cast("int")
+                    .alias("differs_from_min_id")))
+
+
+def _canonical_quality_sql() -> str:
+    from .iterative import CONNECTED_COMPONENTS_SQL
+    from .text_analysis import GOPHER_GATE_SQL
+    return f"""
+WITH cc AS (
+    SELECT doc_id, cluster_id FROM ({CONNECTED_COMPONENTS_SQL}) t
+),
+gop AS (
+    SELECT doc_id, pass_all FROM ({GOPHER_GATE_SQL}) t
+),
+lens AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+),
+j AS (
+    SELECT cc.cluster_id, cc.doc_id, gop.pass_all, lens.n_tokens,
+           count(*) OVER (PARTITION BY cc.cluster_id) AS n_members,
+           row_number() OVER (
+               PARTITION BY cc.cluster_id
+               ORDER BY gop.pass_all DESC, lens.n_tokens DESC,
+                        cc.doc_id) AS rn
+    FROM cc
+    JOIN gop ON gop.doc_id = cc.doc_id
+    JOIN lens ON lens.doc_id = cc.doc_id
+)
+SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+       doc_id AS survivor_doc_id,
+       CAST(pass_all AS INT) AS survivor_pass_all,
+       CAST(n_tokens AS BIGINT) AS survivor_tokens,
+       CAST(doc_id <> cluster_id AS INT) AS differs_from_min_id
+FROM j WHERE rn = 1 AND n_members >= 2
+"""
+
+
+CANONICAL_QUALITY_SQL = _canonical_quality_sql()
+
+
+def chi2_independence_lang_source(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence between ``lang`` and
+    ``source`` — the one-number answer to "do deliveries carry
+    different language mixes?", the categorical complement of the
+    per-source KS/KL drift monitors (and the inferential upgrade of
+    ``stat_crosstab``'s raw contingency table). Emits the statistic,
+    degrees of freedom, and the strongest standardized-residual cell
+    (which (lang, source) drives the dependence).
+
+    Exactness: observed counts and margins are integers; E = (row ×
+    col) / n and each (O−E)²/E term are doubles in one written order,
+    round(·,10)-pinned to DECIMAL(25,10) before the exact sum (the
+    ``token_entropy`` convention); residuals round 6.
+
+    Scale: ONE combinable (lang, source) count; margins are windows
+    over the |langs|×|sources| contingency relation — the dense grid
+    (including zero cells, which chi² requires) comes from a
+    broadcast margins cross join, never a corpus re-scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("o"))
+    rows_ = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    cols_ = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    n_ = obs.agg(F.sum("o").alias("n"))
+    grid = (rows_.crossJoin(F.broadcast(cols_))
+            .crossJoin(F.broadcast(n_))
+            .join(obs, ["lang", "source"], "left")
+            .select("lang", "source", "r", "c", "n",
+                    F.coalesce("o", F.lit(0)).alias("o")))
+    e = F.col("r") * F.col("c") / F.col("n").cast("double")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    resid = (F.col("o") - e) / F.sqrt(e)
+    cells = grid.select(
+        "lang", "source", "r", "c",
+        F.round(term, 10).cast("decimal(25,10)").alias("term"),
+        F.round(resid, 6).alias("resid"))
+    w = Window.orderBy(F.abs(F.col("resid")).desc(), "lang", "source")
+    top = (cells.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select(F.col("lang").alias("top_lang"),
+                   F.col("source").alias("top_source"),
+                   F.col("resid").alias("top_residual")))
+    agg = cells.agg(
+        F.round(F.sum("term").cast("double"), 6).alias("chi2"),
+        ((F.countDistinct("lang") - 1)
+         * (F.countDistinct("source") - 1)).alias("dof"))
+    return agg.crossJoin(F.broadcast(top))
+
+
+CHI2_INDEPENDENCE_SQL = """
+WITH obs AS (
+    SELECT lang, source, count(*) AS o
+    FROM documents GROUP BY 1, 2
+),
+rows_ AS (SELECT lang, sum(o) AS r FROM obs GROUP BY lang),
+cols_ AS (SELECT source, sum(o) AS c FROM obs GROUP BY source),
+nt AS (SELECT sum(o) AS n FROM obs),
+grid AS (
+    SELECT rows_.lang, cols_.source, r, c, n, COALESCE(obs.o, 0) AS o
+    FROM rows_ CROSS JOIN cols_ CROSS JOIN nt
+    LEFT JOIN obs ON obs.lang = rows_.lang
+                 AND obs.source = cols_.source
+),
+cells AS (
+    SELECT lang, source,
+           CAST(round((o - r * c / CAST(n AS DOUBLE))
+                      * (o - r * c / CAST(n AS DOUBLE))
+                      / (r * c / CAST(n AS DOUBLE)), 10)
+                AS DECIMAL(25,10)) AS term,
+           round((o - r * c / CAST(n AS DOUBLE))
+                 / sqrt(r * c / CAST(n AS DOUBLE)), 6) AS resid
+    FROM grid
+),
+top AS (
+    SELECT lang AS top_lang, source AS top_source,
+           resid AS top_residual
+    FROM cells ORDER BY abs(resid) DESC, lang, source LIMIT 1
+),
+agg AS (
+    SELECT round(CAST(sum(term) AS DOUBLE), 6) AS chi2,
+           (count(DISTINCT lang) - 1)
+           * (count(DISTINCT source) - 1) AS dof
+    FROM cells
+)
+SELECT chi2, CAST(dof AS BIGINT) AS dof, top_lang, top_source,
+       top_residual
+FROM agg CROSS JOIN top
+"""

@@ -826,6 +826,18 @@ register("forget_customer_purge_audit", cu.forget_customer_purge_audit,
          "right-to-be-forgotten pre-flight: cascade purge impact of a "
          "deterministic tombstone set across customer -> orders -> "
          "lineitem, exact counts + share per table")
+register("cluster_canonical_by_quality", cu.cluster_canonical_by_quality,
+         cu.CANONICAL_QUALITY_SQL,
+         "quality-aware dedup survivor selection: best Gopher-passing "
+         "longest member per near-dup cluster (vs the naive min-id "
+         "pick, with a differs flag) — composed from "
+         "connected_components_dedup + gopher_quality_gate verbatim")
+register("chi2_independence_lang_source",
+         cu.chi2_independence_lang_source,
+         cu.CHI2_INDEPENDENCE_SQL,
+         "chi-squared independence test of lang x source with the "
+         "strongest standardized-residual cell — the categorical "
+         "drift complement of the KS/KL monitors")
 register("ctfidf_cluster_terms", qz.ctfidf_cluster_terms,
          qz.CTFIDF_SQL,
          "cluster labeling by class-based TF-IDF (BERTopic recipe): "
