@@ -1781,3 +1781,71 @@ SELECT event_type,
        max(CASE WHEN i * 20 <= n * 19 THEN late_us END) AS p95_late_us
 FROM ranked GROUP BY event_type
 """
+
+
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of the event ``value`` per
+    event_type — the aggregation finance/metering pipelines need when
+    samples arrive irregularly: each observation is weighted by how
+    long it REMAINED current (until the next same-type event), so a
+    value that held for an hour counts 60× one that held a minute —
+    versus the count-weighted mean every other aggregate here uses.
+    Last observation carries no interval and is excluded (standard
+    left-closed convention).
+
+    Exactness (the ``token_entropy`` convention — ``value`` is an
+    arbitrary double, so no cents trick applies): each interval's
+    weighted term value·Δt_seconds is computed as doubles in ONE
+    written order, round(·,4)-pinned to DECIMAL(25,4), and summed
+    exactly — order-independent across engines; interval spans are
+    exact integer µs; the final division is one correctly-rounded
+    double op, round 6.
+
+    Scale: ONE event_type-keyed window pass (lead) + one combinable
+    aggregation. The window partitions by event_type — at 100 TB
+    sub-partition by (event_type, day) and stitch boundaries, the
+    standard interval-chunking move.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    nxt = F.lead(ts_us).over(w)
+    seg = (ev.select("event_type", ts_us.alias("t"),
+                     nxt.alias("t_next"), "value")
+           .filter(F.col("t_next").isNotNull())
+           .select("event_type",
+                   (F.col("t_next") - F.col("t")).alias("dt"),
+                   "value"))
+    term = (F.round(F.col("value")
+                    * (F.col("dt") / F.lit(1000000.0)), 4)
+            .cast("decimal(25,4)"))
+    return (seg.select("event_type", "dt", term.alias("term"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_intervals"),
+                 F.sum("dt").alias("span_us"),
+                 F.sum("term").alias("wsum"))
+            .select("event_type", "n_intervals",
+                    F.col("span_us").cast("bigint").alias("span_us"),
+                    F.round(F.col("wsum").cast("double")
+                            / (F.col("span_us").cast("double")
+                               / 1000000.0), 6).alias("twap_value")))
+
+
+TIME_WEIGHTED_AVG_SQL = """
+WITH seg AS (
+    SELECT event_type,
+           lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id)
+             - epoch_us(ts) AS dt,
+           value
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n_intervals,
+       CAST(sum(dt) AS BIGINT) AS span_us,
+       round(CAST(sum(CAST(round(value * (dt / 1000000.0), 4)
+                           AS DECIMAL(25,4))) AS DOUBLE)
+             / (CAST(sum(dt) AS DOUBLE) / 1000000.0), 6) AS twap_value
+FROM seg WHERE dt IS NOT NULL
+GROUP BY event_type
+"""

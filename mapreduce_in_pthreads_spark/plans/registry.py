@@ -826,6 +826,16 @@ register("forget_customer_purge_audit", cu.forget_customer_purge_audit,
          "right-to-be-forgotten pre-flight: cascade purge impact of a "
          "deterministic tombstone set across customer -> orders -> "
          "lineitem, exact counts + share per table")
+register("bbit_minwise_estimate", dd.bbit_minwise_estimate,
+         dd.BBIT_MINWISE_SQL,
+         "b-bit minwise hashing (Li & Konig 2010): 1-bit-per-hash "
+         "Jaccard estimator vs full-hash estimate vs exact, per LSH "
+         "candidate pair — the 64x sketch-compression trade measured")
+register("time_weighted_avg_value", ts.time_weighted_avg_value,
+         ts.TIME_WEIGHTED_AVG_SQL,
+         "TWAP per event_type: each observation weighted by how long "
+         "it remained current (lead-interval weighting) — the "
+         "irregular-sampling aggregation, decimal-pinned terms")
 register("cluster_canonical_by_quality", cu.cluster_canonical_by_quality,
          cu.CANONICAL_QUALITY_SQL,
          "quality-aware dedup survivor selection: best Gopher-passing "
