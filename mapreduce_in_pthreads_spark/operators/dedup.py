@@ -1248,3 +1248,61 @@ LEFT JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
 JOIN sizes na ON na.doc_id = c.doc_a
 JOIN sizes nb ON nb.doc_id = c.doc_b
 """
+
+
+def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which deliveries duplicate each other: for every unordered
+    source pair, the number of exact content fingerprints (md5(text),
+    the ``exact_dedup`` key) present in BOTH — the provenance-level
+    dedup report ("vendor B resells vendor A's crawl") that per-doc
+    dedup totals cannot show. The FULL source-pair matrix is emitted
+    (zero-overlap pairs included): an all-clear audit must say so
+    explicitly, and at small scales cross-source duplication is
+    legitimately absent (first appears at sf0.1 here: 8 pairs).
+
+    Exactness: fingerprints are md5 hex (bit-identical cross-engine);
+    everything else is integer counts.
+
+    Scale: the corpus reduces to DISTINCT (fingerprint, source) id
+    pairs — 16-byte keys, never text — before the fingerprint-keyed
+    self-join; per-fingerprint fan-out is bounded by |sources|, so the
+    join is value-domain-bounded exactly like the hour×type grids; the
+    pair grid is a broadcast |sources|² relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fs = truncate_lineage(
+        docs.select(F.md5("text").alias("fp"), "source").distinct())
+    srcs = fs.select("source").distinct()
+    grid = (srcs.select(F.col("source").alias("source_a"))
+            .crossJoin(F.broadcast(
+                srcs.select(F.col("source").alias("source_b"))))
+            .filter(F.col("source_a") < F.col("source_b")))
+    a = fs.select("fp", F.col("source").alias("source_a"))
+    b = fs.select("fp", F.col("source").alias("source_b"))
+    overlap = (a.join(b, "fp")
+               .filter(F.col("source_a") < F.col("source_b"))
+               .groupBy("source_a", "source_b")
+               .agg(F.countDistinct("fp").alias("n_shared")))
+    return (grid.join(overlap, ["source_a", "source_b"], "left")
+            .select("source_a", "source_b",
+                    F.coalesce("n_shared", F.lit(0)).cast("bigint")
+                    .alias("n_shared_fingerprints")))
+
+
+CROSS_SOURCE_DUP_SQL = """
+WITH fs AS (
+    SELECT DISTINCT md5(text) AS fp, source FROM documents
+),
+srcs AS (SELECT DISTINCT source FROM fs),
+overlap AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(DISTINCT a.fp) AS n_shared
+    FROM fs a JOIN fs b ON b.fp = a.fp AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT sa.source AS source_a, sb.source AS source_b,
+       CAST(COALESCE(o.n_shared, 0) AS BIGINT) AS n_shared_fingerprints
+FROM srcs sa JOIN srcs sb ON sa.source < sb.source
+LEFT JOIN overlap o ON o.source_a = sa.source
+                   AND o.source_b = sb.source
+"""

@@ -3165,3 +3165,98 @@ SELECT query_id,
            AS top1_agree
 FROM j GROUP BY query_id
 """
+
+
+LLR_TOP = 20   # collocations reported
+
+
+def dunning_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by Dunning's log-likelihood ratio
+    (Dunning 1993) — the statistic that replaced PMI in serious
+    collocation pipelines because it stays calibrated for RARE pairs
+    (PMI explodes for hapax pairs; ``skipgram_pmi`` is the windowed
+    PMI companion, this is the adjacent-bigram LLR): per bigram the
+    2×2 contingency over bigram positions, LLR = 2·Σ kᵢⱼ·ln(kᵢⱼ·N /
+    (Rᵢ·Cⱼ)) with 0·ln 0 = 0, top-20 by LLR.
+
+    Exactness: counts and margins are integers; each of the 4 terms is
+    doubles in one written order (kᵢⱼ·N exact in int64 to N ≈ 3×10⁹
+    bigrams — DECIMAL beyond), round(·,10)-pinned to DECIMAL(25,10),
+    summed exactly; LLR = round(2·sum, 6). Ties order by words.
+
+    Scale: ONE combinable bigram count; margins are windows over the
+    vocab²-bounded bigram relation; top-k is TakeOrdered, never a
+    global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice(toks, 1, m).alias("w1"),
+                          F.slice(toks, 2, m).alias("w2"))
+    k = (docs.select(F.explode(zipped).alias("p"))
+         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+         .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("k11")))
+    c1 = F.sum("k11").over(Window.partitionBy("w1"))
+    c2 = F.sum("k11").over(Window.partitionBy("w2"))
+    nn = F.sum("k11").over(Window.partitionBy())
+    g = k.select("w1", "w2", "k11", c1.alias("r"), c2.alias("c"),
+                 nn.alias("n"))
+
+    def term(kc: F.Column, rr: F.Column, cc: F.Column) -> F.Column:
+        arg = (kc * F.col("n")).cast("double") / (rr * cc).cast("double")
+        return F.coalesce(
+            F.when(kc > 0,
+                   F.round(kc * F.log(arg), 10).cast("decimal(25,10)")),
+            F.lit(0).cast("decimal(25,10)"))
+
+    k11 = F.col("k11")
+    k12 = F.col("r") - k11
+    k21 = F.col("c") - k11
+    k22 = F.col("n") - F.col("r") - F.col("c") + k11
+    total = (term(k11, F.col("r"), F.col("c"))
+             + term(k12, F.col("r"), F.col("n") - F.col("c"))
+             + term(k21, F.col("n") - F.col("r"), F.col("c"))
+             + term(k22, F.col("n") - F.col("r"),
+                    F.col("n") - F.col("c")))
+    scored = g.select("w1", "w2", "k11",
+                      F.round(F.lit(2.0) * total.cast("double"), 6)
+                      .alias("llr"))
+    return (scored
+            .orderBy(F.col("llr").desc(), "w1", "w2")
+            .limit(LLR_TOP))
+
+
+def _llr_term_sql(k: str, r: str, c: str) -> str:
+    return (f"COALESCE(CASE WHEN {k} > 0 THEN "
+            f"CAST(round({k} * ln(CAST({k} * n AS DOUBLE) "
+            f"/ CAST(({r}) * ({c}) AS DOUBLE)), 10) AS DECIMAL(25,10)) "
+            f"END, CAST(0 AS DECIMAL(25,10)))")
+
+
+DUNNING_LLR_SQL = f"""
+WITH k AS (
+    SELECT w1, w2, count(*) AS k11 FROM (
+        SELECT string_split(text, ' ')[i] AS w1,
+               string_split(text, ' ')[i + 1] AS w2
+        FROM documents,
+             unnest(range(1, len(string_split(text, ' ')))) AS t(i)
+    ) GROUP BY w1, w2
+),
+g AS (
+    SELECT w1, w2, k11,
+           sum(k11) OVER (PARTITION BY w1) AS r,
+           sum(k11) OVER (PARTITION BY w2) AS c,
+           sum(k11) OVER () AS n
+    FROM k
+)
+SELECT w1, w2, k11,
+       round(2.0 * CAST(
+           {_llr_term_sql('k11', 'r', 'c')}
+         + {_llr_term_sql('(r - k11)', 'r', 'n - c')}
+         + {_llr_term_sql('(c - k11)', 'n - r', 'c')}
+         + {_llr_term_sql('(n - r - c + k11)', 'n - r', 'n - c')}
+       AS DOUBLE), 6) AS llr
+FROM g
+ORDER BY llr DESC, w1, w2
+LIMIT {LLR_TOP}
+"""

@@ -826,6 +826,16 @@ register("forget_customer_purge_audit", cu.forget_customer_purge_audit,
          "right-to-be-forgotten pre-flight: cascade purge impact of a "
          "deterministic tombstone set across customer -> orders -> "
          "lineitem, exact counts + share per table")
+register("dunning_llr_collocations", ta.dunning_llr_collocations,
+         ta.DUNNING_LLR_SQL,
+         "collocations by Dunning log-likelihood ratio (the rare-pair-"
+         "calibrated alternative to PMI): 2x2 bigram contingency, "
+         "decimal-pinned ln terms, top-20")
+register("cross_source_duplication", dd.cross_source_duplication,
+         dd.CROSS_SOURCE_DUP_SQL,
+         "provenance-level dedup report: exact content fingerprints "
+         "shared per source pair — which deliveries duplicate each "
+         "other; distinct (fp, source) id pairs, never text")
 register("bbit_minwise_estimate", dd.bbit_minwise_estimate,
          dd.BBIT_MINWISE_SQL,
          "b-bit minwise hashing (Li & Konig 2010): 1-bit-per-hash "
