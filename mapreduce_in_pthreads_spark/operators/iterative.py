@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.lineage import truncate_lineage
+from ..functions.tokens import adjacent_pairs
 from ..sources.tables import load_table
 from . import dedup as dd
 
@@ -51,11 +52,7 @@ def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """word → PageRank over the bigram co-occurrence graph."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.struct(F.get(toks, i).alias("src"),
-                           F.get(toks, i + 1).alias("dst")),
-    )
+    bigrams = adjacent_pairs(toks)
     # directed edges with multiplicity = bigram frequency
     edges = (
         docs.select(F.explode(bigrams).alias("e"))
@@ -371,11 +368,7 @@ def word_graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.struct(F.get(toks, i).alias("src"),
-                           F.get(toks, i + 1).alias("dst")),
-    )
+    bigrams = adjacent_pairs(toks)
     edges = (
         docs.select(F.explode(bigrams).alias("e"))
         .select("e.src", "e.dst").distinct().cache()
@@ -681,11 +674,7 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations replay bit-identically as unrolled DuckDB CTEs."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.struct(F.get(toks, i).alias("src"),
-                           F.get(toks, i + 1).alias("dst")),
-    )
+    bigrams = adjacent_pairs(toks)
     edges = (
         docs.select(F.explode(bigrams).alias("e"))
         .select("e.src", "e.dst")

@@ -97,11 +97,26 @@ def _assign(coded: DataFrame,
 _TRAIN_MEMO: dict = {}
 
 
+def _data_fingerprint(sf_dir: str) -> tuple:
+    """Cheap invalidation token folded into every memo key: max
+    mtime_ns + total byte size over the embeddings parquet path (file
+    or directory-of-parts). Rewriting the data under a long-lived
+    process (fixture regeneration, a notebook session) changes the
+    fingerprint, so later registry entries retrain instead of silently
+    consuming stale centroids (r5 ADVICE)."""
+    p = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    paths = ([os.path.join(p, f) for f in sorted(os.listdir(p))]
+             if os.path.isdir(p) else [p])
+    stats = [os.stat(x) for x in paths if os.path.exists(x)]
+    return (max((s.st_mtime_ns for s in stats), default=0),
+            sum(s.st_size for s in stats))
+
+
 def _train(spark: SparkSession, sf_dir: str):
     """Returns (coded, cents_prev, cents_final, last_counts): the coded
     relation, the centroids that produced the final assignment, the
     final re-estimated centroids, and the final per-cell counts."""
-    key = ("km", os.path.abspath(sf_dir))
+    key = ("km", os.path.abspath(sf_dir), _data_fingerprint(sf_dir))
     emb = load_table(spark, sf_dir, "embeddings")
     coded = _coded(emb)
     if key in _TRAIN_MEMO:
@@ -387,8 +402,13 @@ SELECT v.vec_id, CAST(v.cell AS BIGINT) AS cell,
 FROM vecs v LEFT JOIN dup d ON v.vec_id = d.vec_id
 """
 
-ANN_IVF_TRAINED_SQL = f"""{_PREFIX_SQL},{_assign_cte("afinal",
-                                                     f"cents{KM_ITERS}")},
+# Shared ranked-scored prefix: every trained-IVF SQL consumer appends
+# ONLY its own final WHERE over `rank` — mirroring how the Spark side
+# shares _ivf_ranked() — so editing the CTE tail can't silently
+# produce malformed consumer SQL (r5 ADVICE: the old rsplit("WHERE
+# rank") surgery broke loudly-never, wrongly-maybe).
+_IVF_RANKED_SQL = f"""{_PREFIX_SQL},{_assign_cte("afinal",
+                                                 f"cents{KM_ITERS}")},
 vecs AS (
     SELECT c.vec_id, a.cell, CAST(c.embedding AS DOUBLE[]) AS e
     FROM coded c JOIN afinal a ON c.vec_id = a.vec_id
@@ -407,11 +427,12 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
                                  ORDER BY cos_sim DESC, vec_id) AS rank
     FROM scored
-) WHERE rank <= {TOP_K}
-"""
+) """
+
+ANN_IVF_TRAINED_SQL = _IVF_RANKED_SQL + f"WHERE rank <= {TOP_K}\n"
 
 HARD_NEGATIVES_SQL = (
-    ANN_IVF_TRAINED_SQL.rsplit("WHERE rank", 1)[0]
+    _IVF_RANKED_SQL
     + f"WHERE rank > {TOP_K} AND rank <= {2 * TOP_K}\n")
 
 # --- product quantization + ADC search ----------------------------------
@@ -442,7 +463,7 @@ def _pq_train(spark: SparkSession, sf_dir: str):
     M × K × (PQ_SUB + 1) scalars per iteration — the same
     bounded-collect contract as ``_train``. Integer sums keep every
     iteration bit-identical cross-engine (module docstring)."""
-    key = ("pq", os.path.abspath(sf_dir))
+    key = ("pq", os.path.abspath(sf_dir), _data_fingerprint(sf_dir))
     emb = load_table(spark, sf_dir, "embeddings")
     coded = _coded(emb)
     if key in _TRAIN_MEMO:

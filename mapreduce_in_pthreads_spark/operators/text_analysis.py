@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 
 from ..functions.lineage import truncate_lineage
 from ..functions.numeric import davg, sql_davg
+from ..functions.tokens import adjacent_bigrams, adjacent_pairs, \
+    sliding_ngrams
 from ..sources.tables import load_table
 
 # "BPE-ish" tokenizer: letter runs, digit runs, single other non-space
@@ -152,10 +154,7 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide bigram frequencies (n-gram language-model input)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
-    )
+    bigrams = adjacent_bigrams(toks)
     return (
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
@@ -419,9 +418,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)))
+    grams = sliding_ngrams(toks, NGRAM_N)
     with_grams = docs.select(
         "doc_id", F.explode(grams).alias("ngram"))
     eval_grams = (with_grams
@@ -464,9 +461,7 @@ def repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    bigrams = adjacent_bigrams(toks)
     top_count = F.aggregate(
         F.array_distinct(toks), F.lit(0),
         lambda acc, t: F.greatest(
@@ -512,9 +507,7 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.size(toks)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    bigrams = adjacent_bigrams(toks)
     dup_bg = (F.size(bigrams) - F.size(F.array_distinct(bigrams))) \
         / F.size(bigrams)
     top_share = F.aggregate(
@@ -602,16 +595,10 @@ def bigram_logprob_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    bg = docs.select(
-        "doc_id",
-        F.explode(F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws("\x01", F.slice(toks, i, 2))))
-        .alias("bigram"))
-    bg = bg.select(
-        "doc_id",
-        F.split_part("bigram", F.lit("\x01"), F.lit(1)).alias("v"),
-        F.split_part("bigram", F.lit("\x01"), F.lit(2)).alias("w"))
+    bg = (docs
+          .select("doc_id",
+                  F.explode(adjacent_pairs(toks, "v", "w")).alias("p"))
+          .select("doc_id", "p.v", "p.w"))
     lm2 = bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c2"))
     pref = lm2.groupBy("v").agg(F.sum("c2").alias("cv"))
     tok = docs.select(F.explode(toks).alias("w"))
@@ -3012,16 +2999,10 @@ def kneser_ney_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    bg = docs.select(
-        "doc_id",
-        F.explode(F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws("\x01", F.slice(toks, i, 2))))
-        .alias("bigram"))
-    bg = bg.select(
-        "doc_id",
-        F.split_part("bigram", F.lit("\x01"), F.lit(1)).alias("v"),
-        F.split_part("bigram", F.lit("\x01"), F.lit(2)).alias("w"))
+    bg = (docs
+          .select("doc_id",
+                  F.explode(adjacent_pairs(toks, "v", "w")).alias("p"))
+          .select("doc_id", "p.v", "p.w"))
     lm2 = truncate_lineage(
         bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c2")))
     pref = lm2.groupBy("v").agg(F.sum("c2").alias("cv"),

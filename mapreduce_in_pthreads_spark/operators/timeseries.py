@@ -1715,7 +1715,8 @@ def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: lateness = greatest(0, running-max-µs − ts-µs), all
     integers; p95 is the order statistic at ascending rank
-    ⌈0.95·n⌉ (never interpolated).
+    ⌈0.95·n⌉ (never interpolated) — the smallest rank i with
+    20·i ≥ 19·n, which at n = 1 picks the single event (no NULL).
 
     Scale: ONE user-keyed window pass over the stream computes the
     running max (the same single exchange the as-of family rides);
@@ -1740,8 +1741,8 @@ def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
                  .cast("bigint").alias("n_late"),
                  F.max("late_us").alias("max_late_us"),
-                 F.max(F.when(
-                     F.col("i") * 20 <= F.col("n") * 19,
+                 F.min(F.when(
+                     F.col("i") * 20 >= F.col("n") * 19,
                      F.col("late_us"))).alias("p95_late_us"))
             .select("event_type", "n_events", "n_late",
                     F.round(F.col("n_late")
@@ -1778,7 +1779,7 @@ SELECT event_type,
        round(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
              / CAST(max(n) AS DOUBLE), 10) AS late_share,
        max(late_us) AS max_late_us,
-       max(CASE WHEN i * 20 <= n * 19 THEN late_us END) AS p95_late_us
+       min(CASE WHEN i * 20 >= n * 19 THEN late_us END) AS p95_late_us
 FROM ranked GROUP BY event_type
 """
 

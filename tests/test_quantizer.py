@@ -190,3 +190,27 @@ def test_train_memo_equals_fresh_training(spark):
         assert counts_a == counts_b
     finally:
         qz._TRAIN_MEMO.update(saved)
+
+
+def test_train_memo_invalidates_on_data_rewrite(tmp_path):
+    """Rewriting the embeddings parquet under an sf_dir must change the
+    memo key (r5 ADVICE: stale-centroid hazard in long-lived
+    processes). The fingerprint is (max mtime_ns, total size), so both
+    a touch and a content rewrite invalidate."""
+    import os
+    import shutil
+
+    from mapreduce_in_pthreads_spark.operators import quantizer as qz
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/embeddings.parquet",
+                d / "embeddings.parquet")
+    fp1 = qz._data_fingerprint(str(d))
+    os.utime(d / "embeddings.parquet",
+             ns=(fp1[0] + 1_000_000_000, fp1[0] + 1_000_000_000))
+    fp2 = qz._data_fingerprint(str(d))
+    assert fp1 != fp2
+    # and the real sf_dir fingerprint is stable across calls
+    assert (qz._data_fingerprint(SF_SMOKE)
+            == qz._data_fingerprint(SF_SMOKE))
