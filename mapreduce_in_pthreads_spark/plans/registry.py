@@ -938,44 +938,39 @@ register("embedding_centroid_drift", qz.embedding_centroid_drift,
 # NOT listed keep their thematic order after the window — nothing is
 # ever dropped from queries()/oracle_sql().
 #
-# Round-5 window (VERDICT r4 items 1 & 2): flagship 6 (keep first
-# every round), then 43 never-adjudicated entries prioritizing the
-# paper-anchored LLM-pipeline families added in round 4 (SemDeDup,
-# DSIR, SoftDeDup, PQ-ADC, BM25/RRF, count-min, BPE, k-core) plus the
-# round-4 session-5 additions, plus simhash_fingerprints — whose md5
-# rewrite + exact oracle postdate its last (rows-only) driver row.
-# Built/validated with `python tools/next_window.py --check --must
-# simhash_fingerprints`; the ~51 sql_surface/advanced/stats leftovers
-# fit round 6's window (drop the flagship there if slots run short —
-# it will have 5 consecutive green rounds by then).
+# Round-6 window (VERDICT r4 item 2 / r5 ADVICE follow-through):
+# flagship 6 (always re-proven), then the 12 --must entries whose code
+# changed this round (the descending-sequence bigram/edge fix touched
+# bigram_counts, contamination_check, repetition_ratios,
+# gopher_quality_gate, bigram_logprob_interpolated,
+# kneser_ney_bigram_logprob, pagerank_word_graph,
+# word_graph_distances, hits_hubs_authorities; the quantizer SQL/memo
+# refactor touched ann_ivf_trained_topk + hard_negatives_mining; the
+# p95 ceil-rank fix touched watermark_lateness_profile), then 32
+# never-adjudicated entries in thematic order. Generated by
+# `python tools/next_window.py --must <the 12>`; validated with
+# `--check --must <the 12>`. 53 leftovers fit rounds 7-8.
 _ADJUDICATION_FIRST: tuple[str, ...] = (
-    # flagship / reference parity — always first
-    "inverted_index", "word_count", "doc_frequency", "corpus_stats",
-    "index_top_docs", "rdd_inverted_index",
-    # dedup family (paper-anchored, never adjudicated; simhash = md5
-    # rewrite needing a fresh row)
-    "semdedup_prune", "soft_dedup_weights", "duplicate_spans",
-    "minhash_estimate_quality", "containment_dedup",
-    "delta_dedup_vs_corpus", "simhash_fingerprints",
-    # ANN / quantization family
-    "pq_adc_topk", "ann_topk_blas", "kmeans_quantizer_cells",
-    "ann_ivf_trained_topk", "ann_ivf_multiprobe_topk",
-    "ann_recall_report", "matryoshka_recall", "embedding_quality_audit",
-    # curation / sampling family
-    "dsir_importance_weights", "mixture_sampling_weights",
-    "cluster_balanced_sample", "pretrain_curation_report",
-    "k_anonymity_audit", "quantile_normalize_scores", "shard_assignment",
-    # retrieval / text-statistics family
-    "unigram_logprob_filter", "bm25_topk_docs", "rrf_fusion_topk",
-    "count_min_words", "skipgram_pmi", "lang_confusion_matrix",
-    "chi2_discriminative_terms", "zipf_law_fit", "tokenizer_fertility",
-    "boolean_search", "phrase_search_positional", "related_docs_topk",
-    "postings_delta_encode", "bpe_merge_step", "vocab_coverage_curve",
-    # graph family
-    "word_graph_distances", "clustering_coefficient", "k_core_words",
-    # multimodal family
-    "image_channel_stats", "image_phash_groups", "audio_silence_runs",
-    "frame_shot_boundaries",
+    "inverted_index", "word_count", "doc_frequency",
+    "corpus_stats", "index_top_docs", "rdd_inverted_index",
+    "bigram_counts", "contamination_check", "repetition_ratios",
+    "gopher_quality_gate", "bigram_logprob_interpolated",
+    "kneser_ney_bigram_logprob", "pagerank_word_graph",
+    "word_graph_distances", "hits_hubs_authorities",
+    "watermark_lateness_profile", "ann_ivf_trained_topk",
+    "hard_negatives_mining",
+    "event_rate_anomaly", "session_path_transitions",
+    "daily_profile_similarity", "rolling_correlation",
+    "malformed_json_resilience", "stratified_sample_fractions",
+    "label_centroid_norms", "python_udf_slow_path", "cogroup_reconcile",
+    "schema_evolution_union", "asof_join_nearest_event",
+    "equi_depth_deciles", "ordered_listagg", "boolean_aggregates",
+    "try_arithmetic", "regression_metrics", "time_hierarchy_rollup",
+    "url_parse_surface", "map_higher_order", "token_entropy",
+    "ngram_novelty_curve", "keyword_in_context", "source_balance_gini",
+    "approx_top_k_words", "recursive_cte_split", "parameterized_sql",
+    "null_handling_surface", "string_functions2", "scd2_dimension",
+    "date_arithmetic", "bitwise_surface", "regexp_surface",
 )
 
 # ROUND-6 PREP: the window above covers 43 never-adjudicated entries +
