@@ -1,0 +1,139 @@
+"""Data-layout operators: quantify how physical clustering decisions
+change scan cost — the 100 TB lever that no per-query plan tuning can
+substitute for (a filter can only prune files whose min/max envelopes
+exclude it; envelopes are a property of HOW the data was written).
+
+The reference engine (mapreduce.c) reads whole files; layout is the
+Spark-era dimension it never had. These operators make layout choices
+*measurable* inside the engine, the way a lakehouse table service
+(OPTIMIZE ZORDER / liquid clustering) would report them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.zorder import zorder_key
+from ..sources.tables import load_table
+
+Z_BITS = 8            # per-dimension resolution of the audit grid
+Z_SIDE = 1 << Z_BITS  # 256 cells per dimension
+N_BUCKETS = 64        # simulated files per layout
+
+
+def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compare three physical layouts of ``events`` — Z-order on
+    (user_id, hour), linear on user_id, linear on hour — by the
+    min/max-envelope pruning each would give a point predicate.
+
+    Method: scale both dimensions into [0, 255] with exact integer
+    arithmetic, assign every row to one of 64 value-range "files"
+    per layout (Z-order: top 6 bits of the Morton key built by
+    ``functions.zorder.zorder_key``; linear: top 6 bits of one
+    dimension), then measure each file's actual (min, max) envelope
+    per dimension. ``scan_frac_user`` is the expected fraction of
+    files a uniformly random user point-predicate must scan:
+    Σ_files (width_user + 1) / 256 / n_files — exactly what parquet
+    footer stats would admit. The Z-order rows show the trade a
+    lakehouse OPTIMIZE ZORDER buys: ~1/8 scans on BOTH dimensions
+    instead of 1/64 on one and ~1 on the other.
+
+    Exactness: scaling, Morton interleave, bucket ids and envelope
+    widths are all integer ops; each scan fraction is ONE double
+    division of exact integers, round(·, 10)-pinned.
+
+    Scale: one combinable 4-scalar stats agg (broadcast back as a
+    1-row dimension — no driver collect), then one combinable
+    (layout, bucket) agg per layout over a union — no windows, no
+    sorts; at 100 TB the same audit runs from parquet footer stats
+    instead of raw rows, but the operator IS the footer-stat math.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # integer div, never double-/ + cast (can round across a boundary)
+    hour = F.expr("unix_micros(ts) div 3600000000")
+    base = ev.select(F.col("user_id").alias("u"), hour.alias("h"))
+    stats = base.agg(
+        F.min("u").alias("umin"), F.max("u").alias("umax"),
+        F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+    scaled = base.crossJoin(F.broadcast(stats)).select(
+        F.expr(f"((u - umin) * {Z_SIDE - 1}) div "
+               "greatest(umax - umin, 1)").alias("su"),
+        F.expr(f"((h - hmin) * {Z_SIDE - 1}) div "
+               "greatest(hmax - hmin, 1)").alias("sh"))
+    z = zorder_key(F.col("su"), F.col("sh"), bits=Z_BITS)
+    per_file = Z_SIDE * Z_SIDE // N_BUCKETS        # z cells per bucket
+    shift = per_file.bit_length() - 1              # 1024 == 1 << 10
+    lin = Z_SIDE // N_BUCKETS                      # 1-D cells per bucket
+    layouts = (
+        scaled.select(F.lit("zorder").alias("layout"),
+                      F.shiftright(z, shift).alias("bucket"),
+                      "su", "sh")
+        .unionAll(scaled.select(
+            F.lit("linear_user").alias("layout"),
+            F.expr(f"su div {lin}").alias("bucket"), "su", "sh"))
+        .unionAll(scaled.select(
+            F.lit("linear_hour").alias("layout"),
+            F.expr(f"sh div {lin}").alias("bucket"), "su", "sh")))
+    env = (layouts.groupBy("layout", "bucket")
+           .agg((F.max("su") - F.min("su") + 1).alias("span_u"),
+                (F.max("sh") - F.min("sh") + 1).alias("span_h")))
+    return (env.groupBy("layout")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum("span_u").alias("sum_span_u"),
+                 F.sum("span_h").alias("sum_span_h"))
+            .select("layout", "n_files",
+                    F.round(F.col("sum_span_u")
+                            / (F.lit(Z_SIDE) * F.col("n_files"))
+                            .cast("double"), 10).alias("scan_frac_user"),
+                    F.round(F.col("sum_span_h")
+                            / (F.lit(Z_SIDE) * F.col("n_files"))
+                            .cast("double"), 10).alias("scan_frac_hour")))
+
+
+def _morton_sql(a: str, b: str, bits: int) -> str:
+    """DuckDB arithmetic Morton interleave: a's bit i → 2i+1, b's → 2i."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({b} // {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+ZORDER_PRUNING_SQL = f"""
+WITH base AS (
+    SELECT user_id AS u, epoch_us(ts) // 3600000000 AS h FROM events
+),
+stats AS (
+    SELECT min(u) AS umin, max(u) AS umax,
+           min(h) AS hmin, max(h) AS hmax
+    FROM base
+),
+scaled AS (
+    SELECT ((u - umin) * {Z_SIDE - 1}) // greatest(umax - umin, 1) AS su,
+           ((h - hmin) * {Z_SIDE - 1}) // greatest(hmax - hmin, 1) AS sh
+    FROM base CROSS JOIN stats
+),
+layouts AS (
+    SELECT 'zorder' AS layout,
+           ({_morton_sql('su', 'sh', Z_BITS)})
+               // {Z_SIDE * Z_SIDE // N_BUCKETS} AS bucket, su, sh
+    FROM scaled
+    UNION ALL
+    SELECT 'linear_user', su // {Z_SIDE // N_BUCKETS}, su, sh FROM scaled
+    UNION ALL
+    SELECT 'linear_hour', sh // {Z_SIDE // N_BUCKETS}, su, sh FROM scaled
+),
+env AS (
+    SELECT layout, bucket,
+           max(su) - min(su) + 1 AS span_u,
+           max(sh) - min(sh) + 1 AS span_h
+    FROM layouts GROUP BY 1, 2
+)
+SELECT layout, count(*) AS n_files,
+       round(sum(span_u) / CAST({Z_SIDE} * count(*) AS DOUBLE), 10)
+           AS scan_frac_user,
+       round(sum(span_h) / CAST({Z_SIDE} * count(*) AS DOUBLE), 10)
+           AS scan_frac_hour
+FROM env GROUP BY layout
+"""

@@ -847,11 +847,12 @@ BM25_QUERIES = (
 )
 
 
-def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared BM25 candidate scoring: one row per (query_id, doc_id)
-    with the exact decimal BM25 ``score_sum`` plus the raw ``tf_sum``
-    and ``dl`` the fusion ranker needs. Candidates = docs containing
-    ≥ 1 query term (identical for every ranker built on top)."""
+def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-INDEPENDENT BM25 term scoring: one row per (doc_id, word)
+    over the query-term vocabulary with the exact decimal per-term
+    score ``s`` plus raw ``tf`` and ``dl``. This is the level term
+    upper bounds (WAND) live at; every ranker joins it to the query
+    table afterwards — ONE definition of the score expression."""
     docs = load_table(spark, sf_dir, "documents")
     terms = sorted({t for _, t in BM25_QUERIES})
     tok = docs.select(
@@ -864,8 +865,6 @@ def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy("doc_id", "word")
           .agg(F.count(F.lit(1)).alias("tf")))
     df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    qdf = spark.createDataFrame(
-        list(BM25_QUERIES), "query_id bigint, word string")
     idf_dec = (
         F.round(F.log(F.lit(1.0)
                       + (F.col("n_docs") - F.col("df") + F.lit(0.5))
@@ -880,14 +879,27 @@ def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("idf").cast("double")
                 * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom, 10)
         .cast("decimal(25,10)"))
-    scored = (
+    return (
         tf.join(F.broadcast(df_.join(F.broadcast(stats))
                             .select("word", idf_dec.alias("idf"),
                                     "n_docs", "total_dl")), "word")
         .join(dl, "doc_id")
-        .join(F.broadcast(qdf), "word")
-        .select("query_id", "doc_id", term_score.alias("s"),
-                "tf", "dl"))
+        .select("doc_id", "word", term_score.alias("s"), "tf", "dl"))
+
+
+def _bm25_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        list(BM25_QUERIES), "query_id bigint, word string")
+
+
+def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 candidate scoring: one row per (query_id, doc_id)
+    with the exact decimal BM25 ``score_sum`` plus the raw ``tf_sum``
+    and ``dl`` the fusion ranker needs. Candidates = docs containing
+    ≥ 1 query term (identical for every ranker built on top)."""
+    scored = (_bm25_doc_scores(spark, sf_dir)
+              .join(F.broadcast(_bm25_queries_df(spark)), "word")
+              .select("query_id", "doc_id", "s", "tf", "dl"))
     return scored.groupBy("query_id", "doc_id").agg(
         F.sum("s").alias("score_sum"),
         F.sum("tf").alias("tf_sum"),
@@ -1004,8 +1016,8 @@ tok AS (
                 AS DECIMAL(25,10)) AS idf,
            n_docs, total_dl
     FROM dfs CROSS JOIN stats
-), scored AS (
-    SELECT q.query_id, tf.doc_id,
+), dscore AS (
+    SELECT tf.doc_id, tf.word,
            CAST(round(CAST(i.idf AS DOUBLE)
                       * (tf.tf * {BM25_K1 + 1.0!r})
                       / (tf.tf + {BM25_K1!r}
@@ -1017,7 +1029,9 @@ tok AS (
     FROM tf
     JOIN idf i USING (word)
     JOIN dl ON dl.doc_id = tf.doc_id
-    JOIN q ON q.word = tf.word
+), scored AS (
+    SELECT q.query_id, d.doc_id, d.s, d.tf, d.dl
+    FROM dscore d JOIN q ON q.word = d.word
 ), per_doc AS (
     SELECT query_id, doc_id, sum(s) AS score_sum,
            CAST(sum(tf) AS BIGINT) AS tf_sum, min(dl) AS dl
@@ -1034,6 +1048,96 @@ FROM (
     FROM per_doc
 ) WHERE rank <= {BM25_TOP_K}
 """
+
+def wand_upper_bound_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAND-style max-score pruning audit (Broder et al., CIKM 2003 —
+    the dominant top-k retrieval optimization in production inverted
+    indexes): per query term, the UPPER BOUND of its BM25 contribution
+    over all documents; a document whose matched-term upper-bound sum
+    falls below θ (the current k-th best true score) can be skipped
+    WITHOUT scoring. Per query this reports how many candidates the
+    bound would skip, plus ``n_violations`` — candidates inside the
+    true top-k that the bound would have skipped, provably zero
+    (score ≤ Σ per-term bounds, term by term) and recomputed from
+    data, so a bound bug hash-mismatches loudly.
+
+    Exactness: ``s`` and the per-term bounds are the shared decimal-
+    pinned BM25 term scores (``_bm25_doc_scores`` — single definition
+    of the expression); ``ub_sum``/``score_sum``/θ are exact decimal
+    sums; the prune test is a decimal comparison; ``prune_frac`` is
+    one pinned double division of exact ints.
+
+    Scale: upper bounds are a vocab-sized combinable agg broadcast
+    back into the SAME (query, doc, term) relation that scoring uses
+    — everything reduces in ONE (query_id, doc_id) aggregation; θ is
+    a per-query window over candidates; lineage is cut at the scored
+    relation so the rank and θ consumers don't replay the corpus
+    scan. At 100 TB this audit is exactly the statistic an index
+    build would persist per posting block.
+    """
+    ds = truncate_lineage(_bm25_doc_scores(spark, sf_dir))
+    ub = ds.groupBy("word").agg(F.max("s").alias("ub"))
+    per = truncate_lineage(
+        ds.join(F.broadcast(_bm25_queries_df(spark)), "word")
+        .join(F.broadcast(ub), "word")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("score_sum"),
+             F.sum("ub").alias("ub_sum")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_sum").desc(), F.col("doc_id"))
+    ranked = per.withColumn("rank", F.row_number().over(w))
+    theta = (ranked.groupBy("query_id")
+             .agg(F.max(F.when(F.col("rank") == BM25_TOP_K,
+                               F.col("score_sum"))).alias("theta")))
+    joined = ranked.join(F.broadcast(theta), "query_id")
+    prunable = (F.col("ub_sum") < F.col("theta")).cast("int")
+    return (joined.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_candidates"),
+                 F.sum(prunable).cast("bigint").alias("n_prunable"),
+                 F.round(F.sum(prunable)
+                         / F.count(F.lit(1)).cast("double"), 10)
+                 .alias("prune_frac"),
+                 F.round(F.max("theta").cast("double"), 6)
+                 .alias("theta_bm25"),
+                 F.sum((prunable.cast("boolean")
+                        & (F.col("rank") <= BM25_TOP_K)).cast("int"))
+                 .cast("bigint").alias("n_violations")))
+
+
+WAND_PRUNING_SQL = f"""{_BM25_PREFIX_SQL},
+ub AS (
+    SELECT word, max(s) AS ub FROM dscore GROUP BY word
+),
+per AS (
+    SELECT q.query_id, d.doc_id,
+           sum(d.s) AS score_sum, sum(u.ub) AS ub_sum
+    FROM dscore d JOIN q ON q.word = d.word JOIN ub u ON u.word = d.word
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_sum DESC, doc_id) AS rank
+    FROM per
+),
+theta AS (
+    SELECT query_id,
+           max(CASE WHEN rank = {BM25_TOP_K} THEN score_sum END) AS theta
+    FROM ranked GROUP BY query_id
+)
+SELECT r.query_id,
+       count(*) AS n_candidates,
+       CAST(sum(CASE WHEN r.ub_sum < t.theta THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_prunable,
+       round(sum(CASE WHEN r.ub_sum < t.theta THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 10) AS prune_frac,
+       round(CAST(max(t.theta) AS DOUBLE), 6) AS theta_bm25,
+       CAST(sum(CASE WHEN r.ub_sum < t.theta
+                      AND r.rank <= {BM25_TOP_K}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM ranked r JOIN theta t USING (query_id)
+GROUP BY r.query_id
+"""
+
 
 RRF_FUSION_SQL = f"""{_BM25_PREFIX_SQL},
 ranked AS (

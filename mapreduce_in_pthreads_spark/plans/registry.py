@@ -26,7 +26,9 @@ from ..operators import curation as cu
 from ..operators import dedup as dd
 from ..operators import inverted_index as ii
 from ..operators import iterative as it
+from ..operators import evaluation as ev
 from ..operators import joins as jn
+from ..operators import layout as lay
 from ..operators import multimodal as mm
 from ..operators import semistructured as ss
 from ..operators import quantizer as qz
@@ -927,6 +929,36 @@ register("embedding_centroid_drift", qz.embedding_centroid_drift,
          "exact via the scale-invariance identity cos(mean_l, mean_g) "
          "= cos(sum_l, sum_g); the embedding-space twin of "
          "ks_drift_by_source")
+
+register("wand_upper_bound_pruning", ta.wand_upper_bound_pruning,
+         ta.WAND_PRUNING_SQL,
+         "WAND max-score pruning audit (Broder et al. 2003): per-term "
+         "BM25 upper bounds vs the k-th true score theta — candidates "
+         "skippable without scoring, plus the provably-zero top-k "
+         "violation count recomputed from data; shared decimal BM25 "
+         "term scores, one candidate aggregation")
+
+register("cohens_kappa_lang", ev.cohens_kappa_lang,
+         ev.COHENS_KAPPA_SQL,
+         "Cohen's kappa (1960) of lang_id_heuristic vs declared "
+         "labels — chance-corrected agreement from one lineage-cut "
+         "|langs|^2 confusion aggregation; exact DECIMAL(38,0)/"
+         "HUGEINT marginal products, one pinned division")
+register("lang_confidence_calibration", ev.lang_confidence_calibration,
+         ev.CALIBRATION_SQL,
+         "reliability table behind the Brier score (Murphy 1973) for "
+         "the lang classifier's confidence: integer-division bins, "
+         "decimal-pinned p and (p-y)^2 sums, mean-confidence vs "
+         "accuracy gap per bin — zero joins, one bounded agg")
+
+# --- data layout (round 6) -------------------------------------------------
+register("zorder_pruning_audit", lay.zorder_pruning_audit,
+         lay.ZORDER_PRUNING_SQL,
+         "physical-layout audit: Z-order (Morton, functions/zorder) "
+         "vs linear clustering of events on (user, hour) — expected "
+         "min/max-envelope scan fraction per dimension for 64 "
+         "simulated files; all-integer scaling/interleave/envelopes, "
+         "one pinned division per fraction")
 
 
 # --- adjudication-window rotation -----------------------------------------
