@@ -1471,3 +1471,54 @@ SELECT chi2, CAST(dof AS BIGINT) AS dof, top_lang, top_source,
        top_residual
 FROM agg CROSS JOIN top
 """
+
+
+AES_SAMPLE_N = 200
+AES_POW52 = 1 << 52
+
+
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement by the Efraimidis-
+    Spirakis A-ES scheme (IPL 2006) — THE distributed algorithm for
+    "sample k docs with probability proportional to weight" because
+    it needs no global state: every row computes key = ln(u)/w from
+    its own uniform u and weight w (here n_chars — sample long docs
+    more), and the global top-k keys ARE the sample. One pass,
+    mergeable, restart-safe.
+
+    Determinism/exactness: u is an EXACT double — the top 13 md5 hex
+    chars of doc_id give a 52-bit integer h, u = (h+1)/2^52 (both the
+    numerator and the power-of-two division are exact in IEEE754);
+    ln(u) is round(·,10)-pinned (the repo ln convention), the /w
+    division rounded once more — both engines order identical keys,
+    ties broken by doc_id.
+
+    Scale: pure per-row expressions + TakeOrderedAndProject (top-k,
+    never a global sort); at 100 TB each partition keeps its local
+    top-k and only k-row heaps merge at the driver — the textbook
+    A-ES deployment.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 13),
+        16, 10).cast("bigint")
+    u = (h + 1) / F.lit(float(AES_POW52))
+    key = F.round(F.round(F.log(u), 10) / F.col("n_chars"), 10)
+    return (docs
+            .select("doc_id", "source",
+                    F.col("n_chars").alias("weight"),
+                    key.alias("aes_key"))
+            .orderBy(F.col("aes_key").desc(), "doc_id")
+            .limit(AES_SAMPLE_N))
+
+
+WEIGHTED_SAMPLE_AES_SQL = f"""
+SELECT doc_id, source, n_chars AS weight,
+       round(round(ln((('0x' || substring(
+                            md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                       + 1) / {float(AES_POW52)!r}), 10)
+             / n_chars, 10) AS aes_key
+FROM documents
+ORDER BY aes_key DESC, doc_id
+LIMIT {AES_SAMPLE_N}
+"""

@@ -954,3 +954,88 @@ FROM d
 
 
 SHOT_BOUNDARIES_SQL = _shot_boundaries_sql()
+
+
+ASPECT_BATCH = 32
+
+
+def aspect_ratio_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing for batched vision training — the
+    scheduling step diffusion/vision pipelines run so every batch
+    holds same-shape images (NovelAI's SDXL recipe): classify each
+    image into one of five aspect classes by EXACT integer
+    cross-multiplication (w·2 ≤ h is 'tall', ... , w > 2·h is
+    'wide' — no float ratios anywhere near a bucket boundary), then
+    report per bucket the batch count at capacity 32 and the padding
+    waste the final partial batch costs.
+
+    Image dims follow the corpus's multimodal convention
+    (``image_decode_meta``): width = n_chars % 16 + 1,
+    height = doc_id % 8 + 1 — the metadata a real pipeline would read
+    from ``image_decode_meta``'s output instead.
+
+    Exactness: bucket assignment, batch counts (ceil via integer
+    (n + 31) div 32) and max_pixels are all integers; mean aspect is
+    a decimal-pinned per-row ratio sum with one final division;
+    pad_frac is one double division of exact ints.
+
+    Scale: per-row expressions + one 5-row combinable aggregation —
+    the bucket quotas then drive a writer's repartition, which is the
+    only shuffle the real pipeline pays.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.col("n_chars") % 16 + 1
+    h = F.col("doc_id") % 8 + 1
+    bucket = (F.when(w * 2 <= h, "tall")
+              .when(w < h, "portrait")
+              .when(w == h, "square")
+              .when(w <= h * 2, "landscape")
+              .otherwise("wide"))
+    per_img = docs.select(
+        bucket.alias("bucket"),
+        (w * h).alias("pixels"),
+        F.round(w / h.cast("double"), 10).cast("decimal(25,10)")
+        .alias("aspect_dec"))
+    n = F.count(F.lit(1))
+    n_batches = F.expr(f"(count(1) + {ASPECT_BATCH - 1}) "
+                       f"div {ASPECT_BATCH}")
+    return (per_img.groupBy("bucket")
+            .agg(n.alias("n_images"),
+                 n_batches.cast("bigint").alias("n_batches"),
+                 F.round(
+                     (n_batches * ASPECT_BATCH - n)
+                     / (n_batches * ASPECT_BATCH).cast("double"), 10)
+                 .alias("pad_frac"),
+                 F.max("pixels").cast("bigint").alias("max_pixels"),
+                 F.round(F.sum("aspect_dec").cast("double")
+                         / n, 10).alias("mean_aspect")))
+
+
+ASPECT_BUCKETING_SQL = f"""
+WITH per_img AS (
+    SELECT CASE
+             WHEN (n_chars % 16 + 1) * 2 <= (doc_id % 8 + 1) THEN 'tall'
+             WHEN (n_chars % 16 + 1) < (doc_id % 8 + 1) THEN 'portrait'
+             WHEN (n_chars % 16 + 1) = (doc_id % 8 + 1) THEN 'square'
+             WHEN (n_chars % 16 + 1) <= (doc_id % 8 + 1) * 2
+                 THEN 'landscape'
+             ELSE 'wide'
+           END AS bucket,
+           (n_chars % 16 + 1) * (doc_id % 8 + 1) AS pixels,
+           CAST(round((n_chars % 16 + 1)
+                      / CAST(doc_id % 8 + 1 AS DOUBLE), 10)
+                AS DECIMAL(25,10)) AS aspect_dec
+    FROM documents
+)
+SELECT bucket, count(*) AS n_images,
+       CAST((count(*) + {ASPECT_BATCH - 1}) // {ASPECT_BATCH}
+            AS BIGINT) AS n_batches,
+       round(((count(*) + {ASPECT_BATCH - 1}) // {ASPECT_BATCH}
+              * {ASPECT_BATCH} - count(*))
+             / CAST((count(*) + {ASPECT_BATCH - 1}) // {ASPECT_BATCH}
+                    * {ASPECT_BATCH} AS DOUBLE), 10) AS pad_frac,
+       CAST(max(pixels) AS BIGINT) AS max_pixels,
+       round(CAST(sum(aspect_dec) AS DOUBLE) / count(*), 10)
+           AS mean_aspect
+FROM per_img GROUP BY bucket
+"""

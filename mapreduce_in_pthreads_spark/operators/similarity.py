@@ -816,3 +816,144 @@ LEFT JOIN dcg d ON d.query_id = g.query_id
 from .quantizer import ANN_IVF_TRAINED_SQL as _IVF_SQL  # noqa: E402
 
 NDCG_EVAL_SQL = NDCG_EVAL_SQL.format(ivf_sql=_IVF_SQL)
+
+
+# --- Johnson-Lindenstrauss random-projection retrieval -------------------
+
+JL_DIMS = 16
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic ±1 projection matrix (Achlioptas 2003: Rademacher
+    entries satisfy the JL lemma — no Gaussians needed), seeded from
+    md5 so both engines inline the SAME literals (the PQ-codebook
+    'model as plan literal' pattern)."""
+    import hashlib
+
+    return [[1 if int(hashlib.md5(
+        f"jl-{j}-{i}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1
+        for i in range(EMB_DIM)] for j in range(JL_DIMS)]
+
+
+JL_SIGNS = _jl_signs()
+
+
+def _jl_project(emb_col: str) -> F.Column:
+    """array<double> of the 16 signed-sum projections, each the SAME
+    left-associated ±1.0-weighted element sum the SQL twin writes."""
+    ed = F.transform(emb_col, lambda x: x.cast("double"))
+    cols = []
+    for row in JL_SIGNS:
+        acc = F.lit(float(row[0])) * F.element_at(ed, 1)
+        for i in range(1, EMB_DIM):
+            acc = acc + F.lit(float(row[i])) * F.element_at(ed, i + 1)
+        cols.append(acc)
+    return F.array(*cols)
+
+
+def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss evaluation: recall@k of cosine top-k in a
+    16-dim ±1 random projection (Achlioptas 2003) against the exact
+    full-dimension top-k — the data-independent counterpart of
+    ``matryoshka_recall`` (which needs MRL-trained prefixes) and the
+    cheapest first-stage index compression there is: no training, no
+    codebooks, one matvec at write time.
+
+    Exactness: the projection is 16 left-associated ±1.0-weighted
+    double sums — identical literals and op order in both engines;
+    rankings then ride the proven cosine kernel; hit counts are
+    integers, recall one rounded division.
+
+    Scale: projection is a per-row expression (at 100 TB it runs in
+    the scan projection and cuts the pair-scoring byte budget 4×);
+    the query grid is broadcast; the exact baseline is materialized
+    once (lineage cut) and reused for the hit join and the grid.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = truncate_lineage(
+        ann_topk_bruteforce(spark, sf_dir).select(
+            "query_id", "vec_id").withColumn("in_bf", F.lit(1)))
+    pr = emb.select("vec_id", _jl_project("embedding").alias("pemb"))
+    qp = pr.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("pemb").alias("query_pemb"))
+    scored = (
+        pr.withColumn("nrm", l2_norm("pemb"))
+        .crossJoin(F.broadcast(
+            qp.withColumn("query_nrm", l2_norm("query_pemb"))))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", dot("pemb", "query_pemb")
+                    / (F.col("nrm") * F.col("query_nrm"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id"))
+    jl_topk = (scored.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= TOP_K)
+               .select("query_id", "vec_id"))
+    hits = (jl_topk.join(bf, ["query_id", "vec_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce("in_bf", F.lit(0))).alias("n_hits")))
+    return (bf.select("query_id").distinct()
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("bigint")
+                    .alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0))
+                            .cast("double") / TOP_K, 6)
+                    .alias("recall")))
+
+
+def _jl_project_sql(src: str) -> str:
+    """The 16 projection expressions over ``{src}`` = a DOUBLE[] col —
+    same ±1.0 literals, same left-associated order as _jl_project."""
+    rows = []
+    for row in JL_SIGNS:
+        terms = " + ".join(
+            f"({float(s)!r}) * {src}[{i + 1}]"
+            for i, s in enumerate(row))
+        rows.append(terms)
+    return "list_value(" + ", ".join(rows) + ")"
+
+
+JL_RECALL_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+bf AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.query_emb AS DOUBLE[])) DESC,
+                   e.vec_id) AS rank
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ) WHERE rank <= {TOP_K}
+), pr AS (
+    SELECT vec_id, {_jl_project_sql('e')} AS pemb
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings)
+), qp AS (
+    SELECT vec_id AS query_id, pemb AS query_pemb
+    FROM pr WHERE vec_id < {N_QUERIES}
+), jl_topk AS (
+    SELECT query_id, vec_id FROM (
+        SELECT qp.query_id, pr.vec_id,
+               row_number() OVER (
+                   PARTITION BY qp.query_id
+                   ORDER BY list_cosine_similarity(
+                       pr.pemb, qp.query_pemb) DESC,
+                   pr.vec_id) AS rank
+        FROM pr, qp WHERE pr.vec_id <> qp.query_id
+    ) WHERE rank <= {TOP_K}
+), hits AS (
+    SELECT t.query_id, count(b.vec_id) AS n_hits
+    FROM jl_topk t
+    LEFT JOIN bf b ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+    GROUP BY t.query_id
+)
+SELECT query_id, COALESCE(n_hits, 0) AS n_hits,
+       round(CAST(COALESCE(n_hits, 0) AS DOUBLE) / {TOP_K}, 6)
+           AS recall
+FROM (SELECT DISTINCT query_id FROM bf) g
+LEFT JOIN hits USING (query_id)
+"""

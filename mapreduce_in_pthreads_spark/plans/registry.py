@@ -951,6 +951,28 @@ register("lang_confidence_calibration", ev.lang_confidence_calibration,
          "decimal-pinned p and (p-y)^2 sums, mean-confidence vs "
          "accuracy gap per bin — zero joins, one bounded agg")
 
+register("weighted_sample_aes", cu.weighted_sample_aes,
+         cu.WEIGHTED_SAMPLE_AES_SQL,
+         "Efraimidis-Spirakis A-ES weighted sampling (IPL 2006): "
+         "per-row key ln(u)/w from an exact 52-bit md5 uniform and "
+         "n_chars weight; the global top-200 keys ARE the sample — "
+         "TakeOrdered, mergeable, no global state")
+register("jl_projection_recall", sim.jl_projection_recall,
+         sim.JL_RECALL_SQL,
+         "Johnson-Lindenstrauss retrieval eval (Achlioptas 2003): "
+         "recall@k of cosine top-k in a 16-dim +-1 projection vs the "
+         "exact full-dim top-k — data-independent counterpart of "
+         "matryoshka_recall; sign matrix inlined as plan literals, "
+         "identical left-associated sums in both engines")
+
+register("aspect_ratio_bucketing", mm.aspect_ratio_bucketing,
+         mm.ASPECT_BUCKETING_SQL,
+         "aspect-ratio bucketing for batched vision training (the "
+         "SDXL scheduling step): exact integer cross-multiplication "
+         "classes, per-bucket batch counts at capacity 32 + padding "
+         "waste + decimal-pinned mean aspect — one 5-row combinable "
+         "aggregation")
+
 # --- data layout (round 6) -------------------------------------------------
 register("zorder_pruning_audit", lay.zorder_pruning_audit,
          lay.ZORDER_PRUNING_SQL,
