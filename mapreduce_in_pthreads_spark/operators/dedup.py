@@ -1306,3 +1306,160 @@ FROM srcs sa JOIN srcs sb ON sa.source < sb.source
 LEFT JOIN overlap o ON o.source_a = sa.source
                    AND o.source_b = sb.source
 """
+
+
+# --- LSH band-parameter sweep ---------------------------------------------
+
+BAND_CONFIGS = ((8, 1), (4, 2), (2, 4), (1, 8))  # b bands x r rows = 8
+
+
+def _pow_chain_col(c, e: int):
+    """x^e by the squaring chain — the SAME expression tree
+    _pow_chain_sql writes, so both engines multiply in one order."""
+    if e == 1:
+        return c
+    h = _pow_chain_col(c, e // 2)
+    return h * h
+
+
+def _pow_chain_sql(x: str, e: int) -> str:
+    if e == 1:
+        return x
+    h = _pow_chain_sql(x, e // 2)
+    return f"({h} * {h})"
+
+
+def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-parameter sweep — the tuning table behind every
+    MinHash deployment (Leskovec/Rajaraman/Ullman ch. 3): for each
+    way of splitting the 8-hash signature into b bands of r rows,
+    the detection probability of a pair with Jaccard j is
+    p(j) = 1 − (1 − jʳ)ᵇ; averaged over the engine's OWN verified
+    near-dup pairs (``minhash_lsh_dedup``'s output — the pair set a
+    production system can actually measure at scale) this yields the
+    expected recall of each config, next to its s-curve threshold
+    j* = (1/b)^(1/r). The shipped (4, 2) config shows the trade
+    against cheaper (8, 1) and stricter (1, 8) bandings.
+
+    Exactness: j is the exact shared/(na+nb−shared) double; jʳ and
+    (1−jʳ)ᵇ are fixed squaring-multiplication chains (identical
+    expression trees both engines); each p is round(·,10)
+    decimal-pinned before the mean's exact sum; j* is a Python-level
+    literal inlined into both plans.
+
+    Scale: one pass over the (bounded) verified-pair relation
+    computes all four configs in a single projection; the output is
+    a 4-row combinable aggregate.
+    """
+    pairs = minhash_lsh_dedup(spark, sf_dir)
+    j = F.col("jaccard")
+
+    def p_conf(b: int, r: int):
+        jr = _pow_chain_col(j, r)
+        miss = _pow_chain_col(F.lit(1.0) - jr, b) if b > 1 \
+            else (F.lit(1.0) - jr)
+        return (F.round(F.lit(1.0) - miss, 10)
+                .cast("decimal(25,10)"))
+
+    wide = pairs.select(*[
+        p_conf(b, r).alias(f"p_{b}_{r}") for b, r in BAND_CONFIGS])
+    stack_args = ", ".join(
+        f"{b}L, {r}L, {(1.0 / b) ** (1.0 / r)!r}D, p_{b}_{r}"
+        for b, r in BAND_CONFIGS)
+    stacked = wide.select(F.expr(
+        f"stack({len(BAND_CONFIGS)}, {stack_args}) "
+        "as (bands, rows_per_band, j_star, p)"))
+    return (stacked.groupBy("bands", "rows_per_band", "j_star")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.sum("p").cast("double")
+                         / F.count(F.lit(1)), 10)
+                 .alias("expected_recall")))
+
+
+def _band_sweep_select_sql(b: int, r: int) -> str:
+    jr = _pow_chain_sql("jaccard", r)
+    miss = _pow_chain_sql(f"(1.0 - {jr})", b) if b > 1 \
+        else f"(1.0 - {jr})"
+    return f"""
+    SELECT CAST({b} AS BIGINT) AS bands,
+           CAST({r} AS BIGINT) AS rows_per_band,
+           CAST({(1.0 / b) ** (1.0 / r)!r} AS DOUBLE) AS j_star,
+           count(*) AS n_pairs,
+           round(CAST(sum(CAST(round(1.0 - {miss}, 10)
+                                AS DECIMAL(25,10))) AS DOUBLE)
+                 / count(*), 10) AS expected_recall
+    FROM pairs"""
+
+
+MINHASH_BAND_SWEEP_SQL = (
+    "WITH pairs AS (SELECT * FROM (" + MINHASH_LSH_SQL + ") t)"
+    + " UNION ALL ".join(_band_sweep_select_sql(b, r)
+                         for b, r in BAND_CONFIGS))
+
+
+# --- crawl-shard continuation stitching ------------------------------------
+
+STITCH_MIN_K = 2   # boundary n-gram width that blocks candidate pairs
+
+
+def suffix_prefix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix→prefix continuation detection: directed pairs (a, b)
+    where document a's last tokens are document b's first tokens —
+    the signature of one logical page split across crawl records
+    (truncation + re-fetch), which neither whole-doc hashing nor
+    bag-of-shingles Jaccard flags because the OVERLAP is small
+    relative to both docs. Candidates come from an equi-join on the
+    boundary bigram (a's last two tokens == b's first two), then the
+    exact maximal overlap k is computed per pair by comparing token
+    slices — candidates only, never all pairs.
+
+    Exactness: the join key is a space-joined token bigram (tokens
+    are [a-z0-9]*, so the separator is unambiguous); overlap_k is an
+    integer array_max over slice-equality tests — no floats at all.
+
+    Scale: the blocking join is the trick — pair fan-out is bounded
+    by the boundary-bigram collision rate, and a production run caps
+    hot boundary grams by df exactly like ``containment_dedup`` caps
+    postings; the slice comparison is per-candidate-row expression
+    work.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n"),
+        F.concat_ws(" ", F.slice(toks, F.size(toks) - 1, 2))
+        .alias("last2"),
+        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("first2"))
+    a = t.select(F.col("doc_id").alias("doc_a"),
+                 F.col("toks").alias("ta"), F.col("n").alias("na"),
+                 F.col("last2").alias("k_a"))
+    b = t.select(F.col("doc_id").alias("doc_b"),
+                 F.col("toks").alias("tb"), F.col("n").alias("nb"),
+                 F.col("first2").alias("k_b"))
+    cand = a.join(b, (F.col("k_a") == F.col("k_b"))
+                  & (F.col("doc_a") != F.col("doc_b")))
+    ks = F.filter(
+        F.sequence(F.lit(STITCH_MIN_K), F.least("na", "nb")),
+        lambda k: (F.slice("ta", F.col("na") - k + 1, k)
+                   == F.slice("tb", F.lit(1), k)))
+    return cand.select(
+        "doc_a", "doc_b",
+        F.array_max(ks).cast("bigint").alias("overlap_k"))
+
+
+SUFFIX_PREFIX_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n,
+           array_to_string(string_split(text, ' ')[-2:], ' ') AS last2,
+           array_to_string(string_split(text, ' ')[1:2], ' ') AS first2
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(list_max(list_filter(
+                range({STITCH_MIN_K}, least(a.n, b.n) + 1),
+                k -> a.toks[a.n - k + 1:a.n] = b.toks[1:k]))
+            AS BIGINT) AS overlap_k
+FROM t a JOIN t b
+  ON a.last2 = b.first2 AND a.doc_id <> b.doc_id
+"""

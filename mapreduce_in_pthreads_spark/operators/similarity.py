@@ -957,3 +957,73 @@ SELECT query_id, COALESCE(n_hits, 0) AS n_hits,
 FROM (SELECT DISTINCT query_id FROM bf) g
 LEFT JOIN hits USING (query_id)
 """
+
+
+def reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs — a is b's cosine top-1 AND
+    b is a's — the classic high-precision pairing primitive (it
+    drives reciprocal-NN agglomerative clustering and image-dup
+    mining) because mutuality filters out hub vectors that are
+    'nearest' to everything. Neighbors are computed WITHIN the coarse
+    cell (the ``label`` column — the same IVF blocking
+    ``embedding_near_dup`` rides), so pair work is Σ|cell|², never
+    n²; the mutual check is a self-join of the tiny (vec, nn)
+    relation on the reversed key.
+
+    Exactness: cosine rides the proven kernel (identical doubles both
+    engines); top-1 is a (cos DESC, vec_id) row_number; output pairs
+    are canonicalized vec_a < vec_b with the pinned cosine.
+
+    Scale: one label equi-join + one per-vector window + one
+    nn-relation self-join — each exchange is on an already-reduced
+    relation; hub suppression comes free from the mutuality test.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select("vec_id", "label", "embedding")
+    b = emb.select(F.col("vec_id").alias("nb_id"),
+                   F.col("label").alias("nb_label"),
+                   F.col("embedding").alias("nb_emb"))
+    scored = (a.join(b, (F.col("label") == F.col("nb_label"))
+                     & (F.col("vec_id") != F.col("nb_id")))
+              .withColumn(
+                  "cos_sim",
+                  dot("embedding", "nb_emb")
+                  / (l2_norm("embedding") * l2_norm("nb_emb"))))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nb_id"))
+    nn = truncate_lineage(
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "nb_id", "cos_sim"))
+    rev = nn.select(F.col("vec_id").alias("r_nb"),
+                    F.col("nb_id").alias("r_vec"))
+    return (nn.join(rev, (F.col("vec_id") == F.col("r_vec"))
+                    & (F.col("nb_id") == F.col("r_nb")))
+            .filter(F.col("vec_id") < F.col("nb_id"))
+            .select(F.col("vec_id").alias("vec_a"),
+                    F.col("nb_id").alias("vec_b"),
+                    F.round("cos_sim", 10).alias("cos_sim")))
+
+
+RECIPROCAL_NN_SQL = """
+WITH scored AS (
+    SELECT a.vec_id, b.vec_id AS nb_id,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+               AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+nn AS (
+    SELECT vec_id, nb_id, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_sim DESC, nb_id)
+                      AS rnk
+        FROM scored
+    ) WHERE rnk = 1
+)
+SELECT x.vec_id AS vec_a, x.nb_id AS vec_b,
+       round(x.cos_sim, 10) AS cos_sim
+FROM nn x JOIN nn y ON x.vec_id = y.nb_id AND x.nb_id = y.vec_id
+WHERE x.vec_id < x.nb_id
+"""

@@ -973,6 +973,29 @@ register("aspect_ratio_bucketing", mm.aspect_ratio_bucketing,
          "waste + decimal-pinned mean aspect — one 5-row combinable "
          "aggregation")
 
+register("minhash_band_sweep", dd.minhash_band_sweep,
+         dd.MINHASH_BAND_SWEEP_SQL,
+         "LSH banding tuning table (MMDS ch.3): expected recall of "
+         "each (bands, rows) split of the 8-hash signature over the "
+         "engine's own verified near-dup pairs, with the s-curve "
+         "threshold j* as a plan literal; fixed squaring chains, "
+         "decimal-pinned p terms, 4-row aggregate")
+
+register("suffix_prefix_overlap", dd.suffix_prefix_overlap,
+         dd.SUFFIX_PREFIX_SQL,
+         "crawl-record continuation stitching: directed (a,b) pairs "
+         "where a's suffix is b's prefix — boundary-bigram equi-join "
+         "blocking, exact maximal overlap_k via slice equality on "
+         "candidates only; all-integer")
+
+register("reciprocal_nn_pairs", sim.reciprocal_nn_pairs,
+         sim.RECIPROCAL_NN_SQL,
+         "reciprocal nearest-neighbor pairs (mutual cosine top-1 "
+         "within the coarse cell): the high-precision pairing "
+         "primitive behind RNN agglomerative clustering — cell "
+         "equi-join candidates, per-vector window, tiny nn-relation "
+         "self-join; hub vectors filtered free by mutuality")
+
 # --- data layout (round 6) -------------------------------------------------
 register("zorder_pruning_audit", lay.zorder_pruning_audit,
          lay.ZORDER_PRUNING_SQL,

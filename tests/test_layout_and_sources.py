@@ -319,3 +319,42 @@ def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
     # rows from the pre-evolution shard surface the new column as NULL
     assert merged.filter(F.col("lang").isNull()).count() == 5
     assert merged.filter(F.col("lang").isNotNull()).count() == 7
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing is the layout that deletes the join shuffle outright:
+    two tables bucketed+sorted on the join key with equal bucket
+    counts must SortMergeJoin with ZERO Exchange operators — at 100 TB
+    this is the difference between shuffling both fact tables every
+    run and never shuffling them again after one write. (Broadcast is
+    disabled inside the test so the bucketed path, not a dim-ship,
+    is what proves out.)"""
+    from pyspark.sql import functions as F
+
+    from mapreduce_in_pthreads_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name")
+    (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+     .option("path", str(tmp_path / "orders_b"))
+     .mode("overwrite").saveAsTable("t_orders_bucketed"))
+    (cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+     .option("path", str(tmp_path / "cust_b"))
+     .mode("overwrite").saveAsTable("t_cust_bucketed"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("t_orders_bucketed")
+             .join(spark.table("t_cust_bucketed"),
+                   F.col("o_custkey") == F.col("c_custkey")))
+        n = j.count()
+        assert n == orders.count()  # FK: every order has its customer
+        exe = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in exe
+        assert "Exchange" not in exe, exe
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_cust_bucketed")
