@@ -1522,3 +1522,95 @@ FROM documents
 ORDER BY aes_key DESC, doc_id
 LIMIT {AES_SAMPLE_N}
 """
+
+
+# --- Neyman optimal stratified allocation ---------------------------------
+
+NEYMAN_BUDGET = 200  # total sample size to allocate across strata
+
+
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation (Neyman 1934, JRSS): given a total
+    sample budget, allocate n_h ∝ N_h·σ_h across strata (sources) so
+    a stratified mean of doc length has minimum variance — the
+    survey-sampling upgrade of `deterministic_sample_per_lang`'s
+    proportional strata (big-but-homogeneous strata get FEWER slots,
+    small-but-variable strata more).  Integerization is largest-
+    remainder (Hamilton): floor every quota, then hand out the
+    leftover by descending fractional part.
+
+    Exactness: per-stratum variance is the exact-integer identity
+    (n·Σx² − (Σx)²)/n² evaluated as one double division; σ is one
+    IEEE sqrt — both engines compute the identical double, and every
+    downstream comparison (quota, floor, fractional-part ranking)
+    consumes those identical bits.  Ties in the remainder ranking
+    break on source name.  σ and the quota are round(·,10)-pinned for
+    display; the allocation math uses the unrounded values.
+
+    Scale: one combinable 3-scalar agg per stratum; the Σ N_h·σ_h
+    normalizer is a broadcast 1-row aggregate; ranking/flooring run
+    on the STRATA relation (20 rows here; thousands at worst) — the
+    heavy table is touched exactly once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = (docs.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sx"),
+                F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx")))
+    sigma = F.sqrt(
+        (F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        / (F.col("n_docs") * F.col("n_docs")).cast("double"))
+    per = per.withColumn("w", F.col("n_docs") * sigma)
+    tot = per.agg(F.sum("w").alias("w_total"),
+                  F.count(F.lit(1)).alias("n_strata"))
+    quota = F.col("w") * F.lit(float(NEYMAN_BUDGET)) / F.col("w_total")
+    q = (per.crossJoin(F.broadcast(tot))
+         .withColumn("quota", quota)
+         .withColumn("alloc_floor", F.floor("quota").cast("long"))
+         .withColumn("frac", F.col("quota") - F.floor("quota")))
+    leftover = (q.agg((F.lit(NEYMAN_BUDGET)
+                       - F.sum("alloc_floor")).alias("leftover")))
+    w_rank = Window.orderBy(F.col("frac").desc(), "source")
+    return (q.crossJoin(F.broadcast(leftover))
+            .withColumn("rnk", F.row_number().over(w_rank))
+            .select("source", "n_docs",
+                    F.round(sigma, 10).alias("sigma"),
+                    F.round("quota", 10).alias("quota"),
+                    "alloc_floor",
+                    (F.col("alloc_floor")
+                     + F.when(F.col("rnk") <= F.col("leftover"), 1)
+                     .otherwise(0)).alias("alloc_final")))
+
+
+NEYMAN_SQL = f"""
+WITH per AS (
+    SELECT source, count(*) AS n_docs,
+           sum(n_chars) AS sx, sum(n_chars * n_chars) AS sxx
+    FROM documents GROUP BY source
+), w AS (
+    SELECT source, n_docs,
+           sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+                / CAST(n_docs * n_docs AS DOUBLE)) AS sigma,
+           n_docs * sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+                         / CAST(n_docs * n_docs AS DOUBLE)) AS wgt
+    FROM per
+), q AS (
+    SELECT source, n_docs, sigma,
+           wgt * {float(NEYMAN_BUDGET)} / (SELECT sum(wgt) FROM w)
+               AS quota
+    FROM w
+), f AS (
+    SELECT source, n_docs, sigma, quota,
+           CAST(floor(quota) AS BIGINT) AS alloc_floor,
+           quota - floor(quota) AS frac
+    FROM q
+)
+SELECT source, n_docs, round(sigma, 10) AS sigma,
+       round(quota, 10) AS quota, alloc_floor,
+       alloc_floor + CASE WHEN
+           row_number() OVER (ORDER BY frac DESC, source)
+           <= {NEYMAN_BUDGET} - (SELECT sum(alloc_floor) FROM f)
+           THEN 1 ELSE 0 END AS alloc_final
+FROM f
+"""

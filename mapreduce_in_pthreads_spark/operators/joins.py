@@ -414,3 +414,120 @@ SELECT count(l_n) AS n_keys_left,
             AS BIGINT) AS join_rows_exact
 FROM lprof FULL OUTER JOIN rprof USING (k)
 """
+
+
+# --- bloom false-positive-rate audit --------------------------------------
+
+
+def _bloom_md5_pos(key, j: int):
+    """Cross-engine bloom position j for a key: 15 hex chars of
+    md5("<key>#<j>") mod BLOOM_M — the md5-as-uniform-hash trick the
+    sampling/sharding operators use, here so DuckDB can recompute the
+    bitmap bit-for-bit (the SHIPPED prefilter uses xxhash64 for
+    speed, see _bloom_positions; both are uniform families, so this
+    audit's conclusion transfers)."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(f"#{j}")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % BLOOM_M
+
+
+def bloom_fp_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured vs predicted false-positive rate of the Bloom
+    prefilter technique (`bloom_prefilter_semi_join`) — the
+    engine measuring its own runtime-filter assumption, the way
+    `minhash_estimate_quality` audits the LSH sketch and
+    `ann_recall_report` audits the ANN indexes.
+
+    Method: build the BLOOM_K=2-hash bitmap over the member key set
+    (low-acctbal suppliers, the shipped operator's predicate), probe
+    it with every DISTINCT non-member l_suppkey, and compare the
+    measured pass rate against the load-factor prediction
+    (s / m)^k where s = bits actually set — the exact conditional FP
+    probability for a uniform hash family given the realized bitmap
+    (tighter than Bloom 1970's expectation formula, and deterministic
+    from the data).
+
+    Exactness: positions are md5-derived integers (cross-engine
+    bit-identical); counts are integers; the two rates are single
+    divisions/multiplications of exact operands, round(·, 10)-pinned.
+
+    Scale: bitmap agg is one tiny combinable collect_set; the probe
+    side is one distinct over fact keys (the relation a runtime
+    filter would stream anyway); membership split is a broadcast
+    anti join. Nothing quadratic, nothing driver-side.
+    """
+    sup = (load_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < BLOOM_ACCTBAL_MAX)
+           .select("s_suppkey"))
+    bits = (sup.select(F.explode(F.array(
+                *[_bloom_md5_pos(F.col("s_suppkey"), j)
+                  for j in range(1, BLOOM_K + 1)])).alias("bit"))
+            .agg(F.sort_array(F.collect_set("bit")).alias("bits")))
+    n_keys = sup.agg(F.count(F.lit(1)).alias("n_keys"))
+    probes = (load_table(spark, sf_dir, "lineitem")
+              .select(F.col("l_suppkey").alias("key")).distinct())
+    nonmember = probes.join(
+        F.broadcast(sup), probes.key == F.col("s_suppkey"), "left_anti")
+    passed = (nonmember.join(F.broadcast(bits))
+              .select(F.when(
+                  F.array_contains(
+                      "bits", _bloom_md5_pos(F.col("key"), 1))
+                  & F.array_contains(
+                      "bits", _bloom_md5_pos(F.col("key"), 2)),
+                  1).otherwise(0).alias("hit"))
+              .agg(F.count(F.lit(1)).alias("n_nonmembers"),
+                   F.sum("hit").alias("n_false_positives")))
+    load = F.col("n_bits_set") / F.lit(float(BLOOM_M))
+    return (passed
+            .crossJoin(F.broadcast(n_keys))
+            .crossJoin(F.broadcast(
+                bits.select(F.size("bits").alias("n_bits_set"))))
+            .select(
+                "n_keys",
+                F.lit(BLOOM_M).alias("m_bits"),
+                F.lit(BLOOM_K).alias("k_hashes"),
+                "n_bits_set", "n_nonmembers", "n_false_positives",
+                F.round(F.col("n_false_positives")
+                        / F.col("n_nonmembers"), 10)
+                .alias("fp_rate_measured"),
+                F.round(load * load, 10).alias("fp_rate_predicted")))
+
+
+def _bloom_pos_sql(key_expr: str, j_expr: str) -> str:
+    """DuckDB twin of _bloom_md5_pos — j_expr may be a literal or a
+    column; concat coerces it, matching Spark's '#<j>' literals."""
+    return (f"('0x' || substring(md5(CAST({key_expr} AS VARCHAR) "
+            f"|| '#' || {j_expr}), 1, 15))::BIGINT % {BLOOM_M}")
+
+
+BLOOM_FP_AUDIT_SQL = f"""
+WITH members AS (
+    SELECT s_suppkey FROM supplier
+    WHERE s_acctbal < {BLOOM_ACCTBAL_MAX!r}
+), bits AS (
+    SELECT DISTINCT {_bloom_pos_sql('s_suppkey', 'j')}
+        AS bit FROM members, unnest([1, 2]) AS t(j)
+), nonmember AS (
+    SELECT DISTINCT l_suppkey AS key FROM lineitem
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM members)
+), hits AS (
+    SELECT count(*) AS n_nonmembers,
+           sum(CASE WHEN
+                 {_bloom_pos_sql('key', '1')}
+                     IN (SELECT bit FROM bits)
+                 AND {_bloom_pos_sql('key', '2')}
+                     IN (SELECT bit FROM bits)
+               THEN 1 ELSE 0 END) AS n_false_positives
+    FROM nonmember
+)
+SELECT (SELECT count(*) FROM members) AS n_keys,
+       {BLOOM_M} AS m_bits, {BLOOM_K} AS k_hashes,
+       (SELECT count(*) FROM bits) AS n_bits_set,
+       n_nonmembers, n_false_positives,
+       round(CAST(n_false_positives AS DOUBLE) / n_nonmembers, 10)
+           AS fp_rate_measured,
+       round((CAST((SELECT count(*) FROM bits) AS DOUBLE)
+              / {float(BLOOM_M)})
+             * (CAST((SELECT count(*) FROM bits) AS DOUBLE)
+                / {float(BLOOM_M)}), 10) AS fp_rate_predicted
+FROM hits
+"""

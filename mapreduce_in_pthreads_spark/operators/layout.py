@@ -11,7 +11,7 @@ Spark-era dimension it never had. These operators make layout choices
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.zorder import zorder_key
@@ -136,4 +136,140 @@ SELECT layout, count(*) AS n_files,
        round(sum(span_h) / CAST({Z_SIDE} * count(*) AS DOUBLE), 10)
            AS scan_frac_hour
 FROM env GROUP BY layout
+"""
+
+
+# --- per-partition encoding size census -----------------------------------
+
+
+def encoding_size_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day-partition column encoding census over ``events`` — the
+    exact byte-cost model a columnar writer (parquet/ORC) evaluates
+    when picking PLAIN vs DICTIONARY vs dictionary+RLE per column
+    chunk, computed from first principles: row count, distinct count
+    (dictionary size), and RUN count under the file's physical sort
+    (event_id within the day partition).
+
+    Cost model (documented contract, byte-exact both engines):
+    plain = payload (+4-byte length prefix per string); dict =
+    dictionary entries + ⌊(n·bits + 7)/8⌋ packed codes with bits =
+    len(bin(card−1)); rle = dictionary entries + runs × (byte-aligned
+    code + 4-byte run length). ``best_encoding`` ties break
+    plain > dict > rle. All integers; zero floats.
+
+    Scale: ONE day-partitioned ordered window pass computes both
+    columns' run flags (runs are a property of physical order — this
+    is why the operator partitions exactly like the table layout),
+    one combinable per-day agg, plus one distinct-values pass for the
+    string dictionary byte total. At 100 TB this is the per-row-group
+    stats pass a table service runs before OPTIMIZE; nothing global,
+    state bounded by days × columns.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    w = Window.partitionBy("day").orderBy("event_id")
+    base = ev.select(day.alias("day"), "event_id",
+                     "event_type", "user_id")
+
+    def chg(c: str):
+        prev = F.lag(c).over(w)
+        return (F.when(prev.isNull(), 0)
+                .when(prev != F.col(c), 1).otherwise(0))
+
+    flagged = base.select(
+        "day", "event_type", "user_id",
+        chg("event_type").alias("chg_et"),
+        chg("user_id").alias("chg_uid"))
+    per_day = flagged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("chg_et") + 1).alias("runs_et"),
+        (F.sum("chg_uid") + 1).alias("runs_uid"),
+        F.countDistinct("event_type").alias("card_et"),
+        F.countDistinct("user_id").alias("card_uid"),
+        F.sum(F.length("event_type")).alias("str_et"))
+    dict_et = (ev.select(day.alias("day"), "event_type").distinct()
+               .groupBy("day")
+               .agg(F.sum(F.length("event_type")).alias("dictstr_et")))
+    j = per_day.join(dict_et, "day")
+
+    def col_struct(name, card, runs, plain, dict_entries):
+        bw = F.length(F.bin(card - 1)).cast("long")
+        dictb = dict_entries + F.floor(
+            (F.col("n") * bw + 7) / 8).cast("long")
+        rleb = dict_entries + runs * (F.ceil(bw / 8) + F.lit(4))
+        best = (F.when((plain <= dictb) & (plain <= rleb), "plain")
+                .when(dictb <= rleb, "dict").otherwise("rle"))
+        return F.struct(
+            F.lit(name).alias("column_name"), card.alias("card"),
+            runs.alias("runs"), bw.alias("code_bits"),
+            plain.cast("long").alias("plain_bytes"),
+            dictb.cast("long").alias("dict_bytes"),
+            rleb.cast("long").alias("rle_bytes"),
+            best.alias("best_encoding"))
+
+    et = col_struct("event_type", F.col("card_et"), F.col("runs_et"),
+                    F.col("str_et") + 4 * F.col("n"),
+                    F.col("dictstr_et") + 4 * F.col("card_et"))
+    uid = col_struct("user_id", F.col("card_uid"), F.col("runs_uid"),
+                     8 * F.col("n"), 8 * F.col("card_uid"))
+    return (j.select("day", "n", F.explode(F.array(et, uid)).alias("c"))
+            .select("day", "n", "c.*"))
+
+
+def _enc_sql_branch(colname: str, card: str, runs: str,
+                    plain: str, dict_entries: str) -> str:
+    bw = f"length(bin({card} - 1))"
+    return f"""
+  SELECT day, n, '{colname}' AS column_name,
+         {card} AS card, {runs} AS runs,
+         CAST({bw} AS BIGINT) AS code_bits,
+         CAST({plain} AS BIGINT) AS plain_bytes,
+         CAST({dict_entries}
+              + CAST(floor((n * {bw} + 7) / 8) AS BIGINT) AS BIGINT)
+             AS dict_bytes,
+         CAST({dict_entries}
+              + {runs} * (CAST(ceil({bw} / 8) AS BIGINT) + 4) AS BIGINT)
+             AS rle_bytes
+  FROM j"""
+
+
+ENCODING_CENSUS_SQL = f"""
+WITH flagged AS (
+    SELECT day, event_type, user_id,
+           CASE WHEN lag(event_type) OVER w IS NULL THEN 0
+                WHEN lag(event_type) OVER w <> event_type THEN 1
+                ELSE 0 END AS chg_et,
+           CASE WHEN lag(user_id) OVER w IS NULL THEN 0
+                WHEN lag(user_id) OVER w <> user_id THEN 1
+                ELSE 0 END AS chg_uid
+    FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, event_id,
+                 event_type, user_id FROM events)
+    WINDOW w AS (PARTITION BY day ORDER BY event_id)
+), per_day AS (
+    SELECT day, count(*) AS n,
+           sum(chg_et) + 1 AS runs_et, sum(chg_uid) + 1 AS runs_uid,
+           count(DISTINCT event_type) AS card_et,
+           count(DISTINCT user_id) AS card_uid,
+           sum(len(event_type)) AS str_et
+    FROM flagged GROUP BY day
+), de AS (
+    SELECT day, sum(len(event_type)) AS dictstr_et
+    FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, event_type
+          FROM events) GROUP BY day
+), j AS (
+    SELECT * FROM per_day JOIN de USING (day)
+), cols AS (
+{_enc_sql_branch('event_type', 'card_et', 'runs_et',
+                 'str_et + 4 * n', 'dictstr_et + 4 * card_et')}
+  UNION ALL
+{_enc_sql_branch('user_id', 'card_uid', 'runs_uid',
+                 '8 * n', '8 * card_uid')}
+)
+SELECT day, n, column_name, card, runs, code_bits,
+       plain_bytes, dict_bytes, rle_bytes,
+       CASE WHEN plain_bytes <= dict_bytes
+             AND plain_bytes <= rle_bytes THEN 'plain'
+            WHEN dict_bytes <= rle_bytes THEN 'dict'
+            ELSE 'rle' END AS best_encoding
+FROM cols
 """

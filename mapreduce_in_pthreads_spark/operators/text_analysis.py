@@ -3345,3 +3345,261 @@ FROM g
 ORDER BY llr DESC, w1, w2
 LIMIT {LLR_TOP}
 """
+
+
+# --- late-interaction retrieval (ColBERT MaxSim) --------------------------
+
+# Query terms with their 8-dim ±1 sign vectors, derived offline from
+# md5(term): dim i is +1 iff hex digit i of the md5 is >= '8'.  The
+# SAME derivation is applied to every document token inside the query
+# plan, so the "token embedding" is a pure deterministic function both
+# engines compute bit-identically (the md5-as-randomness trick
+# hash_train_test_split pioneered).
+MAXSIM_QUERY_SIGNS = {
+    "spark":  (1, 1, 1, -1, -1, 1, -1, 1),
+    "table":  (1, 1, 1, 1, 1, -1, 1, 1),
+    "merge":  (-1, -1, -1, -1, -1, 1, -1, -1),
+    "window": (-1, -1, 1, 1, 1, -1, -1, 1),
+}
+MAXSIM_TOP = 10
+
+
+def _sign_dot(tok, signs):
+    """dot(sign_vec(tok), signs) as an integer expression: +s_i when
+    hex digit i of md5(tok) has its high bit set, else -s_i."""
+    terms = [
+        F.when(F.substring(F.md5(tok), i + 1, 1) >= "8",
+               F.lit(s)).otherwise(F.lit(-s))
+        for i, s in enumerate(signs)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT, Khattab & Zaharia 2020,
+    SIGIR): score(q, d) = Σ_{t∈q} max_{t'∈d} ⟨E(t), E(t')⟩ — every
+    query token keeps its own vector and matches its best document
+    token, instead of one pooled document vector.  Token "embeddings"
+    here are deterministic 8-dim ±1 sign vectors derived from
+    md5(token) (see MAXSIM_QUERY_SIGNS), so each ⟨·,·⟩ is an integer
+    in [-8, 8] and the whole scoring is engine-exact.
+
+    Exactness: pure integer arithmetic — the per-token dot is a sum of
+    eight ±1 CASE terms over md5 hex digits, identical in both
+    engines; ties at the top-k boundary break on doc_id.
+
+    Scale: zero-shuffle scoring — per-document array expressions over
+    array_distinct(tokens) (MaxSim is invariant to token multiplicity,
+    so dedup first), then a TakeOrderedAndProject top-k.  At 100 TB the
+    per-doc work is |q|·|distinct tokens| integer ops inside
+    whole-stage codegen; no join, no exchange before the final bounded
+    ordering.  This is the exact-scoring twin of the `bm25_topk_docs`
+    bag-of-words ranker: same corpus scan shape, token-level
+    interaction instead of term-frequency pooling.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    out = docs.select("doc_id", toks.alias("toks"))
+    score_cols = []
+    def scorer(signs):
+        return lambda t: _sign_dot(t, signs)
+
+    for term, signs in MAXSIM_QUERY_SIGNS.items():
+        col = f"s_{term}"
+        out = out.withColumn(
+            col, F.array_max(F.transform("toks", scorer(signs))))
+        score_cols.append(col)
+    maxsim = score_cols[0]
+    total = F.col(score_cols[0])
+    for c in score_cols[1:]:
+        total = total + F.col(c)
+    return (out.withColumn("maxsim", total)
+            .select("doc_id", *score_cols, "maxsim")
+            .orderBy(F.col("maxsim").desc(), "doc_id")
+            .limit(MAXSIM_TOP))
+
+
+def _sign_dot_sql(tok: str, signs) -> str:
+    return " + ".join(
+        f"CASE WHEN substring(md5({tok}), {i + 1}, 1) >= '8' "
+        f"THEN {s} ELSE {-s} END"
+        for i, s in enumerate(signs))
+
+
+MAXSIM_SQL = f"""
+WITH scored AS (
+    SELECT doc_id,
+           {", ".join(
+        f"list_max(list_transform(list_distinct(string_split(text, ' ')), "
+        f"t -> {_sign_dot_sql('t', signs)})) AS s_{term}"
+        for term, signs in MAXSIM_QUERY_SIGNS.items())}
+    FROM documents
+)
+SELECT doc_id, {", ".join(f"s_{t}" for t in MAXSIM_QUERY_SIGNS)},
+       {" + ".join(f"s_{t}" for t in MAXSIM_QUERY_SIGNS)} AS maxsim
+FROM scored
+ORDER BY maxsim DESC, doc_id
+LIMIT {MAXSIM_TOP}
+"""
+
+
+# --- within-document repeated-n-gram masking ------------------------------
+
+MASK_N = 4  # masked-window width = the repeated-gram length
+
+
+def repeated_ngram_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition mask: every 4-gram occurrence whose
+    identical gram already appeared EARLIER in the same document masks
+    its 4-token span — the self-repetition counterpart of the
+    cross-document `duplicate_spans` (Lee et al. 2022 mask repeated
+    substrings before training so the loss never rewards degenerate
+    copying).  Reported per doc: gram/repeat counts, the exact number
+    of token positions covered by the union of masked spans, and the
+    masked fraction.
+
+    Exactness: "repeated" is `array_position(grams, grams[i]) < i` —
+    first-occurrence index strictly earlier — evaluated on the SAME
+    per-row gram array in both engines; the interval union over
+    sorted fixed-width spans is 4 + Σ min(4, gap) over adjacent masked
+    starts, all integer; mask_frac is one int/int division rounded to
+    10 dp on both sides.
+
+    Scale: ZERO shuffle — the entire mask is a per-row array program
+    (grams, first-occurrence test, pairwise gap sum) inside
+    whole-stage codegen; nothing leaves the row.  At 100 TB this runs
+    at scan speed, unlike a (doc, gram) explode + window formulation
+    which would shuffle every gram occurrence.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = docs.select(
+        "doc_id", F.size(toks).alias("n_tokens"),
+        sliding_ngrams(toks, MASK_N).alias("grams"))
+    idx = F.transform("grams", lambda g, i: F.struct(
+        (i + 1).alias("pos"), g.alias("g")))
+    rep = F.transform(
+        F.filter(idx, lambda s: F.array_position(
+            F.col("grams"), s["g"]) < s["pos"]),
+        lambda s: s["pos"])
+    d = d.withColumn("rep", rep)
+    m = F.greatest(F.size("rep") - 1, F.lit(0))
+    gaps = F.zip_with(
+        F.slice("rep", 2, m), F.slice("rep", 1, m),
+        lambda b, a: F.least(F.lit(MASK_N), b - a))
+    covered = F.when(F.size("rep") == 0, F.lit(0)).otherwise(
+        F.lit(MASK_N) + F.aggregate(gaps, F.lit(0), lambda acc, x: acc + x))
+    return (d.select(
+        "doc_id", "n_tokens",
+        F.size("grams").alias("n_grams"),
+        F.size("rep").alias("n_repeated"),
+        covered.alias("masked_tokens"))
+        .withColumn("mask_frac",
+                    F.round(F.col("masked_tokens") / F.col("n_tokens"), 10)))
+
+
+REPEATED_NGRAM_MASK_SQL = f"""
+WITH g AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           list_transform(
+               range(1, greatest(len(string_split(text, ' '))
+                                 - {MASK_N - 2}, 1)),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                              string_split(text, ' ')[i + 1],
+                              string_split(text, ' ')[i + 2],
+                              string_split(text, ' ')[i + 3])) AS grams
+    FROM documents
+), r AS (
+    SELECT doc_id, n_tokens, grams,
+           list_filter(range(1, len(grams) + 1),
+                       i -> list_position(grams, grams[i]) < i) AS rep
+    FROM g
+)
+SELECT doc_id, n_tokens, len(grams) AS n_grams,
+       len(rep) AS n_repeated,
+       CASE WHEN len(rep) = 0 THEN 0
+            ELSE {MASK_N} + COALESCE(list_sum(list_transform(
+                     range(2, len(rep) + 1),
+                     i -> least({MASK_N}, rep[i] - rep[i - 1]))), 0)
+       END AS masked_tokens,
+       round(CAST(CASE WHEN len(rep) = 0 THEN 0
+            ELSE {MASK_N} + COALESCE(list_sum(list_transform(
+                     range(2, len(rep) + 1),
+                     i -> least({MASK_N}, rep[i] - rep[i - 1]))), 0)
+       END AS DOUBLE) / n_tokens, 10) AS mask_frac
+FROM r
+"""
+
+
+# --- RAG ingestion chunking (expression path) -----------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def rag_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for RAG ingestion — 32-token
+    chunks at stride 24 (8-token overlap so no sentence straddles a
+    boundary unseen) — as PURE JVM expressions: the codegen twin of
+    `udtf_chunk_documents` the way `tokenizer_fertility` twins the BPE
+    UDF demo.  Emits one row per chunk with its start offset, token
+    count, boundary tokens, and reconstructed character length.
+
+    Exactness: chunk starts are 1 + 24k for k in [0, ⌊(n-1)/24⌋] —
+    every token lands in ≥1 chunk, the last chunk may be short; all
+    outputs are integer arithmetic and token lookups over the same
+    split array in both engines.
+
+    Scale: zero shuffle — starts/slice/explode all inside the row;
+    output size is a bounded ~1.33× blowup of the corpus (stride/chunk
+    overlap), the explode is Spark's native generator (no UDTF python
+    worker, no Arrow hop), and downstream embedding/indexing stages
+    inherit the corpus partitioning untouched.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = docs.select("doc_id", toks.alias("toks"),
+                    F.size(toks).alias("n"))
+    starts = F.transform(
+        F.sequence(F.lit(0), F.floor((F.col("n") - 1) / CHUNK_STRIDE)),
+        lambda k: k * CHUNK_STRIDE + 1)
+    chunk = F.slice("toks", F.col("start").cast("int"), CHUNK_TOKENS)
+    return (d.select("doc_id", "toks",
+                     F.posexplode(starts).alias("chunk_id", "start"))
+            .select("doc_id", "chunk_id",
+                    F.col("start").alias("start_tok"),
+                    chunk.alias("chunk"))
+            .select(
+                "doc_id", "chunk_id", "start_tok",
+                F.size("chunk").alias("n_chunk_tokens"),
+                F.element_at("chunk", 1).alias("first_token"),
+                F.element_at("chunk", -1).alias("last_token"),
+                (F.aggregate(F.transform("chunk", F.length),
+                             F.lit(0), lambda a, x: a + x)
+                 + F.size("chunk") - 1).alias("chunk_chars")))
+
+
+RAG_CHUNK_SQL = f"""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+), c AS (
+    SELECT doc_id, CAST(k AS INT) AS chunk_id,
+           CAST(k * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_tok,
+           list_slice(toks, k * {CHUNK_STRIDE} + 1,
+                      k * {CHUNK_STRIDE} + {CHUNK_TOKENS}) AS chunk
+    FROM d, unnest(range(0, (n - 1) // {CHUNK_STRIDE} + 1)) AS t(k)
+)
+SELECT doc_id, chunk_id, start_tok,
+       len(chunk) AS n_chunk_tokens,
+       chunk[1] AS first_token,
+       chunk[-1] AS last_token,
+       CAST(list_sum(list_transform(chunk, t -> len(t)))
+            + len(chunk) - 1 AS INT) AS chunk_chars
+FROM c
+"""

@@ -1850,3 +1850,116 @@ SELECT event_type,
 FROM seg WHERE dt IS NOT NULL
 GROUP BY event_type
 """
+
+
+# --- Holt linear-trend smoothing ------------------------------------------
+
+
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (Holt 1957;
+    Hyndman & Athanasopoulos fpp3 §8.2) over each event type's DAILY
+    count series, with alpha = beta = 1/2: level l_t = (y_t + l + b)/2,
+    trend b_t = (l_t - l)/2 + b/2, initialized l = y_1, b = y_2 - y_1.
+    Emits the final state and the h=1 / h=3 forecasts l + h·b — the
+    capacity-planning companion of `event_rate_anomaly` (that one
+    flags history, this one extrapolates it).
+
+    Exactness: the smoothing recursion is evaluated as the IDENTICAL
+    IEEE double expression tree in both engines — Spark folds the
+    day-ordered series with `F.aggregate`, DuckDB with a recursive CTE
+    over the day index; same operand order, same halvings, so every
+    intermediate is bit-identical (the dyadic-coefficient trick
+    `ewma_user_activity` pioneered, extended to two coupled states).
+    Gap days count 0 via the per-type dense grid.
+
+    Scale: the daily reduction is a combinable count; the fold runs
+    over ONE array per event type whose length is the day span —
+    time-bounded, not event-bounded (a year is 365 elements). The
+    collect_list + sort_array materialization per group is the same
+    bounded-series shape the gap-fill family uses; at 100 TB the state
+    is still days × types.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    return holt_finish(daily)
+
+
+def holt_finish(daily: DataFrame) -> DataFrame:
+    """Dense-grid zero fill + the Holt fold over an (event_type, day,
+    n) relation — shared verbatim by the batch operator above and the
+    streaming twin (``streaming/foreach_batch.py`` runs it per trigger
+    over the complete-mode daily aggregate state), so the two modes
+    cannot drift."""
+    grid = (daily.groupBy("event_type")
+            .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+            .select("event_type",
+                    F.explode(F.sequence(
+                        "d0", "d1", F.expr("interval 1 day"))).alias("day")))
+    filled = (grid.join(daily, ["event_type", "day"], "left")
+              .select("event_type", "day",
+                      F.coalesce("n", F.lit(0)).alias("y")))
+    series = (filled.groupBy("event_type")
+              .agg(F.transform(
+                  F.sort_array(F.collect_list(F.struct("day", "y"))),
+                  lambda s: s["y"].cast("double")).alias("arr")))
+
+    def step(s, y):
+        new_l = (y + s["l"] + s["b"]) / 2
+        return F.struct(
+            new_l.alias("l"),
+            ((new_l - s["l"]) / 2 + s["b"] / 2).alias("b"))
+
+    init = F.struct(
+        F.element_at("arr", 1).alias("l"),
+        (F.element_at("arr", 2) - F.element_at("arr", 1)).alias("b"))
+    rest = F.slice("arr", 3, F.greatest(F.size("arr") - 2, F.lit(0)))
+    return (series.filter(F.size("arr") >= 2)
+            .withColumn("st", F.aggregate(rest, init, step))
+            .select("event_type",
+                    F.size("arr").alias("n_days"),
+                    F.col("st")["l"].alias("level"),
+                    F.col("st")["b"].alias("trend"),
+                    (F.col("st")["l"] + F.col("st")["b"])
+                    .alias("forecast_1"),
+                    (F.col("st")["l"] + 3.0 * F.col("st")["b"])
+                    .alias("forecast_3")))
+
+
+HOLT_SQL = """
+WITH RECURSIVE daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+    FROM events GROUP BY 1, 2
+), span AS (
+    SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), grid AS (
+    SELECT event_type, CAST(gs AS DATE) AS day
+    FROM span, unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                      CAST(d1 AS TIMESTAMP),
+                                      INTERVAL 1 DAY)) AS t(gs)
+), series AS (
+    SELECT g.event_type,
+           row_number() OVER (PARTITION BY g.event_type
+                              ORDER BY g.day) AS t,
+           CAST(COALESCE(d.n, 0) AS DOUBLE) AS y
+    FROM grid g LEFT JOIN daily d
+      ON g.event_type = d.event_type AND g.day = d.day
+), nn AS (
+    SELECT event_type, max(t) AS n_days FROM series GROUP BY 1
+), rec AS (
+    SELECT a.event_type, CAST(2 AS BIGINT) AS t,
+           a.y AS l, b.y - a.y AS b
+    FROM series a JOIN series b
+      ON a.event_type = b.event_type AND a.t = 1 AND b.t = 2
+    UNION ALL
+    SELECT r.event_type, r.t + 1,
+           (s.y + r.l + r.b) / 2 AS l,
+           (((s.y + r.l + r.b) / 2) - r.l) / 2 + r.b / 2 AS b
+    FROM rec r JOIN series s
+      ON s.event_type = r.event_type AND s.t = r.t + 1
+)
+SELECT r.event_type, nn.n_days, r.l AS level, r.b AS trend,
+       r.l + r.b AS forecast_1, r.l + 3.0 * r.b AS forecast_3
+FROM rec r JOIN nn ON r.event_type = nn.event_type
+WHERE r.t = nn.n_days AND nn.n_days >= 2
+"""

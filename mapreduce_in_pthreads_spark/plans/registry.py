@@ -1004,7 +1004,46 @@ register("zorder_pruning_audit", lay.zorder_pruning_audit,
          "min/max-envelope scan fraction per dimension for 64 "
          "simulated files; all-integer scaling/interleave/envelopes, "
          "one pinned division per fraction")
+register("encoding_size_census", lay.encoding_size_census,
+         lay.ENCODING_CENSUS_SQL,
+         "per-day-partition PLAIN vs DICT vs RLE byte-cost census "
+         "(the columnar writer's encoding decision from first "
+         "principles): one ordered window pass for run counts, "
+         "combinable per-day agg, all-integer cost model")
 
+# --- round-6 session additions ---------------------------------------------
+register("late_interaction_maxsim", ta.late_interaction_maxsim,
+         ta.MAXSIM_SQL,
+         "ColBERT late-interaction MaxSim retrieval (Khattab & "
+         "Zaharia 2020): per-query-token max dot over md5-derived "
+         "±1 token sign vectors — zero-shuffle integer scoring + "
+         "TakeOrdered top-k")
+register("repeated_ngram_span_mask", ta.repeated_ngram_span_mask,
+         ta.REPEATED_NGRAM_MASK_SQL,
+         "within-doc repeated-4-gram span masking (self-repetition "
+         "twin of duplicate_spans): first-occurrence test + interval "
+         "union as a pure per-row array program, zero shuffle")
+register("rag_chunk_windows", ta.rag_chunk_windows,
+         ta.RAG_CHUNK_SQL,
+         "RAG ingestion chunking (32-token windows, stride 24) as "
+         "pure JVM expressions — the codegen twin of "
+         "udtf_chunk_documents; zero shuffle, native generator")
+register("holt_linear_forecast", ts.holt_linear_forecast,
+         ts.HOLT_SQL,
+         "Holt linear-trend smoothing over daily event counts "
+         "(alpha=beta=1/2 dyadic recursion, bit-exact F.aggregate "
+         "fold vs recursive-CTE oracle) + h=1/h=3 forecasts")
+register("bloom_fp_rate_audit", jn.bloom_fp_rate_audit,
+         jn.BLOOM_FP_AUDIT_SQL,
+         "measured vs load-factor-predicted false-positive rate of "
+         "the Bloom prefilter technique — md5-position bitmap over "
+         "the member keys, probed by every distinct non-member fact "
+         "key; the runtime-filter self-audit")
+register("neyman_allocation_sample", cu.neyman_allocation_sample,
+         cu.NEYMAN_SQL,
+         "Neyman 1934 optimal stratified allocation n_h ∝ N_h·σ_h "
+         "with largest-remainder integerization — exact-integer "
+         "variance identity + one IEEE sqrt per stratum")
 
 # --- adjudication-window rotation -----------------------------------------
 # The driver adjudicates only the FIRST 50 registry entries per round

@@ -132,3 +132,35 @@ def run_event_anomaly_stream(spark: SparkSession, sf_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def run_holt_forecast_stream(spark: SparkSession, sf_dir: str,
+                             checkpoint_dir: str, holder: dict) -> None:
+    """Streaming twin of ``timeseries.holt_linear_forecast`` — the
+    third instance of the "streaming ingest, batch finish per trigger"
+    pattern: per-(event_type, day) counts accumulate as a
+    complete-mode streaming aggregation; the non-incremental finishing
+    (dense daily grid + the order-dependent Holt fold, which no
+    streaming aggregate can express) re-runs per trigger in
+    ``foreachBatch`` via the SAME ``holt_finish`` the batch operator
+    calls. This is how a production forecaster actually runs: state =
+    the daily series (bounded by types × days), the forecast
+    recomputed per micro-batch from that state.
+    """
+    from ..operators.timeseries import holt_finish
+
+    ev = _read_event_stream(spark, sf_dir)
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+
+    def finish(batch_df: DataFrame, batch_id: int) -> None:
+        holder["rows"] = holt_finish(batch_df).collect()
+        holder["n_triggers"] = holder.get("n_triggers", 0) + 1
+
+    q = (daily.writeStream
+         .foreachBatch(finish)
+         .outputMode("complete")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -143,3 +143,203 @@ def test_kappa_below_accuracy_for_skewed_chance(spark):
     assert 0 < r["pe"] < 1
     assert r["kappa"] < r["po"]
     assert -1.0 <= r["kappa"] <= 1.0
+
+
+def test_maxsim_matches_python_replica(spark):
+    """MaxSim score must equal a from-scratch Python replica of the
+    md5 sign-vector scoring for the top hit."""
+    import hashlib
+
+    from mapreduce_in_pthreads_spark.operators.text_analysis import (
+        MAXSIM_QUERY_SIGNS, late_interaction_maxsim)
+
+    def sign_vec(tok):
+        h = hashlib.md5(tok.encode()).hexdigest()[:8]
+        return [1 if c in "89abcdef" else -1 for c in h]
+
+    rows = late_interaction_maxsim(spark, SF_CORRECT).collect()
+    assert len(rows) == 10
+    scores = [r["maxsim"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    import duckdb
+    top = rows[0]
+    text = duckdb.sql(
+        f"SELECT text FROM read_parquet('{SF_CORRECT}/documents.parquet')"
+        f" WHERE doc_id = {top['doc_id']}").fetchone()[0]
+    toks = set(text.split(" "))
+    expect = 0
+    for term, signs in MAXSIM_QUERY_SIGNS.items():
+        best = max(sum(a * b for a, b in zip(signs, sign_vec(t)))
+                   for t in toks)
+        assert top[f"s_{term}"] == best
+        expect += best
+    assert top["maxsim"] == expect
+
+
+def test_repeated_ngram_mask_python_replica(spark):
+    """Interval-union masked-token count must equal a brute-force
+    position-set replica on every document."""
+    import duckdb
+
+    from mapreduce_in_pthreads_spark.operators.text_analysis import (
+        MASK_N, repeated_ngram_span_mask)
+
+    got = {r["doc_id"]: r
+           for r in repeated_ngram_span_mask(spark, SF_CORRECT).collect()}
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{SF_CORRECT}/documents.parquet')").fetchall()
+    n_nonzero = 0
+    for doc_id, text in texts:
+        toks = text.split(" ")
+        grams = [" ".join(toks[i:i + MASK_N])
+                 for i in range(len(toks) - MASK_N + 1)]
+        seen, masked = {}, set()
+        for i, g in enumerate(grams):
+            if g in seen:
+                masked.update(range(i, i + MASK_N))
+            else:
+                seen[g] = i
+        r = got[doc_id]
+        assert r["masked_tokens"] == len(masked), doc_id
+        n_nonzero += bool(masked)
+    assert n_nonzero > 0  # the corpus genuinely exercises the mask
+
+
+def test_rag_chunks_cover_every_token_with_overlap(spark):
+    """Chunking invariants: chunk 0 starts at token 1, strides are
+    exactly CHUNK_STRIDE, every token of every doc falls in >=1
+    chunk, and consecutive chunks overlap by CHUNK - STRIDE tokens
+    except possibly the short last chunk."""
+    from collections import defaultdict
+
+    from mapreduce_in_pthreads_spark.operators.text_analysis import (
+        CHUNK_STRIDE, CHUNK_TOKENS, rag_chunk_windows)
+
+    per_doc = defaultdict(list)
+    for r in rag_chunk_windows(spark, SF_CORRECT).collect():
+        per_doc[r["doc_id"]].append(r)
+    assert per_doc
+    for doc_id, chunks in per_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert chunks[0]["start_tok"] == 1
+        covered = set()
+        for k, c in enumerate(chunks):
+            assert c["chunk_id"] == k
+            assert c["start_tok"] == 1 + k * CHUNK_STRIDE
+            assert 1 <= c["n_chunk_tokens"] <= CHUNK_TOKENS
+            covered.update(range(c["start_tok"],
+                                 c["start_tok"] + c["n_chunk_tokens"]))
+        n = max(covered)
+        assert covered == set(range(1, n + 1))  # gap-free cover
+
+
+def test_holt_matches_python_fold(spark):
+    """The Spark aggregate fold must equal a plain-Python Holt
+    recursion over the same zero-filled daily series."""
+    import datetime as dt
+
+    import duckdb
+
+    from mapreduce_in_pthreads_spark.operators.timeseries import \
+        holt_linear_forecast
+
+    got = {r["event_type"]: r
+           for r in holt_linear_forecast(spark, SF_CORRECT).collect()}
+    daily = duckdb.sql(
+        f"SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n "
+        f"FROM read_parquet('{SF_CORRECT}/events.parquet') "
+        f"GROUP BY 1, 2 ORDER BY 1, 2").fetchall()
+    series = {}
+    for et, day, n in daily:
+        series.setdefault(et, {})[day] = n
+    for et, bydate in series.items():
+        d0, d1 = min(bydate), max(bydate)
+        ys = [float(bydate.get(d0 + dt.timedelta(days=i), 0))
+              for i in range((d1 - d0).days + 1)]
+        if len(ys) < 2:
+            assert et not in got
+            continue
+        l, b = ys[0], ys[1] - ys[0]
+        for y in ys[2:]:
+            nl = (y + l + b) / 2
+            l, b = nl, (nl - l) / 2 + b / 2
+        r = got[et]
+        assert r["n_days"] == len(ys)
+        assert r["level"] == l and r["trend"] == b
+        assert r["forecast_3"] == l + 3.0 * b
+
+
+def test_encoding_census_model_consistency(spark):
+    """Cost-model invariants: runs <= n, card <= n, runs >= card is
+    NOT required (runs track physical order) but bits must fit the
+    cardinality, and best_encoding really is the argmin."""
+    from mapreduce_in_pthreads_spark.operators.layout import \
+        encoding_size_census
+
+    rows = encoding_size_census(spark, SF_CORRECT).collect()
+    assert rows and {r["column_name"] for r in rows} == {
+        "event_type", "user_id"}
+    for r in rows:
+        assert 1 <= r["card"] <= r["n"]
+        assert r["card"] <= r["runs"] <= r["n"]
+        assert 2 ** r["code_bits"] >= r["card"]
+        assert 2 ** (r["code_bits"] - 1) < max(r["card"], 2)
+        sizes = {"plain": r["plain_bytes"], "dict": r["dict_bytes"],
+                 "rle": r["rle_bytes"]}
+        assert sizes[r["best_encoding"]] == min(sizes.values())
+        # a low-cardinality string column must dictionary-encode
+        if r["column_name"] == "event_type":
+            assert r["best_encoding"] in ("dict", "rle")
+            assert r["dict_bytes"] < r["plain_bytes"]
+
+
+def test_bloom_fp_audit_binomial_sanity(spark):
+    """Measured FP rate must match the load-factor prediction within
+    a few binomial standard errors, and the filter must actually
+    filter (pass rate far below 1)."""
+    import math
+
+    from mapreduce_in_pthreads_spark.operators.joins import (
+        BLOOM_K, BLOOM_M, bloom_fp_rate_audit)
+
+    r = bloom_fp_rate_audit(spark, SF_CORRECT).collect()[0]
+    assert r["m_bits"] == BLOOM_M and r["k_hashes"] == BLOOM_K
+    assert 1 <= r["n_bits_set"] <= min(BLOOM_M, BLOOM_K * r["n_keys"])
+    assert 0 <= r["n_false_positives"] <= r["n_nonmembers"]
+    p, n = r["fp_rate_predicted"], r["n_nonmembers"]
+    se = math.sqrt(max(p * (1 - p), 1e-12) / n)
+    assert abs(r["fp_rate_measured"] - p) < 5 * se + 5e-3
+    assert r["fp_rate_measured"] < 0.5
+
+
+def test_neyman_allocation_python_replica(spark):
+    """Allocation must sum to the budget, differ from floors by at
+    most 1, and equal a numpy largest-remainder replica."""
+    import math
+
+    import duckdb
+
+    from mapreduce_in_pthreads_spark.operators.curation import (
+        NEYMAN_BUDGET, neyman_allocation_sample)
+
+    rows = neyman_allocation_sample(spark, SF_CORRECT).collect()
+    assert sum(r["alloc_final"] for r in rows) == NEYMAN_BUDGET
+    assert all(r["alloc_final"] - r["alloc_floor"] in (0, 1)
+               for r in rows)
+    stats = duckdb.sql(
+        f"SELECT source, count(*) n, sum(n_chars) sx, "
+        f"sum(n_chars*n_chars) sxx FROM "
+        f"read_parquet('{SF_CORRECT}/documents.parquet') "
+        f"GROUP BY 1").fetchall()
+    w = {s: n * math.sqrt((n * sxx - sx * sx) / (n * n))
+         for s, n, sx, sxx in stats}
+    tot = sum(w.values())
+    quotas = {s: v * float(NEYMAN_BUDGET) / tot for s, v in w.items()}
+    floors = {s: math.floor(q) for s, q in quotas.items()}
+    leftover = NEYMAN_BUDGET - sum(floors.values())
+    order = sorted(quotas, key=lambda s: (-(quotas[s] - floors[s]), s))
+    expect = {s: floors[s] + (1 if i < leftover else 0)
+              for i, s in enumerate(order)}
+    got = {r["source"]: r["alloc_final"] for r in rows}
+    assert got == expect

@@ -270,3 +270,23 @@ def test_streaming_event_anomaly_parity(spark, sf_dir, tmp_path):
     got = sorted(tuple(r[c] for c in cols) for r in holder["rows"])
     want = _rows(REGISTRY["event_rate_anomaly"].fn(spark, sf_dir), cols)
     assert got == want
+
+
+def test_streaming_holt_forecast_parity(spark, sf_dir, tmp_path):
+    """Streaming ingest + per-trigger Holt finishing (foreachBatch)
+    equals the batch holt_linear_forecast exactly — the daily series
+    accumulates as a complete-mode streaming agg, the order-dependent
+    fold re-runs per trigger via the SAME holt_finish helper."""
+    from mapreduce_in_pthreads_spark.streaming.foreach_batch import (
+        run_holt_forecast_stream)
+
+    holder: dict = {}
+    run_holt_forecast_stream(spark, sf_dir, str(tmp_path / "ckpt"),
+                             holder)
+    assert holder.get("n_triggers", 0) >= 1
+    cols = ["event_type", "n_days", "level", "trend",
+            "forecast_1", "forecast_3"]
+    got = sorted(tuple(r[c] for c in cols) for r in holder["rows"])
+    want = _rows(REGISTRY["holt_linear_forecast"].fn(spark, sf_dir),
+                 cols)
+    assert got == want
