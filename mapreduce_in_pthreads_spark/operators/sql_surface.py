@@ -690,3 +690,56 @@ SELECT o_orderkey,
        CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS parsed_back
 FROM orders WHERE o_orderkey <= 2000
 """
+
+
+# --- modern SQL conveniences (GROUP BY ALL / ORDER BY ALL / lateral) ------
+
+def sql_modern_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern SQL convenience surface both engines converged on:
+    ``GROUP BY ALL`` (group by every non-aggregate select item),
+    ``ORDER BY ALL`` (order by every select item), and LATERAL COLUMN
+    ALIASES (``avg_price`` referencing the sibling ``round(...)`` alias and
+    chaining into ``is_pricey`` — Spark 3.4+/DuckDB semantics, no subquery nesting).
+
+    Exactness: the sum is decimal-routed; the lateral-alias quotient
+    is one IEEE division of the identical decimal-cast sum by the
+    identical count — correctly rounded, so no round() pin is needed
+    (round(·,10) itself differs at the last digit between engines'
+    rounding implementations; davg's convention).
+
+    Scale: a plain combinable two-key aggregation — the conveniences
+    are parser sugar, the plan is the same pushed-scan + partial/final
+    agg every GROUP BY compiles to.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_modern")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, n, sum_price,
+               sum_price / n AS avg_price,
+               avg_price >= 150000.0 AS is_pricey
+        FROM (
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4)))
+                        AS DOUBLE) AS sum_price
+            FROM orders_modern
+            GROUP BY ALL
+        )
+        ORDER BY ALL
+    """)
+
+
+SQL_MODERN_SQL = """
+SELECT o_orderstatus, o_orderpriority, n, sum_price,
+       sum_price / n AS avg_price,
+       avg_price >= 150000.0 AS is_pricey
+FROM (
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4)))
+                AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY ALL
+)
+ORDER BY ALL
+"""

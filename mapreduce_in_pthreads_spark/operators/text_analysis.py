@@ -3603,3 +3603,77 @@ SELECT doc_id, chunk_id, start_tok,
             + len(chunk) - 1 AS INT) AS chunk_chars
 FROM c
 """
+
+
+# --- feature-hashing collision audit --------------------------------------
+
+FEATHASH_M = 4096  # hashed feature-space width (2^12 buckets)
+
+
+def feature_hash_collision_audit(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit (Weinberger et al. 2009, ICML
+    "Feature Hashing for Large Scale Multitask Learning"): hash the
+    corpus vocabulary into 2^12 buckets and measure what the trick
+    costs — how many buckets are occupied, how many terms share a
+    bucket, the worst bucket load — against the uniform-hashing
+    prediction E[buckets] = m·(1 − (1 − 1/m)^n).  The
+    `bloom_fp_rate_audit` pattern applied to the OTHER md5-backed
+    approximation the pipeline ships (`count_min_words` rides the
+    same row-hash family).
+
+    Exactness: buckets are md5-derived integers; every count is
+    exact; the measured collision fraction is one int/int division
+    (round 10); the prediction uses pow, the one libm call whose
+    cross-engine agreement is not guaranteed bit-level — rounded to
+    6 dp, the repo's tf-idf-logarithm convention.
+
+    Scale: vocabulary distinct (the only wide exchange — the same
+    one word_count pays), then a bucket-keyed combinable count and a
+    4-scalar final agg. No joins, no windows, nothing quadratic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+             .distinct())
+    bucket = (F.conv(F.substring(F.md5("w"), 1, 15), 16, 10)
+              .cast("long") % FEATHASH_M)
+    per_bucket = (words.select(bucket.alias("b"))
+                  .groupBy("b").agg(F.count(F.lit(1)).alias("c")))
+    agg = per_bucket.agg(
+        F.sum("c").alias("n_terms"),
+        F.count(F.lit(1)).alias("buckets_used"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+        .alias("colliding_terms"),
+        F.max("c").alias("max_bucket_load"))
+    m = float(FEATHASH_M)
+    predicted = m * (1.0 - F.pow(F.lit(1.0 - 1.0 / m),
+                                 F.col("n_terms").cast("double")))
+    return agg.select(
+        "n_terms", F.lit(FEATHASH_M).alias("m_buckets"),
+        "buckets_used", "colliding_terms", "max_bucket_load",
+        F.round(F.col("colliding_terms") / F.col("n_terms"), 10)
+        .alias("collision_term_frac"),
+        F.round(predicted, 6).alias("buckets_used_predicted"))
+
+
+FEATHASH_AUDIT_SQL = f"""
+WITH words AS (
+    SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+    FROM documents
+), per_bucket AS (
+    SELECT ('0x' || substring(md5(w), 1, 15))::BIGINT
+               % {FEATHASH_M} AS b,
+           count(*) AS c
+    FROM words GROUP BY 1
+)
+SELECT sum(c) AS n_terms,
+       {FEATHASH_M} AS m_buckets,
+       count(*) AS buckets_used,
+       sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS colliding_terms,
+       max(c) AS max_bucket_load,
+       round(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+             / sum(c), 10) AS collision_term_frac,
+       round({float(FEATHASH_M)} * (1.0 - pow(1.0 - 1.0 / {float(FEATHASH_M)},
+             CAST(sum(c) AS DOUBLE))), 6) AS buckets_used_predicted
+FROM per_bucket
+"""

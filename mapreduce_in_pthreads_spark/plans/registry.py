@@ -1044,6 +1044,17 @@ register("neyman_allocation_sample", cu.neyman_allocation_sample,
          "Neyman 1934 optimal stratified allocation n_h ∝ N_h·σ_h "
          "with largest-remainder integerization — exact-integer "
          "variance identity + one IEEE sqrt per stratum")
+register("sql_modern_surface", sq.sql_modern_surface,
+         sq.SQL_MODERN_SQL,
+         "modern SQL conveniences both engines converged on: GROUP "
+         "BY ALL, ORDER BY ALL, lateral column aliases — parser "
+         "sugar over the same pushed-scan combinable agg")
+register("feature_hash_collision_audit", ta.feature_hash_collision_audit,
+         ta.FEATHASH_AUDIT_SQL,
+         "hashing-trick collision audit (Weinberger et al. 2009): "
+         "vocabulary hashed into 2^12 md5 buckets — occupancy, "
+         "colliding-term share, worst load vs the uniform-hashing "
+         "occupancy prediction")
 
 # --- adjudication-window rotation -----------------------------------------
 # The driver adjudicates only the FIRST 50 registry entries per round

@@ -343,3 +343,32 @@ def test_neyman_allocation_python_replica(spark):
               for i, s in enumerate(order)}
     got = {r["source"]: r["alloc_final"] for r in rows}
     assert got == expect
+
+
+def test_feature_hash_audit_birthday_sanity(spark):
+    """Occupancy must be near the uniform-hashing prediction and the
+    bookkeeping identities must hold exactly."""
+    from mapreduce_in_pthreads_spark.operators.text_analysis import (
+        FEATHASH_M, feature_hash_collision_audit)
+
+    r = feature_hash_collision_audit(spark, SF_CORRECT).collect()[0]
+    assert r["m_buckets"] == FEATHASH_M
+    assert r["buckets_used"] <= min(r["n_terms"], FEATHASH_M)
+    # n_terms - colliding_terms = terms alone in their bucket
+    assert 0 <= r["colliding_terms"] <= r["n_terms"]
+    assert r["n_terms"] - r["colliding_terms"] <= r["buckets_used"]
+    assert r["max_bucket_load"] >= 1
+    # measured occupancy within 10% of the birthday-problem prediction
+    assert abs(r["buckets_used"] - r["buckets_used_predicted"]) \
+        <= 0.1 * r["buckets_used_predicted"]
+
+
+def test_sql_modern_surface_lateral_alias_consistency(spark):
+    from mapreduce_in_pthreads_spark.operators.sql_surface import \
+        sql_modern_surface
+
+    rows = sql_modern_surface(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r["avg_price"] == r["sum_price"] / r["n"]
+        assert r["is_pricey"] == (r["avg_price"] >= 150000.0)
