@@ -358,3 +358,26 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_cust_bucketed")
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Dynamic partition pruning: a partitioned fact joined to a
+    FILTERED dim must plan a dynamicpruning subquery on the partition
+    column — at 100 TB this is the difference between scanning every
+    lang partition and scanning the one the dim selects (the
+    runtime sibling of the static pruning this file already pins)."""
+    from .conftest import SF_CORRECT
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    out = str(tmp_path / "docs_by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    part = spark.read.parquet(out)
+    dim = (spark.createDataFrame(
+        [("en", 1), ("fr", 2)], ["lang", "prio"])
+        .filter(F.col("prio") == 1))
+    j = part.join(dim, "lang").groupBy("lang").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and the result really is only the selected partition
+    rows = j.collect()
+    assert [r["lang"] for r in rows] == ["en"]

@@ -730,3 +730,16 @@ def test_label_knn_pairs_are_cell_equi_join(spark, sf_dir):
     with itself."""
     p = plan(spark, sf_dir, "label_knn_agreement")
     assert "CartesianProduct" not in p
+
+
+def test_grouped_topk_uses_window_group_limit(spark, sf_dir):
+    """Spark 3.5+'s WindowGroupLimit pushes the rank<=k predicate
+    below the full window sort: each partition keeps a bounded top-k
+    heap instead of ranking every row — the optimization that makes
+    per-key top-k viable at 100 TB. Pin that it actually fires for
+    the grouped-top-k family."""
+    from mapreduce_in_pthreads_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["top_orders_per_customer"].fn(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p
