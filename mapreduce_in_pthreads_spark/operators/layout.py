@@ -273,3 +273,88 @@ SELECT day, n, column_name, card, runs, code_bits,
             ELSE 'rle' END AS best_encoding
 FROM cols
 """
+
+
+# --- small-files compaction planning --------------------------------------
+
+COMPACT_TARGET_BYTES = 4096   # target bytes per compacted file
+COMPACT_CUR_SHARDS = 16       # simulated current small-file count/partition
+
+
+def small_files_compaction_plan(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The OPTIMIZE/compaction planning query a lakehouse table
+    service runs before rewriting a partition: per lang partition of
+    ``documents``, the current (simulated) small-file inventory vs
+    the file count a target file size implies — the small-files
+    problem quantified, and the rewrite bill (files merged away)
+    computed from exact sizes.
+
+    Current files are simulated as the md5 16-shard split of doc_id —
+    the same deterministic sharding `shard_assignment` ships — so the
+    audit is reproducible without a real manifest; with a real table
+    the same query runs over the file-listing relation. Bytes are the
+    n_chars payload proxy.
+
+    Exactness: all counts/sums integer; files_planned is the exact
+    integer ceil ⌊(bytes + target − 1)/target⌋ (operands ≪ 2^53, so
+    the double division is exact); the two avg-bytes quotients are
+    raw IEEE divisions of identical exact ints (no round — the repo's
+    round-band rule: these are ≫ 1).
+
+    Scale: one per-(lang, shard) combinable count + one per-lang
+    re-aggregation — manifest-sized work, the table stays unscanned
+    in a real deployment (footer/manifest stats provide n and bytes).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (F.conv(F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % COMPACT_CUR_SHARDS)
+    per_shard = (docs.groupBy("lang", shard.alias("shard"))
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("n_chars").alias("bytes")))
+    t = COMPACT_TARGET_BYTES
+    return (per_shard.groupBy("lang")
+            .agg(F.sum("n_docs").alias("n_docs"),
+                 F.sum("bytes").alias("total_bytes"),
+                 F.count(F.lit(1)).alias("current_files"))
+            .withColumn("files_planned",
+                        F.floor((F.col("total_bytes") + t - 1) / t)
+                        .cast("long"))
+            .withColumn("files_planned",
+                        F.greatest("files_planned", F.lit(1)))
+            .select(
+                "lang", "n_docs", "total_bytes", "current_files",
+                "files_planned",
+                (F.col("current_files") - F.col("files_planned"))
+                .alias("files_merged_away"),
+                (F.col("total_bytes") / F.col("current_files"))
+                .alias("avg_bytes_current"),
+                (F.col("total_bytes") / F.col("files_planned"))
+                .alias("avg_bytes_planned")))
+
+
+COMPACTION_PLAN_SQL = f"""
+WITH per_shard AS (
+    SELECT lang,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT % {COMPACT_CUR_SHARDS} AS shard,
+           count(*) AS n_docs, sum(n_chars) AS bytes
+    FROM documents GROUP BY 1, 2
+), per_lang AS (
+    SELECT lang, sum(n_docs) AS n_docs,
+           sum(bytes) AS total_bytes,
+           count(*) AS current_files,
+           greatest(CAST(floor((sum(bytes) + {COMPACT_TARGET_BYTES} - 1)
+                               / {COMPACT_TARGET_BYTES}) AS BIGINT), 1)
+               AS files_planned
+    FROM per_shard GROUP BY lang
+)
+SELECT lang, n_docs, total_bytes, current_files, files_planned,
+       current_files - files_planned AS files_merged_away,
+       CAST(total_bytes AS DOUBLE) / current_files
+           AS avg_bytes_current,
+       CAST(total_bytes AS DOUBLE) / files_planned
+           AS avg_bytes_planned
+FROM per_lang
+"""

@@ -233,3 +233,63 @@ SELECT lang,
        count(*) FILTER (n_chars IS NULL) AS n_legacy
 FROM merged GROUP BY lang
 """
+
+
+def pandas_grouped_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas_udf — the fourth UDF flavor (scalar
+    pandas_udf, applyInPandas, UDTF, and now a vectorized custom
+    AGGREGATE): per-language Gini coefficient of document lengths via
+    the sorted rank-weight identity, as one Arrow-batched reduction
+    usable inside a normal ``groupBy().agg(...)``.
+
+    Exactness: inputs are ints; numpy computes Σ(2i−n−1)·x_(i) with
+    int64 then ONE float division — deterministic regardless of
+    pandas' arrival order because the identity sorts first; the
+    oracle runs the identical rank-form sum in SQL; both sides emit
+    the RAW division — num and den are exact ints < 2^53, so the one
+    IEEE division is correctly rounded and bit-identical (python
+    round() is banker's, SQL round() is half-up — never mix them).
+
+    Scale: a grouped-agg pandas UDF ships each group's column to ONE
+    python worker as Arrow — acceptable for bounded groups (5 langs);
+    for unbounded keys prefer the pure-SQL rank form
+    (``source_balance_gini``), which this entry exists to contrast.
+    """
+    import numpy as np
+
+    @pandas_udf("long")
+    def count_arrow(x: pd.Series) -> int:
+        # grouped-agg UDFs can't mix with built-in aggregates in one
+        # agg() — the count rides the same Arrow batch instead
+        return len(x)
+
+    @pandas_udf("double")
+    def gini_arrow(x: pd.Series) -> float:
+        v = np.sort(x.to_numpy(dtype="int64"))
+        n = v.size
+        if n == 0 or v.sum() == 0:
+            return 0.0
+        i = np.arange(1, n + 1, dtype="int64")
+        num = int(((2 * i - n - 1) * v).sum())
+        return num / (n * int(v.sum()))
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+            .agg(count_arrow("n_chars").alias("n_docs"),
+                 gini_arrow("n_chars").alias("gini_chars")))
+
+
+PANDAS_GROUPED_AGG_GINI_SQL = """
+WITH ranked AS (
+    SELECT lang, n_chars,
+           row_number() OVER (PARTITION BY lang ORDER BY n_chars)
+               AS i,
+           count(*) OVER (PARTITION BY lang) AS n,
+           sum(n_chars) OVER (PARTITION BY lang) AS s
+    FROM documents
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(sum((2 * i - n - 1) * n_chars) AS DOUBLE)
+           / (max(n) * max(s)) AS gini_chars
+FROM ranked GROUP BY lang
+"""

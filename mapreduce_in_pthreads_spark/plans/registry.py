@@ -1055,6 +1055,17 @@ register("feature_hash_collision_audit", ta.feature_hash_collision_audit,
          "vocabulary hashed into 2^12 md5 buckets — occupancy, "
          "colliding-term share, worst load vs the uniform-hashing "
          "occupancy prediction")
+register("pandas_grouped_agg_gini", ud.pandas_grouped_agg_gini,
+         ud.PANDAS_GROUPED_AGG_GINI_SQL,
+         "GROUPED_AGG pandas_udf (the fourth UDF flavor): per-lang "
+         "Gini of doc lengths via the sorted rank-weight identity — "
+         "sort-then-sum makes the Arrow reduction order-insensitive; "
+         "raw exact-int division, no round")
+register("small_files_compaction_plan", lay.small_files_compaction_plan,
+         lay.COMPACTION_PLAN_SQL,
+         "OPTIMIZE planning query: per-lang current small-file "
+         "inventory (md5 16-shard simulation) vs target-size file "
+         "count — exact integer ceil, manifest-sized work")
 
 # --- adjudication-window rotation -----------------------------------------
 # The driver adjudicates only the FIRST 50 registry entries per round

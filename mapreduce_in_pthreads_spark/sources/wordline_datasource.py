@@ -26,11 +26,15 @@ import glob
 import os
 from collections.abc import Iterator, Sequence
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 WORDLINE_SCHEMA = "filename string, linenum int, raw_line string"
@@ -115,6 +119,65 @@ class WordLineStreamReader(SimpleDataSourceStreamReader):
         return out
 
 
+@dataclass
+class _WordLineCommit(WriterCommitMessage):
+    tmp_path: str
+    final_path: str
+    n_lines: int
+
+
+class WordLineWriter(DataSourceWriter):
+    """Two-phase-commit writer for the word-per-line format — the
+    reference's sink contract (R11: each reducer emits its whole
+    output atomically under ``printmutex``, mapreduce.c:216-222, and
+    the STRICT ``file<i>.txt`` naming is part of the format,
+    mapreduce.c:309) as a real ``df.write.format("wordline")`` sink:
+
+    - each task writes its partition to a hidden ``.file<i>.txt.tmp``
+      (one file per partition = the per-reducer atomic block; i =
+      partitionId + 1 matches the reader/reference naming);
+    - ``commit`` (driver, after ALL tasks succeed) renames every temp
+      into place — the same publish-by-rename protocol Spark's own
+      FileOutputCommitter v1 uses, so a failed/speculated task can
+      never leave a half-written visible file;
+    - ``abort`` deletes the temps.
+
+    Rows: the FIRST column, cast to str, becomes the line; bytes are
+    Latin-1 (1:1 char→byte, the reader's decode mirrored).
+    """
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("wordline sink requires a path")
+        self._dir = path
+
+    def write(self, iterator) -> _WordLineCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._dir, exist_ok=True)
+        final = os.path.join(self._dir, f"file{pid + 1}.txt")
+        tmp = os.path.join(self._dir, f".file{pid + 1}.txt.tmp")
+        n = 0
+        with open(tmp, "wb") as fh:
+            for row in iterator:
+                fh.write(str(row[0]).encode("latin-1") + b"\n")
+                n += 1
+        return _WordLineCommit(tmp_path=tmp, final_path=final, n_lines=n)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            os.replace(m.tmp_path, m.final_path)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except FileNotFoundError:
+                pass
+
+
 class WordLineDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -128,6 +191,9 @@ class WordLineDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> WordLineStreamReader:
         return WordLineStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> WordLineWriter:
+        return WordLineWriter(self.options)
 
 
 def register(spark) -> None:

@@ -182,3 +182,38 @@ def test_wordline_stream_reader_matches_batch(spark, tmp_path):
 
     assert key(got) == key(want)
     assert len(got) == 22271  # SURVEY corpus fact: total physical lines
+
+
+def test_wordline_writer_round_trip_and_2pc(spark, tmp_path):
+    """The wordline WRITER (df.write.format('wordline')) must publish
+    one file<i>.txt per partition via the write-temp-then-rename
+    two-phase commit (R11's per-reducer atomic sink + the strict
+    naming contract, mapreduce.c:216-222,309), and a reader round
+    trip must preserve the line multiset with correct per-file
+    1-based numbering."""
+    import os
+
+    from mapreduce_in_pthreads_spark.sources.wordline_datasource import (
+        register)
+
+    register(spark)
+    words = ["alpha", "beta", "", "gamma", "delta", "épsilon"]
+    df = (spark.createDataFrame([(w,) for w in words], ["word"])
+          .repartition(3))
+    out = str(tmp_path / "corpus_out")
+    df.write.format("wordline").mode("append").save(out)
+
+    files = sorted(os.listdir(out))
+    assert files == ["file1.txt", "file2.txt", "file3.txt"]
+    assert not [f for f in files if f.endswith(".tmp")]
+
+    back = spark.read.format("wordline").load(out).collect()
+    assert sorted(r["raw_line"] for r in back) == sorted(words)
+    # per-file numbering is 1-based and dense (every line numbered,
+    # including the empty one)
+    by_file: dict = {}
+    for r in back:
+        by_file.setdefault(r["filename"], []).append(r["linenum"])
+    for nums in by_file.values():
+        assert sorted(nums) == list(range(1, len(nums) + 1))
+    assert sum(len(v) for v in by_file.values()) == len(words)

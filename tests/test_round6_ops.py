@@ -372,3 +372,51 @@ def test_sql_modern_surface_lateral_alias_consistency(spark):
     for r in rows:
         assert r["avg_price"] == r["sum_price"] / r["n"]
         assert r["is_pricey"] == (r["avg_price"] >= 150000.0)
+
+
+def test_grouped_agg_gini_matches_rank_form(spark):
+    """The pandas grouped-agg Gini must equal the pure-SQL rank-form
+    operator's math (numpy replica) and land in [0, 1)."""
+    import duckdb
+    import numpy as np
+
+    from mapreduce_in_pthreads_spark.operators.udfs import \
+        pandas_grouped_agg_gini
+
+    got = {r["lang"]: r for r in
+           pandas_grouped_agg_gini(spark, SF_CORRECT).collect()}
+    data = duckdb.sql(
+        f"SELECT lang, list(n_chars) FROM "
+        f"read_parquet('{SF_CORRECT}/documents.parquet') "
+        f"GROUP BY 1").fetchall()
+    for lang, xs in data:
+        v = np.sort(np.asarray(xs, dtype="int64"))
+        n = v.size
+        i = np.arange(1, n + 1, dtype="int64")
+        expect = int(((2 * i - n - 1) * v).sum()) / (n * int(v.sum()))
+        r = got[lang]
+        assert r["n_docs"] == n
+        assert r["gini_chars"] == expect
+        assert 0 <= r["gini_chars"] < 1
+
+
+def test_compaction_plan_invariants(spark):
+    """files_planned must be the exact byte ceil, never exceed docs,
+    and the plan must actually merge files away at this SF."""
+    from mapreduce_in_pthreads_spark.operators.layout import (
+        COMPACT_CUR_SHARDS, COMPACT_TARGET_BYTES,
+        small_files_compaction_plan)
+
+    rows = small_files_compaction_plan(spark, SF_CORRECT).collect()
+    assert rows
+    merged_any = False
+    for r in rows:
+        want = max(-(-r["total_bytes"] // COMPACT_TARGET_BYTES), 1)
+        assert r["files_planned"] == want
+        assert 1 <= r["current_files"] <= COMPACT_CUR_SHARDS
+        assert r["files_merged_away"] == (
+            r["current_files"] - r["files_planned"])
+        assert r["avg_bytes_current"] == (
+            r["total_bytes"] / r["current_files"])
+        merged_any |= r["files_merged_away"] > 0
+    assert merged_any
