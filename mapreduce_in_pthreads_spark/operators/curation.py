@@ -1614,3 +1614,60 @@ SELECT source, n_docs, round(sigma, 10) AS sigma,
            THEN 1 ELSE 0 END AS alloc_final
 FROM f
 """
+
+
+# --- l-diversity audit ----------------------------------------------------
+
+LDIV_L = 3            # required distinct sensitive values per QI group
+LDIV_BUCKET = 100     # QI length-bucket width (chars)
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007, TKDD) — the
+    step beyond `k_anonymity_audit`: a QI group can be large (k-safe)
+    yet still leak if every member shares the same SENSITIVE value.
+    QI = (lang, 100-char length bucket); sensitive attribute =
+    ``source`` (provenance is disclosure-sensitive in a corpus
+    release). Per language: group census, worst-group diversity, and
+    the share of documents sitting in groups with fewer than l=3
+    distinct sources — the rows a release gate would suppress or
+    generalize.
+
+    Exactness: integer group counts + distinct counts; the one
+    exposure ratio is an int/int division in [0,1], round(·,10).
+
+    Scale: one combinable (QI → count, distinct-count) aggregation,
+    then a per-lang rollup of the GROUP relation — the same
+    manifest-sized shape as the k-anonymity gate it extends.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(f"n_chars div {LDIV_BUCKET}")
+    groups = (docs.groupBy("lang", bucket.alias("len_bucket"))
+              .agg(F.count(F.lit(1)).alias("k"),
+                   F.countDistinct("source").alias("l")))
+    return (groups.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.sum("k").alias("n_docs"),
+                 F.min("l").alias("min_l"),
+                 F.sum(F.when(F.col("l") < LDIV_L, F.col("k"))
+                       .otherwise(0)).alias("docs_low_diversity"))
+            .select("lang", "n_groups", "n_docs", "min_l",
+                    "docs_low_diversity",
+                    F.round(F.col("docs_low_diversity")
+                            / F.col("n_docs"), 10)
+                    .alias("low_diversity_frac")))
+
+
+L_DIVERSITY_SQL = f"""
+WITH groups AS (
+    SELECT lang, n_chars // {LDIV_BUCKET} AS len_bucket,
+           count(*) AS k, count(DISTINCT source) AS l
+    FROM documents GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_groups, sum(k) AS n_docs, min(l) AS min_l,
+       sum(CASE WHEN l < {LDIV_L} THEN k ELSE 0 END)
+           AS docs_low_diversity,
+       round(CAST(sum(CASE WHEN l < {LDIV_L} THEN k ELSE 0 END)
+                  AS DOUBLE) / sum(k), 10) AS low_diversity_frac
+FROM groups GROUP BY lang
+"""

@@ -3677,3 +3677,141 @@ SELECT sum(c) AS n_terms,
              CAST(sum(c) AS DOUBLE))), 6) AS buckets_used_predicted
 FROM per_bucket
 """
+
+
+# --- held-out bigram perplexity (train/test composition) ------------------
+
+
+def heldout_bigram_perplexity(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Held-out language-model evaluation — the leakage-free
+    measurement every LM-quality number should be: train the
+    Jelinek-Mercer bigram⊕unigram mix (λ=1/2, the
+    `bigram_logprob_interpolated` model) on the md5 TRAIN split
+    (`hash_train_test_split`'s exact 75% predicate) and score ONLY
+    the held-out 25%, reporting per-language mean log-prob and
+    perplexity.  Unseen events need mass, so the unigram leg is
+    Laplace-smoothed over the train vocabulary (+1 UNK class):
+    P(w|v) = λ·c₂(v,w)/c(v) [0 when v unseen] +
+    (1−λ)·(c₁(w)+1)/(N+V+1) — strictly positive for every held-out
+    token, OOV included.
+
+    Exactness: split membership is the md5 hex predicate both engines
+    compute identically; all probabilities are correctly-rounded
+    exact-int divisions scaled by the dyadic λ; the per-occurrence ln
+    is round(·,10)→DECIMAL-pinned before the order-insensitive sum;
+    the final mean is rounded to 6 dp and the perplexity exp(−mean)
+    is computed from that identical rounded double (then 6-dp pinned
+    — exp is libm).
+
+    Scale: LMs are combinable aggregations over the TRAIN split
+    (vocab/vocab²-bounded) attached by broadcast; the held-out side
+    is one scan + per-lang combinable sum. The identical shape at
+    100 TB: train-split statistics become the broadcast model,
+    held-out scoring stays embarrassingly parallel.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_train = (F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+        < TRAIN_FRAC_HEX)
+    toks = F.split("text", " ")
+    train = docs.filter(is_train)
+    test = docs.filter(~is_train)
+
+    train_tok = train.select(F.explode(toks).alias("w"))
+    lm1 = train_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    tot = train_tok.agg(
+        F.count(F.lit(1)).alias("n_train_tokens"),
+        F.countDistinct("w").alias("v_train"))
+    train_bg = (train.select(
+        F.explode(adjacent_pairs(toks, "v", "w")).alias("p"))
+        .select("p.v", "p.w"))
+    lm2 = train_bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c2"))
+    pref = lm2.groupBy("v").agg(F.sum("c2").alias("cv"))
+
+    test_bg = (test.select(
+        "doc_id", "lang",
+        F.explode(adjacent_pairs(toks, "v", "w")).alias("p"))
+        .select("doc_id", "lang", "p.v", "p.w"))
+    mixed = (
+        F.coalesce(
+            F.lit(BIGRAM_LAMBDA)
+            * (F.col("c2").cast("double") / F.col("cv")), F.lit(0.0))
+        + F.lit(1.0 - BIGRAM_LAMBDA)
+        * ((F.coalesce(F.col("c1"), F.lit(0)) + 1).cast("double")
+           / (F.col("n_train_tokens") + F.col("v_train") + 1)))
+    scored = (test_bg
+              .join(F.broadcast(lm2), ["v", "w"], "left")
+              .join(F.broadcast(pref), "v", "left")
+              .join(F.broadcast(lm1), "w", "left")
+              .join(F.broadcast(tot))
+              .select("doc_id", "lang",
+                      F.round(F.log(mixed), 10).cast("decimal(25,10)")
+                      .alias("logp")))
+    per_lang = (scored.groupBy("lang")
+                .agg(F.countDistinct("doc_id").alias("n_test_docs"),
+                     F.count(F.lit(1)).alias("n_bigrams"),
+                     F.sum("logp").alias("lp_sum")))
+    avg = F.round(
+        F.col("lp_sum").cast("double") / F.col("n_bigrams"), 6)
+    return per_lang.select(
+        "lang", "n_test_docs", "n_bigrams",
+        avg.alias("avg_logprob"),
+        F.round(F.exp(-avg), 6).alias("perplexity"))
+
+
+HELDOUT_PPL_SQL = f"""
+WITH train AS (
+    SELECT * FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+          < '{TRAIN_FRAC_HEX}'
+), test AS (
+    SELECT * FROM documents
+    WHERE NOT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+          < '{TRAIN_FRAC_HEX}'
+), train_tok AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM train
+), lm1 AS (
+    SELECT w, count(*) AS c1 FROM train_tok GROUP BY w
+), tot AS (
+    SELECT count(*) AS n_train_tokens, count(DISTINCT w) AS v_train
+    FROM train_tok
+), train_bg AS (
+    SELECT toks[CAST(i AS INT)] AS v, toks[CAST(i AS INT) + 1] AS w
+    FROM (SELECT string_split(text, ' ') AS toks FROM train),
+         unnest(range(1, len(toks))) t(i)
+), lm2 AS (
+    SELECT v, w, count(*) AS c2 FROM train_bg GROUP BY v, w
+), pref AS (
+    SELECT v, sum(c2) AS cv FROM lm2 GROUP BY v
+), test_bg AS (
+    SELECT doc_id, lang,
+           toks[CAST(i AS INT)] AS v, toks[CAST(i AS INT) + 1] AS w
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+          FROM test),
+         unnest(range(1, len(toks))) t(i)
+), scored AS (
+    SELECT b.doc_id, b.lang,
+           CAST(round(ln(
+               COALESCE({BIGRAM_LAMBDA}
+                        * (CAST(lm2.c2 AS DOUBLE) / pref.cv), 0.0)
+               + {1.0 - BIGRAM_LAMBDA}
+               * (CAST(COALESCE(lm1.c1, 0) + 1 AS DOUBLE)
+                  / (tot.n_train_tokens + tot.v_train + 1))
+           ), 10) AS DECIMAL(25,10)) AS logp
+    FROM test_bg b
+    LEFT JOIN lm2 ON b.v = lm2.v AND b.w = lm2.w
+    LEFT JOIN pref ON b.v = pref.v
+    LEFT JOIN lm1 ON b.w = lm1.w
+    CROSS JOIN tot
+), per_lang AS (
+    SELECT lang, count(DISTINCT doc_id) AS n_test_docs,
+           count(*) AS n_bigrams, sum(logp) AS lp_sum
+    FROM scored GROUP BY lang
+)
+SELECT lang, n_test_docs, n_bigrams,
+       round(CAST(lp_sum AS DOUBLE) / n_bigrams, 6) AS avg_logprob,
+       round(exp(-round(CAST(lp_sum AS DOUBLE) / n_bigrams, 6)), 6)
+           AS perplexity
+FROM per_lang
+"""

@@ -1066,6 +1066,17 @@ register("small_files_compaction_plan", lay.small_files_compaction_plan,
          "OPTIMIZE planning query: per-lang current small-file "
          "inventory (md5 16-shard simulation) vs target-size file "
          "count — exact integer ceil, manifest-sized work")
+register("heldout_bigram_perplexity", ta.heldout_bigram_perplexity,
+         ta.HELDOUT_PPL_SQL,
+         "leakage-free LM evaluation: JM bigram⊕Laplace-unigram mix "
+         "trained on the md5 75% split, scored on the held-out 25% — "
+         "per-lang mean logprob + perplexity; broadcast LMs, "
+         "embarrassingly parallel scoring")
+register("l_diversity_audit", cu.l_diversity_audit,
+         cu.L_DIVERSITY_SQL,
+         "l-diversity audit (Machanavajjhala et al. 2007): distinct "
+         "sensitive sources per (lang, length-bucket) QI group — the "
+         "homogeneity leak k-anonymity misses; manifest-sized rollup")
 
 # --- adjudication-window rotation -----------------------------------------
 # The driver adjudicates only the FIRST 50 registry entries per round

@@ -420,3 +420,76 @@ def test_compaction_plan_invariants(spark):
             r["total_bytes"] / r["current_files"])
         merged_any |= r["files_merged_away"] > 0
     assert merged_any
+
+
+def test_heldout_perplexity_python_replica(spark):
+    """Per-lang held-out mean logprob must equal a Counter-based
+    replica of the JM bigram + Laplace-unigram mix, and the split
+    must be leakage-free by construction."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from mapreduce_in_pthreads_spark.operators.text_analysis import (
+        BIGRAM_LAMBDA, TRAIN_FRAC_HEX, heldout_bigram_perplexity)
+
+    rows = {r["lang"]: r for r in
+            heldout_bigram_perplexity(spark, SF_CORRECT).collect()}
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM "
+        f"read_parquet('{SF_CORRECT}/documents.parquet')").fetchall()
+    train, test = [], []
+    for doc_id, lang, text in docs:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+        (train if h < TRAIN_FRAC_HEX else test).append(
+            (doc_id, lang, text.split(" ")))
+    c1, c2, cv = Counter(), Counter(), Counter()
+    n_train = 0
+    for _, _, toks in train:
+        for w in toks:
+            c1[w] += 1
+            n_train += 1
+        for v, w in zip(toks, toks[1:]):
+            c2[(v, w)] += 1
+            cv[v] += 1
+    V = len(c1)
+    from decimal import Decimal
+    per_lang_sum: dict = {}
+    per_lang_n: dict = {}
+    for _, lang, toks in test:
+        for v, w in zip(toks, toks[1:]):
+            p = 0.0
+            if (v, w) in c2:
+                p = BIGRAM_LAMBDA * (c2[(v, w)] / cv[v])
+            p += (1.0 - BIGRAM_LAMBDA) * (
+                (c1.get(w, 0) + 1) / (n_train + V + 1))
+            lp = Decimal(str(round(math.log(p), 10)))
+            per_lang_sum[lang] = per_lang_sum.get(
+                lang, Decimal(0)) + lp
+            per_lang_n[lang] = per_lang_n.get(lang, 0) + 1
+    assert set(rows) == set(per_lang_n)
+    for lang, r in rows.items():
+        assert r["n_bigrams"] == per_lang_n[lang]
+        want = round(float(per_lang_sum[lang]) / per_lang_n[lang], 6)
+        assert r["avg_logprob"] == want
+        assert r["perplexity"] == round(math.exp(-want), 6)
+        assert r["perplexity"] > 1.0
+
+
+def test_l_diversity_totals_and_bounds(spark):
+    import duckdb
+
+    from mapreduce_in_pthreads_spark.operators.curation import \
+        l_diversity_audit
+
+    rows = l_diversity_audit(spark, SF_CORRECT).collect()
+    n_total = duckdb.sql(
+        f"SELECT count(*) FROM "
+        f"read_parquet('{SF_CORRECT}/documents.parquet')").fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_total
+    for r in rows:
+        assert 1 <= r["min_l"]
+        assert 0 <= r["docs_low_diversity"] <= r["n_docs"]
+        assert 0.0 <= r["low_diversity_frac"] <= 1.0
