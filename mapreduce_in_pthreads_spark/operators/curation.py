@@ -1671,3 +1671,165 @@ SELECT lang, count(*) AS n_groups, sum(k) AS n_docs, min(l) AS min_l,
                   AS DOUBLE) / sum(k), 10) AS low_diversity_frac
 FROM groups GROUP BY lang
 """
+
+
+# --- Bag of Little Bootstraps CI ------------------------------------------
+
+BLB_S = 4       # disjoint subsamples (md5-assigned)
+BLB_B = 20      # bootstrap replicates per subsample
+# Poisson(4) CDF literals (lambda = n/n_s = BLB_S): the inverse-CDF
+# draw for the multinomial-approximating replicate weights. Identical
+# decimal literals parse to identical doubles in both engines.
+BLB_POISSON4_CDF = (
+    0.01831563888873418, 0.0915781944436709, 0.2381033055535443,
+    0.43347012036670884, 0.6288369351798734, 0.785130387030405,
+    0.8893260215974261, 0.9488663842071525, 0.9786365655120157,
+    0.991867757203066, 0.997160233879486, 0.9990847708527297,
+    0.9997262831771443, 0.9999236715846564, 0.9999800682725171,
+    0.9999951073892799,
+)
+BLB_POW52 = 1 << 52
+
+
+def blb_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag of Little Bootstraps (Kleiner, Talwalkar, Sarkar & Jordan
+    2012/2014, JRSS-B) confidence interval for the mean document
+    length — THE distributed-bootstrap: resampling n rows per
+    replicate doesn't scale, so split the data into s disjoint
+    subsamples, bootstrap WITHIN each (every member gets a
+    multinomial-approximating Poisson(n/n_s) weight, so a replicate
+    touches only its subsample yet estimates the full-n statistic),
+    take each subsample's percentile interval over its B replicates,
+    and AVERAGE the s intervals.
+
+    Determinism/exactness: subsample = md5(doc_id) mod s; each
+    (doc, b) replicate weight is the Poisson(4) inverse-CDF at the
+    exact 52-bit md5 uniform (the `weighted_sample_aes` u) against
+    plan-literal CDF values — integer weights, so every replicate
+    mean is one exact-int/exact-int division; percentile bounds are
+    rank-SELECTED (rank 1 and ⌈0.95B⌉=19 of B=20, tie-broken by b);
+    the BLB row averages the four bounds after a round(·,10) decimal
+    pin (bounds are O(10²) so 10 dp is inside the safe round band;
+    the pinned-decimal sum cast to double is divided by the
+    power-of-two s=4 — every step engine-exact), and its point
+    estimate is the full-corpus exact-int mean, not a re-rounding of
+    per-subsample means.
+
+    Scale: the whole point of BLB — replicate work is bounded by the
+    SUBSAMPLE, not n; here it's one (sub, b)-keyed combinable agg over
+    a B-fold explode of the scan (B=20 bounded blowup), one bounded
+    rank window over s·B=80 replicate rows, and a 1-row union. At
+    100 TB: s grows, subsamples stay executor-sized, nothing global.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sub = (F.conv(F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % BLB_S)
+    reps = (docs.select("doc_id", "n_chars", sub.alias("sub"),
+                        F.explode(F.sequence(
+                            F.lit(0), F.lit(BLB_B - 1))).alias("b")))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit("#"), F.col("b").cast("string"))), 1, 13),
+        16, 10).cast("bigint")
+    u = (h + 1) / F.lit(float(BLB_POW52))
+    cdf = F.array(*[F.lit(c) for c in BLB_POISSON4_CDF])
+    w = F.size(F.filter(cdf, lambda c: c < u))
+    per_rep = (reps.withColumn("w", w)
+               .groupBy("sub", "b")
+               .agg(F.sum(F.col("w") * F.col("n_chars")).alias("sx"),
+                    F.sum("w").alias("sw"))
+               .filter(F.col("sw") > 0)
+               .select("sub", "b",
+                       (F.col("sx").cast("double") / F.col("sw"))
+                       .alias("est")))
+    rn = F.row_number().over(
+        Window.partitionBy("sub").orderBy("est", "b"))
+    ranked = per_rep.withColumn("rn", rn)
+    lo_rank, hi_rank = 1, (BLB_B * 19 + 19) // 20  # ceil(0.95*B)
+    per_sub = (ranked.groupBy("sub")
+               .agg(F.count(F.lit(1)).alias("n_replicates"),
+                    F.max(F.when(F.col("rn") == lo_rank, F.col("est")))
+                    .alias("ci_lo"),
+                    F.max(F.when(F.col("rn") == hi_rank, F.col("est")))
+                    .alias("ci_hi")))
+    sub_rows = (docs.select(sub.alias("sub"), "n_chars")
+                .groupBy("sub")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     (F.sum("n_chars").cast("double")
+                      / F.count(F.lit(1))).alias("mean_est"))
+                .join(per_sub, "sub")
+                .select(F.concat(F.lit("sub"),
+                                 F.col("sub").cast("string"))
+                        .alias("part"),
+                        "n_docs", "n_replicates",
+                        "mean_est", "ci_lo", "ci_hi"))
+    pin = lambda c: F.round(c, 10).cast("decimal(25,10)")  # noqa: E731
+    totals = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1)))
+        .alias("mean_est"))
+    blb_row = (per_sub.agg(
+        F.sum("n_replicates").alias("n_replicates"),
+        (F.sum(pin("ci_lo")).cast("double") / BLB_S).alias("ci_lo"),
+        (F.sum(pin("ci_hi")).cast("double") / BLB_S).alias("ci_hi"))
+        .crossJoin(F.broadcast(totals))
+        .select(F.lit("BLB").alias("part"), "n_docs", "n_replicates",
+                "mean_est", "ci_lo", "ci_hi"))
+    return sub_rows.unionByName(blb_row)
+
+
+def _blb_w_sql(u: str) -> str:
+    lits = ", ".join(repr(c) for c in BLB_POISSON4_CDF)
+    return f"len(list_filter([{lits}], c -> c < {u}))"
+
+
+_BLB_U_SQL = (f"((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' "
+              f"|| b), 1, 13))::BIGINT + 1) / {float(BLB_POW52)!r})")
+
+
+BLB_MEAN_CI_SQL = f"""
+WITH reps AS (
+    SELECT doc_id, n_chars,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT % {BLB_S} AS sub,
+           CAST(b AS BIGINT) AS b,
+           {_blb_w_sql(_BLB_U_SQL)} AS w
+    FROM documents, unnest(range(0, {BLB_B})) AS t(b)
+), per_rep AS (
+    SELECT sub, b, CAST(sum(w * n_chars) AS DOUBLE) / sum(w) AS est
+    FROM reps GROUP BY sub, b HAVING sum(w) > 0
+), ranked AS (
+    SELECT sub, b, est,
+           row_number() OVER (PARTITION BY sub ORDER BY est, b) AS rn
+    FROM per_rep
+), per_sub AS (
+    SELECT sub, count(*) AS n_replicates,
+           max(CASE WHEN rn = 1 THEN est END) AS ci_lo,
+           max(CASE WHEN rn = {(BLB_B * 19 + 19) // 20} THEN est END)
+               AS ci_hi
+    FROM ranked GROUP BY sub
+), sub_rows AS (
+    SELECT 'sub' || CAST(d.sub AS VARCHAR) AS part,
+           d.n_docs, p.n_replicates, d.mean_est, p.ci_lo, p.ci_hi
+    FROM (SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1,
+                  15))::BIGINT % {BLB_S} AS sub,
+                 count(*) AS n_docs,
+                 CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_est
+          FROM documents GROUP BY 1) d
+    JOIN per_sub p ON d.sub = p.sub
+)
+SELECT part, n_docs, n_replicates, mean_est, ci_lo, ci_hi
+FROM sub_rows
+UNION ALL
+SELECT 'BLB',
+       (SELECT count(*) FROM documents),
+       sum(n_replicates),
+       (SELECT CAST(sum(n_chars) AS DOUBLE) / count(*)
+        FROM documents),
+       CAST(sum(CAST(round(ci_lo, 10) AS DECIMAL(25,10))) AS DOUBLE)
+           / {BLB_S},
+       CAST(sum(CAST(round(ci_hi, 10) AS DECIMAL(25,10))) AS DOUBLE)
+           / {BLB_S}
+FROM per_sub
+"""

@@ -1077,6 +1077,13 @@ register("l_diversity_audit", cu.l_diversity_audit,
          "l-diversity audit (Machanavajjhala et al. 2007): distinct "
          "sensitive sources per (lang, length-bucket) QI group — the "
          "homogeneity leak k-anonymity misses; manifest-sized rollup")
+register("blb_mean_ci", cu.blb_mean_ci,
+         cu.BLB_MEAN_CI_SQL,
+         "Bag of Little Bootstraps CI (Kleiner et al. 2012): md5 "
+         "subsamples, Poisson(4) inverse-CDF replicate weights from "
+         "exact 52-bit uniforms, rank-selected percentile bounds per "
+         "subsample, bounds averaged — replicate cost bounded by the "
+         "subsample, never n")
 
 # --- adjudication-window rotation -----------------------------------------
 # The driver adjudicates only the FIRST 50 registry entries per round

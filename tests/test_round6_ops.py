@@ -493,3 +493,28 @@ def test_l_diversity_totals_and_bounds(spark):
         assert 1 <= r["min_l"]
         assert 0 <= r["docs_low_diversity"] <= r["n_docs"]
         assert 0.0 <= r["low_diversity_frac"] <= 1.0
+
+
+def test_blb_ci_brackets_mean_and_averages(spark):
+    """BLB invariants on this corpus: each subsample interval is
+    ordered, the BLB row's bounds are the decimal-pinned average of
+    the subsample bounds, the replicate census is s x B, and the
+    final interval brackets the full-corpus mean."""
+    from decimal import Decimal
+
+    from mapreduce_in_pthreads_spark.operators.curation import (
+        BLB_B, BLB_S, blb_mean_ci)
+
+    rows = {r["part"]: r for r in blb_mean_ci(spark, SF_CORRECT).collect()}
+    subs = [rows[f"sub{i}"] for i in range(BLB_S)]
+    blb = rows["BLB"]
+    assert blb["n_replicates"] == BLB_S * BLB_B
+    assert sum(r["n_docs"] for r in subs) == blb["n_docs"]
+    for r in subs:
+        assert r["n_replicates"] == BLB_B
+        assert r["ci_lo"] < r["ci_hi"]
+    for bound in ("ci_lo", "ci_hi"):
+        want = float(sum(Decimal(str(round(r[bound], 10)))
+                         for r in subs)) / BLB_S
+        assert blb[bound] == want
+    assert blb["ci_lo"] < blb["mean_est"] < blb["ci_hi"]
