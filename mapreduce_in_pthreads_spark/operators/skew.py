@@ -111,3 +111,93 @@ SELECT event_type,
 FROM ranked
 GROUP BY event_type
 """
+
+
+SALT_AUDIT_PARTS = 32   # simulated shuffle partition count
+
+
+def salting_effectiveness_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Quantify what `salted_word_count`'s rewrite actually buys: the
+    per-partition load profile of the word-count shuffle under (a)
+    plain hash partitioning on the word and (b) salted two-phase
+    partitioning on (word, salt) — the companion measurement to
+    `gini_key_skew`'s diagnosis (that one says WHETHER to salt; this
+    one shows the shuffle the salt produces). Reported per scheme:
+    simulated partition count, rows routed, the hottest partition's
+    rows and share, and the max/mean imbalance factor.
+
+    Partition assignment is simulated with the md5-mod hash (the
+    repo's cross-engine uniform family) over 32 partitions — the same
+    mod arithmetic a HashPartitioner applies, so the profile is the
+    one the real exchange would see modulo hash choice; the salt is
+    the occurrence ordinal mod SALT_BUCKETS, the deterministic
+    per-row salt the shipped operator derives from (doc_id, pos).
+
+    Exactness: routing and loads are integers; share and imbalance
+    are divisions of exact ints (share < 1 round-10-pinned;
+    imbalance = max·parts/total left unrounded — identical operands).
+
+    Scale: two combinable (scheme, partition) counts over the token
+    relation + a tiny per-scheme rollup. The audit costs one scan; a
+    wrong shuffle key at 100 TB costs a straggler.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"))
+    plain_part = (F.conv(F.substring(F.md5("word"), 1, 15), 16, 10)
+                  .cast("long") % SALT_AUDIT_PARTS)
+    salt = F.pmod(F.col("pos"), F.lit(SALT_BUCKETS))
+    salted_part = (F.conv(F.substring(
+        F.md5(F.concat("word", F.lit("#"), salt.cast("string"))),
+        1, 15), 16, 10).cast("long") % SALT_AUDIT_PARTS)
+    routed = (tok.select(F.lit("plain").alias("scheme"),
+                         plain_part.alias("part"))
+              .unionAll(tok.select(F.lit("salted").alias("scheme"),
+                                   salted_part.alias("part"))))
+    loads = (routed.groupBy("scheme", "part")
+             .agg(F.count(F.lit(1)).alias("rows")))
+    return (loads.groupBy("scheme")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum("rows").alias("total_rows"),
+                 F.max("rows").alias("max_part_rows"))
+            .select("scheme", "n_parts", "total_rows", "max_part_rows",
+                    F.round(F.col("max_part_rows")
+                            / F.col("total_rows"), 10)
+                    .alias("max_part_share"),
+                    (F.col("max_part_rows")
+                     * F.lit(SALT_AUDIT_PARTS).cast("double")
+                     / F.col("total_rows")).alias("imbalance")))
+
+
+SALTING_AUDIT_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           string_split(text, ' ')[CAST(i AS INT)] AS word
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+          FROM documents),
+         unnest(range(1, len(toks) + 1)) AS t(i)
+), routed AS (
+    SELECT 'plain' AS scheme,
+           ('0x' || substring(md5(word), 1, 15))::BIGINT
+               % {SALT_AUDIT_PARTS} AS part
+    FROM tok
+    UNION ALL
+    SELECT 'salted',
+           ('0x' || substring(md5(word || '#' ||
+                CAST(pos % {SALT_BUCKETS} AS VARCHAR)), 1, 15))::BIGINT
+               % {SALT_AUDIT_PARTS}
+    FROM tok
+), loads AS (
+    SELECT scheme, part, count(*) AS rows
+    FROM routed GROUP BY 1, 2
+)
+SELECT scheme, count(*) AS n_parts, sum(rows) AS total_rows,
+       max(rows) AS max_part_rows,
+       round(CAST(max(rows) AS DOUBLE) / sum(rows), 10)
+           AS max_part_share,
+       CAST(max(rows) AS DOUBLE) * {SALT_AUDIT_PARTS} / sum(rows)
+           AS imbalance
+FROM loads GROUP BY scheme
+"""

@@ -1084,6 +1084,18 @@ register("blb_mean_ci", cu.blb_mean_ci,
          "exact 52-bit uniforms, rank-selected percentile bounds per "
          "subsample, bounds averaged — replicate cost bounded by the "
          "subsample, never n")
+register("salting_effectiveness_audit", sk.salting_effectiveness_audit,
+         sk.SALTING_AUDIT_SQL,
+         "what the salted rewrite buys: per-partition load profile "
+         "of the word-count shuffle under plain vs salted md5-mod "
+         "routing — hottest-partition share + imbalance factor per "
+         "scheme; the measurement companion of gini_key_skew")
+register("md5_uniformity_audit", cu.md5_uniformity_audit,
+         cu.MD5_UNIFORMITY_SQL,
+         "one-sample KS test of the engine's own md5-as-U(0,1) "
+         "foundation (Massey 1951 critical value) over a bounded "
+         "md5-selected sample — the self-audit pattern pointed at "
+         "the PRNG itself")
 
 # --- adjudication-window rotation -----------------------------------------
 # The driver adjudicates only the FIRST 50 registry entries per round
