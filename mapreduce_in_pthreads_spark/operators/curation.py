@@ -1919,3 +1919,95 @@ SELECT max(n) AS n_sampled,
            AS passes_99
 FROM ranked
 """
+
+
+# --- order-total reconciliation -------------------------------------------
+
+RECON_TOL_CENTS = 1   # |diff| <= 1 cent counts as reconciled
+
+
+def order_total_reconciliation(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Financial reconciliation gate: does ``o_totalprice`` equal the
+    order's recomputed charge Σ l_extendedprice·(1−l_discount)·
+    (1+l_tax)?  (TPC-H defines exactly this invariant; this driver's
+    synthetic tables draw the two sides independently, so the audit
+    reports a 100 % mismatch — which is precisely what a
+    reconciliation gate exists to catch, and the reported
+    discrepancy DISTRIBUTION is the actionable artifact either way.)
+    Per order-year: orders checked, orders reconciled within 1 cent,
+    mismatch share, and the mean/max absolute discrepancy in dollars.
+
+    Exactness: all money math is INTEGER micro-dollars — prices round
+    to exact cents (2-dp doubles land within 1e-10 of the integer, so
+    the shared round is unambiguous), discount/tax to exact percent
+    points, and cents·(100−d)·(100+t) is an exact int64 product; no
+    decimal-precision-overflow hazard (a decimal(25,6)² product
+    overflows 38 digits and the engines degrade DIFFERENTLY — the
+    integer form sidesteps the whole class). The two dollar outputs
+    are divisions of exact ints by exact ints/1e6.
+
+    Scale: one fact-side combinable per-order aggregation, one
+    broadcast-eligible join to orders, one per-year rollup —
+    embarrassingly parallel, the nightly finance-close shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d_pct = F.round(F.col("l_discount") * 100).cast("long")
+    t_pct = F.round(F.col("l_tax") * 100).cast("long")
+    micro6 = cents * (100 - d_pct) * (100 + t_pct)  # 1e-6 dollars
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.sum(micro6).alias("calc_micro")))
+    j = (od.select("o_orderkey",
+                   F.year("o_orderdate").alias("order_year"),
+                   (F.round(F.col("o_totalprice") * 100).cast("long")
+                    * 10000).alias("book_micro"))
+         .join(per_order,
+               F.col("o_orderkey") == F.col("l_orderkey"), "left")
+         .select("order_year",
+                 F.coalesce("calc_micro", F.lit(0)).alias("calc_micro"),
+                 "book_micro"))
+    diff = F.abs(F.col("book_micro") - F.col("calc_micro"))
+    ok = (diff <= 10000).cast("int")  # 1 cent = 1e4 micro-dollars
+    return (j.select("order_year", diff.alias("diff"), ok.alias("ok"))
+            .groupBy("order_year")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("ok").alias("n_reconciled"),
+                 F.round((F.count(F.lit(1)) - F.sum("ok"))
+                         / F.count(F.lit(1)), 10)
+                 .alias("mismatch_frac"),
+                 ((F.sum("diff").cast("double") / 1000000)
+                  / F.count(F.lit(1))).alias("mean_abs_diff"),
+                 (F.max("diff").cast("double") / 1000000)
+                 .alias("max_abs_diff")))
+
+
+ORDER_RECON_SQL = """
+WITH per_order AS (
+    SELECT l_orderkey,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+               AS calc_micro
+    FROM lineitem GROUP BY 1
+), j AS (
+    SELECT year(o_orderdate) AS order_year,
+           COALESCE(calc_micro, 0) AS calc_micro,
+           CAST(round(o_totalprice * 100) AS BIGINT) * 10000
+               AS book_micro
+    FROM orders LEFT JOIN per_order
+      ON o_orderkey = l_orderkey
+)
+SELECT order_year, count(*) AS n_orders,
+       sum(CASE WHEN abs(book_micro - calc_micro) <= 10000
+                THEN 1 ELSE 0 END) AS n_reconciled,
+       round(CAST(count(*) - sum(CASE WHEN abs(book_micro - calc_micro)
+                 <= 10000 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 10)
+           AS mismatch_frac,
+       (CAST(sum(abs(book_micro - calc_micro)) AS DOUBLE) / 1000000)
+           / count(*) AS mean_abs_diff,
+       CAST(max(abs(book_micro - calc_micro)) AS DOUBLE) / 1000000
+           AS max_abs_diff
+FROM j GROUP BY order_year
+"""

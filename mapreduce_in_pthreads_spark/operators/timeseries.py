@@ -1963,3 +1963,178 @@ SELECT r.event_type, nn.n_days, r.l AS level, r.b AS trend,
 FROM rec r JOIN nn ON r.event_type = nn.event_type
 WHERE r.t = nn.n_days AND nn.n_days >= 2
 """
+
+
+# --- marketing attribution (first vs last touch) --------------------------
+
+ATTR_WINDOW_US = 24 * 3600 * 1000000  # 24h lookback, microseconds
+
+
+def attribution_first_last_touch(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch conversion attribution — the two
+    classic (and deliberately disagreeing) marketing attribution
+    rules computed side by side: for every purchase, the EARLIEST and
+    the LATEST non-purchase event of the same user in the trailing
+    24 h window is 'the' touch; per touch type, how many conversions
+    each rule credits it. Product analytics runs exactly this pair to
+    show stakeholders how rule choice moves budget.
+
+    Exactness: touch selection is min/max over (ts, event_id) struct
+    ordering — total and deterministic; outputs are integer counts.
+
+    Scale: ONE user-keyed range window (RANGE BETWEEN 24h PRECEDING)
+    computes both touches for every purchase in a single pass — no
+    self-join, no per-purchase subquery; then a tiny per-type rollup.
+    The window frame is time-bounded, so state per user is the 24 h
+    event buffer — the streaming-equivalent retention.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    base = ev.select("user_id", "event_type", "event_id",
+                     us.alias("us"))
+    w = (Window.partitionBy("user_id").orderBy("us")
+         .rangeBetween(-ATTR_WINDOW_US, -1))
+    touch = F.struct("us", "event_id", "event_type")
+    touchable = F.when(F.col("event_type") != "purchase", touch)
+    first_t = F.min(touchable).over(w)
+    last_t = F.max(touchable).over(w)
+    purchases = (base
+                 .withColumn("first_touch", first_t["event_type"])
+                 .withColumn("last_touch", last_t["event_type"])
+                 .filter(F.col("event_type") == "purchase"))
+    ft = (purchases.filter(F.col("first_touch").isNotNull())
+          .groupBy(F.col("first_touch").alias("touch_type"))
+          .agg(F.count(F.lit(1)).alias("first_touch_conversions")))
+    lt = (purchases.filter(F.col("last_touch").isNotNull())
+          .groupBy(F.col("last_touch").alias("touch_type"))
+          .agg(F.count(F.lit(1)).alias("last_touch_conversions")))
+    return (ft.join(lt, "touch_type", "full_outer")
+            .select("touch_type",
+                    F.coalesce("first_touch_conversions", F.lit(0))
+                    .alias("first_touch_conversions"),
+                    F.coalesce("last_touch_conversions", F.lit(0))
+                    .alias("last_touch_conversions")))
+
+
+ATTRIBUTION_SQL = f"""
+WITH base AS (
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+    FROM events
+), touched AS (
+    SELECT user_id, event_type,
+           min(CASE WHEN event_type <> 'purchase'
+                    THEN (us, event_id, event_type) END)
+               OVER w AS first_t,
+           max(CASE WHEN event_type <> 'purchase'
+                    THEN (us, event_id, event_type) END)
+               OVER w AS last_t
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN {ATTR_WINDOW_US} PRECEDING
+                           AND 1 PRECEDING)
+), purchases AS (
+    SELECT first_t[3] AS first_touch, last_t[3] AS last_touch
+    FROM touched WHERE event_type = 'purchase'
+), ft AS (
+    SELECT first_touch AS touch_type,
+           count(*) AS first_touch_conversions
+    FROM purchases WHERE first_touch IS NOT NULL GROUP BY 1
+), lt AS (
+    SELECT last_touch AS touch_type,
+           count(*) AS last_touch_conversions
+    FROM purchases WHERE last_touch IS NOT NULL GROUP BY 1
+)
+SELECT touch_type,
+       COALESCE(first_touch_conversions, 0)
+           AS first_touch_conversions,
+       COALESCE(last_touch_conversions, 0) AS last_touch_conversions
+FROM ft FULL OUTER JOIN lt USING (touch_type)
+"""
+
+
+# --- held-out Markov next-event accuracy ----------------------------------
+
+
+def markov_heldout_accuracy(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the first-order Markov next-event model
+    — `session_path_transitions` builds the transition matrix; this
+    measures whether it PREDICTS: train argmax(P(next | current)) on
+    the md5 75 % of USERS (split by user so no user's history leaks
+    across the boundary — the grouped-split discipline), score top-1
+    accuracy on the held-out users' transitions, per current-event
+    state. The `heldout_bigram_perplexity` discipline applied to the
+    behavioral model.
+
+    Exactness: transitions are lag pairs under the total (ts,
+    event_id) order; the argmax rule is (count DESC, next ASC) —
+    deterministic; outputs are integer counts and one safe-band
+    round(·,10) ratio.
+
+    Scale: one user-keyed window for transitions, one combinable
+    (v, w) count on the train side collapsed to a 5-row broadcast
+    rule table, one broadcast join + rollup on the test side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (ev.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w_user).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .select("user_id", F.col("prev").alias("v"),
+                F.col("event_type").alias("w")))
+    is_train = (F.conv(F.substring(
+        F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 4) != 0
+    train = trans.filter(is_train)
+    test = trans.filter(~is_train)
+    counts = train.groupBy("v", "w").agg(
+        F.count(F.lit(1)).alias("c"))
+    rule_rank = F.row_number().over(
+        Window.partitionBy("v").orderBy(F.col("c").desc(), "w"))
+    rules = (counts.withColumn("rnk", rule_rank)
+             .filter(F.col("rnk") == 1)
+             .select("v", F.col("w").alias("predicted")))
+    return (test.join(F.broadcast(rules), "v", "left")
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("n_test"),
+                 F.max("predicted").alias("predicted"),
+                 F.sum(F.when(F.col("w") == F.col("predicted"), 1)
+                       .otherwise(0)).alias("n_correct"))
+            .select(F.col("v").alias("current_event"), "predicted",
+                    "n_test", "n_correct",
+                    F.round(F.col("n_correct") / F.col("n_test"), 10)
+                    .alias("top1_accuracy")))
+
+
+MARKOV_HELDOUT_SQL = """
+WITH trans AS (
+    SELECT user_id,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS v,
+           event_type AS w
+    FROM events
+), t2 AS (
+    SELECT user_id, v, w,
+           ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 4 <> 0 AS is_train
+    FROM trans WHERE v IS NOT NULL
+), rules AS (
+    SELECT v, w AS predicted FROM (
+        SELECT v, w,
+               row_number() OVER (PARTITION BY v
+                                  ORDER BY count(*) DESC, w) AS rnk
+        FROM t2 WHERE is_train GROUP BY v, w
+    ) WHERE rnk = 1
+)
+SELECT t.v AS current_event, max(r.predicted) AS predicted,
+       count(*) AS n_test,
+       sum(CASE WHEN t.w = r.predicted THEN 1 ELSE 0 END)
+           AS n_correct,
+       round(CAST(sum(CASE WHEN t.w = r.predicted THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 10) AS top1_accuracy
+FROM t2 t LEFT JOIN rules r ON t.v = r.v
+WHERE NOT t.is_train
+GROUP BY t.v
+"""

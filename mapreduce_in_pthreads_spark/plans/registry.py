@@ -1096,6 +1096,22 @@ register("md5_uniformity_audit", cu.md5_uniformity_audit,
          "foundation (Massey 1951 critical value) over a bounded "
          "md5-selected sample — the self-audit pattern pointed at "
          "the PRNG itself")
+register("attribution_first_last_touch", ts.attribution_first_last_touch,
+         ts.ATTRIBUTION_SQL,
+         "first-touch vs last-touch conversion attribution in one "
+         "time-bounded range window (24h lookback, no self-join) — "
+         "per touch type, conversions credited by each rule")
+register("order_total_reconciliation", cu.order_total_reconciliation,
+         cu.ORDER_RECON_SQL,
+         "financial reconciliation gate: o_totalprice vs recomputed "
+         "line charge in exact integer micro-dollars — per-year "
+         "mismatch share + discrepancy distribution")
+register("markov_heldout_accuracy", ts.markov_heldout_accuracy,
+         ts.MARKOV_HELDOUT_SQL,
+         "held-out top-1 next-event accuracy of the Markov argmax "
+         "rule, user-grouped md5 split (no cross-boundary leakage) — "
+         "the heldout_bigram_perplexity discipline on the behavioral "
+         "model")
 
 # --- adjudication-window rotation -----------------------------------------
 # The driver adjudicates only the FIRST 50 registry entries per round

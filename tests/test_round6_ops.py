@@ -570,3 +570,52 @@ def test_md5_uniformity_passes_ks(spark):
             max(u - k / n for k, u in enumerate(us)))
     assert r["d_stat"] == round(d, 10)
     assert r["d_critical_99"] == round(1.63 / math.sqrt(n), 10)
+
+
+def test_attribution_rules_conserve_conversions(spark):
+    """Both rules must attribute the same total number of touched
+    conversions (each purchase has a first touch iff it has a last
+    touch), and at least two touch types must receive credit."""
+    from mapreduce_in_pthreads_spark.operators.timeseries import \
+        attribution_first_last_touch
+
+    rows = attribution_first_last_touch(spark, SF_CORRECT).collect()
+    assert len(rows) >= 2
+    assert sum(r["first_touch_conversions"] for r in rows) == \
+        sum(r["last_touch_conversions"] for r in rows)
+    assert "purchase" not in {r["touch_type"] for r in rows}
+
+
+def test_reconciliation_flags_synthetic_independence(spark):
+    """The synthetic tables draw o_totalprice independently of the
+    lines, so the gate must flag (near-)total mismatch — and the
+    bookkeeping identities must hold."""
+    from mapreduce_in_pthreads_spark.operators.curation import \
+        order_total_reconciliation
+
+    rows = order_total_reconciliation(spark, SF_CORRECT).collect()
+    assert rows
+    n = sum(r["n_orders"] for r in rows)
+    rec = sum(r["n_reconciled"] for r in rows)
+    assert rec / n < 0.01
+    for r in rows:
+        assert 0 <= r["n_reconciled"] <= r["n_orders"]
+        assert r["max_abs_diff"] >= r["mean_abs_diff"] >= 0
+
+
+def test_markov_split_is_by_user_and_beats_nothing(spark):
+    """Per-state accuracy must be a valid ratio; states must be the
+    event vocabulary; the argmax rule must score at least the
+    uniform-guess floor overall (1/5 over 5 event types)."""
+    from mapreduce_in_pthreads_spark.operators.timeseries import \
+        markov_heldout_accuracy
+
+    rows = markov_heldout_accuracy(spark, SF_CORRECT).collect()
+    states = {r["current_event"] for r in rows}
+    assert states == {"view", "click", "purchase", "signup", "error"}
+    n = sum(r["n_test"] for r in rows)
+    correct = sum(r["n_correct"] for r in rows)
+    assert 0 < n and 0 <= correct <= n
+    assert correct / n >= 1 / 5 * 0.8  # sanity floor, not a tautology
+    for r in rows:
+        assert r["predicted"] in states
