@@ -1134,6 +1134,15 @@ register("markov_heldout_accuracy", ts.markov_heldout_accuracy,
 # never-adjudicated entries in thematic order. Generated by
 # `python tools/next_window.py --must <the 12>`; validated with
 # `--check --must <the 12>`. 53 leftovers fit rounds 7-8.
+#
+# ROUND-7 PREP (written at the end of round 6, registry at 286): this
+# session's 19 additions grew the never-adjudicated set to 120; 38 of
+# those face the driver in THIS round's window, leaving 82 for rounds
+# 7-8 (44 fresh slots each). No previously-adjudicated operator's
+# code changed this session (all changes were new modules/appends +
+# tests), so round 7 needs NO --must entries: regenerate the window
+# with plain `python tools/next_window.py` and paste its proposal
+# over _ADJUDICATION_FIRST. Validate with `--check`.
 _ADJUDICATION_FIRST: tuple[str, ...] = (
     "inverted_index", "word_count", "doc_frequency",
     "corpus_stats", "index_top_docs", "rdd_inverted_index",

@@ -1010,3 +1010,85 @@ def test_bpe_train_rounds_consistent_with_merge_step(spark, sf_dir):
     assert (train[1]["left"], train[1]["right"],
             train[1]["pair_count"]) == (
         best["left"], best["right"], best["pair_count"])
+
+
+# --- round-6 array-program properties -------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c"]),
+                         min_size=0, max_size=25),
+                min_size=1, max_size=12))
+def test_repeated_ngram_mask_property(spark, docs):
+    """The per-row interval-union mask must equal the brute-force
+    position-set replica on ARBITRARY short token lists — including
+    sub-window-size documents (the descending-sequence regression
+    class) and highly repetitive ones."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_in_pthreads_spark.functions.tokens import \
+        sliding_ngrams
+    from mapreduce_in_pthreads_spark.operators.text_analysis import \
+        MASK_N
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        ["doc_id", "text"])
+    toks = F.split("text", " ")
+    d = df.select("doc_id", sliding_ngrams(toks, MASK_N).alias("grams"))
+    idx = F.transform("grams", lambda g, i: F.struct(
+        (i + 1).alias("pos"), g.alias("g")))
+    rep = F.transform(
+        F.filter(idx, lambda s_: F.array_position(
+            F.col("grams"), s_["g"]) < s_["pos"]),
+        lambda s_: s_["pos"])
+    d = d.withColumn("rep", rep)
+    m = F.greatest(F.size("rep") - 1, F.lit(0))
+    gaps = F.zip_with(
+        F.slice("rep", 2, m), F.slice("rep", 1, m),
+        lambda b, a: F.least(F.lit(MASK_N), b - a))
+    covered = F.when(F.size("rep") == 0, F.lit(0)).otherwise(
+        F.lit(MASK_N) + F.aggregate(gaps, F.lit(0), lambda acc, x: acc + x))
+    got = {r["doc_id"]: r["c"]
+           for r in d.select("doc_id", covered.alias("c")).collect()}
+    for i, toks_py in enumerate(docs):
+        # note: split(" ") of "" yields [""] — mirror that
+        toks_py = toks_py if toks_py else [""]
+        grams = [" ".join(toks_py[k:k + MASK_N])
+                 for k in range(len(toks_py) - MASK_N + 1)]
+        seen, masked = set(), set()
+        for k, g in enumerate(grams):
+            if g in seen:
+                masked.update(range(k, k + MASK_N))
+            else:
+                seen.add(g)
+        assert got[i] == len(masked), (i, toks_py)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=1000),
+                min_size=2, max_size=40))
+def test_holt_fold_matches_python_recursion(spark, ys):
+    """The F.aggregate Holt fold must equal the plain-Python
+    recursion bit-for-bit on arbitrary integer series."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [([float(y) for y in ys],)], ["arr"])
+
+    def step(s_, y):
+        new_l = (y + s_["l"] + s_["b"]) / 2
+        return F.struct(
+            new_l.alias("l"),
+            ((new_l - s_["l"]) / 2 + s_["b"] / 2).alias("b"))
+
+    init = F.struct(
+        F.element_at("arr", 1).alias("l"),
+        (F.element_at("arr", 2) - F.element_at("arr", 1)).alias("b"))
+    rest = F.slice("arr", 3, F.greatest(F.size("arr") - 2, F.lit(0)))
+    r = df.select(F.aggregate(rest, init, step).alias("st")).first()
+    l, b = float(ys[0]), float(ys[1]) - float(ys[0])
+    for y in [float(v) for v in ys[2:]]:
+        nl = (y + l + b) / 2
+        l, b = nl, (nl - l) / 2 + b / 2
+    assert r["st"]["l"] == l and r["st"]["b"] == b
