@@ -1969,7 +1969,8 @@ def order_total_reconciliation(spark: SparkSession,
                  F.coalesce("calc_micro", F.lit(0)).alias("calc_micro"),
                  "book_micro"))
     diff = F.abs(F.col("book_micro") - F.col("calc_micro"))
-    ok = (diff <= 10000).cast("int")  # 1 cent = 1e4 micro-dollars
+    # 1 cent = 1e4 micro-dollars
+    ok = (diff <= RECON_TOL_CENTS * 10000).cast("int")
     return (j.select("order_year", diff.alias("diff"), ok.alias("ok"))
             .groupBy("order_year")
             .agg(F.count(F.lit(1)).alias("n_orders"),
@@ -1983,7 +1984,7 @@ def order_total_reconciliation(spark: SparkSession,
                  .alias("max_abs_diff")))
 
 
-ORDER_RECON_SQL = """
+ORDER_RECON_SQL = f"""
 WITH per_order AS (
     SELECT l_orderkey,
            sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -2000,10 +2001,12 @@ WITH per_order AS (
       ON o_orderkey = l_orderkey
 )
 SELECT order_year, count(*) AS n_orders,
-       sum(CASE WHEN abs(book_micro - calc_micro) <= 10000
+       sum(CASE WHEN abs(book_micro - calc_micro)
+                 <= {RECON_TOL_CENTS * 10000}
                 THEN 1 ELSE 0 END) AS n_reconciled,
        round(CAST(count(*) - sum(CASE WHEN abs(book_micro - calc_micro)
-                 <= 10000 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 10)
+                 <= {RECON_TOL_CENTS * 10000} THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 10)
            AS mismatch_frac,
        (CAST(sum(abs(book_micro - calc_micro)) AS DOUBLE) / 1000000)
            / count(*) AS mean_abs_diff,

@@ -1027,3 +1027,113 @@ SELECT x.vec_id AS vec_a, x.nb_id AS vec_b,
 FROM nn x JOIN nn y ON x.vec_id = y.nb_id AND x.nb_id = y.vec_id
 WHERE x.vec_id < x.nb_id
 """
+
+
+# --- similarity-metric choice agreement -----------------------------------
+
+METRIC_TOP = 5
+
+
+def metric_choice_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the similarity METRIC matter? Top-5 neighbor overlap per
+    query between cosine, raw dot product, and Euclidean distance —
+    the audit behind the most common vector-search footgun (dot
+    rewards long vectors, L2 punishes them, cosine ignores length;
+    on un-normalized embeddings the three return DIFFERENT
+    neighbors). Candidates are blocked to the query's coarse cell
+    (the `reciprocal_nn_pairs` discipline), all three rankings read
+    ONE scored relation, and overlap@5 is reported per query pair of
+    metrics.
+
+    Exactness: dot and norms ride the proven array-fold kernels
+    (identical doubles both engines — the hash-matched foundation of
+    the ANN family); the L2 ranking uses the monotone surrogate
+    ‖c‖² − 2·⟨q,c⟩ (‖q‖² is constant per query), so no sqrt enters
+    the order; ranks tie-break on candidate id; overlaps are
+    int/int divisions (correctly rounded, no round() pin needed).
+
+    Scale: one cell equi-join + ONE query-keyed exchange shared by
+    all three rank windows (same partitioning ⇒ Catalyst plans one
+    Exchange), then a per-query rollup. The blocked pair count is
+    Σ|cell|², never n².
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("label").alias("qlabel"),
+                 F.col("embedding").alias("qemb")))
+    c = (emb.select(F.col("vec_id").alias("cid"),
+                    F.col("label").alias("clabel"),
+                    F.col("embedding").alias("cemb")))
+    d = dot("qemb", "cemb")
+    scored = (q.join(c, (F.col("qlabel") == F.col("clabel"))
+                     & (F.col("qid") != F.col("cid")))
+              .select("qid", "cid",
+                      (d / (l2_norm("qemb") * l2_norm("cemb")))
+                      .alias("cos"),
+                      d.alias("dotp"),
+                      (dot("cemb", "cemb") - 2 * d).alias("l2key")))
+    wq = Window.partitionBy("qid")
+    rn_cos = F.row_number().over(wq.orderBy(F.col("cos").desc(), "cid"))
+    rn_dot = F.row_number().over(wq.orderBy(F.col("dotp").desc(), "cid"))
+    rn_l2 = F.row_number().over(wq.orderBy(F.col("l2key").asc(), "cid"))
+    ranked = (scored.withColumn("rc", rn_cos)
+              .withColumn("rd", rn_dot).withColumn("rl", rn_l2))
+    k = METRIC_TOP
+    top = lambda rn: F.collect_list(  # noqa: E731
+        F.when(F.col(rn) <= k, F.col("cid")))
+    per_q = (ranked.groupBy("qid")
+             .agg(F.count(F.lit(1)).alias("n_candidates"),
+                  top("rc").alias("tc"), top("rd").alias("td"),
+                  top("rl").alias("tl")))
+    ov = lambda a, b: (F.size(F.array_intersect(a, b))  # noqa: E731
+                       / F.lit(k))
+    return (per_q.select(
+        F.col("qid").alias("query_id"), "n_candidates",
+        ov("tc", "td").alias("overlap_cos_dot"),
+        ov("tc", "tl").alias("overlap_cos_l2"),
+        ov("td", "tl").alias("overlap_dot_l2")))
+
+
+METRIC_AGREEMENT_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS qid, label AS qlabel,
+           CAST(embedding AS DOUBLE[]) AS qemb
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+    SELECT q.qid, c.vec_id AS cid,
+           list_cosine_similarity(qemb,
+               CAST(c.embedding AS DOUBLE[])) AS cos,
+           list_inner_product(qemb,
+               CAST(c.embedding AS DOUBLE[])) AS dotp,
+           list_inner_product(CAST(c.embedding AS DOUBLE[]),
+               CAST(c.embedding AS DOUBLE[]))
+             - 2 * list_inner_product(qemb,
+                   CAST(c.embedding AS DOUBLE[])) AS l2key
+    FROM q JOIN embeddings c
+      ON q.qlabel = c.label AND q.qid <> c.vec_id
+), ranked AS (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, cid) AS rc,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY dotp DESC, cid) AS rd,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY l2key ASC, cid) AS rl
+    FROM scored
+)
+SELECT qid AS query_id, count(*) AS n_candidates,
+       CAST(len(list_intersect(
+           list(cid) FILTER (WHERE rc <= {METRIC_TOP}),
+           list(cid) FILTER (WHERE rd <= {METRIC_TOP})))
+         AS DOUBLE) / {METRIC_TOP} AS overlap_cos_dot,
+       CAST(len(list_intersect(
+           list(cid) FILTER (WHERE rc <= {METRIC_TOP}),
+           list(cid) FILTER (WHERE rl <= {METRIC_TOP})))
+         AS DOUBLE) / {METRIC_TOP} AS overlap_cos_l2,
+       CAST(len(list_intersect(
+           list(cid) FILTER (WHERE rd <= {METRIC_TOP}),
+           list(cid) FILTER (WHERE rl <= {METRIC_TOP})))
+         AS DOUBLE) / {METRIC_TOP} AS overlap_dot_l2
+FROM ranked GROUP BY qid
+"""

@@ -1112,6 +1112,12 @@ register("markov_heldout_accuracy", ts.markov_heldout_accuracy,
          "rule, user-grouped md5 split (no cross-boundary leakage) — "
          "the heldout_bigram_perplexity discipline on the behavioral "
          "model")
+register("metric_choice_agreement", sim.metric_choice_agreement,
+         sim.METRIC_AGREEMENT_SQL,
+         "does the similarity metric matter: top-5 neighbor overlap "
+         "per query between cosine, dot, and L2 (monotone surrogate, "
+         "no sqrt in the order) — cell-blocked candidates, one "
+         "exchange shared by all three rank windows")
 
 # --- adjudication-window rotation -----------------------------------------
 # The driver adjudicates only the FIRST 50 registry entries per round

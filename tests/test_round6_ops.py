@@ -619,3 +619,45 @@ def test_markov_split_is_by_user_and_beats_nothing(spark):
     assert correct / n >= 1 / 5 * 0.8  # sanity floor, not a tautology
     for r in rows:
         assert r["predicted"] in states
+
+
+def test_metric_agreement_matches_numpy_replica(spark):
+    """Overlaps must equal a numpy top-5 replica exactly. (On THIS
+    synthetic table every overlap is 1.0 — the vectors are
+    norm-uniform enough that metric choice provably does not matter,
+    which is exactly the certification the audit exists to issue;
+    the replica proves the 1.0s are measured, not vacuous.)"""
+    import duckdb
+    import numpy as np
+
+    from mapreduce_in_pthreads_spark.operators.similarity import (
+        METRIC_TOP, N_QUERIES, metric_choice_agreement)
+
+    rows = {r["query_id"]: r for r in
+            metric_choice_agreement(spark, SF_CORRECT).collect()}
+    assert len(rows) == N_QUERIES
+    data = duckdb.sql(
+        f"SELECT vec_id, label, embedding FROM "
+        f"read_parquet('{SF_CORRECT}/embeddings.parquet')").fetchall()
+    by_label: dict = {}
+    for vid, lab, emb in data:
+        by_label.setdefault(lab, []).append(
+            (vid, np.asarray(emb, dtype="float64")))
+    queries = [(vid, lab, np.asarray(emb, dtype="float64"))
+               for vid, lab, emb in data if vid < N_QUERIES]
+    for qid, lab, qv in queries:
+        cands = [(cid, cv) for cid, cv in by_label[lab] if cid != qid]
+        def topk(keyfn, reverse):
+            return set(cid for cid, _ in sorted(
+                ((cid, keyfn(cv)) for cid, cv in cands),
+                key=lambda t: (-t[1], t[0]) if reverse
+                else (t[1], t[0]))[:METRIC_TOP])
+        tc = topk(lambda c: float(qv @ c)
+                  / (np.linalg.norm(qv) * np.linalg.norm(c)), True)
+        td = topk(lambda c: float(qv @ c), True)
+        tl = topk(lambda c: float(c @ c) - 2 * float(qv @ c), False)
+        r = rows[qid]
+        assert r["n_candidates"] == len(cands)
+        assert r["overlap_cos_dot"] == len(tc & td) / METRIC_TOP
+        assert r["overlap_cos_l2"] == len(tc & tl) / METRIC_TOP
+        assert r["overlap_dot_l2"] == len(td & tl) / METRIC_TOP
