@@ -3815,3 +3815,80 @@ SELECT lang, n_test_docs, n_bigrams,
            AS perplexity
 FROM per_lang
 """
+
+
+# --- word burstiness / adaptation -----------------------------------------
+
+
+def word_burstiness_adaptation(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Word burstiness (Church & Gale 1995, "Poisson mixtures";
+    Church 2000 "Empirical estimates of adaptation"): natural-language
+    words ADAPT — seeing a word once makes a second occurrence in the
+    same document far likelier than a Poisson process allows. Per
+    term: the measured adaptation P(tf ≥ 2 | tf ≥ 1) = df₂/df versus
+    the Poisson prediction (1 − e^{−λ} − λe^{−λ})/(1 − e^{−λ}) at the
+    term's corpus rate λ = tf_total/N, and the excess. The
+    burstiness_fano operator asks this about EVENT arrivals; this one
+    asks it about tokens — the statistic that motivates tf-saturation
+    in BM25 (k₁) and per-doc tf clipping in dedup shingles.
+
+    Exactness: df/df₂/tf are exact ints; λ and the measured ratio are
+    correctly-rounded int divisions; e^{−λ} is the one libm call —
+    the prediction and excess are round(·,6)-pinned (the tf-idf ln
+    convention), measured is round(·,10) (safe band).
+
+    Scale: one (doc, term) combinable count (the tf relation every
+    retrieval op shares), one term rollup, corpus size broadcast as a
+    1-row aggregate. Vocabulary-bounded output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("w"))
+          .groupBy("doc_id", "w")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    per_term = (tf.groupBy("w")
+                .agg(F.count(F.lit(1)).alias("df"),
+                     F.sum(F.when(F.col("tf") >= 2, 1).otherwise(0))
+                     .alias("df2"),
+                     F.sum("tf").alias("tf_total")))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    lam = F.col("tf_total") / F.col("n_docs")
+    e = F.exp(-lam)
+    pred = (1 - e - lam * e) / (1 - e)
+    return (per_term.crossJoin(F.broadcast(n_docs))
+            .select("w", "df", "df2", "tf_total",
+                    F.round(F.col("df2") / F.col("df"), 10)
+                    .alias("adaptation_measured"),
+                    F.round(pred, 6).alias("adaptation_poisson"),
+                    F.round(F.col("df2") / F.col("df") - pred, 6)
+                    .alias("adaptation_excess")))
+
+
+WORD_BURSTINESS_SQL = """
+WITH tf AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents
+), tf2 AS (
+    SELECT doc_id, w, count(*) AS tf FROM tf GROUP BY 1, 2
+), per_term AS (
+    SELECT w, count(*) AS df,
+           sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS df2,
+           sum(tf) AS tf_total
+    FROM tf2 GROUP BY w
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT w, df, df2, tf_total,
+       round(CAST(df2 AS DOUBLE) / df, 10) AS adaptation_measured,
+       round((1 - exp(-(CAST(tf_total AS DOUBLE) / n_docs))
+              - (CAST(tf_total AS DOUBLE) / n_docs)
+                * exp(-(CAST(tf_total AS DOUBLE) / n_docs)))
+             / (1 - exp(-(CAST(tf_total AS DOUBLE) / n_docs))), 6)
+           AS adaptation_poisson,
+       round(CAST(df2 AS DOUBLE) / df
+             - (1 - exp(-(CAST(tf_total AS DOUBLE) / n_docs))
+                - (CAST(tf_total AS DOUBLE) / n_docs)
+                  * exp(-(CAST(tf_total AS DOUBLE) / n_docs)))
+               / (1 - exp(-(CAST(tf_total AS DOUBLE) / n_docs))), 6)
+           AS adaptation_excess
+FROM per_term CROSS JOIN n
+"""

@@ -1118,6 +1118,12 @@ register("metric_choice_agreement", sim.metric_choice_agreement,
          "per query between cosine, dot, and L2 (monotone surrogate, "
          "no sqrt in the order) — cell-blocked candidates, one "
          "exchange shared by all three rank windows")
+register("word_burstiness_adaptation", ta.word_burstiness_adaptation,
+         ta.WORD_BURSTINESS_SQL,
+         "word burstiness / adaptation (Church & Gale 1995): measured "
+         "P(tf>=2 | tf>=1) vs the Poisson prediction at the term's "
+         "corpus rate — the statistic behind BM25 tf saturation; "
+         "vocabulary-bounded output")
 
 # --- adjudication-window rotation -----------------------------------------
 # The driver adjudicates only the FIRST 50 registry entries per round

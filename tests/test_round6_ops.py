@@ -661,3 +661,41 @@ def test_metric_agreement_matches_numpy_replica(spark):
         assert r["overlap_cos_dot"] == len(tc & td) / METRIC_TOP
         assert r["overlap_cos_l2"] == len(tc & tl) / METRIC_TOP
         assert r["overlap_dot_l2"] == len(td & tl) / METRIC_TOP
+
+
+def test_burstiness_replica_and_poisson_bounds(spark):
+    """Measured adaptation must equal a Counter replica; the Poisson
+    prediction must be a valid probability; and the corpus's words
+    (tiny Zipf vocabulary, long docs) must show measured adaptation
+    at or above prediction on the heavy head."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from mapreduce_in_pthreads_spark.operators.text_analysis import \
+        word_burstiness_adaptation
+
+    rows = {r["w"]: r for r in
+            word_burstiness_adaptation(spark, SF_CORRECT).collect()}
+    texts = [t[0] for t in duckdb.sql(
+        f"SELECT text FROM "
+        f"read_parquet('{SF_CORRECT}/documents.parquet')").fetchall()]
+    df, df2, tot = Counter(), Counter(), Counter()
+    for t in texts:
+        c = Counter(t.split(" "))
+        for w, n in c.items():
+            df[w] += 1
+            df2[w] += int(n >= 2)
+            tot[w] += n
+    assert set(rows) == set(df)
+    n_docs = len(texts)
+    for w, r in rows.items():
+        assert r["df"] == df[w] and r["df2"] == df2[w]
+        assert r["tf_total"] == tot[w]
+        assert r["adaptation_measured"] == round(df2[w] / df[w], 10)
+        lam = tot[w] / n_docs
+        e = math.exp(-lam)
+        pred = (1 - e - lam * e) / (1 - e)
+        assert abs(r["adaptation_poisson"] - round(pred, 6)) <= 1e-6
+        assert 0.0 <= r["adaptation_poisson"] <= 1.0
