@@ -1147,35 +1147,33 @@ register("word_burstiness_adaptation", ta.word_burstiness_adaptation,
 # `python tools/next_window.py --must <the 12>`; validated with
 # `--check --must <the 12>`. 53 leftovers fit rounds 7-8.
 #
-# ROUND-7 PREP (written at the end of round 6, registry at 286): this
-# session's 19 additions grew the never-adjudicated set to 120; 38 of
-# those face the driver in THIS round's window, leaving 82 for rounds
-# 7-8 (44 fresh slots each). No previously-adjudicated operator's
-# code changed this session (all changes were new modules/appends +
-# tests), so round 7 needs NO --must entries: regenerate the window
-# with plain `python tools/next_window.py` and paste its proposal
-# over _ADJUDICATION_FIRST. Validate with `--check`.
+# ROUND-7 WINDOW (registry at 288 entering the round; 204 ever
+# adjudicated, 84 never): plain `python tools/next_window.py` proposal
+# — 44 never-adjudicated entries in thematic order. The remaining 6
+# slots go to this round's new additions if any land (capped at 6, per
+# VERDICT r6 item 2, displacing the flagship six which carry 6
+# consecutive green rounds); otherwise the flagship six fill them.
+# This keeps the endgame exact: 40 never-adjudicated entries remain
+# for round 8's 44 fresh slots — full-registry adjudication completes
+# in round 8. Validate with `--check`.
 _ADJUDICATION_FIRST: tuple[str, ...] = (
     "inverted_index", "word_count", "doc_frequency",
     "corpus_stats", "index_top_docs", "rdd_inverted_index",
-    "bigram_counts", "contamination_check", "repetition_ratios",
-    "gopher_quality_gate", "bigram_logprob_interpolated",
-    "kneser_ney_bigram_logprob", "pagerank_word_graph",
-    "word_graph_distances", "hits_hubs_authorities",
-    "watermark_lateness_profile", "ann_ivf_trained_topk",
-    "hard_negatives_mining",
-    "event_rate_anomaly", "session_path_transitions",
-    "daily_profile_similarity", "rolling_correlation",
-    "malformed_json_resilience", "stratified_sample_fractions",
-    "label_centroid_norms", "python_udf_slow_path", "cogroup_reconcile",
-    "schema_evolution_union", "asof_join_nearest_event",
-    "equi_depth_deciles", "ordered_listagg", "boolean_aggregates",
-    "try_arithmetic", "regression_metrics", "time_hierarchy_rollup",
-    "url_parse_surface", "map_higher_order", "token_entropy",
-    "ngram_novelty_curve", "keyword_in_context", "source_balance_gini",
-    "approx_top_k_words", "recursive_cte_split", "parameterized_sql",
-    "null_handling_surface", "string_functions2", "scd2_dimension",
-    "date_arithmetic", "bitwise_surface", "regexp_surface",
+    "incremental_rollup_merge", "transpose_metrics", "stat_crosstab",
+    "xpath_roundtrip", "number_format_roundtrip", "window_navigation",
+    "range_frame_revenue", "rank_distribution", "ewma_user_activity",
+    "mad_outlier_events", "assoc_rules_events", "user_growth_curve",
+    "winsorized_stats", "cohort_ltv_matrix", "ab_test_proportions",
+    "hapax_ttr_per_lang", "burstiness_fano", "point_in_time_tier_join",
+    "time_to_convert", "query_likelihood_dirichlet", "rocchio_prf_expansion",
+    "hybrid_search_rrf", "bpe_train_merges", "mmr_diversified_rerank",
+    "label_knn_agreement", "pca_power_iteration", "bloom_prefilter_semi_join",
+    "benford_first_digit", "silhouette_cells", "ks_drift_by_source",
+    "bpe_apply_encode", "gini_key_skew", "simhash_hamming_dedup",
+    "winsorized_robust_stats", "kcenter_seeds", "join_fanout_profile",
+    "forget_customer_purge_audit", "dunning_llr_collocations", "cross_source_duplication",
+    "bbit_minwise_estimate", "time_weighted_avg_value", "cluster_canonical_by_quality",
+    "chi2_independence_lang_source", "ctfidf_cluster_terms",
 )
 
 # ROUND-6 PREP: the window above covers 43 never-adjudicated entries +
