@@ -1541,11 +1541,17 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: per-stratum variance is the exact-integer identity
     (n·Σx² − (Σx)²)/n² evaluated as one double division; σ is one
-    IEEE sqrt — both engines compute the identical double, and every
-    downstream comparison (quota, floor, fractional-part ranking)
-    consumes those identical bits.  Ties in the remainder ranking
-    break on source name.  σ and the quota are round(·,10)-pinned for
-    display; the allocation math uses the unrounded values.
+    IEEE sqrt — both engines compute the identical double.  The
+    stratum weight w = n_docs·σ is round(·,6)-pinned to DECIMAL(25,6)
+    BEFORE the Σw normalizer (float accumulation is order-dependent
+    and Spark partial-agg / DuckDB hash-group orders are both
+    arbitrary; the decimal sum is order-insensitive — the repo's
+    blb_mean_ci convention; 6 dp, not 10, because w ~ 1e5-1e7 and the
+    10th decimal would exceed double precision).  Every downstream
+    comparison (quota, floor, fractional-part ranking) consumes the
+    identical pinned bits.  Ties in the remainder ranking break on
+    source name.  σ and the quota are round(·,10)-pinned for display;
+    the allocation math uses the pinned w and unrounded quota.
 
     Scale: one combinable 3-scalar agg per stratum; the Σ N_h·σ_h
     normalizer is a broadcast 1-row aggregate; ranking/flooring run
@@ -1561,10 +1567,12 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx"))
         .cast("double")
         / (F.col("n_docs") * F.col("n_docs")).cast("double"))
-    per = per.withColumn("w", F.col("n_docs") * sigma)
-    tot = per.agg(F.sum("w").alias("w_total"),
+    per = per.withColumn(
+        "w", F.round(F.col("n_docs") * sigma, 6).cast("decimal(25,6)"))
+    tot = per.agg(F.sum("w").cast("double").alias("w_total"),
                   F.count(F.lit(1)).alias("n_strata"))
-    quota = F.col("w") * F.lit(float(NEYMAN_BUDGET)) / F.col("w_total")
+    quota = (F.col("w").cast("double")
+             * F.lit(float(NEYMAN_BUDGET)) / F.col("w_total"))
     q = (per.crossJoin(F.broadcast(tot))
          .withColumn("quota", quota)
          .withColumn("alloc_floor", F.floor("quota").cast("long"))
@@ -1592,13 +1600,14 @@ WITH per AS (
     SELECT source, n_docs,
            sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
                 / CAST(n_docs * n_docs AS DOUBLE)) AS sigma,
-           n_docs * sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
-                         / CAST(n_docs * n_docs AS DOUBLE)) AS wgt
+           CAST(round(n_docs * sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+                                    / CAST(n_docs * n_docs AS DOUBLE)), 6)
+                AS DECIMAL(25,6)) AS wgt
     FROM per
 ), q AS (
     SELECT source, n_docs, sigma,
-           wgt * {float(NEYMAN_BUDGET)} / (SELECT sum(wgt) FROM w)
-               AS quota
+           CAST(wgt AS DOUBLE) * {float(NEYMAN_BUDGET)}
+               / (SELECT CAST(sum(wgt) AS DOUBLE) FROM w) AS quota
     FROM w
 ), f AS (
     SELECT source, n_docs, sigma, quota,

@@ -217,3 +217,36 @@ def test_wordline_writer_round_trip_and_2pc(spark, tmp_path):
     for nums in by_file.values():
         assert sorted(nums) == list(range(1, len(nums) + 1))
     assert sum(len(v) for v in by_file.values()) == len(words)
+
+
+def test_wordline_writer_save_modes(spark, tmp_path):
+    """Save-mode contract (round-7 ADVICE fix): overwrite clears stale
+    file<i>.txt from a prior wider write (no orphaned tail files);
+    append onto a non-empty corpus raises instead of clobbering; no
+    attempt temps survive a commit."""
+    import os
+
+    from mapreduce_in_pthreads_spark.sources.wordline_datasource import (
+        register)
+
+    register(spark)
+    out = str(tmp_path / "corpus_modes")
+    wide = (spark.createDataFrame([(w,) for w in "abcde"], ["word"])
+            .repartition(5))
+    wide.write.format("wordline").mode("append").save(out)
+    assert sorted(os.listdir(out)) == [f"file{i}.txt" for i in range(1, 6)]
+
+    # overwrite with FEWER partitions must remove the stale tail
+    narrow = (spark.createDataFrame([("x",), ("y",)], ["word"])
+              .repartition(2))
+    narrow.write.format("wordline").mode("overwrite").save(out)
+    assert sorted(os.listdir(out)) == ["file1.txt", "file2.txt"]
+    back = spark.read.format("wordline").load(out).collect()
+    assert sorted(r["raw_line"] for r in back) == ["x", "y"]
+
+    # append onto the non-empty corpus must raise, not clobber
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="non-empty corpus"):
+        narrow.write.format("wordline").mode("append").save(out)
+    # the failed append must leave the corpus intact and temp-free
+    assert sorted(os.listdir(out)) == ["file1.txt", "file2.txt"]

@@ -332,9 +332,12 @@ def test_neyman_allocation_python_replica(spark):
         f"sum(n_chars*n_chars) sxx FROM "
         f"read_parquet('{SF_CORRECT}/documents.parquet') "
         f"GROUP BY 1").fetchall()
-    w = {s: n * math.sqrt((n * sxx - sx * sx) / (n * n))
+    from decimal import Decimal
+
+    # same pin as the engines: round(w, 6) -> exact decimal sum
+    w = {s: round(n * math.sqrt((n * sxx - sx * sx) / (n * n)), 6)
          for s, n, sx, sxx in stats}
-    tot = sum(w.values())
+    tot = float(sum(Decimal(f"{v:.6f}") for v in w.values()))
     quotas = {s: v * float(NEYMAN_BUDGET) / tot for s, v in w.items()}
     floors = {s: math.floor(q) for s, q in quotas.items()}
     leftover = NEYMAN_BUDGET - sum(floors.values())
