@@ -54,6 +54,28 @@ def _train_reference(codes: dict[int, np.ndarray]):
     return assign, dict(cents), _assign_to(cents)
 
 
+def _train_reference_prev(codes: dict[int, np.ndarray]) -> dict:
+    """The centroids the LAST in-loop assignment was computed against
+    (iteration KM_ITERS-1's update) — what the quantizer module hands
+    out as ``cents_prev`` and silhouette_cells measures against."""
+    seeds = sorted(codes, key=lambda vid: (
+        hashlib.md5(str(vid).encode()).hexdigest(), vid))[:KM_K]
+    cents = [(i, codes[vid].astype(np.float64)) for i, vid in
+             enumerate(seeds)]
+    for _ in range(KM_ITERS - 1):
+        assign = {
+            vid: min(((float(np.sum((c.astype(np.float64) - cc) ** 2)),
+                       cell) for cell, cc in cents))[1]
+            for vid, c in codes.items()
+        }
+        cents = []
+        for cell in sorted(set(assign.values())):
+            members = [codes[v] for v, a in assign.items() if a == cell]
+            sums = np.sum(np.stack(members), axis=0, dtype=np.int64)
+            cents.append((cell, sums.astype(np.float64) / len(members)))
+    return dict(cents)
+
+
 def _load_vecs():
     tbl = pq.read_table(f"{SF_SMOKE}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
