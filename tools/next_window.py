@@ -131,12 +131,29 @@ def main() -> int:
         unknown = [n for n in win if n not in names]
         if unknown:
             errors.append(f"not in registry: {unknown}")
-        wasted = [n for n in win
-                  if n in seen and n not in FLAGSHIP and n not in args.must]
-        if wasted:
-            errors.append(
-                "slots re-spent on already-adjudicated entries not in "
-                f"--must: {wasted}")
+        # Post-round state is HEALTHY, not an error: once the driver's
+        # CORRECTNESS_r{N} lands, every window entry is by definition
+        # "already adjudicated" — if the latest round's entry set IS
+        # this exact window, the window was simply consumed and the
+        # right action is to rotate, not to fix anything.
+        paths = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+        consumed = False
+        if paths and not unknown:
+            latest = paths[-1]
+            latest_rnd = int(re.search(r"r(\d+)\.json$", latest).group(1))
+            consumed = set(json.load(open(latest))) == set(win)
+        if consumed:
+            print(f"NOTE: window already consumed by CORRECTNESS_r"
+                  f"{latest_rnd:02d} (entry sets match exactly) — healthy "
+                  "post-round state; rotate with `python tools/"
+                  "next_window.py` before the next driver run")
+        else:
+            wasted = [n for n in win if n in seen
+                      and n not in FLAGSHIP and n not in args.must]
+            if wasted:
+                errors.append(
+                    "slots re-spent on already-adjudicated entries not in "
+                    f"--must: {wasted}")
         covered = [n for n in win if n not in seen]
         print(f"current window: {len(win)} entries, "
               f"{len(covered)} never-adjudicated covered, "
