@@ -2023,3 +2023,325 @@ SELECT order_year, count(*) AS n_orders,
            AS max_abs_diff
 FROM j GROUP BY order_year
 """
+
+
+# --- split leakage audit ----------------------------------------------------
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout LEAKAGE through near-duplicates (the Lee et al.
+    2022 §6.2 finding: deduplicate ACROSS the split boundary or the
+    eval set is contaminated by training near-copies): classify every
+    verified near-dup pair (``jaccard_similarity_join``) by where its
+    endpoints land under the engine's deterministic md5 split
+    (``hash_train_test_split``'s TRAIN_FRAC_HEX convention), and for
+    the crossing class report how many HOLDOUT documents have a
+    training near-copy — the docs a leakage-free eval must drop or
+    re-home. Composed VERBATIM from the two standalone operators, so
+    the audit can never drift from the split or the dedup it audits.
+
+    Per pair class (train-train / holdout-holdout / cross): pair
+    count, distinct documents involved, distinct holdout documents
+    involved, and that count as a share of ALL holdout docs.
+
+    Exactness: split membership is a pure md5-hex-prefix function of
+    doc_id (no RNG); all counts are integers; the one share is an
+    int/int division in [0,1], round(·,10).
+
+    Scale: the near-dup join is the heavy stage and is the SAME plan
+    as the standalone operator (band-filtered verify, never all
+    pairs); the classification is a pure expression on the pair
+    relation (split needs NO join — it is a function of the id), and
+    the rollup aggregates a relation bounded by the pair count.
+    """
+    from .dedup import jaccard_similarity_join
+    from .text_analysis import TRAIN_FRAC_HEX
+
+    def split_of(col: str):
+        return F.when(
+            F.substring(F.md5(F.col(col).cast("string").cast("binary")),
+                        1, 1) < TRAIN_FRAC_HEX,
+            F.lit("train")).otherwise(F.lit("holdout"))
+
+    pairs = (jaccard_similarity_join(spark, sf_dir)
+             .select("doc_a", "doc_b",
+                     split_of("doc_a").alias("sa"),
+                     split_of("doc_b").alias("sb")))
+    pair_class = (F.when((F.col("sa") == "train")
+                         & (F.col("sb") == "train"), "train-train")
+                  .when((F.col("sa") == "holdout")
+                        & (F.col("sb") == "holdout"), "holdout-holdout")
+                  .otherwise("cross"))
+    sides = (pairs.withColumn("pair_class", pair_class)
+             .select("pair_class",
+                     F.explode(F.array(
+                         F.struct(F.col("doc_a").alias("doc_id"),
+                                  F.col("sa").alias("split")),
+                         F.struct(F.col("doc_b").alias("doc_id"),
+                                  F.col("sb").alias("split"))))
+                     .alias("m"))
+             .select("pair_class", "m.doc_id", "m.split"))
+    per_class = (sides.groupBy("pair_class")
+                 .agg((F.count(F.lit(1)) / 2).cast("bigint")
+                      .alias("n_pairs"),
+                      F.countDistinct("doc_id").alias("n_docs"),
+                      F.countDistinct(
+                          F.when(F.col("split") == "holdout",
+                                 F.col("doc_id")))
+                      .alias("n_holdout_docs")))
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg(F.sum(
+        F.when(F.substring(F.md5(F.col("doc_id").cast("string")
+                                 .cast("binary")), 1, 1)
+               >= TRAIN_FRAC_HEX, 1).otherwise(0))
+        .alias("total_holdout"))
+    return (per_class.crossJoin(F.broadcast(tot))
+            .select("pair_class", "n_pairs", "n_docs", "n_holdout_docs",
+                    F.round(F.col("n_holdout_docs")
+                            / F.col("total_holdout"), 10)
+                    .alias("holdout_share")))
+
+
+def _split_leakage_sql() -> str:
+    from .dedup import JACCARD_JOIN_SQL
+    from .text_analysis import TRAIN_FRAC_HEX
+
+    return f"""
+WITH pairs AS (
+    SELECT doc_a, doc_b,
+           CASE WHEN substring(md5(CAST(doc_a AS VARCHAR)), 1, 1)
+                     < '{TRAIN_FRAC_HEX}' THEN 'train'
+                ELSE 'holdout' END AS sa,
+           CASE WHEN substring(md5(CAST(doc_b AS VARCHAR)), 1, 1)
+                     < '{TRAIN_FRAC_HEX}' THEN 'train'
+                ELSE 'holdout' END AS sb
+    FROM ({JACCARD_JOIN_SQL}) j
+), classed AS (
+    SELECT CASE WHEN sa = 'train' AND sb = 'train' THEN 'train-train'
+                WHEN sa = 'holdout' AND sb = 'holdout'
+                     THEN 'holdout-holdout'
+                ELSE 'cross' END AS pair_class,
+           doc_a, doc_b, sa, sb
+    FROM pairs
+), sides AS (
+    SELECT pair_class, doc_a AS doc_id, sa AS split FROM classed
+    UNION ALL
+    SELECT pair_class, doc_b AS doc_id, sb AS split FROM classed
+), tot AS (
+    SELECT sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         >= '{TRAIN_FRAC_HEX}' THEN 1 ELSE 0 END)
+               AS total_holdout
+    FROM documents
+)
+SELECT pair_class,
+       CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+       count(DISTINCT doc_id) AS n_docs,
+       count(DISTINCT CASE WHEN split = 'holdout' THEN doc_id END)
+           AS n_holdout_docs,
+       round(count(DISTINCT CASE WHEN split = 'holdout' THEN doc_id END)
+             / CAST(tot.total_holdout AS DOUBLE), 10) AS holdout_share
+FROM sides CROSS JOIN tot
+GROUP BY pair_class, tot.total_holdout
+"""
+
+
+SPLIT_LEAKAGE_SQL = _split_leakage_sql()
+
+
+# --- population stability index ---------------------------------------------
+
+PSI_BUCKET = 100    # n_chars bin width (chars) — the l_diversity convention
+
+
+def psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per source — the THIRD drift lens
+    beside ``ks_drift_by_source`` (max CDF gap: sensitive to location
+    shifts) and ``kl_divergence_by_source`` (vocabulary): PSI is the
+    symmetrized, binned Σ (p−q)·ln(p/q) the model-monitoring world
+    standardizes on (the >0.25 'significant shift' rule of thumb),
+    here over the doc-length distribution of each source vs the
+    whole corpus.
+
+    Bins are fixed-width ``PSI_BUCKET``-char buckets (deterministic
+    integer binning — quantile bins of the reference would couple the
+    audit to a second rank pass); zero cells are Laplace-smoothed
+    (+1 per bin on BOTH sides, so every term is finite and the
+    smoothing cancels in expectation over matched distributions).
+
+    Exactness: p and q are each one int/int double division of exact
+    integer counts; the term keeps ONE written order
+    (p−q)·ln(p/q), round(·,10)-pinned to DECIMAL(25,10) before the
+    order-free sum (the KL convention).
+
+    Scale: one combinable (source, bucket) count; the grid is
+    |sources|×|buckets| — manifest-sized — and every total is a
+    window over it. The corpus is scanned exactly once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select("source", F.expr(f"n_chars div {PSI_BUCKET}")
+                    .alias("bucket"))
+    cnt = b.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("c"))
+    grid = (b.select("source").distinct()
+            .crossJoin(b.select("bucket").distinct())
+            .join(cnt, ["source", "bucket"], "left")
+            .select("source", "bucket",
+                    F.coalesce("c", F.lit(0)).alias("c")))
+    n_s = F.sum("c").over(Window.partitionBy("source"))
+    c_b = F.sum("c").over(Window.partitionBy("bucket"))
+    n_g = F.sum("c").over(Window.partitionBy())
+    nb = F.count(F.lit(1)).over(Window.partitionBy("source"))
+    t = grid.select(
+        "source", "c",
+        n_s.alias("n_s"), c_b.alias("c_b"),
+        n_g.alias("n_g"), nb.alias("nb"))
+    p = (F.col("c") + 1) / (F.col("n_s") + F.col("nb")).cast("double")
+    q = ((F.col("c_b") + 1)
+         / (F.col("n_g") + F.col("nb")).cast("double"))
+    terms = t.select(
+        "source", "n_s", "nb",
+        F.round((p - q) * F.log(p / q), 10)
+        .cast("decimal(25,10)").alias("term"))
+    return (terms.groupBy("source")
+            .agg(F.max("n_s").cast("bigint").alias("n_docs"),
+                 F.max("nb").cast("bigint").alias("n_bins"),
+                 F.round(F.sum("term").cast("double"), 6).alias("psi")))
+
+
+PSI_DRIFT_SQL = f"""
+WITH b AS (
+    SELECT source, n_chars // {PSI_BUCKET} AS bucket FROM documents
+), cnt AS (
+    SELECT source, bucket, count(*) AS c FROM b GROUP BY 1, 2
+), grid AS (
+    SELECT s.source, k.bucket, COALESCE(c.c, 0) AS c
+    FROM (SELECT DISTINCT source FROM b) s
+    CROSS JOIN (SELECT DISTINCT bucket FROM b) k
+    LEFT JOIN cnt c ON c.source = s.source AND c.bucket = k.bucket
+), t AS (
+    SELECT source, c,
+           sum(c) OVER (PARTITION BY source) AS n_s,
+           sum(c) OVER (PARTITION BY bucket) AS c_b,
+           sum(c) OVER () AS n_g,
+           count(*) OVER (PARTITION BY source) AS nb
+    FROM grid
+), terms AS (
+    SELECT source, n_s, nb,
+           CAST(round(((c + 1) / CAST(n_s + nb AS DOUBLE)
+                       - (c_b + 1) / CAST(n_g + nb AS DOUBLE))
+                      * ln(((c + 1) / CAST(n_s + nb AS DOUBLE))
+                           / ((c_b + 1) / CAST(n_g + nb AS DOUBLE))),
+                      10) AS DECIMAL(25,10)) AS term
+    FROM t
+)
+SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+       CAST(max(nb) AS BIGINT) AS n_bins,
+       round(CAST(sum(term) AS DOUBLE), 6) AS psi
+FROM terms GROUP BY source
+"""
+
+
+# --- dedup token impact ------------------------------------------------------
+
+def dedup_token_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What dedup buys in TRAINING TOKENS, per source — the
+    token-weighted readout the doc-count funnels
+    (``curation_funnel``, ``cross_source_duplication``) don't give:
+    a 2× doc-level dup rate in a long-doc source costs far more
+    budget than in a short-doc one, and epoch planning consumes
+    tokens, not documents.
+
+    Stage semantics (sequential, no double counting): exact dedup
+    first (keep the min doc_id per md5(text) group — the
+    ``exact_dedup`` rule), then transitive near-dup pruning
+    (``connected_components_dedup``'s canonical flag) charged ONLY
+    against exact survivors. Per source: docs, raw tokens, tokens
+    removed by each stage, surviving tokens, and the total savings
+    share. Composed VERBATIM from the standalone operators so the
+    bill can never drift from the dedup it prices.
+
+    Exactness: all token counts are integers; the one share is an
+    int/int division in [0,1], round(·,10).
+
+    Scale: the near-dup clustering is the standalone plan (band-
+    filtered pair join + Hash-Min rounds); the exact stage is one
+    md5 groupBy; the final bill is one combinable per-source
+    aggregation over flags that are joins on doc_id — nothing here
+    adds a corpus² stage.
+    """
+    from .dedup import exact_dedup
+    from .iterative import connected_components_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).alias("ntok"),
+        F.md5("text").alias("fingerprint"))
+    keep = exact_dedup(spark, sf_dir).select("fingerprint",
+                                             "keep_doc_id")
+    cc = connected_components_dedup(spark, sf_dir).select(
+        "doc_id", "is_canonical")
+    flagged = (docs.join(keep, "fingerprint")
+               .join(cc, "doc_id")
+               .select("source", "ntok",
+                       (F.col("doc_id") != F.col("keep_doc_id"))
+                       .alias("exact_rm"),
+                       ((F.col("doc_id") == F.col("keep_doc_id"))
+                        & ~F.col("is_canonical")).alias("near_rm")))
+    raw = F.sum("ntok")
+    ex_t = F.sum(F.when(F.col("exact_rm"), F.col("ntok")).otherwise(0))
+    nr_t = F.sum(F.when(F.col("near_rm"), F.col("ntok")).otherwise(0))
+    return (flagged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 raw.alias("raw_tokens"),
+                 F.sum(F.when(F.col("exact_rm"), 1).otherwise(0))
+                 .alias("exact_removed_docs"),
+                 ex_t.alias("exact_removed_tokens"),
+                 F.sum(F.when(F.col("near_rm"), 1).otherwise(0))
+                 .alias("near_removed_docs"),
+                 nr_t.alias("near_removed_tokens"),
+                 (raw - ex_t - nr_t).alias("surviving_tokens"))
+            .select("source", "n_docs", "raw_tokens",
+                    "exact_removed_docs", "exact_removed_tokens",
+                    "near_removed_docs", "near_removed_tokens",
+                    "surviving_tokens",
+                    F.round((F.col("raw_tokens")
+                             - F.col("surviving_tokens"))
+                            / F.col("raw_tokens").cast("double"), 10)
+                    .alias("savings_share")))
+
+
+def _dedup_token_impact_sql() -> str:
+    from .dedup import EXACT_DEDUP_SQL
+    from .iterative import CONNECTED_COMPONENTS_SQL
+
+    return f"""
+WITH keep AS ({EXACT_DEDUP_SQL}),
+cc AS ({CONNECTED_COMPONENTS_SQL}),
+flagged AS (
+    SELECT d.source, len(string_split(d.text, ' ')) AS ntok,
+           d.doc_id <> k.keep_doc_id AS exact_rm,
+           d.doc_id = k.keep_doc_id AND NOT c.is_canonical AS near_rm
+    FROM documents d
+    JOIN keep k ON md5(d.text) = k.fingerprint
+    JOIN cc c ON c.doc_id = d.doc_id
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS raw_tokens,
+       CAST(sum(CASE WHEN exact_rm THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_removed_docs,
+       CAST(sum(CASE WHEN exact_rm THEN ntok ELSE 0 END) AS BIGINT)
+           AS exact_removed_tokens,
+       CAST(sum(CASE WHEN near_rm THEN 1 ELSE 0 END) AS BIGINT)
+           AS near_removed_docs,
+       CAST(sum(CASE WHEN near_rm THEN ntok ELSE 0 END) AS BIGINT)
+           AS near_removed_tokens,
+       CAST(sum(ntok) - sum(CASE WHEN exact_rm THEN ntok ELSE 0 END)
+            - sum(CASE WHEN near_rm THEN ntok ELSE 0 END) AS BIGINT)
+           AS surviving_tokens,
+       round((sum(CASE WHEN exact_rm THEN ntok ELSE 0 END)
+              + sum(CASE WHEN near_rm THEN ntok ELSE 0 END))
+             / CAST(sum(ntok) AS DOUBLE), 10) AS savings_share
+FROM flagged GROUP BY source
+"""
+
+
+DEDUP_TOKEN_IMPACT_SQL = _dedup_token_impact_sql()

@@ -1463,3 +1463,108 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM t a JOIN t b
   ON a.last2 = b.first2 AND a.doc_id <> b.doc_id
 """
+
+
+# --- prefix-filtered jaccard join ----------------------------------------
+
+def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING (Chaudhuri, Ganti &
+    Kaushik, ICDE 2006; Xiao et al.'s PPJoin, WWW 2008) — the exact
+    (non-LSH) scale path for Jaccard >= t pair search: order every
+    doc's shingles by ascending global document frequency (rarest
+    first, shingle string as the deterministic tie-break) and emit
+    only the first p = n - ceil(t*n) + 1 as join keys. Two docs with
+    J >= t MUST share a prefix token (pigeonhole on the overlap bound
+    shared >= ceil(t/(1+t)*(na+nb)) — lossless, so this returns the
+    IDENTICAL pair set to ``jaccard_similarity_join``, pinned by
+    tests/test_round7_ops.py), while the equi-join runs over ~the
+    rarest half of each doc's tokens instead of all of them AND the
+    hot head of the Zipf vocabulary mostly falls OUT of prefixes —
+    the frequent-token skew that makes naive token-blocking explode
+    at 100 TB is pruned by construction. The candidate length filter
+    (min-size >= t * max-size, integer form 2*least >= greatest at
+    t = 1/2) drops cross-size pairs before the verify join.
+
+    Exactness: df counts, prefix ranks and the length filter are all
+    integer; the verify is the engine's exact array_intersect Jaccard
+    with the same one-double-division convention as the baseline join.
+
+    Scale: df is one combinable vocab-bounded agg; prefix selection is
+    a per-doc window (one doc_id exchange); the candidate join touches
+    prefix tokens only (|prefix| ~ n/2, and rare tokens -> tiny
+    buckets, no hot keys); verify joins candidate pairs only. No
+    global rank relation is ever built — (df, shingle) is itself the
+    total order, so prefix selection needs no second pass over the
+    vocabulary.
+    """
+    from pyspark.sql import Window
+
+    sets = _shingle_sets(spark, sf_dir)
+    ex = _explode_shingles(sets)
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # prefix length p = n - ceil(t*n) + 1; at t=1/2, integer-exact
+    p = (F.col("n_shingles")
+         - F.expr("(n_shingles + 1) div 2") + F.lit(1))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    pref = (ex.join(dfreq, "shingle")
+            .join(sets.select("doc_id", "n_shingles"), "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= p)
+            .select("doc_id", "shingle", "n_shingles"))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (2 * F.least("a.n_shingles", "b.n_shingles")
+                      >= F.greatest("a.n_shingles", "b.n_shingles")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    pairs = (cand
+             .join(sets.select(F.col("doc_id").alias("doc_a"),
+                               F.col("shset").alias("set_a"),
+                               F.col("n_shingles").alias("na")), "doc_a")
+             .join(sets.select(F.col("doc_id").alias("doc_b"),
+                               F.col("shset").alias("set_b"),
+                               F.col("n_shingles").alias("nb")), "doc_b"))
+    shared = F.size(F.array_intersect("set_a", "set_b"))
+    return (pairs.select(
+        "doc_a", "doc_b", shared.alias("shared"),
+        (shared / (F.col("na") + F.col("nb") - shared)
+         .cast("double")).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD))
+
+
+PREFIX_FILTER_JACCARD_SQL = f"""
+WITH sh AS ({SHINGLES_SQL}),
+sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), dfreq AS (
+    SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+), pref AS (
+    SELECT doc_id, shingle, n FROM (
+        SELECT sh.doc_id, sh.shingle, s.n,
+               row_number() OVER (PARTITION BY sh.doc_id
+                                  ORDER BY d.df, sh.shingle) AS rn
+        FROM sh JOIN dfreq d USING (shingle)
+        JOIN sizes s USING (doc_id))
+    WHERE rn <= n - (n + 1) // 2 + 1
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pref a JOIN pref b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+     AND 2 * least(a.n, b.n) >= greatest(a.n, b.n)
+), shared AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS shared
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, shared,
+       shared / CAST(na.n + nb.n - shared AS DOUBLE) AS jaccard
+FROM shared
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE shared / CAST(na.n + nb.n - shared AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+"""

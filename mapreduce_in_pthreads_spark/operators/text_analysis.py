@@ -3892,3 +3892,227 @@ SELECT w, df, df2, tf_total,
            AS adaptation_excess
 FROM per_term CROSS JOIN n
 """
+
+
+# --- winnowing fingerprints -------------------------------------------------
+
+WINNOW_K = 3   # tokens per k-gram
+WINNOW_W = 4   # k-gram hashes per winnowing window
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every ``WINNOW_K``-token
+    k-gram, slide a ``WINNOW_W``-hash window over the hash sequence,
+    and keep each window's MINIMUM hash. The selected set is the
+    doc's fingerprint: any match of length >= W + K - 1 tokens between
+    two documents is GUARANTEED to surface as a shared fingerprint
+    (the paper's local-detection guarantee — pinned by the pure-Python
+    property in tests/test_round7_ops.py), while storage shrinks to a
+    measured density near the paper's 2/(W+1) expectation for random
+    hashes. The local counterpart of ``rolling_hash_fingerprint`` and
+    the substring-sensitive complement of MinHash (which fingerprints
+    the bag, not positions).
+
+    Per doc: k-gram count, window count, distinct selected
+    fingerprints, measured density vs the 2/(W+1) literal.
+
+    Exactness: hashes are the engine's md5-top-60-bit convention
+    (`conv(hex,16,10)` == `('0x'||hex)::BIGINT`, bit-identical);
+    window minima and distinct counts are integer ops. Density is one
+    int/int division in [0,1], round(·,10). Short docs are total:
+    fewer than K tokens -> 0 grams, fewer than W grams -> 0 windows,
+    NULL density (the `functions/tokens.py` empty-safe discipline).
+
+    Scale: a pure per-row array program — zero shuffle, no UDFs, the
+    `repeated_ngram_span_mask` cost profile. At 100 TB the fingerprint
+    SET (explode + band join, exactly the MinHash-LSH plan) is where
+    the pair search would go; this operator is the per-doc selection
+    stage, which parallelizes embarrassingly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = sliding_ngrams(toks, WINNOW_K)
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+                   .cast("bigint"))
+    with_h = docs.select("doc_id", hashes.alias("h"))
+    m = F.size("h")
+    n_win = F.greatest(m - (WINNOW_W - 1), F.lit(0))
+    starts = F.slice(F.transform("h", lambda _, i: i + 1), 1, n_win)
+    selected = F.transform(
+        starts, lambda i: F.array_min(F.slice("h", i, WINNOW_W)))
+    return (with_h.select(
+        "doc_id", m.alias("n_grams"), n_win.alias("n_windows"),
+        F.size(F.array_distinct(selected)).alias("n_fingerprints"))
+        .select("doc_id", "n_grams", "n_windows", "n_fingerprints",
+                F.when(F.col("n_windows") > 0,
+                       F.round(F.col("n_fingerprints")
+                               / F.col("n_windows"), 10))
+                .alias("density"),
+                F.lit(round(2.0 / (WINNOW_W + 1), 10))
+                .alias("expected_density")))
+
+
+WINNOWING_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+    SELECT doc_id,
+           list_transform(
+               range(1, greatest(len(toks) - {WINNOW_K} + 2, 1)),
+               i -> ('0x' || substring(md5(toks[CAST(i AS INT)]
+                         || ' ' || toks[CAST(i AS INT) + 1]
+                         || ' ' || toks[CAST(i AS INT) + 2]), 1, 15))
+                    ::BIGINT) AS h
+    FROM t
+), w AS (
+    SELECT doc_id, len(h) AS n_grams,
+           greatest(len(h) - {WINNOW_W - 1}, 0) AS n_windows,
+           list_transform(
+               range(1, greatest(len(h) - {WINNOW_W} + 2, 1)),
+               i -> list_min(h[CAST(i AS INT):CAST(i AS INT)
+                               + {WINNOW_W - 1}])) AS sel
+    FROM g
+)
+SELECT doc_id, n_grams, n_windows,
+       len(list_distinct(sel)) AS n_fingerprints,
+       CASE WHEN n_windows > 0
+            THEN round(len(list_distinct(sel))
+                       / CAST(n_windows AS DOUBLE), 10) END AS density,
+       {round(2.0 / (WINNOW_W + 1), 10)!r} AS expected_density
+FROM w
+"""
+
+
+# --- Heaps' law fit --------------------------------------------------------
+
+HEAPS_BUCKET_DOCS = 16   # docs per curve checkpoint (see Scale note)
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law diagnostic — the vocabulary-GROWTH scaling twin of
+    ``zipf_law_fit``'s frequency-rank law: V(N) ≈ K·N^β (Heaps 1978;
+    β ≈ 0.4-0.6 for natural text), fit by OLS of ln V on ln N over
+    the corpus read in doc_id order. A corpus whose vocabulary
+    saturates early (tiny β) is repetitive/templated; β near 1 means
+    unbounded novelty (OCR noise, IDs) — both are pretraining red
+    flags, and the tokenizer-vocab planner reads K, β directly.
+
+    The curve is checkpointed every ``HEAPS_BUCKET_DOCS`` documents:
+    per-bucket token totals and first-occurrence counts (a term
+    credits the bucket of its MINIMUM doc_id) prefix-sum into
+    (N, V) points at bucket boundaries.
+
+    Exactness: the ``zipf_law_fit`` convention verbatim — integer
+    counts, each ln round(·,10), each product re-rounded, moment sums
+    over DECIMAL(25,10), fixed-order double fit rounded to 6 dp.
+
+    Scale: one distinct (term, min doc_id) aggregation + one per-doc
+    token count — both combinable; the prefix window runs over the
+    BUCKET relation (n_docs / bucket-width rows), never the corpus:
+    at 100 TB, widen HEAPS_BUCKET_DOCS so checkpoints stay ~1e3 and
+    the window stays driver-trivial. No corpus-sized single-partition
+    stage exists in the plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(f"doc_id div {HEAPS_BUCKET_DOCS}")
+    nt_b = (docs.select(bucket.alias("bucket"),
+                        F.size(F.split("text", " ")).alias("nt"))
+            .groupBy("bucket").agg(F.sum("nt").alias("toks")))
+    first = (docs.select("doc_id",
+                         F.explode(F.split("text", " ")).alias("word"))
+             .groupBy("word").agg(F.min("doc_id").alias("fd")))
+    new_b = (first.select(F.expr(f"fd div {HEAPS_BUCKET_DOCS}")
+                          .alias("bucket"))
+             .groupBy("bucket").agg(F.count(F.lit(1)).alias("new_terms")))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    curve = (nt_b.join(new_b, "bucket", "left")
+             .select("bucket", "toks",
+                     F.coalesce("new_terms", F.lit(0)).alias("nw"))
+             .select(F.sum("toks").over(w).alias("n_cum"),
+                     F.sum("nw").over(w).alias("v_cum")))
+    dec = "decimal(25,10)"
+    x = F.round(F.log(F.col("n_cum").cast("double")), 10)
+    y = F.round(F.log(F.col("v_cum").cast("double")), 10)
+    pts = curve.select(
+        "n_cum", "v_cum",
+        x.cast(dec).alias("x"), y.cast(dec).alias("y"),
+        F.round(x * y, 10).cast(dec).alias("xy"),
+        F.round(x * x, 10).cast(dec).alias("x2"))
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.max("n_cum").alias("total_tokens"),
+        F.max("v_cum").alias("vocab_size"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"), F.sum("x2").alias("sx2"))
+    k = F.col("n_points").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    beta = (k * sxy - sx * sy) / (k * sx2 - sx * sx)
+    # + 0.0 canonicalizes IEEE -0.0 (a saturated vocabulary makes the
+    # slope numerator exactly zero, with sign differing by engine)
+    return mom.select(
+        "n_points", "total_tokens", "vocab_size",
+        (F.round(beta, 6) + F.lit(0.0)).alias("heaps_beta"),
+        (F.round((sy - beta * sx) / k, 6) + F.lit(0.0))
+        .alias("heaps_ln_k"))
+
+
+HEAPS_FIT_SQL = f"""
+WITH nt_b AS (
+    SELECT doc_id // {HEAPS_BUCKET_DOCS} AS bucket,
+           sum(len(string_split(text, ' '))) AS toks
+    FROM documents GROUP BY 1
+), first AS (
+    SELECT word, min(doc_id) AS fd
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents) GROUP BY word
+), new_b AS (
+    SELECT fd // {HEAPS_BUCKET_DOCS} AS bucket, count(*) AS new_terms
+    FROM first GROUP BY 1
+), curve AS (
+    SELECT sum(n.toks) OVER (ORDER BY n.bucket
+                             ROWS UNBOUNDED PRECEDING) AS n_cum,
+           sum(COALESCE(w.new_terms, 0))
+               OVER (ORDER BY n.bucket ROWS UNBOUNDED PRECEDING)
+               AS v_cum
+    FROM nt_b n LEFT JOIN new_b w ON n.bucket = w.bucket
+), lns AS (
+    SELECT n_cum, v_cum,
+           round(ln(CAST(n_cum AS DOUBLE)), 10) AS x,
+           round(ln(CAST(v_cum AS DOUBLE)), 10) AS y
+    FROM curve
+), pts AS (
+    SELECT n_cum, v_cum,
+           CAST(x AS DECIMAL(25,10)) AS x,
+           CAST(y AS DECIMAL(25,10)) AS y,
+           CAST(round(x * y, 10) AS DECIMAL(25,10)) AS xy,
+           CAST(round(x * x, 10) AS DECIMAL(25,10)) AS x2
+    FROM lns
+), mom AS (
+    SELECT count(*) AS n_points,
+           CAST(max(n_cum) AS BIGINT) AS total_tokens,
+           CAST(max(v_cum) AS BIGINT) AS vocab_size,
+           sum(x) AS sx, sum(y) AS sy, sum(xy) AS sxy, sum(x2) AS sx2
+    FROM pts
+)
+SELECT n_points, total_tokens, vocab_size,
+       round((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_points AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
+           AS heaps_beta,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n_points AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n_points AS DOUBLE), 6) + 0.0 AS heaps_ln_k
+FROM mom
+"""

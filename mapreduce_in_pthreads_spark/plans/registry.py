@@ -1125,6 +1125,44 @@ register("word_burstiness_adaptation", ta.word_burstiness_adaptation,
          "corpus rate — the statistic behind BM25 tf saturation; "
          "vocabulary-bounded output")
 
+# round-7 additions (6, exactly the window-swap budget VERDICT r6 set)
+register("winnowing_fingerprints", ta.winnowing_fingerprints,
+         ta.WINNOWING_SQL,
+         "winnowing fingerprints (Schleimer et al. SIGMOD 2003, MOSS): "
+         "per-window min k-gram hash selection with the >=W+K-1 local "
+         "match guarantee; per-doc density vs the 2/(W+1) expectation "
+         "— pure per-row array program, zero shuffle")
+register("prefix_filter_jaccard_join", dd.prefix_filter_jaccard_join,
+         dd.PREFIX_FILTER_JACCARD_SQL,
+         "prefix-filtered set-similarity join (SSJoin/PPJoin): rarest "
+         "p = n-ceil(t*n)+1 tokens as join keys + integer length "
+         "filter — lossless vs jaccard_similarity_join (pinned), with "
+         "the Zipf head pruned out of the candidate join")
+register("split_leakage_audit", cu.split_leakage_audit,
+         cu.SPLIT_LEAKAGE_SQL,
+         "train/holdout leakage through near-duplicates (Lee et al. "
+         "2022): every verified near-dup pair classified by md5-split "
+         "endpoints; holdout docs with a training near-copy counted "
+         "and shared against the full holdout — composed verbatim "
+         "from jaccard_similarity_join + the hash-split convention")
+register("psi_drift_by_source", cu.psi_drift_by_source,
+         cu.PSI_DRIFT_SQL,
+         "Population Stability Index per source over binned doc "
+         "length vs corpus — the binned symmetric drift stat beside "
+         "KS (location) and KL (vocabulary); Laplace-smoothed cells, "
+         "decimal-pinned terms, one corpus scan + manifest-sized grid")
+register("heaps_law_fit", ta.heaps_law_fit, ta.HEAPS_FIT_SQL,
+         "Heaps'-law vocabulary-growth fit V(N)=K*N^beta over the "
+         "doc_id-ordered stream, checkpointed per 16-doc bucket so "
+         "the prefix window is bucket-sized, never corpus-sized — "
+         "the growth twin of zipf_law_fit, same pinned-OLS recipe")
+register("dedup_token_impact", cu.dedup_token_impact,
+         cu.DEDUP_TOKEN_IMPACT_SQL,
+         "token-weighted dedup bill per source: exact-stage then "
+         "transitive near-dup stage (charged to exact survivors "
+         "only), raw/removed/surviving tokens + savings share — "
+         "composed verbatim from exact_dedup + connected components")
+
 # --- adjudication-window rotation -----------------------------------------
 # The driver adjudicates only the FIRST 50 registry entries per round
 # (CORRECTNESS_r{N}.json); everything else gets no correctness row. The
@@ -1147,18 +1185,23 @@ register("word_burstiness_adaptation", ta.word_burstiness_adaptation,
 # `python tools/next_window.py --must <the 12>`; validated with
 # `--check --must <the 12>`. 53 leftovers fit rounds 7-8.
 #
-# ROUND-7 WINDOW (registry at 288 entering the round; 204 ever
-# adjudicated, 84 never): plain `python tools/next_window.py` proposal
-# — 44 never-adjudicated entries in thematic order. The remaining 6
-# slots go to this round's new additions if any land (capped at 6, per
-# VERDICT r6 item 2, displacing the flagship six which carry 6
-# consecutive green rounds); otherwise the flagship six fill them.
-# This keeps the endgame exact: 40 never-adjudicated entries remain
-# for round 8's 44 fresh slots — full-registry adjudication completes
-# in round 8. Validate with `--check`.
+# ROUND-7 WINDOW (registry at 294: 288 entering the round + exactly
+# the 6 new additions VERDICT r6 item 2 budgeted; 204 ever
+# adjudicated, 90 never): the plain `python tools/next_window.py`
+# proposal's 44 never-adjudicated entries in thematic order, with the
+# 6 round-7 additions (winnowing_fingerprints,
+# prefix_filter_jaccard_join, split_leakage_audit,
+# psi_drift_by_source, heaps_law_fit, dedup_token_impact — each
+# 3-SF oracle-green + pin-tested before entering the window) taking
+# the slots the flagship six would have re-spent (the flagship carry
+# 6 consecutive green rounds and unchanged code). Endgame stays
+# exact: 40 never-adjudicated entries remain for round 8's 44 fresh
+# slots — full-registry adjudication completes in round 8 with room
+# for the flagship to return. Validate with `--check`.
 _ADJUDICATION_FIRST: tuple[str, ...] = (
-    "inverted_index", "word_count", "doc_frequency",
-    "corpus_stats", "index_top_docs", "rdd_inverted_index",
+    "winnowing_fingerprints", "prefix_filter_jaccard_join",
+    "split_leakage_audit", "psi_drift_by_source",
+    "heaps_law_fit", "dedup_token_impact",
     "incremental_rollup_merge", "transpose_metrics", "stat_crosstab",
     "xpath_roundtrip", "number_format_roundtrip", "window_navigation",
     "range_frame_revenue", "rank_distribution", "ewma_user_activity",

@@ -186,3 +186,216 @@ def test_silhouette_cells_numpy_replica(spark):
         want = float(sum(ss, Decimal(0))) / len(ss)
         assert r["mean_silhouette"] == pytest.approx(want, abs=1e-6)
         assert -1.0 <= r["mean_silhouette"] <= 1.0
+
+
+# --- round-7 additions ------------------------------------------------------
+
+
+def _winnow_replica(tokens: list[str], k: int, w: int):
+    """Pure-Python winnowing: k-gram md5-top-60-bit hashes, min per
+    w-window, distinct selected set."""
+    import hashlib
+
+    grams = [" ".join(tokens[i:i + k])
+             for i in range(len(tokens) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+          for g in grams]
+    sel = [min(hs[j:j + w]) for j in range(len(hs) - w + 1)]
+    return hs, sel, set(sel)
+
+
+def test_winnowing_python_replica_and_guarantee(spark):
+    from mapreduce_in_pthreads_spark.operators.text_analysis import (
+        WINNOW_K, WINNOW_W, winnowing_fingerprints)
+
+    rows = {r["doc_id"]: r
+            for r in winnowing_fingerprints(spark, SF_CORRECT).collect()}
+    docs = dict(_doc_rows(SF_CORRECT))
+    assert set(rows) == set(docs)
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        hs, sel, fps = _winnow_replica(toks, WINNOW_K, WINNOW_W)
+        r = rows[doc_id]
+        assert r["n_grams"] == len(hs)
+        assert r["n_windows"] == max(len(hs) - WINNOW_W + 1, 0)
+        assert r["n_fingerprints"] == len(fps)
+        if r["n_windows"]:
+            assert r["density"] == pytest.approx(
+                round(len(fps) / r["n_windows"], 10), abs=1e-12)
+
+    # the SIGMOD 2003 local guarantee: a shared run of >= W+K-1 tokens
+    # forces a shared fingerprint (checked on the replica, which the
+    # engines were just proven equal to)
+    shared = ["s%d" % i for i in range(WINNOW_W + WINNOW_K - 1)]
+    a = ["a1", "a2", "a3"] + shared + ["a4"]
+    b = ["b1"] + shared + ["b2", "b3", "b4"]
+    _, _, fa = _winnow_replica(a, WINNOW_K, WINNOW_W)
+    _, _, fb = _winnow_replica(b, WINNOW_K, WINNOW_W)
+    assert fa & fb
+
+
+def test_prefix_filter_join_is_lossless(spark):
+    """The PPJoin prefix/length filters must be LOSSLESS at t=1/2:
+    identical pair set, shared counts, and jaccard values as the
+    unfiltered baseline join."""
+    from mapreduce_in_pthreads_spark.operators.dedup import (
+        jaccard_similarity_join, prefix_filter_jaccard_join)
+
+    base = {(r["doc_a"], r["doc_b"]): (r["shared"], r["jaccard"])
+            for r in jaccard_similarity_join(spark, SF_CORRECT).collect()}
+    pf = {(r["doc_a"], r["doc_b"]): (r["shared"], r["jaccard"])
+          for r in prefix_filter_jaccard_join(spark, SF_CORRECT)
+          .collect()}
+    assert pf == base
+    assert base  # non-vacuous: the corpus has near-dup pairs
+
+
+def test_split_leakage_python_replica(spark):
+    import hashlib
+
+    from mapreduce_in_pthreads_spark.operators.curation import \
+        split_leakage_audit
+    from mapreduce_in_pthreads_spark.operators.dedup import \
+        jaccard_similarity_join
+    from mapreduce_in_pthreads_spark.operators.text_analysis import \
+        TRAIN_FRAC_HEX
+
+    def split(doc_id: int) -> str:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+        return "train" if h < TRAIN_FRAC_HEX else "holdout"
+
+    pairs = [(r["doc_a"], r["doc_b"])
+             for r in jaccard_similarity_join(spark, SF_CORRECT)
+             .collect()]
+    want: dict = {}
+    for a, b in pairs:
+        sa, sb = split(a), split(b)
+        cls = ("train-train" if sa == sb == "train"
+               else "holdout-holdout" if sa == sb == "holdout"
+               else "cross")
+        d = want.setdefault(cls, {"n": 0, "docs": set(), "ho": set()})
+        d["n"] += 1
+        d["docs"] |= {a, b}
+        for x, s in ((a, sa), (b, sb)):
+            if s == "holdout":
+                d["ho"].add(x)
+    total_holdout = sum(
+        1 for doc_id, _ in _doc_rows(SF_CORRECT)
+        if split(doc_id) == "holdout")
+
+    rows = {r["pair_class"]: r
+            for r in split_leakage_audit(spark, SF_CORRECT).collect()}
+    assert set(rows) == set(want)
+    for cls, d in want.items():
+        r = rows[cls]
+        assert r["n_pairs"] == d["n"]
+        assert r["n_docs"] == len(d["docs"])
+        assert r["n_holdout_docs"] == len(d["ho"])
+        assert r["holdout_share"] == pytest.approx(
+            round(len(d["ho"]) / total_holdout, 10), abs=1e-12)
+    assert sum(r["n_pairs"] for r in rows.values()) == len(pairs)
+
+
+def test_psi_python_replica_and_nonnegative(spark):
+    import pyarrow.parquet as pq
+
+    from mapreduce_in_pthreads_spark.operators.curation import (
+        PSI_BUCKET, psi_drift_by_source)
+
+    t = pq.read_table(f"{SF_CORRECT}/documents.parquet",
+                      columns=["source", "n_chars"])
+    pairs = list(zip(t["source"].to_pylist(), t["n_chars"].to_pylist()))
+    cnt: Counter = Counter((s, n // PSI_BUCKET) for s, n in pairs)
+    sources = {s for s, _ in cnt}
+    buckets = {b for _, b in cnt}
+    n_g = len(pairs)
+    nb = len(buckets)
+    c_b = Counter()
+    for (s, b), c in cnt.items():
+        c_b[b] += c
+    rows = {r["source"]: r
+            for r in psi_drift_by_source(spark, SF_CORRECT).collect()}
+    assert set(rows) == sources
+    for s in sources:
+        n_s = sum(c for (s2, _), c in cnt.items() if s2 == s)
+        psi = sum(
+            (Decimal(f"{x:.10f}") for x in (
+                ((cnt.get((s, b), 0) + 1) / float(n_s + nb)
+                 - (c_b[b] + 1) / float(n_g + nb))
+                * math.log(((cnt.get((s, b), 0) + 1) / float(n_s + nb))
+                           / ((c_b[b] + 1) / float(n_g + nb)))
+                for b in buckets)),
+            Decimal(0))
+        r = rows[s]
+        assert r["n_docs"] == n_s and r["n_bins"] == nb
+        assert r["psi"] == pytest.approx(float(psi), abs=1e-6)
+        # smoothed p and q are proper distributions -> every term and
+        # hence PSI is >= 0 (Gibbs' inequality, symmetrized)
+        assert r["psi"] >= 0
+
+
+def test_heaps_python_replica(spark):
+    from mapreduce_in_pthreads_spark.operators.text_analysis import (
+        HEAPS_BUCKET_DOCS, heaps_law_fit)
+
+    nt_b: Counter = Counter()
+    first: dict = {}
+    for doc_id, text in sorted(_doc_rows(SF_CORRECT)):
+        toks = text.split(" ")
+        nt_b[doc_id // HEAPS_BUCKET_DOCS] += len(toks)
+        for w in toks:
+            if w not in first or doc_id < first[w]:
+                first[w] = doc_id
+    new_b: Counter = Counter()
+    for w, fd in first.items():
+        new_b[fd // HEAPS_BUCKET_DOCS] += 1
+    n = v = 0
+    xs, ys = [], []
+    for b in sorted(nt_b):
+        n += nt_b[b]
+        v += new_b.get(b, 0)
+        xs.append(float(Decimal(f"{math.log(n):.10f}")))
+        ys.append(float(Decimal(f"{math.log(v):.10f}")))
+    k = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(round(x * y, 10) for x, y in zip(xs, ys))
+    sx2 = sum(round(x * x, 10) for x in xs)
+    beta = (k * sxy - sx * sy) / (k * sx2 - sx * sx)
+    ln_k = (sy - beta * sx) / k
+
+    r = heaps_law_fit(spark, SF_CORRECT).collect()[0]
+    assert r["n_points"] == k
+    assert r["total_tokens"] == n and r["vocab_size"] == v
+    assert r["heaps_beta"] == pytest.approx(beta, abs=1e-5)
+    assert r["heaps_ln_k"] == pytest.approx(ln_k, abs=1e-4)
+    assert 0 <= r["heaps_beta"] < 1   # vocabulary grows sublinearly
+
+
+def test_dedup_token_impact_consistent_with_components(spark):
+    """The token bill must reconcile EXACTLY with the standalone
+    operators it composes: exact-removed docs vs exact_dedup's copy
+    counts, near-removed docs vs the canonical flags of exact
+    keepers, and the integer token identity raw = removed + surviving."""
+    from mapreduce_in_pthreads_spark.operators.curation import \
+        dedup_token_impact
+    from mapreduce_in_pthreads_spark.operators.dedup import exact_dedup
+    from mapreduce_in_pthreads_spark.operators.iterative import \
+        connected_components_dedup
+
+    rows = dedup_token_impact(spark, SF_CORRECT).collect()
+    ed = exact_dedup(spark, SF_CORRECT).collect()
+    cc = {r["doc_id"]: r["is_canonical"]
+          for r in connected_components_dedup(spark, SF_CORRECT)
+          .collect()}
+    keepers = {r["keep_doc_id"] for r in ed}
+
+    assert sum(r["exact_removed_docs"] for r in rows) \
+        == sum(r["n_copies"] - 1 for r in ed)
+    assert sum(r["near_removed_docs"] for r in rows) \
+        == sum(1 for d in keepers if not cc[d])
+    for r in rows:
+        assert (r["raw_tokens"] == r["exact_removed_tokens"]
+                + r["near_removed_tokens"] + r["surviving_tokens"])
+        assert r["savings_share"] == pytest.approx(
+            round((r["raw_tokens"] - r["surviving_tokens"])
+                  / r["raw_tokens"], 10), abs=1e-12)
