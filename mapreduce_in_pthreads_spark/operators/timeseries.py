@@ -78,7 +78,12 @@ def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window``. Oracle reconstructs identical sessions with the
     lag-gap-cumsum idiom: a new session starts when the gap since the
     previous event is ≥ the timeout (session end = last event + gap,
-    chained), which is exactly session_window's merge rule."""
+    chained). Boundary caveat (pinned by the merge-dynamics test in
+    tests/test_streaming.py): native session_window MERGES an event
+    landing exactly at last+gap where this oracle's ``>=`` splits —
+    the conventions agree on all microsecond-resolution data (an
+    exact 30:00.000000 gap is measure-zero; parity proven at every
+    SF), so the oracle stands, with the discrepancy documented."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

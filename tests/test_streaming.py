@@ -290,3 +290,90 @@ def test_streaming_holt_forecast_parity(spark, sf_dir, tmp_path):
     want = _rows(REGISTRY["holt_linear_forecast"].fn(spark, sf_dir),
                  cols)
     assert got == want
+
+
+def test_session_windows_merge_across_triggers(spark, tmp_path):
+    """Session MERGE dynamics (the stateful behavior the final-state
+    parity test cannot see): two session fragments created in trigger
+    1 must MERGE when trigger 2 delivers a gap-bridging event, while a
+    fragment strictly more than one gap away stays separate. Final
+    snapshot must equal the batch session computation over the full
+    landed data — the intermediate snapshot proves the state really
+    held two fragments first.
+
+    Boundary pin (discovered writing this test): native
+    session_window merges sessions that exactly TOUCH — an event at
+    last+gap lands in the SAME session — whereas the batch oracle's
+    lag-gap-cumsum convention (`gap >= timeout` starts a new session,
+    timeseries.py) would split there. The conventions agree on all
+    microsecond-resolution event data (an exact 30:00.000000 gap is
+    measure-zero, and the oracle contract has proven parity at every
+    SF); this test pins the native behavior so the discrepancy stays
+    documented rather than latent. Hence the separate fragment below
+    sits at minute 51, not 50."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "events_src"
+    os.makedirs(src)
+
+    def shard(path, rows):
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * 60_000_000 for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        })
+        pq.write_table(tbl, path)
+
+    # trigger 1: minutes 0 and 51 -> fragments [0,30) and [51,81)
+    shard(src / "shard1.parquet", [(1, 0, 7), (2, 51, 7)])
+
+    schema = "event_id bigint, ts timestamp, user_id bigint"
+    sessions = (
+        spark.readStream.schema(schema).parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                 "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id",
+                F.unix_micros(F.col("w.start")).alias("start_us"),
+                F.unix_micros(F.col("w.end")).alias("end_us"),
+                "n_events"))
+    q = (sessions.writeStream.format("memory")
+         .queryName("mem_session_merge").outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        snap1 = sorted((r.start_us, r.n_events) for r in
+                       spark.table("mem_session_merge").collect())
+        assert snap1 == [(0, 1), (51 * 60_000_000, 1)]
+
+        # trigger 2: minute 20 bridges 0 -> 20 (gap 20 < 30, merges)
+        # and extends the session to 20+30=50 < 51, so the [51,81)
+        # fragment stays its own session
+        shard(src / "shard2.parquet", [(3, 20, 7)])
+        q.processAllAvailable()
+        snap2 = sorted((r.start_us, r.end_us, r.n_events) for r in
+                       spark.table("mem_session_merge").collect())
+    finally:
+        q.stop()
+
+    m = 60_000_000
+    assert snap2 == [(0, 50 * m, 2), (51 * m, 81 * m, 1)]
+
+    # parity: the merged streaming state == batch sessions on the full
+    # landed data
+    batch = (spark.read.schema(schema).parquet(str(src))
+             .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                      "user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"))
+             .select(F.unix_micros(F.col("w.start")).alias("start_us"),
+                     F.unix_micros(F.col("w.end")).alias("end_us"),
+                     "n_events"))
+    assert snap2 == sorted((r.start_us, r.end_us, r.n_events)
+                           for r in batch.collect())
