@@ -358,3 +358,78 @@ SELECT lang, n_docs, total_bytes, current_files, files_planned,
            AS avg_bytes_planned
 FROM per_lang
 """
+
+
+# --- CBO-style table statistics profile ------------------------------------
+
+# (column, how to render min/max as an engine-neutral string)
+_PROFILE_COLS = (
+    ("l_orderkey", "bigint"),
+    ("l_partkey", "bigint"),
+    ("l_suppkey", "bigint"),
+    ("l_linenumber", "bigint"),
+    ("l_returnflag", "string"),
+    ("l_linestatus", "string"),
+    ("l_shipdate", "date"),
+)
+
+
+def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE statistics for ``lineitem`` — per-column row
+    count, non-null count, exact NDV, and min/max rendered as strings:
+    the statistics a cost-based optimizer consumes for join
+    reordering, broadcast thresholds, and selectivity estimates (and
+    the numbers a 100 TB migration diffs against the source catalog
+    before cutover). Doubles (price/discount/tax) are deliberately
+    out of scope: their min/max string rendering is engine-specific,
+    and a CBO bins them anyway.
+
+    Exactness: counts and NDVs are exact integers; min/max are exact
+    value strings (BIGINT and VARCHAR render identically everywhere;
+    the timestamp column is profiled at DATE grain, whose ISO form
+    both engines print identically).
+
+    Scale: one single-column aggregate per profiled column, unioned —
+    each branch's parquet scan prunes to THAT column (ReadSchema is
+    one field), so the profile costs k narrow column scans rather
+    than one Expand-multiplied multi-distinct shuffle of k× the rows
+    (Spark's multi-countDistinct rewrite duplicates every row per
+    distinct aggregate — the wrong trade at 100 TB). Exact NDV is the
+    correctness gate here; the production fast path swaps
+    count(distinct) for approx_count_distinct/HLL per column without
+    touching the shape, as `hll_sketch_users` demonstrates.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for col, kind in _PROFILE_COLS:
+        c = F.col(col)
+        if kind == "date":
+            c = c.cast("date")
+        parts.append(
+            li.select(c.alias("v"))
+            .agg(F.lit(col).alias("column_name"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.count("v").alias("n_nonnull"),
+                 F.countDistinct("v").alias("ndv"),
+                 F.min("v").cast("string").alias("min_str"),
+                 F.max("v").cast("string").alias("max_str")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _profile_branch_sql(col: str, kind: str) -> str:
+    v = f"CAST({col} AS DATE)" if kind == "date" else col
+    return f"""
+    SELECT '{col}' AS column_name,
+           count(*) AS n_rows,
+           count({v}) AS n_nonnull,
+           CAST(count(DISTINCT {v}) AS BIGINT) AS ndv,
+           CAST(min({v}) AS VARCHAR) AS min_str,
+           CAST(max({v}) AS VARCHAR) AS max_str
+    FROM lineitem"""
+
+
+TABLE_STATS_SQL = "\nUNION ALL".join(
+    _profile_branch_sql(col, kind) for col, kind in _PROFILE_COLS)

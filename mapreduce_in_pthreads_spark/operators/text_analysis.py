@@ -4116,3 +4116,89 @@ SELECT n_points, total_tokens, vocab_size,
              / CAST(n_points AS DOUBLE), 6) + 0.0 AS heaps_ln_k
 FROM mom
 """
+
+
+# --- Good-Turing frequency discounts ---------------------------------------
+
+GT_MAX_R = 5  # report the low-count classes, where discounting matters
+
+
+def good_turing_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing discounted counts over corpus TRIGRAM frequencies
+    (Good 1953; Church & Gale 1991 used exactly this bigram/trigram
+    setting): for each observed count r, the frequency of frequencies
+    N_r and the discounted count r* = (r+1)·N_{r+1}/N_r, plus the total
+    probability mass the r-class keeps, r*·N_r/N. r=1's class mass is
+    simultaneously the Good-Turing estimate of UNSEEN-event mass — the
+    number an n-gram LM must reserve before smoothing (Kneser-Ney's
+    fixed D=3/4 in ``kneser_ney_bigram_logprob`` is the parametric
+    shortcut for the same quantity; this op measures it nonparametrically
+    from the corpus itself). Trigrams, not unigrams/bigrams: the ~65-word
+    synthetic vocabulary saturates low bigram counts at sf0.1 (N_1 = 0),
+    while the trigram table keeps every r ≤ 6 class populated at all
+    three SFs (measured).
+
+    Exactness: counts and N·r products are exact BIGINT end-to-end;
+    r* and the class mass are built from ONE division each of
+    bit-identical operands (correctly-rounded IEEE ops on identical
+    expression trees), so no decimal pin is needed.
+
+    Scale: two combinable aggregations (trigram counts — the corpus-
+    sized shuffle any n-gram LM already pays — then the frequency-of-
+    frequencies rollup over the TYPE table); the r+1 lookup is a self-
+    join on the ≤max(r)-row FoF relation and the N total attaches as a
+    broadcast 1-row relation. Nothing after the first groupBy is
+    corpus-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    counts = (docs.select(F.explode(sliding_ngrams(toks, 3)).alias("g"))
+              .groupBy("g").agg(F.count(F.lit(1)).alias("r")))
+    fof = counts.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    total = fof.agg(F.sum(F.col("r") * F.col("n_r")).alias("n_total"))
+    nxt = fof.select((F.col("r") - F.lit(1)).alias("r"),
+                     F.col("n_r").alias("n_next"))
+    n_next = F.coalesce("n_next", F.lit(0))
+    r_star = (((F.col("r") + F.lit(1)) * n_next).cast("double")
+              / F.col("n_r").cast("double"))
+    return (fof.filter(F.col("r") <= GT_MAX_R)
+            .join(F.broadcast(nxt), "r", "left")
+            .crossJoin(F.broadcast(total))
+            .select(F.col("r").cast("bigint").alias("r"),
+                    "n_r",
+                    n_next.cast("bigint").alias("n_next"),
+                    "n_total",
+                    r_star.alias("r_star"),
+                    (r_star * F.col("n_r").cast("double")
+                     / F.col("n_total").cast("double"))
+                    .alias("class_mass")))
+
+
+GOOD_TURING_SQL = f"""
+WITH counts AS (
+    SELECT g, count(*) AS r FROM (
+        SELECT unnest(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2])) AS g
+        FROM documents
+    ) GROUP BY g
+), fof AS (
+    SELECT r, count(*) AS n_r FROM counts GROUP BY r
+), total AS (
+    SELECT sum(r * n_r) AS n_total FROM fof
+)
+SELECT CAST(f.r AS BIGINT) AS r,
+       f.n_r AS n_r,
+       CAST(COALESCE(nx.n_r, 0) AS BIGINT) AS n_next,
+       t.n_total AS n_total,
+       CAST((f.r + 1) * COALESCE(nx.n_r, 0) AS DOUBLE)
+           / CAST(f.n_r AS DOUBLE) AS r_star,
+       CAST((f.r + 1) * COALESCE(nx.n_r, 0) AS DOUBLE)
+           / CAST(f.n_r AS DOUBLE)
+           * CAST(f.n_r AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+           AS class_mass
+FROM fof f LEFT JOIN fof nx ON nx.r = f.r + 1, total t
+WHERE f.r <= {GT_MAX_R}
+"""

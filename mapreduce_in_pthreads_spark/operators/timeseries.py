@@ -2143,3 +2143,231 @@ FROM t2 t LEFT JOIN rules r ON t.v = r.v
 WHERE NOT t.is_train
 GROUP BY t.v
 """
+
+
+# --- seasonal-naive forecast skill (MASE) -----------------------------------
+
+MASE_SEASON_H = 24  # daily seasonality on the hourly grid
+
+
+def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-skill readout per event_type: MASE (Hyndman & Koehler
+    2006) of the 24-hour-seasonal-naive forecast ŷ_t = y_{t-24} on the
+    LAST day of hourly event counts, scaled by the same forecaster's
+    in-sample MAE on all prior days. MASE < 1 means the series carries
+    exploitable structure beyond daily repetition; it is the
+    scale-free gate a pipeline runs before paying for a real model
+    (the Holt op here is one) — and the denominator convention makes
+    types with wildly different volumes comparable.
+
+    Exactness: the hourly grid is integer epoch-hours (``epoch_us div
+    3600e6``), densified from each engine's identical (min, max) hour
+    bounds; counts and |y_t − y_{t-24}| are exact integers, each MAE is
+    ONE division of exact-integer operands, and MASE is one division
+    of those two bit-identical doubles — no decimal pin needed.
+
+    Scale: one combinable (event_type, hour) count — the only
+    corpus-sized stage — then every window/join runs on the dense grid
+    (|types| × |hours|: manifest-sized, 3.6 K cells here, ~1e6 at a
+    century of hours). The lag-24 window partitions by event_type over
+    that grid; the (min, max) bounds attach as a broadcast 1-row
+    relation. At 100 TB nothing changes: the grid stays tiny while the
+    count stage scales linearly with one exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = (ev.select("event_type",
+                        F.expr("unix_micros(ts) div 3600000000")
+                        .alias("h"))
+              .groupBy("event_type", "h")
+              .agg(F.count(F.lit(1)).alias("c")))
+    bounds = counts.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+    types = counts.select("event_type").distinct()
+    grid = (types.crossJoin(F.broadcast(bounds))
+            .select("event_type", "hmax",
+                    F.explode(F.sequence("hmin", "hmax")).alias("h")))
+    dense = (grid.join(counts, ["event_type", "h"], "left")
+             .select("event_type", "h", "hmax",
+                     F.coalesce("c", F.lit(0)).alias("y")))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = dense.select(
+        "event_type", "h", "hmax", "y",
+        F.lag("y", MASE_SEASON_H).over(w).alias("y_prev"))
+    diff = lagged.filter(F.col("y_prev").isNotNull()).select(
+        "event_type",
+        F.abs(F.col("y") - F.col("y_prev")).alias("ad"),
+        (F.col("h") > F.col("hmax") - F.lit(MASE_SEASON_H))
+        .alias("is_test"))
+    agg = (diff.groupBy("event_type")
+           .agg(F.sum(F.when(~F.col("is_test"), 1).otherwise(0))
+                .alias("n_train"),
+                F.sum(F.when(~F.col("is_test"), F.col("ad"))
+                      .otherwise(0)).alias("sad_train"),
+                F.sum(F.when(F.col("is_test"), 1).otherwise(0))
+                .alias("n_test"),
+                F.sum(F.when(F.col("is_test"), F.col("ad"))
+                      .otherwise(0)).alias("sad_test")))
+    mae_train = (F.col("sad_train").cast("double")
+                 / F.col("n_train").cast("double"))
+    mae_test = (F.col("sad_test").cast("double")
+                / F.col("n_test").cast("double"))
+    return agg.select("event_type", "n_train", "n_test",
+                      mae_train.alias("mae_insample"),
+                      mae_test.alias("mae_test"),
+                      (mae_test / mae_train).alias("mase"))
+
+
+SEASONAL_NAIVE_MASE_SQL = f"""
+WITH counts AS (
+    SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS c
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT min(h) AS hmin, max(h) AS hmax FROM counts
+), grid AS (
+    SELECT t.event_type, b.hmax, g.h
+    FROM (SELECT DISTINCT event_type FROM counts) t,
+         bounds b,
+         LATERAL (SELECT unnest(generate_series(b.hmin, b.hmax)) AS h) g
+), dense AS (
+    SELECT g.event_type, g.h, g.hmax, COALESCE(c.c, 0) AS y
+    FROM grid g LEFT JOIN counts c
+      ON g.event_type = c.event_type AND g.h = c.h
+), lagged AS (
+    SELECT event_type, h, hmax, y,
+           lag(y, {MASE_SEASON_H}) OVER (PARTITION BY event_type
+                                         ORDER BY h) AS y_prev
+    FROM dense
+), diff AS (
+    SELECT event_type, abs(y - y_prev) AS ad,
+           h > hmax - {MASE_SEASON_H} AS is_test
+    FROM lagged WHERE y_prev IS NOT NULL
+), agg AS (
+    SELECT event_type,
+           sum(CASE WHEN NOT is_test THEN 1 ELSE 0 END) AS n_train,
+           sum(CASE WHEN NOT is_test THEN ad ELSE 0 END) AS sad_train,
+           sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS n_test,
+           sum(CASE WHEN is_test THEN ad ELSE 0 END) AS sad_test
+    FROM diff GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_test AS BIGINT) AS n_test,
+       CAST(sad_train AS DOUBLE) / CAST(n_train AS DOUBLE) AS mae_insample,
+       CAST(sad_test AS DOUBLE) / CAST(n_test AS DOUBLE) AS mae_test,
+       (CAST(sad_test AS DOUBLE) / CAST(n_test AS DOUBLE))
+           / (CAST(sad_train AS DOUBLE) / CAST(n_train AS DOUBLE)) AS mase
+FROM agg
+"""
+
+
+# --- bucketed interval-overlap join ----------------------------------------
+
+OVL_GAP_US = 1_800_000_000   # 30 min: session gap AND activity tail
+OVL_HOUR_US = 3_600_000_000  # bucket width of the interval join
+
+
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user concurrency: which user sessions OVERLAP in wall
+    time, per day — the interval self-join Spark has no native range
+    operator for (co-browsing/fraud rings, concurrency licensing,
+    load attribution all ask it). Sessions are the engine's standard
+    30-min-gap intervals, held active for one gap past their last
+    event ([first_event, last_event + 30 min)); a pair overlaps iff
+    max(starts) < min(ends), and the report is per-day overlapping
+    pair counts with mean overlap seconds.
+
+    The join is the public bucketed-range-join technique (what
+    Flink's interval join and warehouse range-join hints do under the
+    hood): each interval explodes to the hour buckets it touches,
+    candidates pair WITHIN a bucket only, and a pair is kept exactly
+    once — by the bucket that contains its overlap START — so no
+    distinct pass is needed. Bucket width is the fan-out knob: it
+    bounds candidates to |bucket|² per hour instead of |day|² per
+    day, and at 100 TB you narrow it (minutes) to keep per-bucket
+    membership flat while the exploded relation grows only by
+    interval_length/width per row. Session build: one user-keyed
+    window + one combinable agg; no stage is ever corpus².
+
+    Exactness: all boundaries are exact integer epoch-µs; overlap
+    spans are integer µs; the mean is one division of exact-integer
+    operands then one division by the 1e6 literal — bit-identical on
+    identical trees, no decimal pin.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    flagged = ev.select(
+        "user_id", "event_id", t.alias("t"),
+        F.when(F.lag(t).over(w).isNull()
+               | ((t - F.lag(t).over(w)) > OVL_GAP_US), 1)
+        .otherwise(0).alias("new_s"))
+    cw = Window.partitionBy("user_id").orderBy("t", "event_id")
+    sids = flagged.select(
+        "user_id", "t",
+        F.sum("new_s").over(
+            cw.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"))
+    sess = (sids.groupBy("user_id", "sid")
+            .agg(F.min("t").alias("s"),
+                 (F.max("t") + F.lit(OVL_GAP_US)).alias("e")))
+    spans = sess.select(
+        "user_id", "sid", "s", "e",
+        F.explode(F.sequence(
+            F.expr(f"s div {OVL_HOUR_US}"),
+            F.expr(f"(e - 1) div {OVL_HOUR_US}"))).alias("hb"))
+    a, b = spans.alias("a"), spans.alias("b")
+    ovl_start = F.greatest(F.col("a.s"), F.col("b.s"))
+    ovl_end = F.least(F.col("a.e"), F.col("b.e"))
+    pairs = (a.join(b, (F.col("a.hb") == F.col("b.hb"))
+                    & (F.col("a.user_id") < F.col("b.user_id"))
+                    & (ovl_start < ovl_end)
+                    & (F.expr(f"a.hb = (greatest(a.s, b.s) div "
+                              f"{OVL_HOUR_US})")))
+             .select(F.expr("a.hb div 24").alias("day_idx"),
+                     (ovl_end - ovl_start).alias("ovl_us")))
+    return (pairs.groupBy("day_idx")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum("ovl_us").alias("sum_us"))
+            .select(F.date_from_unix_date(
+                        F.col("day_idx").cast("int")).alias("day"),
+                    "n_pairs",
+                    (F.col("sum_us").cast("double")
+                     / F.col("n_pairs").cast("double")
+                     / F.lit(1000000.0)).alias("avg_overlap_s")))
+
+
+SESSION_OVERLAP_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, epoch_us(ts) AS t,
+           CASE WHEN lag(epoch_us(ts)) OVER uw IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER uw
+                       > {OVL_GAP_US}
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sids AS (
+    SELECT user_id, t,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+), sess AS (
+    SELECT user_id, sid, min(t) AS s, max(t) + {OVL_GAP_US} AS e
+    FROM sids GROUP BY user_id, sid
+), spans AS (
+    SELECT user_id, sid, s, e, g.hb
+    FROM sess, LATERAL (SELECT unnest(generate_series(
+        s // {OVL_HOUR_US}, (e - 1) // {OVL_HOUR_US})) AS hb) g
+), pairs AS (
+    SELECT a.hb // 24 AS day_idx,
+           least(a.e, b.e) - greatest(a.s, b.s) AS ovl_us
+    FROM spans a JOIN spans b
+      ON a.hb = b.hb
+     AND a.user_id < b.user_id
+     AND greatest(a.s, b.s) < least(a.e, b.e)
+     AND a.hb = greatest(a.s, b.s) // {OVL_HOUR_US}
+)
+SELECT DATE '1970-01-01' + CAST(day_idx AS INTEGER) AS day,
+       count(*) AS n_pairs,
+       CAST(sum(ovl_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           / 1000000.0 AS avg_overlap_s
+FROM pairs GROUP BY day_idx
+"""

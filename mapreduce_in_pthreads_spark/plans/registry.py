@@ -1162,6 +1162,33 @@ register("dedup_token_impact", cu.dedup_token_impact,
          "transitive near-dup stage (charged to exact survivors "
          "only), raw/removed/surviving tokens + savings share — "
          "composed verbatim from exact_dedup + connected components")
+register("good_turing_discounts", ta.good_turing_discounts,
+         ta.GOOD_TURING_SQL,
+         "Good-Turing discounted counts r* = (r+1)N_{r+1}/N_r over the "
+         "trigram frequency-of-frequencies table (Good 1953, Church & "
+         "Gale 1991) + per-class probability mass — the nonparametric "
+         "unseen-mass estimate behind every LM smoother; all-integer "
+         "until two exact-operand divisions")
+register("seasonal_naive_mase", ts.seasonal_naive_mase,
+         ts.SEASONAL_NAIVE_MASE_SQL,
+         "MASE forecast-skill readout (Hyndman & Koehler 2006): "
+         "24h-seasonal-naive forecast of the last day's hourly counts "
+         "per event_type, scaled by the in-sample seasonal-naive MAE "
+         "— the scale-free gate before fitting a real model; all "
+         "windows run on the dense manifest-sized hour grid")
+register("session_overlap_pairs", ts.session_overlap_pairs,
+         ts.SESSION_OVERLAP_SQL,
+         "cross-user session concurrency via the bucketed interval "
+         "self-join (the public range-join technique Spark lacks "
+         "natively): intervals explode to hour buckets, pair within "
+         "a bucket only, kept once by the overlap-start bucket — "
+         "per-day overlapping pairs + mean overlap seconds")
+register("table_stats_profile", lay.table_stats_profile,
+         lay.TABLE_STATS_SQL,
+         "ANALYZE-TABLE statistics for lineitem: per-column rows / "
+         "non-nulls / exact NDV / min-max strings — what a CBO reads "
+         "for join reordering and broadcast decisions; one 1-column "
+         "pruned scan per branch, never an Expand multi-distinct")
 
 # --- adjudication-window rotation -----------------------------------------
 # The driver adjudicates only the FIRST 50 registry entries per round
@@ -1185,19 +1212,24 @@ register("dedup_token_impact", cu.dedup_token_impact,
 # `python tools/next_window.py --must <the 12>`; validated with
 # `--check --must <the 12>`. 53 leftovers fit rounds 7-8.
 #
-# ROUND-7 WINDOW (registry at 294: 288 entering the round + exactly
-# the 6 new additions VERDICT r6 item 2 budgeted; 204 ever
-# adjudicated, 90 never): the plain `python tools/next_window.py`
-# proposal's 44 never-adjudicated entries in thematic order, with the
-# 6 round-7 additions (winnowing_fingerprints,
+# ROUND-7 WINDOW (registry at 298: 288 entering the round + the 6
+# session-1 additions VERDICT r6 item 2 budgeted + 4 session-2
+# additions placed BEHIND the window; 204 ever adjudicated, 94
+# never): the plain `python tools/next_window.py` proposal's 44
+# never-adjudicated entries in thematic order, with the 6 round-7
+# session-1 additions (winnowing_fingerprints,
 # prefix_filter_jaccard_join, split_leakage_audit,
 # psi_drift_by_source, heaps_law_fit, dedup_token_impact — each
 # 3-SF oracle-green + pin-tested before entering the window) taking
 # the slots the flagship six would have re-spent (the flagship carry
 # 6 consecutive green rounds and unchanged code). Endgame stays
-# exact: 40 never-adjudicated entries remain for round 8's 44 fresh
-# slots — full-registry adjudication completes in round 8 with room
-# for the flagship to return. Validate with `--check`.
+# exact: 44 never-adjudicated entries remain (40 backlog + the 4
+# session-2 additions good_turing_discounts, seasonal_naive_mase,
+# session_overlap_pairs, table_stats_profile — each 3-SF
+# oracle-green + vanilla-probed + replica-pinned on landing day) —
+# they exactly fill round 8's 44 fresh slots, so full-registry
+# adjudication completes in round 8 with the flagship six returning.
+# Validate with `--check`.
 _ADJUDICATION_FIRST: tuple[str, ...] = (
     "winnowing_fingerprints", "prefix_filter_jaccard_join",
     "split_leakage_audit", "psi_drift_by_source",
