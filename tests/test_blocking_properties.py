@@ -124,3 +124,54 @@ def test_spearman_formula_equals_pearson_of_ranks(perm):
     cov = sum((a - mean) * (b - mean) for a, b in zip(r1, r2))
     var = sum((a - mean) ** 2 for a in r1)
     assert abs(rho - cov / var) < 1e-12
+
+
+# --- bucketed interval-overlap join (round-7 session 2) --------------------
+
+@given(st.lists(
+    st.tuples(st.integers(0, 9),                      # user
+              st.integers(0, 10 * 86_400_000_000),    # start µs
+              st.integers(1, 4 * 3_600_000_000)),     # duration µs
+    min_size=0, max_size=40))
+@settings(max_examples=200)
+def test_interval_bucket_join_lossless_and_exactly_once(raw):
+    """`session_overlap_pairs`' bucket scheme, replicated in pure
+    Python, must find every cross-user overlapping pair EXACTLY once
+    (no pair missed by hour blocking, none double-counted across the
+    buckets a long overlap spans) for arbitrary intervals — not just
+    the 30-min-tail sessions the corpus produces."""
+    from mapreduce_in_pthreads_spark.operators.timeseries import (
+        OVL_HOUR_US)
+
+    ivs = [(u, s, s + d) for u, s, d in raw]
+
+    # brute force: every unordered cross-user overlapping index pair
+    want = set()
+    for i in range(len(ivs)):
+        u1, s1, e1 = ivs[i]
+        for j in range(i + 1, len(ivs)):
+            u2, s2, e2 = ivs[j]
+            if u1 != u2 and max(s1, s2) < min(e1, e2):
+                want.add((i, j))
+
+    # the operator's plan: explode to touched hour buckets, pair
+    # within a bucket, keep iff the bucket owns the overlap start
+    buckets: dict = {}
+    for idx, (u, s, e) in enumerate(ivs):
+        for hb in range(s // OVL_HOUR_US, (e - 1) // OVL_HOUR_US + 1):
+            buckets.setdefault(hb, []).append(idx)
+    got = []
+    for hb, members in buckets.items():
+        for x in range(len(members)):
+            for y in range(len(members)):
+                i, j = members[x], members[y]
+                if i >= j:
+                    continue
+                u1, s1, e1 = ivs[i]
+                u2, s2, e2 = ivs[j]
+                if (u1 != u2 and max(s1, s2) < min(e1, e2)
+                        and max(s1, s2) // OVL_HOUR_US == hb):
+                    got.append((i, j))
+
+    assert len(got) == len(set(got))  # exactly-once
+    assert set(got) == want           # lossless
