@@ -2180,6 +2180,14 @@ def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("h"))
               .groupBy("event_type", "h")
               .agg(F.count(F.lit(1)).alias("c")))
+    return mase_finish(counts)
+
+
+def mase_finish(counts: DataFrame) -> DataFrame:
+    """Dense-grid lag-24 MASE over an (event_type, h, c) relation —
+    shared verbatim by the batch operator above and the foreachBatch
+    streaming twin (``streaming/foreach_batch.run_seasonal_mase_stream``),
+    the repo's "streaming ingest, batch finish per trigger" pattern."""
     bounds = counts.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
     types = counts.select("event_type").distinct()
     grid = (types.crossJoin(F.broadcast(bounds))

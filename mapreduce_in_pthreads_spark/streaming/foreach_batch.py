@@ -164,3 +164,39 @@ def run_holt_forecast_stream(spark: SparkSession, sf_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def run_seasonal_mase_stream(spark: SparkSession, sf_dir: str,
+                             checkpoint_dir: str, holder: dict) -> None:
+    """Streaming twin of ``timeseries.seasonal_naive_mase`` — the
+    fifth instance of the "streaming ingest, batch finish per trigger"
+    pattern: per-(event_type, hour) counts accumulate as a
+    complete-mode streaming aggregation (state bounded by types ×
+    hours); the non-incremental finishing (dense grid + lag-24 MASE,
+    whose test split depends on the CURRENT max hour and so must be
+    recomputed as data arrives) re-runs per trigger via the SAME
+    ``mase_finish`` the batch operator calls. This is how a live
+    forecast-skill monitor actually runs: every micro-batch refreshes
+    "is yesterday's naive forecast still beating the in-sample
+    error?" from the accumulated series state.
+    """
+    from ..operators.timeseries import mase_finish
+
+    ev = _read_event_stream(spark, sf_dir)
+    counts = (ev.select("event_type",
+                        F.expr("unix_micros(ts) div 3600000000")
+                        .alias("h"))
+              .groupBy("event_type", "h")
+              .agg(F.count(F.lit(1)).alias("c")))
+
+    def finish(batch_df: DataFrame, batch_id: int) -> None:
+        holder["rows"] = mase_finish(batch_df).collect()
+        holder["n_triggers"] = holder.get("n_triggers", 0) + 1
+
+    q = (counts.writeStream
+         .foreachBatch(finish)
+         .outputMode("complete")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -377,3 +377,23 @@ def test_session_windows_merge_across_triggers(spark, tmp_path):
                      "n_events"))
     assert snap2 == sorted((r.start_us, r.end_us, r.n_events)
                            for r in batch.collect())
+
+
+def test_streaming_seasonal_mase_parity(spark, sf_dir, tmp_path):
+    """Streaming ingest + per-trigger MASE finishing (foreachBatch)
+    equals the batch seasonal_naive_mase exactly — hourly counts
+    accumulate as a complete-mode streaming agg, the dense-grid lag-24
+    split re-runs per trigger via the SAME mase_finish helper."""
+    from mapreduce_in_pthreads_spark.streaming.foreach_batch import (
+        run_seasonal_mase_stream)
+
+    holder: dict = {}
+    run_seasonal_mase_stream(spark, sf_dir, str(tmp_path / "ckpt"),
+                             holder)
+    assert holder.get("n_triggers", 0) >= 1
+    cols = ["event_type", "n_train", "n_test",
+            "mae_insample", "mae_test", "mase"]
+    got = sorted(tuple(r[c] for c in cols) for r in holder["rows"])
+    want = _rows(REGISTRY["seasonal_naive_mase"].fn(spark, sf_dir),
+                 cols)
+    assert got == want
