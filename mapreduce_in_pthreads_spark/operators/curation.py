@@ -2345,3 +2345,105 @@ FROM flagged GROUP BY source
 
 
 DEDUP_TOKEN_IMPACT_SQL = _dedup_token_impact_sql()
+
+
+# --- direct standardization (Simpson's-paradox guard) ------------------------
+
+STD_LONG_CHARS = 250  # the long-doc quality metric's fixed threshold
+
+
+def direct_standardization_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confounder-adjusted source comparison — epidemiology's DIRECT
+    STANDARDIZATION (age-adjusted rates), applied to the corpus: the
+    share of long documents (> ``STD_LONG_CHARS`` chars) per source,
+    both POOLED and standardized to the corpus-wide language mix
+    (rate_std(s) = Σ_l W_l·rate(s,l) / Σ_l W_l over the languages the
+    source covers). A source can look "better" pooled purely because
+    its language mix skews long — the Simpson's-paradox failure mode
+    every per-source quality league table has; the confounding gap
+    (pooled − standardized) is the number that says whether a
+    league-table ranking is real or compositional.
+
+    Exactness: every rate and weight is one exact-operand integer
+    division; each per-language term W·r and weight W is |·| ≤ 1, so
+    round(·,10) → DECIMAL(25,10) pins it (the repo's standard
+    order-insensitive sum); the final standardized rate and gap are
+    arithmetic over those bit-identical scalars.
+
+    Scale: the corpus collapses to the (source × lang) cell grid in
+    one combinable aggregation; the language standard population is a
+    broadcast ≤|langs|-row relation and all standardization math runs
+    on the manifest-sized grid. At 100 TB this is one exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.select(
+        "source", "lang",
+        (F.col("n_chars") > STD_LONG_CHARS).cast("long").alias("is_long"))
+    cells = (flagged.groupBy("source", "lang")
+             .agg(F.count(F.lit(1)).alias("n_sl"),
+                  F.sum("is_long").alias("long_sl")))
+    langs = (flagged.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_l")))
+    total = flagged.agg(F.count(F.lit(1)).alias("n_corpus"))
+    dec = "decimal(25,10)"
+    w_l = F.col("n_l").cast("double") / F.col("n_corpus").cast("double")
+    r_sl = F.col("long_sl").cast("double") / F.col("n_sl").cast("double")
+    terms = (cells.join(F.broadcast(langs), "lang")
+             .crossJoin(F.broadcast(total))
+             .select("source", "n_sl", "long_sl",
+                     F.round(w_l * r_sl, 10).cast(dec).alias("wr"),
+                     F.round(w_l, 10).cast(dec).alias("w")))
+    return (terms.groupBy("source")
+            .agg(F.sum("n_sl").alias("n_docs"),
+                 F.sum("long_sl").alias("n_long"),
+                 F.sum("wr").alias("swr"), F.sum("w").alias("sw"))
+            .select("source", "n_docs", "n_long",
+                    (F.col("n_long").cast("double")
+                     / F.col("n_docs").cast("double"))
+                    .alias("rate_pooled"),
+                    (F.col("swr").cast("double")
+                     / F.col("sw").cast("double"))
+                    .alias("rate_standardized"),
+                    ((F.col("n_long").cast("double")
+                      / F.col("n_docs").cast("double"))
+                     - (F.col("swr").cast("double")
+                        / F.col("sw").cast("double")))
+                    .alias("confounding_gap")))
+
+
+DIRECT_STANDARDIZATION_SQL = f"""
+WITH flagged AS (
+    SELECT source, lang,
+           CASE WHEN n_chars > {STD_LONG_CHARS} THEN 1 ELSE 0 END
+               AS is_long
+    FROM documents
+), cells AS (
+    SELECT source, lang, count(*) AS n_sl,
+           CAST(sum(is_long) AS BIGINT) AS long_sl
+    FROM flagged GROUP BY source, lang
+), langs AS (
+    SELECT lang, count(*) AS n_l FROM flagged GROUP BY lang
+), total AS (
+    SELECT count(*) AS n_corpus FROM flagged
+), terms AS (
+    SELECT c.source, c.n_sl, c.long_sl,
+           CAST(round(CAST(l.n_l AS DOUBLE) / CAST(t.n_corpus AS DOUBLE)
+                      * (CAST(c.long_sl AS DOUBLE)
+                         / CAST(c.n_sl AS DOUBLE)), 10)
+                AS DECIMAL(25,10)) AS wr,
+           CAST(round(CAST(l.n_l AS DOUBLE) / CAST(t.n_corpus AS DOUBLE),
+                      10) AS DECIMAL(25,10)) AS w
+    FROM cells c JOIN langs l ON c.lang = l.lang, total t
+)
+SELECT source,
+       CAST(sum(n_sl) AS BIGINT) AS n_docs,
+       CAST(sum(long_sl) AS BIGINT) AS n_long,
+       CAST(sum(long_sl) AS DOUBLE) / CAST(sum(n_sl) AS DOUBLE)
+           AS rate_pooled,
+       CAST(sum(wr) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+           AS rate_standardized,
+       CAST(sum(long_sl) AS DOUBLE) / CAST(sum(n_sl) AS DOUBLE)
+           - CAST(sum(wr) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+           AS confounding_gap
+FROM terms GROUP BY source
+"""

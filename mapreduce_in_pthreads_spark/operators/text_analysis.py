@@ -4202,3 +4202,73 @@ SELECT CAST(f.r AS BIGINT) AS r,
 FROM fof f LEFT JOIN fof nx ON nx.r = f.r + 1, total t
 WHERE f.r <= {GT_MAX_R}
 """
+
+
+# --- word2vec negative-sampling distribution --------------------------------
+
+NEG_TOP_K = 30  # report the head, where damping bites hardest
+
+
+def negative_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word2vec negative-sampling distribution (Mikolov et al.
+    2013): P_neg(w) ∝ count(w)^(3/4) — the 3/4-power damping that
+    keeps frequent words from dominating the negative draws, the same
+    flattening family as ``mixture_sampling_weights``' α=0.5 language
+    temperature but applied at the VOCABULARY level. Reports the
+    top-``NEG_TOP_K`` head words with raw unigram probability, damped
+    probability, and the damp ratio (<1 on the head, >1 on the tail —
+    the mass the trick moves).
+
+    Exactness: counts are exact integers; each c^0.75 is the one libm
+    pow per TERM, round(·,6)-pinned to DECIMAL(25,6) (the engines'
+    shared pow convention — bits may differ at the last ulp), the
+    normalizer is an exact decimal sum of those pinned terms, and
+    every probability/ratio is a division of bit-identical operands.
+
+    Scale: one corpus-sized word count (combinable, 1 exchange);
+    everything else runs on the vocabulary relation — the two totals
+    attach as a broadcast 1-row relation and the head is
+    TakeOrdered(K), never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+              .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
+    w6 = (F.round(F.pow(F.col("c").cast("double"), F.lit(0.75)), 6)
+          .cast("decimal(25,6)"))
+    weighted = counts.select("word", "c", w6.alias("w"))
+    totals = weighted.agg(F.sum("w").alias("z"),
+                          F.sum("c").alias("n_tokens"))
+    p_uni = F.col("c").cast("double") / F.col("n_tokens").cast("double")
+    p_neg = (F.col("w").cast("double") / F.col("z").cast("double"))
+    return (weighted.crossJoin(F.broadcast(totals))
+            .select("word", "c",
+                    F.col("w").cast("double").alias("damped_weight"),
+                    p_uni.alias("p_unigram"),
+                    p_neg.alias("p_negative"),
+                    (p_neg / p_uni).alias("damp_ratio"))
+            .orderBy(F.desc("c"), "word").limit(NEG_TOP_K))
+
+
+NEGATIVE_SAMPLING_SQL = f"""
+WITH counts AS (
+    SELECT word, count(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ) GROUP BY word
+), weighted AS (
+    SELECT word, c,
+           CAST(round(pow(CAST(c AS DOUBLE), 0.75), 6)
+                AS DECIMAL(25,6)) AS w
+    FROM counts
+), totals AS (
+    SELECT sum(w) AS z, CAST(sum(c) AS BIGINT) AS n_tokens FROM weighted
+)
+SELECT word, c,
+       CAST(w AS DOUBLE) AS damped_weight,
+       CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS p_unigram,
+       CAST(w AS DOUBLE) / CAST(z AS DOUBLE) AS p_negative,
+       (CAST(w AS DOUBLE) / CAST(z AS DOUBLE))
+           / (CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS damp_ratio
+FROM weighted, totals
+ORDER BY c DESC, word
+LIMIT {NEG_TOP_K}
+"""

@@ -2379,3 +2379,199 @@ SELECT DATE '1970-01-01' + CAST(day_idx AS INTEGER) AS day,
            / 1000000.0 AS avg_overlap_s
 FROM pairs GROUP BY day_idx
 """
+
+
+# --- sessionization gap-parameter sensitivity --------------------------------
+
+SESS_GAPS_MIN = (15, 30, 60)  # candidate inactivity thresholds
+
+
+def sessionization_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameter-sensitivity audit for the engine's session family:
+    how many sessions, events-per-session, and broken-gap share the
+    corpus yields under a 15/30/60-minute inactivity threshold — the
+    table you read BEFORE hard-coding a session gap (every session
+    operator here uses 30 min; this op shows whether that constant
+    sits on a plateau or a cliff of the gap-distribution CDF).
+
+    Session count needs NO per-session grouping: sessions(T) =
+    n_users + #{consecutive same-user gaps > T}, so ONE user-keyed
+    lag pass serves every threshold simultaneously — three conditional
+    sums over the same gap column, not three sessionizations.
+
+    Exactness: all counts are exact integers; the two ratios are one
+    exact-operand division each — no decimal pin.
+
+    Scale: one window exchange (user_id) + one combinable global
+    aggregate; adding thresholds is free (another conditional sum over
+    the same pass). At 100 TB this is the cheapest member of the
+    session family — no session state is ever materialized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    gaps = ev.select("user_id", (t - F.lag(t).over(w)).alias("gap_us"))
+    aggs = [F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("gap_us").alias("n_gaps")]
+    for m in SESS_GAPS_MIN:
+        aggs.append(F.sum(
+            F.when(F.col("gap_us") > m * 60_000_000, 1).otherwise(0))
+            .alias(f"b{m}"))
+    tot = gaps.agg(*aggs)
+    rows = []
+    for m in SESS_GAPS_MIN:
+        n_sessions = F.col("n_users") + F.col(f"b{m}")
+        rows.append(tot.select(
+            F.lit(m).cast("bigint").alias("gap_minutes"),
+            n_sessions.alias("n_sessions"),
+            (F.col("n_events").cast("double")
+             / n_sessions.cast("double")).alias("events_per_session"),
+            (F.col(f"b{m}").cast("double")
+             / F.col("n_gaps").cast("double")).alias("break_share")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _sess_branch_sql(m: int) -> str:
+    return f"""
+    SELECT CAST({m} AS BIGINT) AS gap_minutes,
+           n_users + b{m} AS n_sessions,
+           CAST(n_events AS DOUBLE) / CAST(n_users + b{m} AS DOUBLE)
+               AS events_per_session,
+           CAST(b{m} AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS break_share
+    FROM tot"""
+
+
+SESSIONIZATION_SENSITIVITY_SQL = (
+    """
+WITH gaps AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap_us
+    FROM events
+), tot AS (
+    SELECT count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           count(gap_us) AS n_gaps,
+"""
+    + ",\n".join(
+        f"           CAST(sum(CASE WHEN gap_us > {m * 60_000_000} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS b{m}"
+        for m in SESS_GAPS_MIN)
+    + "\n    FROM gaps\n)"
+    + "\nUNION ALL".join(_sess_branch_sql(m) for m in SESS_GAPS_MIN))
+
+
+# --- hour-of-day seasonality strength ----------------------------------------
+
+def hourly_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-strength feature per event_type (the tsfeatures /
+    Hyndman "seasonal strength" readout, computed on the hour-of-day
+    factor): the share of hourly-count variance explained by the
+    24-slot hour-of-day profile, strength = 1 − SS_within/SS_tot — the
+    companion number to ``seasonal_naive_mase`` (MASE says whether the
+    naive seasonal forecast is beatable; this says how much of the
+    signal IS the season) and to ``burstiness_fano`` (which measures
+    dispersion without attributing it to a cycle). Zero-count hours
+    carry real seasonal information, so the series is densified on the
+    engine's (min, max)-bounded hour grid first.
+
+    Exactness: via the moment identities SS_tot = Σy² − (Σy)²/n and
+    SS_within = Σy² − Σ_slot S²/n (all of Σy, Σy², S_slot, n_slot
+    exact integers). The 24 per-slot means-model terms S²/n are each
+    one exact-operand division, round(·,4)-pinned to DECIMAL(25,4) and
+    summed exactly (the ``time_weighted_avg_value`` convention —
+    order-insensitive); the final strength is arithmetic over those
+    bit-identical scalars.
+
+    Scale: the corpus collapses to the dense (type × hour) grid in one
+    combinable count; both moment passes aggregate that grid (per type
+    and per (type, slot) — 24 rows), so everything after the first
+    exchange is manifest-sized at any corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = (ev.select("event_type",
+                        F.expr("unix_micros(ts) div 3600000000")
+                        .alias("h"))
+              .groupBy("event_type", "h")
+              .agg(F.count(F.lit(1)).alias("c")))
+    bounds = counts.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+    types = counts.select("event_type").distinct()
+    grid = (types.crossJoin(F.broadcast(bounds))
+            .select("event_type",
+                    F.explode(F.sequence("hmin", "hmax")).alias("h")))
+    dense = (grid.join(counts, ["event_type", "h"], "left")
+             .select("event_type", (F.col("h") % 24).alias("slot"),
+                     F.coalesce("c", F.lit(0)).alias("y")))
+    slot = (dense.groupBy("event_type", "slot")
+            .agg(F.sum("y").alias("s"), F.count(F.lit(1)).alias("m"))
+            .select("event_type",
+                    F.round(F.col("s").cast("double")
+                            * F.col("s").cast("double")
+                            / F.col("m").cast("double"), 4)
+                    .cast("decimal(25,4)").alias("term"),
+                    "s", "m"))
+    per_type = (slot.groupBy("event_type")
+                .agg(F.sum("term").alias("a_dec"),
+                     F.sum("s").alias("sy"),
+                     F.sum("m").alias("n")))
+    sq = (dense.groupBy("event_type")
+          .agg(F.sum(F.col("y") * F.col("y")).alias("syy")))
+    a = F.col("a_dec").cast("double")
+    b = (F.col("sy").cast("double") * F.col("sy").cast("double")
+         / F.col("n").cast("double"))
+    c = F.col("syy").cast("double")
+    return (per_type.join(sq, "event_type")
+            .select("event_type", F.col("n").alias("n_hours"),
+                    (c - b).alias("ss_tot"),
+                    (c - a).alias("ss_within"),
+                    ((a - b) / (c - b)).alias("strength")))
+
+
+HOURLY_SEASONALITY_SQL = """
+WITH counts AS (
+    SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS c
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT min(h) AS hmin, max(h) AS hmax FROM counts
+), grid AS (
+    SELECT t.event_type, g.h
+    FROM (SELECT DISTINCT event_type FROM counts) t,
+         bounds b,
+         LATERAL (SELECT unnest(generate_series(b.hmin, b.hmax)) AS h) g
+), dense AS (
+    SELECT g.event_type, g.h % 24 AS slot, COALESCE(c.c, 0) AS y
+    FROM grid g LEFT JOIN counts c
+      ON g.event_type = c.event_type AND g.h = c.h
+), slot AS (
+    SELECT event_type,
+           CAST(round(CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 4)
+                AS DECIMAL(25,4)) AS term,
+           sum(y) AS s, count(*) AS m
+    FROM dense GROUP BY event_type, slot
+), per_type AS (
+    SELECT event_type, sum(term) AS a_dec,
+           CAST(sum(s) AS BIGINT) AS sy, CAST(sum(m) AS BIGINT) AS n
+    FROM slot GROUP BY event_type
+), sq AS (
+    SELECT event_type, CAST(sum(y * y) AS BIGINT) AS syy
+    FROM dense GROUP BY event_type
+)
+SELECT p.event_type, p.n AS n_hours,
+       CAST(q.syy AS DOUBLE)
+           - CAST(p.sy AS DOUBLE) * CAST(p.sy AS DOUBLE)
+             / CAST(p.n AS DOUBLE) AS ss_tot,
+       CAST(q.syy AS DOUBLE) - CAST(p.a_dec AS DOUBLE) AS ss_within,
+       (CAST(p.a_dec AS DOUBLE)
+           - CAST(p.sy AS DOUBLE) * CAST(p.sy AS DOUBLE)
+             / CAST(p.n AS DOUBLE))
+           / (CAST(q.syy AS DOUBLE)
+              - CAST(p.sy AS DOUBLE) * CAST(p.sy AS DOUBLE)
+                / CAST(p.n AS DOUBLE)) AS strength
+FROM per_type p JOIN sq q ON p.event_type = q.event_type
+"""

@@ -1189,6 +1189,34 @@ register("table_stats_profile", lay.table_stats_profile,
          "non-nulls / exact NDV / min-max strings — what a CBO reads "
          "for join reordering and broadcast decisions; one 1-column "
          "pruned scan per branch, never an Expand multi-distinct")
+register("sessionization_sensitivity", ts.sessionization_sensitivity,
+         ts.SESSIONIZATION_SENSITIVITY_SQL,
+         "session-gap parameter sensitivity: sessions / "
+         "events-per-session / broken-gap share under 15/30/60-min "
+         "thresholds from ONE lag pass (sessions(T) = users + gaps>T "
+         "— no per-session state), the table read before hard-coding "
+         "the session family's 30-min constant")
+register("hourly_seasonality_strength", ts.hourly_seasonality_strength,
+         ts.HOURLY_SEASONALITY_SQL,
+         "seasonal-strength feature (tsfeatures/Hyndman): share of "
+         "hourly-count variance explained by the 24-slot hour-of-day "
+         "profile, 1 - SS_within/SS_tot via exact integer moments + "
+         "decimal-pinned per-slot means-model terms — the companion "
+         "to seasonal_naive_mase and burstiness_fano")
+register("negative_sampling_weights", ta.negative_sampling_weights,
+         ta.NEGATIVE_SAMPLING_SQL,
+         "word2vec negative-sampling distribution (Mikolov 2013): "
+         "P(w) ∝ count^(3/4) with pow round(·,6)-decimal-pinned, "
+         "exact-decimal normalizer, top-K head with the damp ratio "
+         "the 3/4 trick moves — the vocabulary-level member of the "
+         "temperature-flattening family")
+register("direct_standardization_rates", cu.direct_standardization_rates,
+         cu.DIRECT_STANDARDIZATION_SQL,
+         "epidemiology's direct standardization as the Simpson's-"
+         "paradox guard for per-source quality league tables: pooled "
+         "long-doc rate vs the rate standardized to the corpus "
+         "language mix + the confounding gap; decimal-pinned "
+         "manifest-sized grid math after one exchange")
 
 # --- adjudication-window rotation -----------------------------------------
 # The driver adjudicates only the FIRST 50 registry entries per round
@@ -1223,13 +1251,16 @@ register("table_stats_profile", lay.table_stats_profile,
 # 3-SF oracle-green + pin-tested before entering the window) taking
 # the slots the flagship six would have re-spent (the flagship carry
 # 6 consecutive green rounds and unchanged code). Endgame stays
-# exact: 44 never-adjudicated entries remain (40 backlog + the 4
+# intact: 48 never-adjudicated entries remain (40 backlog + the 8
 # session-2 additions good_turing_discounts, seasonal_naive_mase,
-# session_overlap_pairs, table_stats_profile — each 3-SF
-# oracle-green + vanilla-probed + replica-pinned on landing day) —
-# they exactly fill round 8's 44 fresh slots, so full-registry
-# adjudication completes in round 8 with the flagship six returning.
-# Validate with `--check`.
+# session_overlap_pairs, table_stats_profile,
+# sessionization_sensitivity, hourly_seasonality_strength,
+# negative_sampling_weights, direct_standardization_rates — each
+# 3-SF oracle-green + vanilla-probed + replica-pinned on landing
+# day). Round 8's 50-slot window takes all 48 plus 2 flagship
+# re-proofs (use next_window.py's swap-over-flagship move again), so
+# full-registry adjudication still completes in round 8. Rounds 9+
+# are then free to grow the registry again. Validate with `--check`.
 _ADJUDICATION_FIRST: tuple[str, ...] = (
     "winnowing_fingerprints", "prefix_filter_jaccard_join",
     "split_leakage_audit", "psi_drift_by_source",

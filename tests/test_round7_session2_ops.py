@@ -1,9 +1,11 @@
-"""Semantic pins for the round-7 session-2 additions
+"""Semantic pins for the eight round-7 session-2 additions
 (good_turing_discounts, seasonal_naive_mase, session_overlap_pairs,
-table_stats_profile). The oracle contract proves Spark==DuckDB; these
-prove both equal the algorithm as specified — including the lossless
-claim of the bucketed interval join, which is pinned against an
-all-pairs brute force."""
+table_stats_profile, sessionization_sensitivity,
+hourly_seasonality_strength, negative_sampling_weights,
+direct_standardization_rates). The oracle contract proves
+Spark==DuckDB; these prove both equal the algorithm as specified —
+including the lossless claim of the bucketed interval join, which is
+pinned against an all-pairs brute force."""
 
 from __future__ import annotations
 
@@ -193,3 +195,162 @@ def test_table_stats_profile_pyarrow_replica(spark):
     assert len(schemas) == len(_PROFILE_COLS)
     for s in schemas:
         assert s.count(":") == 1, f"branch reads >1 column: {s}"
+
+
+def test_sessionization_sensitivity_python_replica(spark):
+    """sessions(T) = users + #{gaps > T} must equal a per-user sorted
+    replica, and the monotonicity a gap CDF implies must hold: larger
+    gap thresholds never increase the session count."""
+    from mapreduce_in_pthreads_spark.operators.timeseries import (
+        SESS_GAPS_MIN, sessionization_sensitivity)
+
+    by_user: defaultdict = defaultdict(list)
+    for u, eid, ts in _events(SF_CORRECT):
+        by_user[u].append((ts, eid))
+    gaps = []
+    for evs in by_user.values():
+        evs.sort()
+        gaps.extend(b[0] - a[0] for a, b in zip(evs, evs[1:]))
+    n_events = sum(len(v) for v in by_user.values())
+
+    rows = {r["gap_minutes"]: r
+            for r in sessionization_sensitivity(spark, SF_CORRECT)
+            .collect()}
+    assert set(rows) == set(SESS_GAPS_MIN)
+    prev = None
+    for m in sorted(SESS_GAPS_MIN):
+        broken = sum(1 for g in gaps if g > m * 60_000_000)
+        want_sessions = len(by_user) + broken
+        r = rows[m]
+        assert r["n_sessions"] == want_sessions
+        assert r["events_per_session"] == pytest.approx(
+            n_events / want_sessions, abs=1e-12)
+        assert r["break_share"] == pytest.approx(
+            broken / len(gaps), abs=1e-12)
+        if prev is not None:
+            assert r["n_sessions"] <= prev  # monotone in the threshold
+        prev = r["n_sessions"]
+
+
+def test_hourly_seasonality_strength_python_replica(spark):
+    """Strength must equal a dense-grid replica that mirrors the
+    engines' pinning (per-slot S²/n round(·,4) → Decimal sum), and
+    must sit in [0, 1] (means-model SS_within <= SS_tot)."""
+    import pyarrow.parquet as pq
+    from decimal import Decimal
+
+    from mapreduce_in_pthreads_spark.operators.timeseries import (
+        hourly_seasonality_strength)
+
+    t = pq.read_table(f"{SF_CORRECT}/events.parquet",
+                      columns=["event_type", "ts"])
+    hours = [us // 3_600_000_000
+             for us in t["ts"].cast("int64").to_pylist()]
+    types = t["event_type"].to_pylist()
+    counts = Counter(zip(types, hours))
+    hmin, hmax = min(hours), max(hours)
+
+    rows = {r["event_type"]: r
+            for r in hourly_seasonality_strength(spark, SF_CORRECT)
+            .collect()}
+    assert set(rows) == set(types)
+    for et in set(types):
+        y = [counts.get((et, h), 0) for h in range(hmin, hmax + 1)]
+        slots: defaultdict = defaultdict(list)
+        for off, v in enumerate(y):
+            slots[(hmin + off) % 24].append(v)
+        a = float(sum(Decimal(f"{sum(v)**2 / len(v):.4f}")
+                      for v in slots.values()))
+        sy, syy, n = sum(y), sum(v * v for v in y), len(y)
+        b = sy * sy / n
+        r = rows[et]
+        assert r["n_hours"] == n
+        assert r["ss_tot"] == pytest.approx(syy - b, abs=1e-9)
+        assert r["ss_within"] == pytest.approx(syy - a, abs=1e-9)
+        assert r["strength"] == pytest.approx((a - b) / (syy - b),
+                                              abs=1e-12)
+        assert -1e-9 <= r["strength"] <= 1.0 + 1e-9
+
+
+def test_negative_sampling_weights_python_replica(spark):
+    """Damped probabilities must equal a Counter+pow replica with the
+    same round(·,6)-Decimal pinning; the head is damped DOWN (ratio
+    < 1 for every reported word when its unigram share exceeds its
+    damped share) and probabilities stay sub-unit."""
+    from decimal import Decimal
+
+    from mapreduce_in_pthreads_spark.operators.text_analysis import (
+        NEG_TOP_K, negative_sampling_weights)
+
+    counts: Counter = Counter()
+    for text in _doc_texts(SF_CORRECT):
+        counts.update(text.split(" "))
+    w = {t: Decimal(f"{c ** 0.75:.6f}") for t, c in counts.items()}
+    z = sum(w.values())
+    n_tokens = sum(counts.values())
+    head = sorted(counts, key=lambda t: (-counts[t], t))[:NEG_TOP_K]
+
+    rows = negative_sampling_weights(spark, SF_CORRECT).collect()
+    assert [r["word"] for r in rows] == head or \
+        {r["word"] for r in rows} == set(head)
+    for r in rows:
+        c = counts[r["word"]]
+        assert r["c"] == c
+        assert r["damped_weight"] == pytest.approx(
+            float(w[r["word"]]), abs=1e-12)
+        p_uni = c / n_tokens
+        p_neg = float(w[r["word"]]) / float(z)
+        assert r["p_unigram"] == pytest.approx(p_uni, abs=1e-15)
+        assert r["p_negative"] == pytest.approx(p_neg, abs=1e-15)
+        assert r["damp_ratio"] == pytest.approx(p_neg / p_uni, abs=1e-12)
+        assert 0.0 < r["p_negative"] < 1.0
+
+
+def test_direct_standardization_python_replica(spark):
+    """Pooled and language-standardized long-doc rates must equal a
+    dict-based replica with the same round(·,10)-Decimal term pins;
+    a source covering every language with the corpus mix would have
+    gap 0 — the replica checks the actual gaps, and that
+    standardized rates are convex combinations of cell rates."""
+    import pyarrow.parquet as pq
+    from decimal import Decimal
+
+    from mapreduce_in_pthreads_spark.operators.curation import (
+        STD_LONG_CHARS, direct_standardization_rates)
+
+    t = pq.read_table(f"{SF_CORRECT}/documents.parquet",
+                      columns=["source", "lang", "n_chars"])
+    rows_in = list(zip(t["source"].to_pylist(), t["lang"].to_pylist(),
+                       t["n_chars"].to_pylist()))
+    n_corpus = len(rows_in)
+    lang_n: Counter = Counter(l for _, l, _ in rows_in)
+    cells: defaultdict = defaultdict(lambda: [0, 0])
+    for s, l, nc in rows_in:
+        cells[(s, l)][0] += 1
+        cells[(s, l)][1] += 1 if nc > STD_LONG_CHARS else 0
+
+    got = {r["source"]: r
+           for r in direct_standardization_rates(spark, SF_CORRECT)
+           .collect()}
+    sources = {s for s, _, _ in rows_in}
+    assert set(got) == sources
+    for s in sources:
+        n_docs = sum(v[0] for (src, _), v in cells.items() if src == s)
+        n_long = sum(v[1] for (src, _), v in cells.items() if src == s)
+        swr = sum((Decimal(f"{lang_n[l] / n_corpus * (v[1] / v[0]):.10f}")
+                   for (src, l), v in cells.items() if src == s),
+                  Decimal(0))
+        sw = sum((Decimal(f"{lang_n[l] / n_corpus:.10f}")
+                  for (src, l), v in cells.items() if src == s),
+                 Decimal(0))
+        r = got[s]
+        assert r["n_docs"] == n_docs and r["n_long"] == n_long
+        assert r["rate_pooled"] == pytest.approx(n_long / n_docs,
+                                                 abs=1e-15)
+        std = float(swr) / float(sw)
+        assert r["rate_standardized"] == pytest.approx(std, abs=1e-12)
+        assert r["confounding_gap"] == pytest.approx(
+            n_long / n_docs - std, abs=1e-12)
+        cell_rates = [v[1] / v[0]
+                      for (src, _), v in cells.items() if src == s]
+        assert min(cell_rates) - 1e-9 <= std <= max(cell_rates) + 1e-9
