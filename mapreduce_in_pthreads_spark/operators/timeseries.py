@@ -2150,6 +2150,35 @@ GROUP BY t.v
 MASE_SEASON_H = 24  # daily seasonality on the hourly grid
 
 
+def hourly_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, h, c) hourly event counts on the integer
+    epoch-hour grid key — the shared corpus-collapsing stage of the
+    hourly family (``seasonal_naive_mase``, its streaming twin, and
+    ``hourly_seasonality_strength``). Works identically on a batch or
+    streaming events relation."""
+    return (ev.select("event_type",
+                      F.expr("unix_micros(ts) div 3600000000")
+                      .alias("h"))
+            .groupBy("event_type", "h")
+            .agg(F.count(F.lit(1)).alias("c")))
+
+
+def dense_hourly(counts: DataFrame) -> DataFrame:
+    """Densify (event_type, h, c) onto the global (min, max) hour
+    bounds: (event_type, h, hmax, y) with zero-count hours explicit —
+    zeros carry real signal for both the lag-24 diffs and the
+    variance decomposition. Bounds attach as a broadcast 1-row
+    relation; the grid is manifest-sized (|types| × |hours|)."""
+    bounds = counts.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+    types = counts.select("event_type").distinct()
+    grid = (types.crossJoin(F.broadcast(bounds))
+            .select("event_type", "hmax",
+                    F.explode(F.sequence("hmin", "hmax")).alias("h")))
+    return (grid.join(counts, ["event_type", "h"], "left")
+            .select("event_type", "h", "hmax",
+                    F.coalesce("c", F.lit(0)).alias("y")))
+
+
 def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast-skill readout per event_type: MASE (Hyndman & Koehler
     2006) of the 24-hour-seasonal-naive forecast ŷ_t = y_{t-24} on the
@@ -2175,12 +2204,7 @@ def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     count stage scales linearly with one exchange.
     """
     ev = load_table(spark, sf_dir, "events")
-    counts = (ev.select("event_type",
-                        F.expr("unix_micros(ts) div 3600000000")
-                        .alias("h"))
-              .groupBy("event_type", "h")
-              .agg(F.count(F.lit(1)).alias("c")))
-    return mase_finish(counts)
+    return mase_finish(hourly_counts(ev))
 
 
 def mase_finish(counts: DataFrame) -> DataFrame:
@@ -2188,14 +2212,7 @@ def mase_finish(counts: DataFrame) -> DataFrame:
     shared verbatim by the batch operator above and the foreachBatch
     streaming twin (``streaming/foreach_batch.run_seasonal_mase_stream``),
     the repo's "streaming ingest, batch finish per trigger" pattern."""
-    bounds = counts.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
-    types = counts.select("event_type").distinct()
-    grid = (types.crossJoin(F.broadcast(bounds))
-            .select("event_type", "hmax",
-                    F.explode(F.sequence("hmin", "hmax")).alias("h")))
-    dense = (grid.join(counts, ["event_type", "h"], "left")
-             .select("event_type", "h", "hmax",
-                     F.coalesce("c", F.lit(0)).alias("y")))
+    dense = dense_hourly(counts)
     w = Window.partitionBy("event_type").orderBy("h")
     lagged = dense.select(
         "event_type", "h", "hmax", "y",
@@ -2397,7 +2414,9 @@ def sessionization_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Session count needs NO per-session grouping: sessions(T) =
     n_users + #{consecutive same-user gaps > T}, so ONE user-keyed
     lag pass serves every threshold simultaneously — three conditional
-    sums over the same gap column, not three sessionizations.
+    sums into one aggregate row, which then EXPLODES into the
+    per-threshold table (not a union of per-threshold selects, which
+    would re-plan the corpus pass per branch).
 
     Exactness: all counts are exact integers; the two ratios are one
     exact-operand division each — no decimal pin.
@@ -2419,20 +2438,23 @@ def sessionization_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("gap_us") > m * 60_000_000, 1).otherwise(0))
             .alias(f"b{m}"))
     tot = gaps.agg(*aggs)
-    rows = []
-    for m in SESS_GAPS_MIN:
+
+    def branch(m: int):
         n_sessions = F.col("n_users") + F.col(f"b{m}")
-        rows.append(tot.select(
+        return F.struct(
             F.lit(m).cast("bigint").alias("gap_minutes"),
             n_sessions.alias("n_sessions"),
             (F.col("n_events").cast("double")
              / n_sessions.cast("double")).alias("events_per_session"),
             (F.col(f"b{m}").cast("double")
-             / F.col("n_gaps").cast("double")).alias("break_share")))
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+             / F.col("n_gaps").cast("double")).alias("break_share"))
+
+    # ONE aggregate row explodes into the per-threshold table — the
+    # corpus pass is genuinely shared (a union of selects over `tot`
+    # would re-plan the window+aggregate once per threshold branch)
+    return (tot.select(F.explode(F.array(
+                *[branch(m) for m in SESS_GAPS_MIN])).alias("r"))
+            .select("r.*"))
 
 
 def _sess_branch_sql(m: int) -> str:
@@ -2494,19 +2516,8 @@ def hourly_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is manifest-sized at any corpus size.
     """
     ev = load_table(spark, sf_dir, "events")
-    counts = (ev.select("event_type",
-                        F.expr("unix_micros(ts) div 3600000000")
-                        .alias("h"))
-              .groupBy("event_type", "h")
-              .agg(F.count(F.lit(1)).alias("c")))
-    bounds = counts.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
-    types = counts.select("event_type").distinct()
-    grid = (types.crossJoin(F.broadcast(bounds))
-            .select("event_type",
-                    F.explode(F.sequence("hmin", "hmax")).alias("h")))
-    dense = (grid.join(counts, ["event_type", "h"], "left")
-             .select("event_type", (F.col("h") % 24).alias("slot"),
-                     F.coalesce("c", F.lit(0)).alias("y")))
+    dense = (dense_hourly(hourly_counts(ev))
+             .select("event_type", (F.col("h") % 24).alias("slot"), "y"))
     slot = (dense.groupBy("event_type", "slot")
             .agg(F.sum("y").alias("s"), F.count(F.lit(1)).alias("m"))
             .select("event_type",

@@ -1240,9 +1240,9 @@ register("direct_standardization_rates", cu.direct_standardization_rates,
 # `python tools/next_window.py --must <the 12>`; validated with
 # `--check --must <the 12>`. 53 leftovers fit rounds 7-8.
 #
-# ROUND-7 WINDOW (registry at 298: 288 entering the round + the 6
-# session-1 additions VERDICT r6 item 2 budgeted + 4 session-2
-# additions placed BEHIND the window; 204 ever adjudicated, 94
+# ROUND-7 WINDOW (registry at 302: 288 entering the round + the 6
+# session-1 additions VERDICT r6 item 2 budgeted + 8 session-2
+# additions placed BEHIND the window; 204 ever adjudicated, 98
 # never): the plain `python tools/next_window.py` proposal's 44
 # never-adjudicated entries in thematic order, with the 6 round-7
 # session-1 additions (winnowing_fingerprints,

@@ -180,14 +180,9 @@ def run_seasonal_mase_stream(spark: SparkSession, sf_dir: str,
     "is yesterday's naive forecast still beating the in-sample
     error?" from the accumulated series state.
     """
-    from ..operators.timeseries import mase_finish
+    from ..operators.timeseries import hourly_counts, mase_finish
 
-    ev = _read_event_stream(spark, sf_dir)
-    counts = (ev.select("event_type",
-                        F.expr("unix_micros(ts) div 3600000000")
-                        .alias("h"))
-              .groupBy("event_type", "h")
-              .agg(F.count(F.lit(1)).alias("c")))
+    counts = hourly_counts(_read_event_stream(spark, sf_dir))
 
     def finish(batch_df: DataFrame, batch_id: int) -> None:
         holder["rows"] = mase_finish(batch_df).collect()
