@@ -4272,3 +4272,143 @@ FROM weighted, totals
 ORDER BY c DESC, word
 LIMIT {NEG_TOP_K}
 """
+
+
+# --- rank-biased overlap ranker agreement -----------------------------------
+
+RBO_DEPTH = 10   # evaluation depth k
+RBO_P = 0.9      # persistence: expected depth viewed = 1/(1-p) = 10
+# per-depth coefficient of A_d in the truncated RBO sum,
+# (1-p)·p^(d-1)/d, FROZEN to exact 15-digit decimal literals shared by
+# both engines — so every term is exact DECIMAL×INT arithmetic and no
+# runtime rounding exists to disagree about (Spark round() is HALF_UP
+# on the double's exact binary expansion; DuckDB rounds in double
+# space — they differ on near-half terms, found at sf0.001/0.01)
+_RBO_C = [f"{(1 - RBO_P) * RBO_P ** (d - 1) / d:.15f}"
+          for d in range(1, RBO_DEPTH + 1)]
+
+
+def rbo_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap between the BM25 and Dirichlet-QL rankings
+    (Webber, Moffat & Zobel 2010) — the TOP-WEIGHTED agreement measure
+    beside ``ranker_rank_correlation``'s Spearman ρ, which weights all
+    depths equally: RBO_min@k = (1−p)·Σ_{d≤k} p^(d−1)·A_d/d, where A_d
+    is the overlap of the two depth-d prefixes. Spearman answers "do
+    the rankers order the POOL alike"; RBO answers "would a user who
+    mostly looks at the top see the same results" — the question that
+    actually gates a ranker swap in production. Both rankings come
+    from the same shared builders over the same candidate set.
+
+    A doc enters both depth-d prefixes iff max(r1, r2) ≤ d, so A_d is
+    one conditional count and the truncated sum needs no per-prefix
+    set intersection: each doc explodes to the depths [max(r1,r2)..k]
+    it contributes to. Queries whose prefixes share nothing by depth k
+    correctly score 0 (left-join + coalesce).
+
+    Exactness: ranks and A_d are exact integers; each depth term is
+    A_d × c_d where c_d = (1−p)·p^(d−1)/d is FROZEN to a 15-digit
+    decimal literal shared by both formulations — the whole truncated
+    sum is exact DECIMAL×INT arithmetic with no runtime rounding or
+    pow anywhere (runtime round(·,10) was tried first and the two
+    engines' rounding modes disagreed on a near-half term); overlap@k
+    is one exact-operand division.
+
+    Scale: the two score relations aggregate query-term postings only
+    (the BM25/QL plans); ranks are per-query windows, the depth
+    explode is ≤ k rows per candidate, and everything groups on the
+    query-id keyed, candidate-bounded relation. Nothing corpus-sized
+    shuffles twice, and the joined rank relation is materialized once
+    for its two consumers.
+    """
+    bm = _bm25_per_doc(spark, sf_dir)
+    ql = _ql_per_doc(spark, sf_dir)
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("score_sum").desc(), F.col("doc_id"))
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("ql_sum").desc(), F.col("doc_id"))
+    ra = bm.select("query_id", "doc_id",
+                   F.row_number().over(wa).alias("r1"))
+    rb = ql.select("query_id", "doc_id",
+                   F.row_number().over(wb).alias("r2"))
+    # j feeds BOTH the base census and the depth explode — materialize
+    # once (the multiply-referenced-relation rule) or Spark re-plans
+    # the whole two-ranker pipeline per consumer
+    j = truncate_lineage(
+        ra.join(rb, ["query_id", "doc_id"])
+        .select("query_id", F.greatest("r1", "r2").alias("m")))
+    base = j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("m") <= RBO_DEPTH, 1).otherwise(0))
+        .alias("a_k"))
+    coefs = F.array(*[F.lit(c).cast("decimal(16,15)")
+                      for c in _RBO_C])
+    depth = (j.filter(F.col("m") <= RBO_DEPTH)
+             .select("query_id",
+                     F.explode(F.sequence("m", F.lit(RBO_DEPTH)))
+                     .alias("d"))
+             .groupBy("query_id", "d")
+             .agg(F.count(F.lit(1)).alias("a_d")))
+    term = (F.col("a_d").cast("decimal(6,0)")
+            * F.element_at(coefs, F.col("d")))
+    rbo = (depth.select("query_id", term.alias("term"))
+           .groupBy("query_id")
+           .agg(F.sum("term").alias("rbo_dec")))
+    return (base.join(rbo, "query_id", "left")
+            .select("query_id", "n_candidates",
+                    (F.col("a_k").cast("double") / F.lit(float(RBO_DEPTH)))
+                    .alias("overlap_at_k"),
+                    F.coalesce(F.col("rbo_dec").cast("double"),
+                               F.lit(0.0)).alias("rbo_min")))
+
+
+_RBO_C_SQL = ("[" + ", ".join(f"{c}::DECIMAL(16,15)"
+                              for c in _RBO_C) + "]")
+
+RBO_AGREEMENT_SQL = f"""
+WITH bm AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score_sum DESC, doc_id) AS r1
+    FROM ({{bm25}}
+          SELECT query_id, doc_id, score_sum FROM per_doc) t
+),
+qlr AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ql_sum DESC, doc_id) AS r2
+    FROM ({{ql}}
+          SELECT query_id, doc_id, ql_sum FROM per_doc) t
+),
+j AS (
+    SELECT bm.query_id, greatest(r1, r2) AS m
+    FROM bm JOIN qlr ON qlr.query_id = bm.query_id
+                    AND qlr.doc_id = bm.doc_id
+),
+base AS (
+    SELECT query_id, count(*) AS n_candidates,
+           CAST(sum(CASE WHEN m <= {RBO_DEPTH} THEN 1 ELSE 0 END)
+                AS BIGINT) AS a_k
+    FROM j GROUP BY query_id
+),
+depth AS (
+    SELECT query_id, g.d, count(*) AS a_d
+    FROM j, LATERAL (SELECT unnest(generate_series(m, {RBO_DEPTH}))
+                     AS d) g
+    WHERE m <= {RBO_DEPTH}
+    GROUP BY query_id, g.d
+),
+rbo AS (
+    SELECT query_id,
+           sum(CAST(a_d AS DECIMAL(6,0)) * ({_RBO_C_SQL})[d])
+               AS rbo_dec
+    FROM depth GROUP BY query_id
+)
+SELECT b.query_id, b.n_candidates,
+       CAST(b.a_k AS DOUBLE) / {float(RBO_DEPTH)!r} AS overlap_at_k,
+       COALESCE(CAST(r.rbo_dec AS DOUBLE), 0.0) AS rbo_min
+FROM base b LEFT JOIN rbo r ON b.query_id = r.query_id
+"""
+
+RBO_AGREEMENT_SQL = RBO_AGREEMENT_SQL.format(
+    bm25=_BM25_PREFIX_SQL,
+    ql=_QL_PREFIX_SQL.format(values=_bm25_values_sql()))

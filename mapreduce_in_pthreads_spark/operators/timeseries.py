@@ -2586,3 +2586,102 @@ SELECT p.event_type, p.n AS n_hours,
                 / CAST(p.n AS DOUBLE)) AS strength
 FROM per_type p JOIN sq q ON p.event_type = q.event_type
 """
+
+
+# --- temporal-split Markov holdout -------------------------------------------
+
+TEMPORAL_TRAIN_DAYS = 24  # of the corpus's 30-day span
+
+
+def markov_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TIME-based twin of ``markov_heldout_accuracy``: train the
+    first-order next-event argmax rule on the first
+    ``TEMPORAL_TRAIN_DAYS`` days of transitions, score top-1 accuracy
+    on everything after — the split production actually deploys under
+    (predict the future from the past; no event after the cutoff can
+    influence the rule). The md5-user split estimates generalization
+    to UNSEEN USERS under stationarity; this one detects
+    NON-STATIONARITY — a rule that aces the random split and fails
+    here means the behavior drifted, which no amount of user-grouped
+    cross-validation can see.
+
+    A transition belongs to a side by the timestamp of its TARGET
+    event (the prediction moment); the cutoff is derived from the
+    data's own min event day, so the split is identical at every SF.
+
+    Exactness: the cutoff is integer epoch-day arithmetic; transitions
+    are lag pairs under the total (ts, event_id) order; the argmax
+    rule is (count DESC, next ASC) — deterministic; outputs are
+    integer counts and one safe-band round(·,10) ratio.
+
+    Scale: one user-keyed window for transitions, one combinable
+    (v, w) count on the train side collapsed to a |types|-row
+    broadcast rule table, one broadcast join + rollup on the test
+    side; the 1-row day bound attaches as a broadcast relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (ev.select(
+        "user_id", "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.lag("event_type").over(w_user).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .select("day", F.col("prev").alias("v"),
+                F.col("event_type").alias("w")))
+    bounds = ev.agg(F.min(F.expr("unix_micros(ts) div 86400000000"))
+                    .alias("dmin"))
+    t2 = (trans.crossJoin(F.broadcast(bounds))
+          .select("v", "w",
+                  (F.col("day") < F.col("dmin")
+                   + F.lit(TEMPORAL_TRAIN_DAYS)).alias("is_train")))
+    counts = (t2.filter(F.col("is_train"))
+              .groupBy("v", "w").agg(F.count(F.lit(1)).alias("c")))
+    rule_rank = F.row_number().over(
+        Window.partitionBy("v").orderBy(F.col("c").desc(), "w"))
+    rules = (counts.withColumn("rnk", rule_rank)
+             .filter(F.col("rnk") == 1)
+             .select("v", F.col("w").alias("predicted")))
+    return (t2.filter(~F.col("is_train"))
+            .join(F.broadcast(rules), "v", "left")
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("n_test"),
+                 F.max("predicted").alias("predicted"),
+                 F.sum(F.when(F.col("w") == F.col("predicted"), 1)
+                       .otherwise(0)).alias("n_correct"))
+            .select(F.col("v").alias("current_event"), "predicted",
+                    "n_test", "n_correct",
+                    F.round(F.col("n_correct") / F.col("n_test"), 10)
+                    .alias("top1_accuracy")))
+
+
+MARKOV_TEMPORAL_SQL = f"""
+WITH trans AS (
+    SELECT epoch_us(ts) // 86400000000 AS day,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS v,
+           event_type AS w
+    FROM events
+), bounds AS (
+    SELECT min(epoch_us(ts) // 86400000000) AS dmin FROM events
+), t2 AS (
+    SELECT v, w,
+           day < dmin + {TEMPORAL_TRAIN_DAYS} AS is_train
+    FROM trans, bounds WHERE v IS NOT NULL
+), rules AS (
+    SELECT v, w AS predicted FROM (
+        SELECT v, w, row_number() OVER (
+            PARTITION BY v ORDER BY count(*) DESC, w) AS rnk
+        FROM t2 WHERE is_train GROUP BY v, w
+    ) WHERE rnk = 1
+)
+SELECT t.v AS current_event,
+       max(r.predicted) AS predicted,
+       count(*) AS n_test,
+       CAST(sum(CASE WHEN t.w = r.predicted THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(CAST(sum(CASE WHEN t.w = r.predicted THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 10) AS top1_accuracy
+FROM t2 t LEFT JOIN rules r ON t.v = r.v
+WHERE NOT t.is_train
+GROUP BY t.v
+"""

@@ -1217,6 +1217,21 @@ register("direct_standardization_rates", cu.direct_standardization_rates,
          "long-doc rate vs the rate standardized to the corpus "
          "language mix + the confounding gap; decimal-pinned "
          "manifest-sized grid math after one exchange")
+register("rbo_ranker_agreement", ta.rbo_ranker_agreement,
+         ta.RBO_AGREEMENT_SQL,
+         "Rank-Biased Overlap (Webber et al. 2010) between the BM25 "
+         "and Dirichlet-QL rankings: top-weighted prefix agreement "
+         "RBO_min@10 via the max(r1,r2)<=d depth-membership trick — "
+         "the production ranker-swap gate beside Spearman's "
+         "equal-weight pool agreement; depth weights inlined as "
+         "identical literals, terms decimal-pinned")
+register("markov_temporal_holdout", ts.markov_temporal_holdout,
+         ts.MARKOV_TEMPORAL_SQL,
+         "time-based twin of markov_heldout_accuracy: argmax "
+         "next-event rule trained on the first 24 days, top-1 "
+         "accuracy on the rest — the no-future-leakage split "
+         "production deploys under; detects the non-stationarity "
+         "the user-grouped md5 split cannot see")
 
 # --- adjudication-window rotation -----------------------------------------
 # The driver adjudicates only the FIRST 50 registry entries per round
@@ -1240,9 +1255,9 @@ register("direct_standardization_rates", cu.direct_standardization_rates,
 # `python tools/next_window.py --must <the 12>`; validated with
 # `--check --must <the 12>`. 53 leftovers fit rounds 7-8.
 #
-# ROUND-7 WINDOW (registry at 302: 288 entering the round + the 6
-# session-1 additions VERDICT r6 item 2 budgeted + 8 session-2
-# additions placed BEHIND the window; 204 ever adjudicated, 98
+# ROUND-7 WINDOW (registry at 304: 288 entering the round + the 6
+# session-1 additions VERDICT r6 item 2 budgeted + 10 session-2
+# additions placed BEHIND the window; 204 ever adjudicated, 100
 # never): the plain `python tools/next_window.py` proposal's 44
 # never-adjudicated entries in thematic order, with the 6 round-7
 # session-1 additions (winnowing_fingerprints,
@@ -1251,16 +1266,19 @@ register("direct_standardization_rates", cu.direct_standardization_rates,
 # 3-SF oracle-green + pin-tested before entering the window) taking
 # the slots the flagship six would have re-spent (the flagship carry
 # 6 consecutive green rounds and unchanged code). Endgame stays
-# intact: 48 never-adjudicated entries remain (40 backlog + the 8
+# intact: 50 never-adjudicated entries remain (40 backlog + the 10
 # session-2 additions good_turing_discounts, seasonal_naive_mase,
 # session_overlap_pairs, table_stats_profile,
 # sessionization_sensitivity, hourly_seasonality_strength,
-# negative_sampling_weights, direct_standardization_rates — each
-# 3-SF oracle-green + vanilla-probed + replica-pinned on landing
-# day). Round 8's 50-slot window takes all 48 plus 2 flagship
-# re-proofs (use next_window.py's swap-over-flagship move again), so
-# full-registry adjudication still completes in round 8. Rounds 9+
-# are then free to grow the registry again. Validate with `--check`.
+# negative_sampling_weights, direct_standardization_rates,
+# rbo_ranker_agreement, markov_temporal_holdout — each 3-SF
+# oracle-green + vanilla-probed + replica-pinned on landing day).
+# They fill round 8's 50-slot window EXACTLY (flagship fully
+# displaced — it will carry 7 consecutive green rounds), so
+# full-registry adjudication completes in round 8 with ZERO slack:
+# round 8 must NOT add registry entries before its window runs.
+# Rounds 9+ are then free to grow the registry again. Validate with
+# `--check`.
 _ADJUDICATION_FIRST: tuple[str, ...] = (
     "winnowing_fingerprints", "prefix_filter_jaccard_join",
     "split_leakage_audit", "psi_drift_by_source",

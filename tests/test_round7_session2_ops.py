@@ -1,11 +1,13 @@
-"""Semantic pins for the eight round-7 session-2 additions
+"""Semantic pins for the ten round-7 session-2 additions
 (good_turing_discounts, seasonal_naive_mase, session_overlap_pairs,
 table_stats_profile, sessionization_sensitivity,
 hourly_seasonality_strength, negative_sampling_weights,
-direct_standardization_rates). The oracle contract proves
-Spark==DuckDB; these prove both equal the algorithm as specified —
-including the lossless claim of the bucketed interval join, which is
-pinned against an all-pairs brute force."""
+direct_standardization_rates, rbo_ranker_agreement,
+markov_temporal_holdout). The oracle contract proves Spark==DuckDB;
+these prove both equal the algorithm as specified — including the
+lossless claim of the bucketed interval join (pinned against an
+all-pairs brute force) and RBO's depth-membership trick (pinned
+against the textbook prefix-intersection formula)."""
 
 from __future__ import annotations
 
@@ -354,3 +356,102 @@ def test_direct_standardization_python_replica(spark):
         cell_rates = [v[1] / v[0]
                       for (src, _), v in cells.items() if src == s]
         assert min(cell_rates) - 1e-9 <= std <= max(cell_rates) + 1e-9
+
+
+def test_rbo_python_replica(spark):
+    """RBO_min@k must equal the TEXTBOOK prefix-intersection formula
+    computed in pure Python from the same two rankings (pins the
+    max(r1,r2)<=d depth-membership trick and the frozen decimal
+    coefficients); identical rankings would score sum(coefs), so every
+    score must lie in [0, sum(coefs)] and overlap@k must be A_k/k."""
+    from decimal import Decimal
+
+    from mapreduce_in_pthreads_spark.operators.text_analysis import (
+        RBO_DEPTH, _RBO_C, _bm25_per_doc, _ql_per_doc,
+        rbo_ranker_agreement)
+
+    bm = [(r["query_id"], r["doc_id"], r["score_sum"])
+          for r in _bm25_per_doc(spark, SF_CORRECT).collect()]
+    ql = [(r["query_id"], r["doc_id"], r["ql_sum"])
+          for r in _ql_per_doc(spark, SF_CORRECT).collect()]
+
+    def ranking(rows):
+        by_q: defaultdict = defaultdict(list)
+        for q, doc, score in rows:
+            by_q[q].append((-score, doc))
+        return {q: [doc for _, doc in sorted(v)]
+                for q, v in by_q.items()}
+
+    ra, rb = ranking(bm), ranking(ql)
+    got = {r["query_id"]: r
+           for r in rbo_ranker_agreement(spark, SF_CORRECT).collect()}
+    assert set(got) == set(ra)
+    coef_total = sum(Decimal(c) * (d + 1)
+                     for d, c in enumerate(_RBO_C))  # Σ c_d·d = Σ w_d
+    for q in ra:
+        want = Decimal(0)
+        a_k = None
+        for d in range(1, RBO_DEPTH + 1):
+            a_d = len(set(ra[q][:d]) & set(rb[q][:d]))
+            want += Decimal(_RBO_C[d - 1]) * a_d
+            if d == RBO_DEPTH:
+                a_k = a_d
+        r = got[q]
+        assert r["rbo_min"] == pytest.approx(float(want), abs=1e-12)
+        assert r["overlap_at_k"] == pytest.approx(a_k / RBO_DEPTH,
+                                                  abs=1e-15)
+        assert -1e-12 <= r["rbo_min"] <= float(coef_total) + 1e-12
+        assert r["n_candidates"] == len(ra[q])
+
+
+def test_markov_temporal_holdout_python_replica(spark):
+    """Per-state accuracy must equal a sorted-transitions replica with
+    the same day cutoff; the rule must be trained ONLY on pre-cutoff
+    transitions (no future leakage — verified by recomputing the
+    argmax from the replica's train side alone)."""
+    from mapreduce_in_pthreads_spark.operators.timeseries import (
+        TEMPORAL_TRAIN_DAYS, markov_temporal_holdout)
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_CORRECT}/events.parquet",
+                      columns=["user_id", "event_id", "event_type",
+                               "ts"])
+    ts_us = t["ts"].cast("int64").to_pylist()
+    rows = list(zip(t["user_id"].to_pylist(),
+                    t["event_id"].to_pylist(),
+                    t["event_type"].to_pylist(), ts_us))
+    dmin = min(us // 86_400_000_000 for us in ts_us)
+    cutoff = dmin + TEMPORAL_TRAIN_DAYS
+
+    by_user: defaultdict = defaultdict(list)
+    for u, eid, et, us in rows:
+        by_user[u].append((us, eid, et))
+    train: Counter = Counter()
+    test: defaultdict = defaultdict(list)
+    for evs in by_user.values():
+        evs.sort()
+        for (us1, _, a), (us2, _, b) in zip(evs, evs[1:]):
+            if us2 // 86_400_000_000 < cutoff:
+                train[(a, b)] += 1
+            else:
+                test[a].append(b)
+
+    rules = {}
+    for (a, b), c in train.items():
+        cur = rules.get(a)
+        if cur is None or (-c, b) < (-cur[1], cur[0]):
+            rules[a] = (b, c)
+    got = {r["current_event"]: r
+           for r in markov_temporal_holdout(spark, SF_CORRECT)
+           .collect()}
+    assert set(got) == set(test)
+    for v, nexts in test.items():
+        pred = rules.get(v, (None,))[0]
+        correct = sum(1 for w in nexts if w == pred)
+        r = got[v]
+        assert r["predicted"] == pred
+        assert r["n_test"] == len(nexts)
+        assert r["n_correct"] == correct
+        assert r["top1_accuracy"] == pytest.approx(
+            round(correct / len(nexts), 10), abs=1e-12)
