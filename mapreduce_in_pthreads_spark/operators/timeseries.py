@@ -2685,3 +2685,238 @@ FROM t2 t LEFT JOIN rules r ON t.v = r.v
 WHERE NOT t.is_train
 GROUP BY t.v
 """
+
+
+# --- autocorrelation correlogram ----------------------------------------------
+
+ACF_MAX_LAG = 24  # one daily cycle on the hourly grid
+
+
+def acf_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic ACF correlogram per event_type: the autocorrelation
+    r_k of the dense hourly count series at every lag k = 1..24,
+    using the standard biased estimator r_k = Σ_t (y_t − ȳ)(y_{t+k} −
+    ȳ) / Σ_t (y_t − ȳ)² (Box & Jenkins). The correlogram is the
+    diagnostic that DECOMPOSES what ``hourly_seasonality_strength``
+    summarizes: a spike at k = 24 is daily seasonality, slow decay is
+    trend, white noise dies inside the confidence band — the plot an
+    analyst reads before choosing the Holt vs seasonal-naive vs Markov
+    model families that live beside this operator.
+
+    Exactness: no float accumulation anywhere. Expanding the products
+    gives num_k = C_k − ȳ·(H_k + T_k) + m_k·ȳ², den = Σy² − (Σy)²/n
+    with C_k = Σ y_t·y_{t+k}, H_k/T_k the head/tail partial sums and
+    m_k = n − k ALL exact integers; ȳ is ONE division of exact-integer
+    operands, so num/den are fixed arithmetic over bit-identical
+    scalars — the ``seasonal_naive_mase`` convention, no decimal pin
+    needed.
+
+    Scale: the corpus collapses to the dense (type × hour) grid in one
+    combinable count (the only corpus-sized stage). The lag expansion
+    is grid × 24 — manifest-sized — and the self-join is an equi-join
+    on (type, h+k), so every post-collapse stage shuffles only the
+    grid. At 100 TB: identical shape, grid ~1e6 rows.
+    """
+    from ..functions.lineage import truncate_lineage
+
+    ev = load_table(spark, sf_dir, "events")
+    dense = truncate_lineage(
+        dense_hourly(hourly_counts(ev)).select("event_type", "h", "y"))
+    mom = (dense.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"),
+                F.sum(F.col("y") * F.col("y")).alias("syy")))
+    a = (dense.select("event_type", "h", F.col("y").alias("ya"))
+         .withColumn("lag", F.explode(F.sequence(
+             F.lit(1), F.lit(ACF_MAX_LAG)))))
+    b = dense.select("event_type", F.col("h").alias("hb"),
+                     F.col("y").alias("yb"))
+    lagged = (a.join(b, (a.event_type == b.event_type)
+                     & (F.col("hb") == F.col("h") + F.col("lag")))
+              .drop(b.event_type)
+              .groupBy("event_type", "lag")
+              .agg(F.sum(F.col("ya") * F.col("yb")).alias("cross"),
+                   F.sum("ya").alias("head"), F.sum("yb").alias("tail"),
+                   F.count(F.lit(1)).alias("m")))
+    ybar = F.col("sy").cast("double") / F.col("n").cast("double")
+    den = (F.col("syy").cast("double")
+           - F.col("sy").cast("double") * F.col("sy").cast("double")
+           / F.col("n").cast("double"))
+    num = (F.col("cross").cast("double")
+           - ybar * (F.col("head") + F.col("tail")).cast("double")
+           + F.col("m").cast("double") * ybar * ybar)
+    return (lagged.join(F.broadcast(mom), "event_type")
+            .select("event_type", "lag", F.col("m").alias("n_pairs"),
+                    (num / den).alias("acf")))
+
+
+ACF_SQL = f"""
+WITH counts AS (
+    SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS c
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT min(h) AS hmin, max(h) AS hmax FROM counts
+), dense AS (
+    SELECT g.event_type, g.h, COALESCE(c.c, 0) AS y
+    FROM (SELECT t.event_type, u.h
+          FROM (SELECT DISTINCT event_type FROM counts) t,
+               bounds b,
+               LATERAL (SELECT unnest(generate_series(b.hmin, b.hmax))
+                        AS h) u) g
+    LEFT JOIN counts c ON g.event_type = c.event_type AND g.h = c.h
+), mom AS (
+    SELECT event_type, count(*) AS n, sum(y) AS sy, sum(y * y) AS syy
+    FROM dense GROUP BY event_type
+), lagged AS (
+    SELECT a.event_type, l.lag,
+           sum(a.y * b.y) AS cross_k,
+           sum(a.y) AS head, sum(b.y) AS tail, count(*) AS m
+    FROM dense a,
+         LATERAL (SELECT unnest(generate_series(1, {ACF_MAX_LAG}))
+                  AS lag) l
+    JOIN dense b
+      ON b.event_type = a.event_type AND b.h = a.h + l.lag
+    GROUP BY a.event_type, l.lag
+)
+SELECT g.event_type, g.lag, g.m AS n_pairs,
+       (CAST(g.cross_k AS DOUBLE)
+        - CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)
+          * CAST(g.head + g.tail AS DOUBLE)
+        + CAST(g.m AS DOUBLE)
+          * (CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE))
+          * (CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)))
+       / (CAST(m.syy AS DOUBLE)
+          - CAST(m.sy AS DOUBLE) * CAST(m.sy AS DOUBLE)
+            / CAST(m.n AS DOUBLE)) AS acf
+FROM lagged g JOIN mom m ON g.event_type = m.event_type
+"""
+
+
+# --- CUSUM changepoint scan ---------------------------------------------------
+
+CUSUM_K_HALF_SIGMA = True  # textbook allowance k = 0.5σ
+CUSUM_H_SIGMA = 4.0        # textbook decision interval h = 4σ
+CUSUM_DEC = "decimal(25,6)"
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint scan (Page 1954) over each
+    event_type's dense hourly count series: the upward scheme
+    C_t = max(0, C_{t−1} + (y_t − μ − 0.5σ)) with alarm when C_t
+    exceeds the textbook decision interval h = 4σ — the
+    level-SHIFT detector that complements ``event_rate_anomaly``'s
+    per-hour z-scores (a z-score flags one bad hour; CUSUM
+    accumulates many small drifts no single hour would trip).
+
+    The max(0, ·) recursion is not a window frame, but its closed
+    form is: with prefix sums P_t of the allowance-adjusted
+    deviations z_t, C_t = P_t − min(0, min_{s≤t} P_s) — two standard
+    running-window passes, fully distributed (per-type partitions).
+
+    Exactness: μ and σ are exact-integer-moment arithmetic (one
+    division / one sqrt → bit-identical); each z_t is pinned
+    round(·,6) → DECIMAL(25,6) BEFORE the running sum because DuckDB's
+    segment-tree window aggregation adds in a different order than
+    Spark's running frame — decimal sums are order-exact. The peak
+    hour tie-breaks to the earliest hour via a rank window.
+
+    Scale: one combinable (type, hour) count collapses the corpus;
+    both window passes run on the dense manifest-sized grid,
+    partitioned by event_type (24 types × hours — never wider than the
+    grid). At 100 TB: identical shape.
+    """
+    from ..functions.lineage import truncate_lineage
+
+    ev = load_table(spark, sf_dir, "events")
+    dense = truncate_lineage(
+        dense_hourly(hourly_counts(ev)).select("event_type", "h", "y"))
+    mom = (dense.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"),
+                F.sum(F.col("y") * F.col("y")).alias("syy")))
+    mu = F.col("sy").cast("double") / F.col("n").cast("double")
+    sigma = F.sqrt((F.col("syy").cast("double")
+                    - F.col("sy").cast("double") * F.col("sy").cast("double")
+                    / F.col("n").cast("double"))
+                   / F.col("n").cast("double"))
+    stats = mom.select("event_type", F.col("n").alias("n_hours"),
+                       mu.alias("mu"), sigma.alias("sigma"))
+    z = (dense.join(F.broadcast(stats), "event_type")
+         .select("event_type", "h", "n_hours", "mu", "sigma",
+                 F.round(F.col("y").cast("double") - F.col("mu")
+                         - F.lit(0.5) * F.col("sigma"), 6)
+                 .cast(CUSUM_DEC).alias("zt")))
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    prefix = z.select("event_type", "h", "n_hours", "mu", "sigma",
+                      F.sum("zt").over(w).alias("pt"))
+    run = prefix.select(
+        "event_type", "h", "n_hours", "mu", "sigma",
+        (F.col("pt") - F.least(F.lit(0).cast(CUSUM_DEC),
+                               F.min("pt").over(w))).alias("ct"))
+    pk = Window.partitionBy("event_type").orderBy(
+        F.col("ct").desc(), F.col("h").asc())
+    return (run.withColumn("rnk", F.row_number().over(pk))
+            .filter(F.col("rnk") == 1)
+            .select("event_type", "n_hours", "mu", "sigma",
+                    F.col("ct").cast("double").alias("peak_cusum"),
+                    F.col("h").alias("peak_hour"),
+                    (F.col("ct").cast("double")
+                     > F.lit(CUSUM_H_SIGMA) * F.col("sigma"))
+                    .alias("alarm")))
+
+
+CUSUM_SQL = f"""
+WITH counts AS (
+    SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS c
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT min(h) AS hmin, max(h) AS hmax FROM counts
+), dense AS (
+    SELECT g.event_type, g.h, COALESCE(c.c, 0) AS y
+    FROM (SELECT t.event_type, u.h
+          FROM (SELECT DISTINCT event_type FROM counts) t,
+               bounds b,
+               LATERAL (SELECT unnest(generate_series(b.hmin, b.hmax))
+                        AS h) u) g
+    LEFT JOIN counts c ON g.event_type = c.event_type AND g.h = c.h
+), stats AS (
+    SELECT event_type, count(*) AS n_hours,
+           CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+           sqrt((CAST(sum(y * y) AS DOUBLE)
+                 - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE))
+                / CAST(count(*) AS DOUBLE)) AS sigma
+    FROM dense GROUP BY event_type
+), z AS (
+    SELECT d.event_type, d.h, s.n_hours, s.mu, s.sigma,
+           CAST(round(CAST(d.y AS DOUBLE) - s.mu - 0.5 * s.sigma, 6)
+                AS DECIMAL(25,6)) AS zt
+    FROM dense d JOIN stats s ON d.event_type = s.event_type
+), prefix AS (
+    SELECT event_type, h, n_hours, mu, sigma,
+           sum(zt) OVER (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS pt
+    FROM z
+), runmin AS (
+    -- CASE, not least(): DuckDB's least() promotes DECIMAL args to
+    -- DOUBLE, which would reintroduce the order-dependent float sum
+    -- the decimal pin exists to kill.
+    SELECT *, min(pt) OVER (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS mn
+    FROM prefix
+), run AS (
+    SELECT event_type, h, n_hours, mu, sigma,
+           pt - (CASE WHEN mn < 0 THEN mn
+                      ELSE CAST(0 AS DECIMAL(38,6)) END) AS ct
+    FROM runmin
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY ct DESC, h ASC) AS rnk
+    FROM run
+)
+SELECT event_type, n_hours, mu, sigma,
+       CAST(ct AS DOUBLE) AS peak_cusum, h AS peak_hour,
+       CAST(ct AS DOUBLE) > {CUSUM_H_SIGMA} * sigma AS alarm
+FROM ranked WHERE rnk = 1
+"""

@@ -1225,6 +1225,21 @@ register("rbo_ranker_agreement", ta.rbo_ranker_agreement,
          "the production ranker-swap gate beside Spearman's "
          "equal-weight pool agreement; depth weights inlined as "
          "identical literals, terms decimal-pinned")
+register("acf_correlogram", ts.acf_correlogram, ts.ACF_SQL,
+         "Box-Jenkins autocorrelation correlogram per event_type: "
+         "r_k at lags 1..24 on the dense hourly grid via exact "
+         "integer cross/head/tail sums (num_k = C_k − ȳ(H_k+T_k) + "
+         "m_k·ȳ² — no float accumulation anywhere); the diagnostic "
+         "that decomposes what hourly_seasonality_strength "
+         "summarizes, read before choosing Holt vs seasonal-naive")
+register("cusum_changepoint", ts.cusum_changepoint, ts.CUSUM_SQL,
+         "Page 1954 one-sided CUSUM level-shift scan per event_type "
+         "on dense hourly counts: the max(0,·) recursion via its "
+         "prefix-sum − running-min closed form (two window passes, "
+         "fully distributed), z_t decimal-pinned because DuckDB's "
+         "segment-tree window sum adds in a different order than "
+         "Spark's running frame; alarm at the textbook h = 4σ — the "
+         "drift accumulator beside event_rate_anomaly's z-scores")
 register("markov_temporal_holdout", ts.markov_temporal_holdout,
          ts.MARKOV_TEMPORAL_SQL,
          "time-based twin of markov_heldout_accuracy: argmax "
