@@ -694,3 +694,104 @@ SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
                 / (n_b - 1)), 4) AS welch_df
 FROM base
 """
+
+
+# --- Mann-Whitney U / ROC-AUC ---------------------------------------------
+
+MW_SRC_A, MW_SRC_B = "src0", "src1"
+
+
+def mann_whitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (with tie correction) comparing
+    document lengths between two sources, plus the equivalent ROC-AUC
+    (AUC = U/(n₁n₂) — the Mann-Whitney/AUC identity): the
+    DISTRIBUTION-FREE alternative to ``ab_split_welch_ttest`` for the
+    heavy-tailed metrics (lengths, latencies, revenues) where a t-test
+    on means is fragile, and the standard readout for "does source A
+    produce systematically longer documents than source B".
+
+    Exactness: all rank math stays in integers by working in DOUBLED
+    ranks — per distinct value v with group counts (cₐ, c, cum-before
+    C): Σ 2·rankₐ = Σ cₐ·(2C + c + 1) exactly; 2U₁ = that − n₁(n₁+1).
+    The tie term Σ(c³ − c), the variance and z are then fixed
+    arithmetic over exact-integer-derived doubles (round 6 on display
+    stats only). Integer intermediates stay ≤ n·N ≪ 2⁶³ for any
+    realistic per-stratum N; at >10⁹ rows per side switch the doubled
+    rank sum to DECIMAL(38,0).
+
+    Scale: the corpus collapses to the distinct-value histogram in one
+    combinable aggregation; the rank-prefix window runs on that
+    histogram (≤ |distinct lengths| rows — hundreds, not corpus-sized;
+    the documented reduced-relation single-partition window, same as
+    ``unigram_logprob_filter``'s terciles).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    two = docs.filter(F.col("source").isin(MW_SRC_A, MW_SRC_B)).select(
+        (F.col("source") == MW_SRC_A).cast("long").alias("ga"),
+        F.col("n_chars").alias("v"))
+    hist = (two.groupBy("v")
+            .agg(F.sum("ga").alias("ca"), F.count(F.lit(1)).alias("c")))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = hist.select(
+        "v", "ca", "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum"))
+    agg = ranked.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum(F.col("c") - F.col("ca")).alias("n_b"),
+        F.sum(F.col("ca") * (F.lit(2) * F.col("cum") + F.col("c")
+                             + F.lit(1))).alias("two_r_a"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .alias("tie_term"))
+    na, nb = F.col("n_a"), F.col("n_b")
+    nn = na + nb
+    two_u = F.col("two_r_a") - na * (na + F.lit(1))
+    u_a = two_u.cast("double") / F.lit(2.0)
+    auc = two_u.cast("double") / (F.lit(2.0) * na.cast("double")
+                                  * nb.cast("double"))
+    var_u = (na.cast("double") * nb.cast("double") / F.lit(12.0)
+             * ((nn + F.lit(1)).cast("double")
+                - F.col("tie_term").cast("double")
+                / (nn.cast("double") * (nn - F.lit(1)).cast("double"))))
+    z = (u_a - na.cast("double") * nb.cast("double") / F.lit(2.0)) \
+        / F.sqrt(var_u)
+    return agg.select(na.alias("n_a"), nb.alias("n_b"),
+                      u_a.alias("u_a"),
+                      F.round(auc, 6).alias("auc"),
+                      F.round(z, 6).alias("z_score"))
+
+
+MANN_WHITNEY_SQL = f"""
+WITH two AS (
+    SELECT CASE WHEN source = '{MW_SRC_A}' THEN 1 ELSE 0 END AS ga,
+           n_chars AS v
+    FROM documents WHERE source IN ('{MW_SRC_A}', '{MW_SRC_B}')
+), hist AS (
+    SELECT v, sum(ga) AS ca, count(*) AS c FROM two GROUP BY v
+), ranked AS (
+    SELECT v, ca, c,
+           COALESCE(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING), 0) AS cum
+    FROM hist
+), agg AS (
+    SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+           CAST(sum(c - ca) AS BIGINT) AS n_b,
+           CAST(sum(ca * (2 * cum + c + 1)) AS BIGINT) AS two_r_a,
+           CAST(sum(c * c * c - c) AS BIGINT) AS tie_term
+    FROM ranked
+)
+SELECT n_a, n_b,
+       CAST(two_r_a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+       round(CAST(two_r_a - n_a * (n_a + 1) AS DOUBLE)
+             / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+           AS auc,
+       round((CAST(two_r_a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+             / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                    * (CAST(n_a + n_b + 1 AS DOUBLE)
+                       - CAST(tie_term AS DOUBLE)
+                         / (CAST(n_a + n_b AS DOUBLE)
+                            * CAST(n_a + n_b - 1 AS DOUBLE)))), 6)
+           AS z_score
+FROM agg
+"""

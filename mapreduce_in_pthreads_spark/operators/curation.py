@@ -2447,3 +2447,115 @@ SELECT source,
            AS confounding_gap
 FROM terms GROUP BY source
 """
+
+
+# --- t-closeness release audit ----------------------------------------------
+
+T_CLOSE_BUCKETS = 6    # ordered sensitive-attribute buckets (n_chars/100, cap)
+T_CLOSE_MAX = 0.2      # release gate on the per-class EMD
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third rung of the release-privacy ladder after
+    ``k_anonymity_audit`` (group size) and ``l_diversity_audit``
+    (sensitive-value variety): for every quasi-identifier class
+    (lang, source), the Earth Mover's Distance between the class's
+    distribution over the ORDERED sensitive attribute (length bucket
+    min(n_chars/100, 5) — 6 buckets) and the corpus-wide distribution.
+    l-diversity misses skew (a class can hold l distinct values at
+    99/1 odds); t-closeness bounds exactly that leak. For an ordered
+    attribute with unit spacing, EMD = Σᵢ |Σ_{j≤i} (q_j − p_j)| /
+    (m − 1) — two fixed-size passes, no transport solver.
+
+    Exactness: p_j and q_j are exact-operand integer divisions
+    (bit-identical doubles); each difference is pinned round(·,10) →
+    DECIMAL(25,10) so the cumulative window sum is order-exact; the
+    bucket grid is densified per class (a bucket absent from a class
+    but present globally still moves mass).
+
+    Scale: the corpus collapses to the (class × bucket) cell grid in
+    one combinable count; the global bucket marginal is a broadcast
+    ≤6-row relation; the cumulative window partitions by class over 6
+    rows. Manifest-sized everywhere after the first exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    m = T_CLOSE_BUCKETS
+    b = F.least(F.floor(F.col("n_chars") / LEN_BUCKET),
+                F.lit(m - 1)).cast("int")
+    flat = docs.select("lang", "source", b.alias("b"))
+    classes = (flat.groupBy("lang", "source")
+               .agg(F.count(F.lit(1)).alias("n_class")))
+    cb = (flat.groupBy("lang", "source", "b")
+          .agg(F.count(F.lit(1)).alias("cnt_cb")))
+    gb = flat.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_gb"))
+    total = flat.agg(F.count(F.lit(1)).alias("n_corpus"))
+    grid = (classes.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(m - 1)))))
+    diff = (F.coalesce("cnt_cb", F.lit(0)).cast("double")
+            / F.col("n_class").cast("double")
+            - F.coalesce("cnt_gb", F.lit(0)).cast("double")
+            / F.col("n_corpus").cast("double"))
+    cells = (grid.join(cb, ["lang", "source", "b"], "left")
+             .join(F.broadcast(gb), "b", "left")
+             .crossJoin(F.broadcast(total))
+             .select("lang", "source", "b", "n_class",
+                     F.round(diff, 10).cast("decimal(25,10)")
+                     .alias("d_dec")))
+    w = (Window.partitionBy("lang", "source").orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = cells.select("lang", "source", "n_class",
+                       F.abs(F.sum("d_dec").over(w)).alias("acum"))
+    return (cum.groupBy("lang", "source")
+            .agg(F.max("n_class").alias("n_docs"),
+                 (F.sum("acum").cast("double") / F.lit(float(m - 1)))
+                 .alias("t_emd"))
+            .select("lang", "source", "n_docs", "t_emd",
+                    (F.col("t_emd") <= F.lit(T_CLOSE_MAX))
+                    .alias("passed")))
+
+
+T_CLOSENESS_SQL = f"""
+WITH flat AS (
+    SELECT lang, source,
+           CAST(least(n_chars // {LEN_BUCKET}, {T_CLOSE_BUCKETS - 1})
+                AS INT) AS b
+    FROM documents
+), classes AS (
+    SELECT lang, source, count(*) AS n_class
+    FROM flat GROUP BY lang, source
+), cb AS (
+    SELECT lang, source, b, count(*) AS cnt_cb
+    FROM flat GROUP BY lang, source, b
+), gb AS (
+    SELECT b, count(*) AS cnt_gb FROM flat GROUP BY b
+), total AS (SELECT count(*) AS n_corpus FROM flat
+), grid AS (
+    SELECT c.lang, c.source, c.n_class, CAST(u.b AS INT) AS b
+    FROM classes c,
+         LATERAL (SELECT unnest(generate_series(0,
+                  {T_CLOSE_BUCKETS - 1})) AS b) u
+), cells AS (
+    SELECT g.lang, g.source, g.b, g.n_class,
+           CAST(round(CAST(COALESCE(cb.cnt_cb, 0) AS DOUBLE)
+                      / CAST(g.n_class AS DOUBLE)
+                      - CAST(COALESCE(gb.cnt_gb, 0) AS DOUBLE)
+                        / CAST(t.n_corpus AS DOUBLE), 10)
+                AS DECIMAL(25,10)) AS d_dec
+    FROM grid g
+    LEFT JOIN cb ON g.lang = cb.lang AND g.source = cb.source
+                AND g.b = cb.b
+    LEFT JOIN gb ON g.b = gb.b, total t
+), cum AS (
+    SELECT lang, source, n_class,
+           abs(sum(d_dec) OVER (PARTITION BY lang, source ORDER BY b
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)) AS acum
+    FROM cells
+)
+SELECT lang, source, max(n_class) AS n_docs,
+       CAST(sum(acum) AS DOUBLE) / {float(T_CLOSE_BUCKETS - 1)} AS t_emd,
+       CAST(sum(acum) AS DOUBLE) / {float(T_CLOSE_BUCKETS - 1)}
+           <= {T_CLOSE_MAX} AS passed
+FROM cum GROUP BY lang, source
+"""

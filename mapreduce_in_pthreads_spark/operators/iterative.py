@@ -781,3 +781,84 @@ SELECT h.word, CAST(h.hub AS DOUBLE) AS hub,
        CAST(a.authority AS DOUBLE) AS authority
 FROM h{HITS_ITERATIONS} h JOIN a{HITS_ITERATIONS} a ON h.word = a.word
 """
+
+
+# --- Adamic-Adar link prediction ---------------------------------------------
+
+AA_TOP_K = 20
+
+
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the guarded word
+    co-occurrence graph: for word pairs NOT currently adjacent, score
+    Σ_z 1/ln(deg z) over their common neighbors z (Adamic & Adar
+    2003) and return the top-``AA_TOP_K`` predicted edges — the
+    classic common-neighbor recommender (LinkedIn PYMK lineage),
+    here surfacing word pairs that behave like collocations without
+    ever co-occurring. Completes the graph family: PageRank ranks
+    nodes, triangles/coefficient measure closure, THIS predicts where
+    closure happens next.
+
+    Exactness: deg z is an exact integer; every common neighbor z in
+    a wedge has deg ≥ 2, so 1/ln(deg) ≤ 1/ln 2 is well-defined and
+    round(·,10)-pinned → DECIMAL(25,10) before the order-insensitive
+    sum (the pin also absorbs any last-ulp libm ln() disagreement).
+    Ranking sorts the exact decimal, tie-broken lexicographically.
+
+    Scale: reuses the MATERIALIZED ``_guarded_word_edges`` relation
+    (hub guard caps df ≤ 90% of docs, so wedge fan-out is bounded —
+    the same qualification the triangle census rides); the wedge
+    enumeration is one equi-join on z, the existing-edge exclusion a
+    left-anti equi-join, and the top-k a TakeOrdered, never a global
+    sort.
+    """
+    edges = _guarded_word_edges(spark, sf_dir)
+    nbr = (edges.select(F.col("wa").alias("z"), F.col("wb").alias("x"))
+           .unionAll(edges.select(F.col("wb").alias("z"),
+                                  F.col("wa").alias("x"))))
+    deg = nbr.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
+    n1 = nbr.select("z", F.col("x").alias("u"))
+    n2 = nbr.select("z", F.col("x").alias("w"))
+    wedges = (n1.join(n2, "z").filter(F.col("u") < F.col("w"))
+              .join(F.broadcast(deg), "z")
+              .groupBy("u", "w")
+              .agg(F.count(F.lit(1)).alias("n_common"),
+                   F.sum(F.round(F.lit(1.0) / F.log(F.col("d")), 10)
+                         .cast("decimal(25,10)")).alias("aa_dec")))
+    cand = wedges.join(
+        edges, (wedges.u == edges.wa) & (wedges.w == edges.wb),
+        "left_anti")
+    return (cand.orderBy(F.col("aa_dec").desc(), "u", "w")
+            .limit(AA_TOP_K)
+            .select(F.col("u").alias("word_a"), F.col("w").alias("word_b"),
+                    "n_common",
+                    F.col("aa_dec").cast("double").alias("aa_score")))
+
+
+ADAMIC_ADAR_SQL = f"""{_GUARDED_EDGES_SQL_PREFIX.format(
+    tokens_sql=_TOKENS_FILTERED_SQL, cc_max=CC_MAX_DF_PCT10)},
+nbr AS (
+    SELECT wa AS z, wb AS x FROM edges0
+    UNION ALL
+    SELECT wb AS z, wa AS x FROM edges0
+), deg AS (
+    SELECT z, count(*) AS d FROM nbr GROUP BY z
+), wedges AS (
+    SELECT n1.x AS u, n2.x AS w, count(*) AS n_common,
+           sum(CAST(round(1.0 / ln(dg.d), 10) AS DECIMAL(25,10)))
+               AS aa_dec
+    FROM nbr n1
+    JOIN nbr n2 ON n1.z = n2.z AND n1.x < n2.x
+    JOIN deg dg ON dg.z = n1.z
+    GROUP BY n1.x, n2.x
+), cand AS (
+    SELECT wd.* FROM wedges wd
+    LEFT JOIN edges0 e ON wd.u = e.wa AND wd.w = e.wb
+    WHERE e.wa IS NULL
+)
+SELECT u AS word_a, w AS word_b, n_common,
+       CAST(aa_dec AS DOUBLE) AS aa_score
+FROM cand
+ORDER BY aa_dec DESC, u, w
+LIMIT {AA_TOP_K}
+"""

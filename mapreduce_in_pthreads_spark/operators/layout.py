@@ -433,3 +433,157 @@ def _profile_branch_sql(col: str, kind: str) -> str:
 
 TABLE_STATS_SQL = "\nUNION ALL".join(
     _profile_branch_sql(col, kind) for col, kind in _PROFILE_COLS)
+
+
+# --- declarative data-quality expectations ---------------------------------
+
+EXPECT_STATUSES = ("O", "F", "P")
+EXPECT_YEARS = (1992, 1998)
+
+
+def data_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite over ``orders`` —
+    the Deequ/Great-Expectations pattern a 100 TB ingest gate runs
+    before promoting a batch: each constraint is a named metric with
+    a threshold and a pass verdict, computed from ONE scan.
+
+    Constraints: completeness(o_custkey), uniqueness(o_orderkey),
+    set-membership(o_orderstatus ∈ {O,F,P}), non-negativity
+    (o_totalprice > 0), date-range(year ∈ [1992, 1998]). The long
+    (constraint, metric, threshold, passed) shape is the contract
+    downstream alerting consumes; adding a constraint is one more
+    conditional aggregate, not another scan.
+
+    Exactness: every metric is one exact-operand integer division;
+    verdicts compare bit-identical doubles against literal 1.0.
+
+    Scale: ONE pass — four conditional sums fold into the same
+    partial aggregation; the single exact count-distinct plans as a
+    two-stage agg on the (already unique) key column, no Expand. The
+    unpivot runs on a 1-row relation.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_orderkey").alias("ndv_key"),
+        F.sum(F.col("o_orderstatus").isin(*EXPECT_STATUSES)
+              .cast("long")).alias("status_ok"),
+        F.sum((F.col("o_totalprice") > 0).cast("long")).alias("price_pos"),
+        F.sum(F.year("o_orderdate").between(*EXPECT_YEARS)
+              .cast("long")).alias("date_ok"))
+    d = "double"
+    long = agg.select(F.expr(
+        "stack(5,"
+        " 'completeness_o_custkey', cast(nn_cust as double) / n,"
+        " 'uniqueness_o_orderkey', cast(ndv_key as double) / n,"
+        " 'membership_o_orderstatus', cast(status_ok as double) / n,"
+        " 'non_negative_o_totalprice', cast(price_pos as double) / n,"
+        " 'range_o_orderdate', cast(date_ok as double) / n"
+        ") as (constraint, metric)"))
+    return long.select("constraint", F.col("metric").cast(d),
+                       F.lit(1.0).alias("threshold"),
+                       (F.col("metric") >= F.lit(1.0)).alias("passed"))
+
+
+DATA_EXPECTATIONS_SQL = f"""
+WITH agg AS (
+    SELECT count(*) AS n,
+           count(o_custkey) AS nn_cust,
+           count(DISTINCT o_orderkey) AS ndv_key,
+           sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                    THEN 1 ELSE 0 END) AS status_ok,
+           sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS price_pos,
+           sum(CASE WHEN year(o_orderdate)
+                         BETWEEN {EXPECT_YEARS[0]} AND {EXPECT_YEARS[1]}
+                    THEN 1 ELSE 0 END) AS date_ok
+    FROM orders
+)
+SELECT 'completeness_o_custkey' AS constraint,
+       CAST(nn_cust AS DOUBLE) / n AS metric, 1.0 AS threshold,
+       CAST(nn_cust AS DOUBLE) / n >= 1.0 AS passed FROM agg
+UNION ALL
+SELECT 'uniqueness_o_orderkey', CAST(ndv_key AS DOUBLE) / n, 1.0,
+       CAST(ndv_key AS DOUBLE) / n >= 1.0 FROM agg
+UNION ALL
+SELECT 'membership_o_orderstatus', CAST(status_ok AS DOUBLE) / n, 1.0,
+       CAST(status_ok AS DOUBLE) / n >= 1.0 FROM agg
+UNION ALL
+SELECT 'non_negative_o_totalprice', CAST(price_pos AS DOUBLE) / n, 1.0,
+       CAST(price_pos AS DOUBLE) / n >= 1.0 FROM agg
+UNION ALL
+SELECT 'range_o_orderdate', CAST(date_ok AS DOUBLE) / n, 1.0,
+       CAST(date_ok AS DOUBLE) / n >= 1.0 FROM agg
+"""
+
+
+# --- broadcast-join strategy advisor ----------------------------------------
+
+# (fixed-width column count, string columns) per table — the declared
+# in-memory row model: 8 B per numeric/timestamp, 16 B header + payload
+# per string. Deliberately simple and DOCUMENTED so the advisor is
+# auditable; swap for catalog stats (table_stats_profile) at will.
+ADVISOR_TABLES: dict[str, tuple[int, tuple[str, ...]]] = {
+    "region": (1, ("r_name",)),
+    "nation": (2, ("n_name",)),
+    "customer": (3, ("c_name", "c_mktsegment")),
+    "supplier": (3, ("s_name",)),
+    "part": (3, ("p_name", "p_brand", "p_type")),
+    "orders": (4, ("o_orderstatus", "o_orderpriority")),
+    "lineitem": (9, ("l_returnflag", "l_linestatus")),
+}
+BROADCAST_THRESHOLD_BYTES = 10 * 1024 * 1024  # Spark's default 10 MB
+
+
+def broadcast_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy advisor: estimate every table's in-memory size
+    from the declared row model (8 B per fixed-width column, 16 B +
+    payload per string) and recommend BROADCAST when the estimate
+    clears Spark's default ``autoBroadcastJoinThreshold`` (10 MB),
+    SHUFFLE otherwise — the decision AQE makes from runtime stats,
+    surfaced as an auditable relation so a pipeline can pin join
+    strategies (and catch the dim table that silently grew past the
+    threshold and started spilling) BEFORE planning 10⁴ queries on
+    top of it. Companion to ``table_stats_profile`` (which feeds real
+    NDV/min-max to the same decisions).
+
+    Exactness: row counts and string lengths are exact integers; the
+    estimate is pure integer arithmetic.
+
+    Scale: one combinable (count + Σ length) aggregate per table —
+    seven scans of exactly the string columns (column-pruned), each
+    collapsing to one row.
+    """
+    parts = []
+    for t, (n_fixed, str_cols) in ADVISOR_TABLES.items():
+        tbl = load_table(spark, sf_dir, t)
+        strlen = sum((F.length(c).cast("long") for c in str_cols),
+                     F.lit(0).cast("long"))
+        agg = tbl.agg(F.count(F.lit(1)).alias("n_rows"),
+                      F.sum(strlen).alias("payload"))
+        per_row = 8 * n_fixed + 16 * len(str_cols)
+        parts.append(agg.select(
+            F.lit(t).alias("table_name"), "n_rows",
+            (F.col("n_rows") * F.lit(per_row) + F.col("payload"))
+            .alias("est_bytes")))
+    from functools import reduce
+    est = reduce(lambda a, b: a.unionAll(b), parts)
+    return est.select(
+        "table_name", "n_rows", "est_bytes",
+        F.when(F.col("est_bytes") <= BROADCAST_THRESHOLD_BYTES,
+               F.lit("broadcast")).otherwise(F.lit("shuffle"))
+        .alias("strategy"))
+
+
+BROADCAST_ADVISOR_SQL = "\nUNION ALL".join(
+    f"""
+SELECT '{t}' AS table_name, count(*) AS n_rows,
+       count(*) * {8 * n_fixed + 16 * len(str_cols)}
+       + CAST(sum({' + '.join(f'length({c})' for c in str_cols)})
+              AS BIGINT) AS est_bytes,
+       CASE WHEN count(*) * {8 * n_fixed + 16 * len(str_cols)}
+                 + CAST(sum({' + '.join(f'length({c})' for c in str_cols)})
+                        AS BIGINT) <= {BROADCAST_THRESHOLD_BYTES}
+            THEN 'broadcast' ELSE 'shuffle' END AS strategy
+FROM {t}"""
+    for t, (n_fixed, str_cols) in ADVISOR_TABLES.items())

@@ -4412,3 +4412,87 @@ FROM base b LEFT JOIN rbo r ON b.query_id = r.query_id
 RBO_AGREEMENT_SQL = RBO_AGREEMENT_SQL.format(
     bm25=_BM25_PREFIX_SQL,
     ql=_QL_PREFIX_SQL.format(values=_bm25_values_sql()))
+
+
+# --- FORCAST readability gate ---------------------------------------------
+
+FORCAST_EASY_MONO_RATE = 0.6  # grade 20 - 15r <= 11  <=>  r >= 0.6
+
+
+def readability_forcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language readability readout via the FORCAST formula
+    (Caylor et al. 1973): grade = 20 − monosyllables-per-150-words/10
+    = 20 − 15·r with r the per-doc monosyllabic-word rate. FORCAST is
+    the readability instrument designed for NON-NARRATIVE text — it
+    uses no sentence boundaries, which is exactly right for this
+    corpus (space-separated tokens, no punctuation) and for the
+    boilerplate/list/table text a crawl is full of, where
+    Flesch-Kincaid's sentence division is undefined. Joins the
+    quality-gate family (gopher_quality_gate, doc_quality_stats) as
+    the graded-difficulty axis none of them measure.
+
+    Syllables: maximal ``[aeiouy]+`` vowel runs (the standard
+    dictionary-free heuristic); a word is monosyllabic iff it has
+    exactly one run. Both engines run the identical regex per word
+    via higher-order ``filter`` — per-row expressions, no explode, no
+    UDF.
+
+    Exactness: r_d = m_d / w_d is ONE division of exact-integer
+    operands (bit-identical); |r| ≤ 1 so round(·,10) → DECIMAL(25,10)
+    pins it for the order-insensitive sum; the per-lang mean grade
+    uses linearity (mean(20 − 15r) = 20 − 15·mean(r)) so no per-doc
+    grade is ever rounded. The accessibility band compares r against
+    the exact rational 0.6 threshold, not the derived grade.
+
+    Scale: per-row token/filter expressions inside whole-stage
+    codegen, then ONE combinable per-lang aggregation — a single
+    exchange over ≤|langs| groups at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.col("text"), " "))
+    mono = F.size(F.expr(
+        "filter(split(text, ' '), "
+        "w -> size(regexp_extract_all(w, '[aeiouy]+', 0)) = 1)"))
+    r = mono.cast("double") / words.cast("double")
+    per_doc = docs.select(
+        "lang",
+        F.round(r, 10).cast("decimal(25,10)").alias("r_dec"),
+        (r >= F.lit(FORCAST_EASY_MONO_RATE)).cast("long").alias("easy"))
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("r_dec").alias("sr"),
+                 F.sum("easy").alias("n_accessible"))
+            .select("lang", "n_docs",
+                    (F.lit(20.0) - F.lit(15.0)
+                     * (F.col("sr").cast("double")
+                        / F.col("n_docs").cast("double")))
+                    .alias("mean_grade"),
+                    "n_accessible",
+                    (F.col("n_accessible").cast("double")
+                     / F.col("n_docs").cast("double"))
+                    .alias("accessible_share")))
+
+
+READABILITY_FORCAST_SQL = f"""
+WITH per_doc AS (
+    SELECT lang,
+           CAST(round(CAST(len(list_filter(string_split(text, ' '),
+                     w -> len(regexp_extract_all(w, '[aeiouy]+')) = 1))
+                     AS DOUBLE)
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE), 10)
+                AS DECIMAL(25,10)) AS r_dec,
+           CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                     w -> len(regexp_extract_all(w, '[aeiouy]+')) = 1))
+                     AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                     >= {FORCAST_EASY_MONO_RATE} THEN 1 ELSE 0 END AS easy
+    FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       20.0 - 15.0 * (CAST(sum(r_dec) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) AS mean_grade,
+       CAST(sum(easy) AS BIGINT) AS n_accessible,
+       CAST(sum(easy) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS accessible_share
+FROM per_doc GROUP BY lang
+"""

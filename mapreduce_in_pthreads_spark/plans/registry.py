@@ -1225,6 +1225,46 @@ register("rbo_ranker_agreement", ta.rbo_ranker_agreement,
          "the production ranker-swap gate beside Spearman's "
          "equal-weight pool agreement; depth weights inlined as "
          "identical literals, terms decimal-pinned")
+register("readability_forcast", ta.readability_forcast,
+         ta.READABILITY_FORCAST_SQL,
+         "FORCAST readability grade per language (Caylor 1973 — the "
+         "sentence-free instrument, right for boilerplate/crawl text "
+         "where Flesch-Kincaid is undefined): monosyllable rate via "
+         "higher-order filter + vowel-run regex (no explode, no UDF), "
+         "mean grade by linearity over round(·,10)-pinned rates, "
+         "accessibility band compared on the exact rational threshold")
+register("mann_whitney_auc", adv.mann_whitney_auc, adv.MANN_WHITNEY_SQL,
+         "Mann-Whitney U rank-sum test + the equivalent ROC-AUC "
+         "(AUC = U/(n1·n2)) comparing doc lengths between two "
+         "sources: all rank math in exact integers via doubled ranks "
+         "(tie-corrected z) — the distribution-free twin of "
+         "ab_split_welch_ttest for heavy-tailed metrics")
+register("data_expectations_audit", lay.data_expectations_audit,
+         lay.DATA_EXPECTATIONS_SQL,
+         "Deequ/Great-Expectations-style declarative constraint suite "
+         "over orders (completeness, uniqueness, set-membership, "
+         "non-negativity, date-range) from ONE scan, unpivoted to the "
+         "(constraint, metric, threshold, passed) contract an ingest "
+         "gate alerts on")
+register("broadcast_join_advisor", lay.broadcast_join_advisor,
+         lay.BROADCAST_ADVISOR_SQL,
+         "join-strategy advisor: per-table in-memory size estimate "
+         "from the declared row model vs Spark's 10 MB "
+         "autoBroadcastJoinThreshold → broadcast/shuffle "
+         "recommendation — the AQE decision surfaced as an auditable "
+         "relation (catches the dim that outgrew the threshold)")
+register("t_closeness_audit", cu.t_closeness_audit, cu.T_CLOSENESS_SQL,
+         "t-closeness release audit (Li 2007), completing the "
+         "k-anonymity / l-diversity ladder: per-QI-class EMD vs the "
+         "corpus distribution over 6 ordered length buckets via the "
+         "cumulative-difference closed form, decimal-pinned cumsum, "
+         "per-class densified grid")
+register("adamic_adar_links", it.adamic_adar_links, it.ADAMIC_ADAR_SQL,
+         "Adamic-Adar link prediction on the guarded word graph: "
+         "top-20 non-adjacent pairs by Σ 1/ln(deg) over common "
+         "neighbors — wedge equi-join on the materialized hub-guarded "
+         "edge list, anti-join excludes existing edges, "
+         "decimal-pinned scores, TakeOrdered top-k")
 register("acf_correlogram", ts.acf_correlogram, ts.ACF_SQL,
          "Box-Jenkins autocorrelation correlogram per event_type: "
          "r_k at lags 1..24 on the dense hourly grid via exact "
