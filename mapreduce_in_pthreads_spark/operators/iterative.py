@@ -788,31 +788,106 @@ FROM h{HITS_ITERATIONS} h JOIN a{HITS_ITERATIONS} a ON h.word = a.word
 AA_TOP_K = 20
 
 
+def _pmi_collocation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive-PMI collocation graph: nodes = words, undirected edge
+    (wa < wb; self-pairs dropped) iff the adjacent-bigram pair count
+    clears independence — PMI > 0 ⟺ 2N·c_ab > m_a·m_b with N the
+    total undirected pair count and m_w the pair-slot marginal, ALL
+    exact integers (no float boundary can flip an edge). This is the
+    standard collocation-graph construction, and unlike the same-doc
+    co-occurrence graph it stays SPARSE on a small-vocabulary corpus
+    (same-doc adjacency is complete at 31 words — measured; PMI keeps
+    ~230 of ~480 pairs at every SF, because a hub that co-occurs with
+    everything proportionally sits at lift ≈ 1 and is cut).
+
+    At > ~10⁹ total pairs the m_a·m_b product needs DECIMAL(38,0) /
+    HUGEINT instead of BIGINT — one cast on each side of the
+    inequality.
+
+    MATERIALIZED: consumers reference it 3× (two neighbor
+    orientations + the existing-edge anti-join)."""
+    from ..functions.lineage import truncate_lineage
+    from ..functions.tokens import adjacent_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    op = (docs.select(F.explode(adjacent_pairs(F.split("text", " ")))
+                      .alias("p"))
+          .select(F.col("p.src").alias("a"), F.col("p.dst").alias("b"))
+          .filter(F.col("a") != F.col("b")))
+    cab = (op.select(F.least("a", "b").alias("wa"),
+                     F.greatest("a", "b").alias("wb"))
+           .groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("c")))
+    tot = cab.agg(F.sum("c").alias("n"))
+    marg = (cab.select(F.col("wa").alias("w"), "c")
+            .unionAll(cab.select(F.col("wb").alias("w"), "c"))
+            .groupBy("w").agg(F.sum("c").alias("m")))
+    ma = marg.select(F.col("w").alias("wa"), F.col("m").alias("m_a"))
+    mb = marg.select(F.col("w").alias("wb"), F.col("m").alias("m_b"))
+    return truncate_lineage(
+        cab.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(ma), "wa").join(F.broadcast(mb), "wb")
+        .filter(F.lit(2) * F.col("n") * F.col("c")
+                > F.col("m_a") * F.col("m_b"))
+        .select("wa", "wb"))
+
+
+# SQL twin of _pmi_collocation_edges: CTE prefix ending at `edges0`.
+_PMI_EDGES_SQL_PREFIX = """
+WITH op AS (
+    SELECT unnest(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> struct_pack(a := string_split(text, ' ')[i],
+                                b := string_split(text, ' ')[i+1]))) AS p
+    FROM documents
+), und AS (
+    SELECT least(p.a, p.b) AS wa, greatest(p.a, p.b) AS wb
+    FROM op WHERE p.a <> p.b
+), cab AS (
+    SELECT wa, wb, count(*) AS c FROM und GROUP BY wa, wb
+), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cab
+), marg AS (
+    SELECT w, CAST(sum(c) AS BIGINT) AS m FROM (
+        SELECT wa AS w, c FROM cab
+        UNION ALL
+        SELECT wb AS w, c FROM cab
+    ) GROUP BY w
+), edges0 AS MATERIALIZED (
+    SELECT cab.wa, cab.wb
+    FROM cab, tot
+    JOIN marg ma ON ma.w = cab.wa
+    JOIN marg mb ON mb.w = cab.wb
+    WHERE 2 * tot.n * cab.c > ma.m * mb.m
+)"""
+
+
 def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adamic-Adar link prediction over the guarded word
-    co-occurrence graph: for word pairs NOT currently adjacent, score
-    Σ_z 1/ln(deg z) over their common neighbors z (Adamic & Adar
-    2003) and return the top-``AA_TOP_K`` predicted edges — the
-    classic common-neighbor recommender (LinkedIn PYMK lineage),
-    here surfacing word pairs that behave like collocations without
-    ever co-occurring. Completes the graph family: PageRank ranks
-    nodes, triangles/coefficient measure closure, THIS predicts where
+    """Adamic-Adar link prediction over the positive-PMI collocation
+    graph: for word pairs NOT currently edges, score Σ_z 1/ln(deg z)
+    over their common neighbors z (Adamic & Adar 2003) and return the
+    top-``AA_TOP_K`` predicted links — the classic common-neighbor
+    recommender (LinkedIn PYMK lineage), here surfacing word pairs
+    that share collocation partners without being collocations
+    themselves. Completes the graph family: PageRank ranks nodes,
+    triangles/coefficient measure closure, THIS predicts where
     closure happens next.
 
-    Exactness: deg z is an exact integer; every common neighbor z in
-    a wedge has deg ≥ 2, so 1/ln(deg) ≤ 1/ln 2 is well-defined and
-    round(·,10)-pinned → DECIMAL(25,10) before the order-insensitive
-    sum (the pin also absorbs any last-ulp libm ln() disagreement).
-    Ranking sorts the exact decimal, tie-broken lexicographically.
+    Exactness: edge membership is an exact integer PMI inequality
+    (see ``_pmi_collocation_edges``); deg z is an exact integer;
+    every common neighbor z in a wedge has deg ≥ 2, so 1/ln(deg) is
+    well-defined and round(·,10)-pinned → DECIMAL(25,10) before the
+    order-insensitive sum (the pin also absorbs any last-ulp libm
+    ln() disagreement). Ranking sorts the exact decimal, tie-broken
+    lexicographically.
 
-    Scale: reuses the MATERIALIZED ``_guarded_word_edges`` relation
-    (hub guard caps df ≤ 90% of docs, so wedge fan-out is bounded —
-    the same qualification the triangle census rides); the wedge
-    enumeration is one equi-join on z, the existing-edge exclusion a
-    left-anti equi-join, and the top-k a TakeOrdered, never a global
-    sort.
+    Scale: the corpus collapses to the vocabulary-bounded pair-count
+    relation in one combinable aggregation; PMI sparsification bounds
+    wedge fan-out (hubs with proportional co-occurrence sit at
+    lift ≈ 1 and are cut); the wedge enumeration is one equi-join on
+    z over the broadcast-sized edge list, the existing-edge exclusion
+    a left-anti equi-join, and the top-k a TakeOrdered, never a
+    global sort.
     """
-    edges = _guarded_word_edges(spark, sf_dir)
+    edges = _pmi_collocation_edges(spark, sf_dir)
     nbr = (edges.select(F.col("wa").alias("z"), F.col("wb").alias("x"))
            .unionAll(edges.select(F.col("wb").alias("z"),
                                   F.col("wa").alias("x"))))
@@ -825,9 +900,9 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_common"),
                    F.sum(F.round(F.lit(1.0) / F.log(F.col("d")), 10)
                          .cast("decimal(25,10)")).alias("aa_dec")))
+    ex = edges.select(F.col("wa").alias("ea"), F.col("wb").alias("eb"))
     cand = wedges.join(
-        edges, (wedges.u == edges.wa) & (wedges.w == edges.wb),
-        "left_anti")
+        ex, (wedges.u == ex.ea) & (wedges.w == ex.eb), "left_anti")
     return (cand.orderBy(F.col("aa_dec").desc(), "u", "w")
             .limit(AA_TOP_K)
             .select(F.col("u").alias("word_a"), F.col("w").alias("word_b"),
@@ -835,8 +910,7 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("aa_dec").cast("double").alias("aa_score")))
 
 
-ADAMIC_ADAR_SQL = f"""{_GUARDED_EDGES_SQL_PREFIX.format(
-    tokens_sql=_TOKENS_FILTERED_SQL, cc_max=CC_MAX_DF_PCT10)},
+ADAMIC_ADAR_SQL = f"""{_PMI_EDGES_SQL_PREFIX},
 nbr AS (
     SELECT wa AS z, wb AS x FROM edges0
     UNION ALL

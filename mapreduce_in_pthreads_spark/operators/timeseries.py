@@ -2728,11 +2728,10 @@ def acf_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = (dense.select("event_type", "h", F.col("y").alias("ya"))
          .withColumn("lag", F.explode(F.sequence(
              F.lit(1), F.lit(ACF_MAX_LAG)))))
-    b = dense.select("event_type", F.col("h").alias("hb"),
-                     F.col("y").alias("yb"))
-    lagged = (a.join(b, (a.event_type == b.event_type)
+    b = dense.select(F.col("event_type").alias("et_b"),
+                     F.col("h").alias("hb"), F.col("y").alias("yb"))
+    lagged = (a.join(b, (F.col("event_type") == F.col("et_b"))
                      & (F.col("hb") == F.col("h") + F.col("lag")))
-              .drop(b.event_type)
               .groupBy("event_type", "lag")
               .agg(F.sum(F.col("ya") * F.col("yb")).alias("cross"),
                    F.sum("ya").alias("head"), F.sum("yb").alias("tail"),

@@ -1,0 +1,328 @@
+"""Semantic pins for the eight round-7 session-3 additions
+(readability_forcast, mann_whitney_auc, data_expectations_audit,
+broadcast_join_advisor, t_closeness_audit, adamic_adar_links,
+acf_correlogram, cusum_changepoint). The oracle contract proves
+Spark==DuckDB; these prove both equal the algorithm as specified —
+including CUSUM's prefix-minus-running-min closed form pinned against
+the textbook max(0,·) recursion, and the ACF's expanded integer-moment
+formula pinned against the naive centered-product sum."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import pytest
+
+from .conftest import SF_CORRECT
+
+
+def _documents(sf_dir: str, cols):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=cols)
+    return [tuple(t[c][i].as_py() for c in cols) for i in range(t.num_rows)]
+
+
+def _hourly_dense(sf_dir: str):
+    """{event_type: [y_0..y_T]} densified on the global hour bounds."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "ts"])
+    hours = [us // 3_600_000_000
+             for us in t["ts"].cast("int64").to_pylist()]
+    types = t["event_type"].to_pylist()
+    counts = Counter(zip(types, hours))
+    hmin, hmax = min(hours), max(hours)
+    return hmin, {et: [counts.get((et, h), 0)
+                       for h in range(hmin, hmax + 1)]
+                  for et in set(types)}
+
+
+def test_readability_forcast_python_replica(spark):
+    """Per-lang mean FORCAST grade and accessibility share must equal
+    a re.findall vowel-run replica (monosyllable = exactly one
+    [aeiouy]+ run; grade via mean-linearity, band at r >= 0.6)."""
+    from mapreduce_in_pthreads_spark.operators.text_analysis import (
+        FORCAST_EASY_MONO_RATE, readability_forcast)
+
+    agg = defaultdict(lambda: [0, 0.0, 0])  # n, sum r, n_easy
+    for lang, text in _documents(SF_CORRECT, ["lang", "text"]):
+        words = text.split(" ")
+        mono = sum(1 for w in words
+                   if len(re.findall(r"[aeiouy]+", w)) == 1)
+        r = mono / len(words)
+        a = agg[lang]
+        a[0] += 1
+        a[1] += round(r, 10)
+        a[2] += r >= FORCAST_EASY_MONO_RATE
+
+    rows = readability_forcast(spark, SF_CORRECT).collect()
+    assert {r["lang"] for r in rows} == set(agg)
+    for row in rows:
+        n, sr, easy = agg[row["lang"]]
+        assert row["n_docs"] == n
+        assert row["mean_grade"] == pytest.approx(20 - 15 * sr / n,
+                                                  abs=1e-9)
+        assert row["n_accessible"] == easy
+        assert row["accessible_share"] == pytest.approx(easy / n,
+                                                        abs=1e-12)
+        # FORCAST grades live on [5, 20] by construction
+        assert 5.0 <= row["mean_grade"] <= 20.0
+
+
+def test_mann_whitney_python_replica(spark):
+    """U, AUC and tie-corrected z must equal the textbook
+    average-rank replica (ranks assigned on the pooled sorted sample,
+    ties share the mean rank)."""
+    from mapreduce_in_pthreads_spark.operators.advanced import (
+        MW_SRC_A, MW_SRC_B, mann_whitney_auc)
+
+    a_vals, b_vals = [], []
+    for src, v in _documents(SF_CORRECT, ["source", "n_chars"]):
+        if src == MW_SRC_A:
+            a_vals.append(v)
+        elif src == MW_SRC_B:
+            b_vals.append(v)
+    pooled = sorted(a_vals + b_vals)
+    # average rank per value
+    first = {}
+    for i, v in enumerate(pooled, 1):
+        first.setdefault(v, i)
+    cnt = Counter(pooled)
+    avg_rank = {v: first[v] + (cnt[v] - 1) / 2 for v in cnt}
+    r_a = sum(avg_rank[v] for v in a_vals)
+    n1, n2 = len(a_vals), len(b_vals)
+    u_a = r_a - n1 * (n1 + 1) / 2
+    auc = u_a / (n1 * n2)
+    nn = n1 + n2
+    tie = sum(c ** 3 - c for c in cnt.values())
+    var_u = n1 * n2 / 12 * ((nn + 1) - tie / (nn * (nn - 1)))
+    z = (u_a - n1 * n2 / 2) / math.sqrt(var_u)
+
+    [row] = mann_whitney_auc(spark, SF_CORRECT).collect()
+    assert (row["n_a"], row["n_b"]) == (n1, n2)
+    assert row["u_a"] == pytest.approx(u_a, abs=1e-9)
+    assert row["auc"] == pytest.approx(auc, abs=1e-6)
+    assert row["z_score"] == pytest.approx(z, abs=1e-5)
+
+
+def test_data_expectations_python_replica(spark):
+    """All five constraint metrics must equal a pyarrow replica; the
+    synthetic orders table should pass every expectation."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_in_pthreads_spark.operators.layout import (
+        data_expectations_audit)
+
+    t = pq.read_table(f"{SF_CORRECT}/orders.parquet")
+    n = t.num_rows
+    custkey = t["o_custkey"].to_pylist()
+    keys = t["o_orderkey"].to_pylist()
+    status = t["o_orderstatus"].to_pylist()
+    price = t["o_totalprice"].to_pylist()
+    years = [d.year for d in t["o_orderdate"].to_pylist()]
+    want = {
+        "completeness_o_custkey":
+            sum(v is not None for v in custkey) / n,
+        "uniqueness_o_orderkey": len(set(keys)) / n,
+        "membership_o_orderstatus":
+            sum(s in ("O", "F", "P") for s in status) / n,
+        "non_negative_o_totalprice": sum(p > 0 for p in price) / n,
+        "range_o_orderdate":
+            sum(1992 <= y <= 1998 for y in years) / n,
+    }
+
+    rows = data_expectations_audit(spark, SF_CORRECT).collect()
+    assert {r["constraint"] for r in rows} == set(want)
+    for row in rows:
+        assert row["metric"] == pytest.approx(
+            want[row["constraint"]], abs=1e-12)
+        assert row["threshold"] == 1.0
+        assert row["passed"] == (row["metric"] >= 1.0)
+
+
+def test_broadcast_advisor_python_replica(spark):
+    """Size estimates must equal the declared row model computed by
+    pyarrow, and the strategy must flip exactly at the 10 MB line."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_in_pthreads_spark.operators.layout import (
+        ADVISOR_TABLES, BROADCAST_THRESHOLD_BYTES, broadcast_join_advisor)
+
+    rows = {r["table_name"]: r
+            for r in broadcast_join_advisor(spark, SF_CORRECT).collect()}
+    assert set(rows) == set(ADVISOR_TABLES)
+    for t, (n_fixed, str_cols) in ADVISOR_TABLES.items():
+        tbl = pq.read_table(f"{SF_CORRECT}/{t}.parquet",
+                            columns=list(str_cols))
+        n = tbl.num_rows
+        payload = sum(len(v) for c in str_cols
+                      for v in tbl[c].to_pylist())
+        est = n * (8 * n_fixed + 16 * len(str_cols)) + payload
+        r = rows[t]
+        assert r["n_rows"] == n
+        assert r["est_bytes"] == est
+        assert r["strategy"] == (
+            "broadcast" if est <= BROADCAST_THRESHOLD_BYTES else "shuffle")
+
+
+def test_t_closeness_python_replica(spark):
+    """Per-class EMD must equal the Counter replica of the ordered
+    cumulative-difference formula, including classes missing buckets
+    that the corpus has (they must still move mass)."""
+    from mapreduce_in_pthreads_spark.operators.curation import (
+        LEN_BUCKET, T_CLOSE_BUCKETS, T_CLOSE_MAX, t_closeness_audit)
+
+    m = T_CLOSE_BUCKETS
+    by_class: defaultdict = defaultdict(Counter)
+    glob: Counter = Counter()
+    for lang, source, n_chars in _documents(
+            SF_CORRECT, ["lang", "source", "n_chars"]):
+        b = min(n_chars // LEN_BUCKET, m - 1)
+        by_class[(lang, source)][b] += 1
+        glob[b] += 1
+    n_corpus = sum(glob.values())
+
+    rows = t_closeness_audit(spark, SF_CORRECT).collect()
+    assert {(r["lang"], r["source"]) for r in rows} == set(by_class)
+    for row in rows:
+        cls = by_class[(row["lang"], row["source"])]
+        n_class = sum(cls.values())
+        cum = 0.0
+        emd = 0.0
+        for b in range(m):
+            cum += round(cls.get(b, 0) / n_class
+                         - glob.get(b, 0) / n_corpus, 10)
+            emd += abs(cum)
+        emd /= m - 1
+        assert row["n_docs"] == n_class
+        assert row["t_emd"] == pytest.approx(emd, abs=1e-9)
+        assert row["passed"] == (row["t_emd"] <= T_CLOSE_MAX)
+
+
+def test_adamic_adar_python_replica(spark):
+    """Top-20 AA scores must equal a Counter replica end-to-end: the
+    positive-PMI edge set (exact integer inequality), the wedge
+    enumeration, existing-edge exclusion, and 1/ln(deg)
+    accumulation."""
+    from mapreduce_in_pthreads_spark.operators.iterative import (
+        AA_TOP_K, adamic_adar_links)
+
+    cab: Counter = Counter()
+    for (text,) in _documents(SF_CORRECT, ["text"]):
+        t = text.split(" ")
+        for a, b in zip(t, t[1:]):
+            if a != b:
+                cab[(min(a, b), max(a, b))] += 1
+    n = sum(cab.values())
+    m: Counter = Counter()
+    for (a, b), c in cab.items():
+        m[a] += c
+        m[b] += c
+    edges = {p for p, c in cab.items() if 2 * n * c > m[p[0]] * m[p[1]]}
+    assert len(edges) > 50, "PMI graph degenerated to near-empty"
+    assert len(edges) < len(cab), "PMI graph degenerated to complete"
+    nbrs: defaultdict = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    scores: defaultdict = defaultdict(float)
+    common: defaultdict = defaultdict(int)
+    for z, nb in nbrs.items():
+        w_z = round(1.0 / math.log(len(nb)), 10)
+        snb = sorted(nb)
+        for i, u in enumerate(snb):
+            for w in snb[i + 1:]:
+                scores[(u, w)] += w_z
+                common[(u, w)] += 1
+    cand = [(round(s, 9), u, w) for (u, w), s in scores.items()
+            if (u, w) not in edges]
+    cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = cand[:AA_TOP_K]
+
+    rows = adamic_adar_links(spark, SF_CORRECT).collect()
+    assert len(rows) == min(AA_TOP_K, len(want))
+    assert rows, "top-k must be non-degenerate on this corpus"
+    for row, (s, u, w) in zip(rows, want):
+        assert (row["word_a"], row["word_b"]) == (u, w)
+        assert row["n_common"] == common[(u, w)]
+        assert row["aa_score"] == pytest.approx(s, abs=1e-8)
+
+
+def test_acf_python_replica(spark):
+    """r_k must equal the naive centered-product estimator on the
+    dense hourly series (the operator computes it via expanded
+    integer moments — this is the both-engines-wrong guard for that
+    algebra), every r_k must respect |r_k| <= 1, and the synthetic
+    events stream must read as near-white noise: every |r_k| inside
+    the 5/sqrt(n) band (the correlogram's job on THIS corpus is to
+    show there is no spurious seasonality for the seasonal-naive /
+    Holt family to exploit — consistent with seasonal_naive_mase
+    hovering near 1)."""
+    from mapreduce_in_pthreads_spark.operators.timeseries import (
+        ACF_MAX_LAG, acf_correlogram)
+
+    _, dense = _hourly_dense(SF_CORRECT)
+    want = {}
+    for et, y in dense.items():
+        n = len(y)
+        ybar = sum(y) / n
+        den = sum((v - ybar) ** 2 for v in y)
+        for k in range(1, ACF_MAX_LAG + 1):
+            num = sum((y[t] - ybar) * (y[t + k] - ybar)
+                      for t in range(n - k))
+            want[(et, k)] = (n - k, num / den)
+
+    rows = acf_correlogram(spark, SF_CORRECT).collect()
+    assert {(r["event_type"], r["lag"]) for r in rows} == set(want)
+    by_type: defaultdict = defaultdict(dict)
+    for row in rows:
+        m, acf = want[(row["event_type"], row["lag"])]
+        assert row["n_pairs"] == m
+        assert row["acf"] == pytest.approx(acf, abs=1e-9)
+        assert abs(row["acf"]) <= 1.0 + 1e-12
+        n_hours = len(next(iter(dense.values())))
+        assert abs(row["acf"]) <= 5 / math.sqrt(n_hours), \
+            "synthetic events should be near-white noise"
+        by_type[row["event_type"]][row["lag"]] = row["acf"]
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    """The prefix-sum − running-min closed form must equal the
+    textbook max(0, C+(y−μ−kσ)) recursion, computed on the same
+    round(·,6) decimal z values (scaled-int arithmetic, no float
+    accumulation in the replica either)."""
+    from mapreduce_in_pthreads_spark.operators.timeseries import (
+        CUSUM_H_SIGMA, cusum_changepoint)
+
+    hmin, dense = _hourly_dense(SF_CORRECT)
+    want = {}
+    for et, y in dense.items():
+        n = len(y)
+        mu = sum(y) / n
+        sigma = math.sqrt((sum(v * v for v in y)
+                           - sum(y) * sum(y) / n) / n)
+        c = 0
+        peak, peak_i = -1, -1
+        for i, v in enumerate(y):
+            z6 = round(v - mu - 0.5 * sigma, 6)
+            zi = round(z6 * 1_000_000)  # exact scaled-int decimal
+            c = max(0, c + zi)
+            if c > peak:
+                peak, peak_i = c, i
+        want[et] = (n, mu, sigma, peak / 1_000_000, hmin + peak_i)
+
+    rows = cusum_changepoint(spark, SF_CORRECT).collect()
+    assert {r["event_type"] for r in rows} == set(want)
+    for row in rows:
+        n, mu, sigma, peak, hour = want[row["event_type"]]
+        assert row["n_hours"] == n
+        assert row["mu"] == pytest.approx(mu, abs=1e-12)
+        assert row["sigma"] == pytest.approx(sigma, abs=1e-12)
+        assert row["peak_cusum"] == pytest.approx(peak, abs=1e-9)
+        assert row["peak_hour"] == hour
+        assert row["alarm"] == (row["peak_cusum"]
+                                > CUSUM_H_SIGMA * row["sigma"])
