@@ -1328,12 +1328,19 @@ register("markov_temporal_holdout", ts.markov_temporal_holdout,
 # negative_sampling_weights, direct_standardization_rates,
 # rbo_ranker_agreement, markov_temporal_holdout — each 3-SF
 # oracle-green + vanilla-probed + replica-pinned on landing day).
-# They fill round 8's 50-slot window EXACTLY (flagship fully
-# displaced — it will carry 7 consecutive green rounds), so
-# full-registry adjudication completes in round 8 with ZERO slack:
-# round 8 must NOT add registry entries before its window runs.
-# Rounds 9+ are then free to grow the registry again. Validate with
-# `--check`.
+# UPDATED by session 3 (registry now 312): the 8 session-3 additions
+# (readability_forcast, mann_whitney_auc, data_expectations_audit,
+# broadcast_join_advisor, t_closeness_audit, adamic_adar_links,
+# acf_correlogram, cusum_changepoint — each 3-SF oracle-green,
+# vanilla-probed, replica-pinned on landing day) join the
+# never-adjudicated pool, so the endgame is now 108 = 50 (this
+# round's window) + 50 (round 8) + 8 (round 9): round 8's window is
+# the 50-entry backlog EXACTLY (flagship fully displaced — it will
+# carry 7 consecutive green rounds; regenerate with
+# `python tools/next_window.py`, zero slack, so round 8 should not
+# add entries before its window runs), and round 9 leads with the
+# session-3 eight plus filler. Full-registry adjudication completes
+# in round 9 of 20 — comfortable margin. Validate with `--check`.
 _ADJUDICATION_FIRST: tuple[str, ...] = (
     "winnowing_fingerprints", "prefix_filter_jaccard_join",
     "split_leakage_audit", "psi_drift_by_source",
