@@ -2823,11 +2823,22 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by event_type (24 types × hours — never wider than the
     grid). At 100 TB: identical shape.
     """
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_finish(hourly_counts(ev))
+
+
+def cusum_finish(counts: DataFrame) -> DataFrame:
+    """Dense-grid CUSUM scan over an (event_type, h, c) relation —
+    shared verbatim by the batch operator above and the foreachBatch
+    streaming twin (``streaming/foreach_batch.run_cusum_stream``),
+    the repo's "streaming ingest, batch finish per trigger" pattern
+    (the running statistics depend on the CURRENT global μ/σ, so the
+    scan must be recomputed per trigger from the accumulated series
+    state — exactly what a live drift monitor does)."""
     from ..functions.lineage import truncate_lineage
 
-    ev = load_table(spark, sf_dir, "events")
     dense = truncate_lineage(
-        dense_hourly(hourly_counts(ev)).select("event_type", "h", "y"))
+        dense_hourly(counts).select("event_type", "h", "y"))
     mom = (dense.groupBy("event_type")
            .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"),
                 F.sum(F.col("y") * F.col("y")).alias("syy")))

@@ -195,3 +195,34 @@ def run_seasonal_mase_stream(spark: SparkSession, sf_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def run_cusum_stream(spark: SparkSession, sf_dir: str,
+                     checkpoint_dir: str, holder: dict) -> None:
+    """Streaming twin of ``timeseries.cusum_changepoint`` — the sixth
+    instance of the "streaming ingest, batch finish per trigger"
+    pattern: per-(event_type, hour) counts accumulate as a
+    complete-mode streaming aggregation (state bounded by types ×
+    hours); the non-incremental finishing (dense grid + the
+    prefix-sum/running-min CUSUM scan, whose μ/σ baseline depends on
+    the CURRENT accumulated series) re-runs per trigger via the SAME
+    ``cusum_finish`` the batch operator calls. This is how a live
+    drift monitor actually runs: every micro-batch refreshes "has any
+    event type accumulated a level shift past h = 4σ?" from the
+    series state.
+    """
+    from ..operators.timeseries import cusum_finish, hourly_counts
+
+    counts = hourly_counts(_read_event_stream(spark, sf_dir))
+
+    def finish(batch_df: DataFrame, batch_id: int) -> None:
+        holder["rows"] = cusum_finish(batch_df).collect()
+        holder["n_triggers"] = holder.get("n_triggers", 0) + 1
+
+    q = (counts.writeStream
+         .foreachBatch(finish)
+         .outputMode("complete")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -397,3 +397,23 @@ def test_streaming_seasonal_mase_parity(spark, sf_dir, tmp_path):
     want = _rows(REGISTRY["seasonal_naive_mase"].fn(spark, sf_dir),
                  cols)
     assert got == want
+
+
+def test_streaming_cusum_parity(spark, sf_dir, tmp_path):
+    """Streaming ingest + per-trigger CUSUM finishing (foreachBatch)
+    equals the batch cusum_changepoint exactly — hourly counts
+    accumulate as a complete-mode streaming agg, the dense-grid
+    prefix-sum/running-min scan re-runs per trigger via the SAME
+    cusum_finish helper."""
+    from mapreduce_in_pthreads_spark.streaming.foreach_batch import (
+        run_cusum_stream)
+
+    holder: dict = {}
+    run_cusum_stream(spark, sf_dir, str(tmp_path / "ckpt"), holder)
+    assert holder.get("n_triggers", 0) >= 1
+    cols = ["event_type", "n_hours", "mu", "sigma",
+            "peak_cusum", "peak_hour", "alarm"]
+    got = sorted(tuple(r[c] for c in cols) for r in holder["rows"])
+    want = _rows(REGISTRY["cusum_changepoint"].fn(spark, sf_dir),
+                 cols)
+    assert got == want
