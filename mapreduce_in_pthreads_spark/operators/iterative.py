@@ -793,7 +793,10 @@ def _pmi_collocation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (wa < wb; self-pairs dropped) iff the adjacent-bigram pair count
     clears independence — PMI > 0 ⟺ 2N·c_ab > m_a·m_b with N the
     total undirected pair count and m_w the pair-slot marginal, ALL
-    exact integers (no float boundary can flip an edge). This is the
+    exact integers (no float boundary can flip an edge; the factor 2
+    is the unordered-pair independence model p_ab vs 2·p_a·p_b —
+    hypothesis-pinned against exact rational PMI in
+    tests/test_properties.py). This is the
     standard collocation-graph construction, and unlike the same-doc
     co-occurrence graph it stays SPARSE on a small-vocabulary corpus
     (same-doc adjacency is complete at 31 words — measured; PMI keeps

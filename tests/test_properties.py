@@ -11,6 +11,8 @@ must not change results.
 from __future__ import annotations
 
 import re
+import pytest
+from collections import Counter
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -1092,3 +1094,95 @@ def test_holt_fold_matches_python_recursion(spark, ys):
         nl = (y + l + b) / 2
         l, b = nl, (nl - l) / 2 + b / 2
     assert r["st"]["l"] == l and r["st"]["b"] == b
+
+
+# --- round-7 session-3 algorithmic identities (hypothesis) ------------------
+
+
+@given(st.lists(st.integers(min_value=-50, max_value=50),
+                min_size=1, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_cusum_closed_form_identity(zs):
+    """The CUSUM prefix-sum − clamped-running-min closed form used by
+    ``cusum_changepoint`` equals the textbook max(0, C + z) recursion
+    for ARBITRARY integer deviation series — the identity the whole
+    distributed formulation rides (real-data parity is pinned in
+    test_round7_session3_ops; this is the adversarial-input guard)."""
+    # textbook recursion
+    c = 0
+    rec = []
+    for z in zs:
+        c = max(0, c + z)
+        rec.append(c)
+    # closed form: C_t = P_t - min(0, min_{s<=t} P_s)
+    p = 0
+    pmin = 0
+    for z, want in zip(zs, rec):
+        p += z
+        pmin = min(pmin, p)
+        assert p - min(0, pmin) == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 5),
+                          st.integers(1, 40)),
+                min_size=1, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_pmi_integer_test_equals_fraction_pmi(pairs):
+    """The exact integer inequality 2N·c_ab > m_a·m_b used by
+    ``_pmi_collocation_edges`` must agree with PMI > 0 computed in
+    exact rational arithmetic under the unordered-pair independence
+    model (p_ab = c/N vs 2·p_a·p_b with p_w = m_w/2N — the factor 2
+    because an unordered a≠b pair arises from two ordered
+    arrangements), for arbitrary pair-count tables — no float
+    boundary, no edge flip."""
+    from fractions import Fraction
+
+    cab = Counter()
+    for a, b, c in pairs:
+        if a != b:
+            cab[(min(a, b), max(a, b))] += c
+    if not cab:
+        return
+    n = sum(cab.values())
+    m = Counter()
+    for (a, b), c in cab.items():
+        m[a] += c
+        m[b] += c
+    for (a, b), c in cab.items():
+        integer_edge = 2 * n * c > m[a] * m[b]
+        # PMI > 0  <=>  p(a,b) > 2·p(a)·p(b) with p(w) = m_w / (2N)
+        rational_edge = (Fraction(c, n)
+                         > 2 * Fraction(m[a], 2 * n)
+                         * Fraction(m[b], 2 * n))
+        assert integer_edge == rational_edge
+
+
+@given(st.lists(st.integers(0, 20), min_size=6, max_size=6),
+       st.lists(st.integers(0, 20), min_size=6, max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_t_closeness_emd_closed_form_vs_transport(q_counts, p_counts):
+    """The ordered-attribute EMD closed form Σ|cumdiff|/(m−1) used by
+    ``t_closeness_audit`` equals a literal earth-moving simulation
+    (push surplus left-to-right, cost = mass × distance / (m−1)) for
+    arbitrary 6-bucket distributions."""
+    if sum(q_counts) == 0 or sum(p_counts) == 0:
+        return
+    m = 6
+    q = [c / sum(q_counts) for c in q_counts]
+    p = [c / sum(p_counts) for c in p_counts]
+    # closed form
+    cum = 0.0
+    emd_closed = 0.0
+    for i in range(m):
+        cum += q[i] - p[i]
+        emd_closed += abs(cum)
+    emd_closed /= m - 1
+    # transport simulation: carry the imbalance one step at a time;
+    # each carried unit of mass costs 1/(m-1)
+    carry = 0.0
+    moved = 0.0
+    for i in range(m - 1):
+        carry += q[i] - p[i]
+        moved += abs(carry)
+    emd_transport = moved / (m - 1)
+    assert emd_closed == pytest.approx(emd_transport, abs=1e-12)
