@@ -795,3 +795,194 @@ SELECT n_a, n_b,
            AS z_score
 FROM agg
 """
+
+
+# --- KMV distinct-count sketch ----------------------------------------------
+
+KMV_K = 64
+KMV_POW52 = 1 << 52
+
+
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event_type
+    (Bar-Yossef et al. 2002): hash every distinct user to an exact
+    52-bit md5 uniform, keep the k smallest, estimate NDV ≈ (k−1)/u_k
+    from the k-th order statistic — and report it AGAINST the exact
+    NDV with the relative error, making this the third member of the
+    sketch-self-audit family (bloom FP rate, md5-uniformity KS): the
+    operator that says what error the mergeable-sketch path would
+    have cost BEFORE a pipeline swaps exact distinct for sketches.
+    A type with fewer than k distinct users stores them all and the
+    sketch is exact (the textbook small-set case).
+
+    Exactness: u = (h+1)/2⁵² is exact IEEE754 (52-bit integer,
+    power-of-two divisor — the ``weighted_sample_aes`` uniform);
+    u_k is selected by rank (no arithmetic), the estimate is fixed
+    arithmetic over (k−1) and u_k, round 6 on display.
+
+    Scale: ONE exchange for the distinct; the rank window runs on the
+    distinct-user relation (documented reduced-relation window, same
+    class as ``rfm_segmentation``) — a cluster implementation swaps
+    it for a per-partition k-smallest heap + k-way merge, the
+    standard KMV merge that makes the sketch distributive; the
+    estimator and audit are |types|-row math.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    h = F.conv(F.substring(
+        F.md5(F.col("user_id").cast("string").cast("binary")), 1, 13),
+        16, 10).cast("bigint")
+    u = (h + 1) / F.lit(float(KMV_POW52))
+    w = Window.partitionBy("event_type").orderBy("u", "user_id")
+    ranked = (du.select("event_type", u.alias("u"), "user_id")
+              .withColumn("rn", F.row_number().over(w)))
+    exact = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    kth = (ranked.filter(F.col("rn") == KMV_K)
+           .select("event_type", F.col("u").alias("u_k")))
+    est = F.when(F.col("u_k").isNull(),
+                 F.col("n_exact").cast("double")) \
+        .otherwise(F.lit(float(KMV_K - 1)) / F.col("u_k"))
+    return (exact.join(kth, "event_type", "left")
+            .select("event_type", "n_exact",
+                    F.round(est, 6).alias("ndv_estimate"),
+                    F.round((est - F.col("n_exact").cast("double"))
+                            / F.col("n_exact").cast("double"), 6)
+                    .alias("rel_error")))
+
+
+KMV_SKETCH_SQL = f"""
+WITH du AS (
+    SELECT DISTINCT event_type, user_id FROM events
+), ranked AS (
+    SELECT event_type,
+           (('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                ::BIGINT + 1) / {float(KMV_POW52)!r} AS u,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY (('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                            1, 13))::BIGINT + 1)
+                        / {float(KMV_POW52)!r}, user_id) AS rn
+    FROM du
+), exact AS (
+    SELECT event_type, count(*) AS n_exact FROM du GROUP BY event_type
+), kth AS (
+    SELECT event_type, u AS u_k FROM ranked WHERE rn = {KMV_K}
+)
+SELECT e.event_type, e.n_exact,
+       round(CASE WHEN k.u_k IS NULL THEN CAST(e.n_exact AS DOUBLE)
+                  ELSE {float(KMV_K - 1)!r} / k.u_k END, 6)
+           AS ndv_estimate,
+       round((CASE WHEN k.u_k IS NULL THEN CAST(e.n_exact AS DOUBLE)
+                   ELSE {float(KMV_K - 1)!r} / k.u_k END
+              - CAST(e.n_exact AS DOUBLE))
+             / CAST(e.n_exact AS DOUBLE), 6) AS rel_error
+FROM exact e LEFT JOIN kth k ON e.event_type = k.event_type
+"""
+
+
+# --- split-conformal prediction intervals -------------------------------------
+
+CONF_CAL_HEX = tuple("0123456789ab")  # 75% calibration split
+CONF_ALPHA_NUM, CONF_ALPHA_DEN = 9, 10  # 1 - alpha = 9/10
+
+
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Papadopoulos et al. 2002 /
+    Vovk): per event_type, fit the trivial predictor (calibration
+    mean), take the nonconformity score |v − mean|, set the interval
+    half-width τ to the ⌈(n_cal+1)(1−α)⌉-th smallest calibration
+    score (α = 0.1, the EXACT finite-sample rank — integer
+    arithmetic, no quantile interpolation), and report the EMPIRICAL
+    coverage on the held-out split — the distribution-free interval
+    machinery modern ML serving wraps around any point model, with
+    its marginal ≥ 1−α guarantee made auditable. The md5 75/25 split
+    is the same deterministic convention every eval here uses.
+
+    Exactness: the calibration mean is one exact DECIMAL(25,4) sum
+    divided by a count; residuals are fixed double arithmetic over
+    it; τ is selected by RANK (ties broken by event_id), the target
+    rank is exact integer ceil arithmetic; coverage is one integer
+    division.
+
+    Scale: two combinable per-type aggregations + one rank window
+    partitioned by event_type (the repo's rank-exact quantile
+    convention, same class as ``mad_outlier_events``'s median);
+    calibration stats and τ broadcast back as |types|-row relations.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    is_cal = F.substring(
+        F.md5(F.col("event_id").cast("string").cast("binary")), 1, 1) \
+        .isin(*CONF_CAL_HEX)
+    tagged = ev.select("event_type", "event_id", "value",
+                       is_cal.alias("cal"))
+    stats = (tagged.filter("cal").groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_cal"),
+                  (F.sum(F.col("value").cast(DEC)).cast("double")
+                   / F.count(F.lit(1))).alias("mu")))
+    kstar = ((F.col("n_cal") + 1) * CONF_ALPHA_NUM
+             + (CONF_ALPHA_DEN - 1)) \
+        .cast("long") / F.lit(CONF_ALPHA_DEN)
+    stats = stats.withColumn("k_star", F.floor(kstar).cast("long"))
+    cal_r = (tagged.filter("cal")
+             .join(F.broadcast(stats), "event_type")
+             .select("event_type", "event_id", "n_cal", "k_star",
+                     F.abs(F.col("value") - F.col("mu")).alias("r")))
+    w = Window.partitionBy("event_type").orderBy("r", "event_id")
+    tau = (cal_r.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == F.least(F.col("k_star"),
+                                          F.col("n_cal")))
+           .select("event_type", F.col("r").alias("tau")))
+    test = (tagged.filter(~F.col("cal"))
+            .join(F.broadcast(stats), "event_type")
+            .join(F.broadcast(tau), "event_type")
+            .groupBy("event_type")
+            .agg(F.max("n_cal").alias("n_cal"),
+                 F.max("tau").alias("tau"),
+                 F.count(F.lit(1)).alias("n_test"),
+                 F.sum((F.abs(F.col("value") - F.col("mu"))
+                        <= F.col("tau")).cast("long")).alias("n_covered")))
+    return test.select(
+        "event_type", "n_cal", "n_test", "tau", "n_covered",
+        (F.col("n_covered").cast("double")
+         / F.col("n_test").cast("double")).alias("coverage"))
+
+
+CONFORMAL_SQL = f"""
+WITH tagged AS (
+    SELECT event_type, event_id, value,
+           substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+               IN ({", ".join(f"'{c}'" for c in CONF_CAL_HEX)}) AS cal
+    FROM events
+), stats AS (
+    SELECT event_type, count(*) AS n_cal,
+           CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE)
+               / count(*) AS mu,
+           ((count(*) + 1) * {CONF_ALPHA_NUM} + {CONF_ALPHA_DEN - 1})
+               // {CONF_ALPHA_DEN} AS k_star
+    FROM tagged WHERE cal GROUP BY event_type
+), cal_r AS (
+    SELECT t.event_type, s.n_cal, s.k_star,
+           abs(t.value - s.mu) AS r,
+           row_number() OVER (
+               PARTITION BY t.event_type
+               ORDER BY abs(t.value - s.mu), t.event_id) AS rn
+    FROM tagged t JOIN stats s ON t.event_type = s.event_type
+    WHERE t.cal
+), tau AS (
+    SELECT event_type, r AS tau FROM cal_r
+    WHERE rn = least(k_star, n_cal)
+)
+SELECT t.event_type, max(s.n_cal) AS n_cal, count(*) AS n_test,
+       max(x.tau) AS tau,
+       CAST(sum(CASE WHEN abs(t.value - s.mu) <= x.tau
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST(sum(CASE WHEN abs(t.value - s.mu) <= x.tau
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS coverage
+FROM tagged t
+JOIN stats s ON t.event_type = s.event_type
+JOIN tau x ON t.event_type = x.event_type
+WHERE NOT t.cal
+GROUP BY t.event_type
+"""

@@ -1568,3 +1568,115 @@ JOIN sizes nb ON nb.doc_id = doc_b
 WHERE shared / CAST(na.n + nb.n - shared AS DOUBLE)
       >= {JACCARD_THRESHOLD}
 """
+
+
+# --- LSH parameter planner ----------------------------------------------------
+
+# (bands, rows-per-band) factorizations of the 8-minhash signature.
+LSH_PLAN_CONFIGS = ((1, 8), (2, 4), (4, 2), (8, 1))
+LSH_PLAN_BINS = 10
+
+
+def _lsh_s_curve() -> list[tuple[int, int, int, float]]:
+    """(bands, rows, bin, P(candidate at the bin midpoint)) literals.
+
+    P(s; b, r) = 1 − (1 − s^r)^b, evaluated IN PYTHON at import time
+    over the fixed bin midpoints (0.05, 0.15, …), so both engines
+    consume the identical double literals — no runtime pow() libm
+    divergence can exist."""
+    rows = []
+    for b, r in LSH_PLAN_CONFIGS:
+        for i in range(LSH_PLAN_BINS):
+            s = (2 * i + 1) / (2 * LSH_PLAN_BINS)
+            rows.append((b, r, i, 1.0 - (1.0 - s ** r) ** b))
+    return rows
+
+
+def lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding planner: for every (bands × rows-per-band)
+    factorization of the 8-minhash signature, the expected number of
+    candidate pairs the S-curve P(s; b, r) = 1 − (1 − s^r)^b would
+    surface from THIS corpus's observed pair-similarity histogram —
+    the table read before retuning ``N_BANDS``: more bands catch more
+    true near-dups (higher recall at J ≥ 0.5) but admit more sub-
+    threshold pairs into the verify stage (cost). The histogram is
+    measured on the CURRENT candidate set (un-thresholded verify),
+    the population the retune actually redistributes; the planner's
+    self-audit sibling is ``minhash_estimate_quality``.
+
+    Exactness: each pair's Jaccard is an exact-operand division;
+    binning multiplies by 10 and floors (bin edges are exact
+    decimals, both engines floor the identical double). The S-curve
+    is import-time Python literals inlined into BOTH engines, so not
+    even a pow() ulp can differ; per-bin expected counts n_bin·P are
+    round(·,6)-pinned → DECIMAL(25,6) for the order-insensitive sum.
+
+    Scale: reuses the band-bucket candidate join (never all-pairs);
+    the histogram is a ≤10-row relation and the planner math runs on
+    the 40-literal curve grid.
+    """
+    sets = _shingle_sets(spark, sf_dir)
+    sig = _minhash_signatures(sets)
+    cand = _lsh_candidate_pairs(sig)
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("shset").alias("set_a"),
+                     F.col("n_shingles").alias("na"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("shset").alias("set_b"),
+                     F.col("n_shingles").alias("nb"))
+    j = (cand.join(sa, "doc_a").join(sb, "doc_b")
+         .withColumn("shared", F.size(F.array_intersect("set_a", "set_b")))
+         .withColumn("jaccard",
+                     F.col("shared")
+                     / (F.col("na") + F.col("nb") - F.col("shared"))))
+    hist = (j.select(F.least(F.floor(F.col("jaccard")
+                                     * LSH_PLAN_BINS).cast("int"),
+                             F.lit(LSH_PLAN_BINS - 1)).alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("n_bin")))
+    curve = spark.createDataFrame(
+        _lsh_s_curve(), "n_bands int, rows_per_band int, bin int, p double")
+    return (F.broadcast(curve).join(hist, "bin")
+            .groupBy("n_bands", "rows_per_band")
+            .agg(F.sum("n_bin").alias("n_pairs_binned"),
+                 F.sum(F.round(F.col("n_bin") * F.col("p"), 6)
+                       .cast("decimal(25,6)")).cast("double")
+                 .alias("expected_candidates"))
+            .select("n_bands", "rows_per_band", "n_pairs_binned",
+                    "expected_candidates",
+                    (F.col("expected_candidates")
+                     / F.col("n_pairs_binned").cast("double"))
+                    .alias("expected_rate")))
+
+
+_LSH_CURVE_VALUES = ",\n    ".join(
+    f"({b}, {r}, {i}, {p!r})" for b, r, i, p in _lsh_s_curve())
+
+LSH_PLANNER_SQL = f"""{_LSH_CAND_PREFIX_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS shared
+    FROM cand c
+    JOIN sh ta ON ta.doc_id = c.doc_a
+    JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+    GROUP BY 1, 2
+), hist AS (
+    SELECT least(CAST(floor(shared / CAST(na.n + nb.n - shared AS DOUBLE)
+                            * {LSH_PLAN_BINS}) AS INT),
+                 {LSH_PLAN_BINS - 1}) AS bin,
+           count(*) AS n_bin
+    FROM shared
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    GROUP BY 1
+), curve(n_bands, rows_per_band, bin, p) AS (
+    VALUES {_LSH_CURVE_VALUES}
+)
+SELECT c.n_bands, c.rows_per_band,
+       CAST(sum(h.n_bin) AS BIGINT) AS n_pairs_binned,
+       CAST(sum(CAST(round(h.n_bin * c.p, 6) AS DECIMAL(25,6)))
+            AS DOUBLE) AS expected_candidates,
+       CAST(sum(CAST(round(h.n_bin * c.p, 6) AS DECIMAL(25,6)))
+            AS DOUBLE) / CAST(sum(h.n_bin) AS DOUBLE) AS expected_rate
+FROM curve c JOIN hist h ON c.bin = h.bin
+GROUP BY c.n_bands, c.rows_per_band
+"""

@@ -587,3 +587,110 @@ SELECT '{t}' AS table_name, count(*) AS n_rows,
             THEN 'broadcast' ELSE 'shuffle' END AS strategy
 FROM {t}"""
     for t, (n_fixed, str_cols) in ADVISOR_TABLES.items())
+
+
+# --- snapshot diff audit ------------------------------------------------------
+
+DIFF_DROP_PREFIX = "00"    # ~1/256 of keys removed in the simulated v2
+DIFF_PRICE_PREFIX = "01"   # ~1/256 of rows get a price correction
+DIFF_STATUS_PREFIX = "02"  # ~1/256 of rows get a status transition
+DIFF_ADD_PREFIX = "03"     # ~1/256 of rows are late arrivals (new keys)
+DIFF_KEY_OFFSET = 10_000_000_000  # collision-free key space for adds
+
+
+def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff audit (the Datafold/data-diff pattern; also
+    what a CDC pipeline runs to validate a replica): given snapshot v1
+    (= ``orders``) and v2 (a DETERMINISTIC simulated next version:
+    md5-selected ~1/256 slices of keys removed, price-corrected by
+    +1.00, status-advanced to 'F', or duplicated into a disjoint key
+    space as late arrivals), classify every key via ONE
+    full-outer join on the primary key into added / removed /
+    changed_price / changed_status / unchanged and report counts — the
+    shape a replication-validation gate alerts on. The md5 slices are
+    disjoint by construction (first-byte prefixes), so each key has
+    exactly one classification and the audit's totals must reconcile
+    with |v1| and |v2| — both asserted by the pin test.
+
+    Exactness: md5 prefixes and integer counts only; the price
+    mutation is +1.00 on an exact 2-dp decimal view (``money``), so
+    changed-row detection is an exact decimal equality, never a float
+    comparison.
+
+    Scale: both sides shuffle once on the join key (the diff is
+    co-partitioned at any size; with bucketed tables it would be
+    exchange-free); the classification is a per-row expression and
+    the report a ≤5-row aggregate.
+    """
+    from ..functions.numeric import money
+
+    v1 = (load_table(spark, sf_dir, "orders")
+          .select("o_orderkey",
+                  money("o_totalprice").alias("price"),
+                  "o_orderstatus"))
+    pfx = F.substring(F.md5(F.col("o_orderkey").cast("string")
+                            .cast("binary")), 1, 2)
+    v2 = (v1.withColumn("pfx", pfx)
+          .filter(F.col("pfx") != DIFF_DROP_PREFIX)
+          .select("o_orderkey",
+                  F.when(F.col("pfx") == DIFF_PRICE_PREFIX,
+                         F.col("price")
+                         + F.lit("1.00").cast("decimal(12,2)"))
+                  .otherwise(F.col("price")).alias("price"),
+                  F.when(F.col("pfx") == DIFF_STATUS_PREFIX, F.lit("F"))
+                  .otherwise(F.col("o_orderstatus"))
+                  .alias("o_orderstatus")))
+    adds = (v1.filter(F.substring(
+        F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 2)
+        == DIFF_ADD_PREFIX)
+        .select((F.col("o_orderkey") + F.lit(DIFF_KEY_OFFSET))
+                .alias("o_orderkey"), "price", "o_orderstatus"))
+    v2 = v2.unionAll(adds)
+    a = v1.select("o_orderkey", F.col("price").alias("p1"),
+                  F.col("o_orderstatus").alias("s1"))
+    b = v2.select("o_orderkey", F.col("price").alias("p2"),
+                  F.col("o_orderstatus").alias("s2"))
+    j = a.join(b, "o_orderkey", "full_outer")
+    cls = (F.when(F.col("p1").isNull(), F.lit("added"))
+           .when(F.col("p2").isNull(), F.lit("removed"))
+           .when(F.col("p1") != F.col("p2"), F.lit("changed_price"))
+           .when(F.col("s1") != F.col("s2"), F.lit("changed_status"))
+           .otherwise(F.lit("unchanged")))
+    return (j.select(cls.alias("change_type"))
+            .groupBy("change_type")
+            .agg(F.count(F.lit(1)).alias("n_rows")))
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH v1 AS (
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+           o_orderstatus
+    FROM orders
+), v2 AS (
+    SELECT o_orderkey,
+           CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
+                     = '{DIFF_PRICE_PREFIX}'
+                THEN price + CAST('1.00' AS DECIMAL(12,2))
+                ELSE price END AS price,
+           CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
+                     = '{DIFF_STATUS_PREFIX}'
+                THEN 'F' ELSE o_orderstatus END AS o_orderstatus
+    FROM v1
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
+          <> '{DIFF_DROP_PREFIX}'
+    UNION ALL
+    SELECT o_orderkey + {DIFF_KEY_OFFSET}, price, o_orderstatus
+    FROM v1
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
+          = '{DIFF_ADD_PREFIX}'
+), j AS (
+    SELECT CASE WHEN a.price IS NULL THEN 'added'
+                WHEN b.price IS NULL THEN 'removed'
+                WHEN a.price <> b.price THEN 'changed_price'
+                WHEN a.o_orderstatus <> b.o_orderstatus
+                     THEN 'changed_status'
+                ELSE 'unchanged' END AS change_type
+    FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+)
+SELECT change_type, count(*) AS n_rows FROM j GROUP BY change_type
+"""

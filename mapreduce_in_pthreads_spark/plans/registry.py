@@ -1225,6 +1225,36 @@ register("rbo_ranker_agreement", ta.rbo_ranker_agreement,
          "the production ranker-swap gate beside Spearman's "
          "equal-weight pool agreement; depth weights inlined as "
          "identical literals, terms decimal-pinned")
+register("snapshot_diff_audit", lay.snapshot_diff_audit,
+         lay.SNAPSHOT_DIFF_SQL,
+         "table-version diff (Datafold/data-diff pattern): v1 vs a "
+         "deterministic md5-sliced simulated v2 (removed / "
+         "price-corrected / status-advanced / late-arrival slices), "
+         "ONE full-outer join on the key, exact-decimal change "
+         "detection, added/removed/changed/unchanged counts — the "
+         "replica-validation gate a CDC pipeline alerts on")
+register("kmv_distinct_sketch", adv.kmv_distinct_sketch,
+         adv.KMV_SKETCH_SQL,
+         "KMV k-minimum-values NDV sketch per event_type (Bar-Yossef "
+         "2002): exact 52-bit md5 uniforms, estimate (k-1)/u_k from "
+         "the k-th order statistic, reported AGAINST exact NDV with "
+         "relative error — the sketch-error audit run before swapping "
+         "exact distincts for mergeable sketches")
+register("conformal_interval_coverage", adv.conformal_interval_coverage,
+         adv.CONFORMAL_SQL,
+         "split-conformal prediction intervals (Papadopoulos 2002 / "
+         "Vovk): exact finite-sample rank ceil((n_cal+1)(1-alpha)) "
+         "nonconformity quantile on the md5 75% calibration split, "
+         "empirical coverage audited on the held-out 25% — the "
+         "distribution-free interval machinery around any point model")
+register("lsh_parameter_planner", dd.lsh_parameter_planner,
+         dd.LSH_PLANNER_SQL,
+         "LSH banding planner: expected candidate yield of every "
+         "(bands x rows) factorization of the 8-minhash signature "
+         "via the S-curve 1-(1-s^r)^b over the corpus's observed "
+         "pair-similarity histogram — S-curve inlined as import-time "
+         "Python literals in BOTH engines (no runtime pow), the "
+         "table read before retuning N_BANDS")
 register("readability_forcast", ta.readability_forcast,
          ta.READABILITY_FORCAST_SQL,
          "FORCAST readability grade per language (Caylor 1973 — the "
@@ -1328,19 +1358,21 @@ register("markov_temporal_holdout", ts.markov_temporal_holdout,
 # negative_sampling_weights, direct_standardization_rates,
 # rbo_ranker_agreement, markov_temporal_holdout — each 3-SF
 # oracle-green + vanilla-probed + replica-pinned on landing day).
-# UPDATED by session 3 (registry now 312): the 8 session-3 additions
+# UPDATED by session 3 (registry now 316): the 12 session-3 additions
 # (readability_forcast, mann_whitney_auc, data_expectations_audit,
 # broadcast_join_advisor, t_closeness_audit, adamic_adar_links,
-# acf_correlogram, cusum_changepoint — each 3-SF oracle-green,
-# vanilla-probed, replica-pinned on landing day) join the
-# never-adjudicated pool, so the endgame is now 108 = 50 (this
-# round's window) + 50 (round 8) + 8 (round 9): round 8's window is
-# the 50-entry backlog EXACTLY (flagship fully displaced — it will
-# carry 7 consecutive green rounds; regenerate with
-# `python tools/next_window.py`, zero slack, so round 8 should not
-# add entries before its window runs), and round 9 leads with the
-# session-3 eight plus filler. Full-registry adjudication completes
-# in round 9 of 20 — comfortable margin. Validate with `--check`.
+# acf_correlogram, cusum_changepoint, snapshot_diff_audit,
+# kmv_distinct_sketch, conformal_interval_coverage,
+# lsh_parameter_planner — each 3-SF oracle-green, vanilla-probed,
+# replica-pinned on landing day) join the never-adjudicated pool, so
+# the endgame is now 112 = 50 (this round's window) + 50 (round 8)
+# + 12 (round 9): round 8's window is the 50-entry backlog EXACTLY
+# (flagship fully displaced — it will carry 7 consecutive green
+# rounds; regenerate with `python tools/next_window.py`, zero slack,
+# so round 8 should not add entries before its window runs), and
+# round 9 leads with the session-3 twelve plus filler. Full-registry
+# adjudication completes in round 9 of 20 — comfortable margin.
+# Validate with `--check`.
 _ADJUDICATION_FIRST: tuple[str, ...] = (
     "winnowing_fingerprints", "prefix_filter_jaccard_join",
     "split_leakage_audit", "psi_drift_by_source",

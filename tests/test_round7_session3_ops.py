@@ -326,3 +326,184 @@ def test_cusum_closed_form_equals_recursion(spark):
         assert row["peak_hour"] == hour
         assert row["alarm"] == (row["peak_cusum"]
                                 > CUSUM_H_SIGMA * row["sigma"])
+
+
+# --- batch 2 (same session): snapshot diff, KMV, conformal, LSH planner ----
+
+
+def _md5hex(v) -> str:
+    import hashlib
+
+    return hashlib.md5(str(v).encode()).hexdigest()
+
+
+def test_snapshot_diff_python_replica(spark):
+    """Class counts must equal the hashlib replica of the md5 slices,
+    and the audit must reconcile: removed+changed+unchanged == |v1| −
+    |adds' sources|... precisely: |v1| = removed + changed_price +
+    changed_status-or-unchanged rows, |v2| = |v1| − removed + added."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_in_pthreads_spark.operators.layout import (
+        DIFF_ADD_PREFIX, DIFF_DROP_PREFIX, DIFF_PRICE_PREFIX,
+        DIFF_STATUS_PREFIX, snapshot_diff_audit)
+
+    t = pq.read_table(f"{SF_CORRECT}/orders.parquet",
+                      columns=["o_orderkey", "o_orderstatus"])
+    keys = t["o_orderkey"].to_pylist()
+    status = t["o_orderstatus"].to_pylist()
+    want = Counter()
+    for k, s in zip(keys, status):
+        pfx = _md5hex(k)[:2]
+        if pfx == DIFF_DROP_PREFIX:
+            want["removed"] += 1
+        elif pfx == DIFF_PRICE_PREFIX:
+            want["changed_price"] += 1
+        elif pfx == DIFF_STATUS_PREFIX:
+            want["changed_status" if s != "F" else "unchanged"] += 1
+        else:
+            want["unchanged"] += 1
+        if pfx == DIFF_ADD_PREFIX:
+            want["added"] += 1
+
+    rows = {r["change_type"]: r["n_rows"]
+            for r in snapshot_diff_audit(spark, SF_CORRECT).collect()}
+    assert rows == {k: v for k, v in want.items() if v}
+    n_v1 = len(keys)
+    assert (rows.get("removed", 0) + rows.get("changed_price", 0)
+            + rows.get("changed_status", 0)
+            + rows.get("unchanged", 0)) == n_v1
+    # every change class should actually be exercised on this corpus
+    for cls in ("added", "removed", "changed_price", "unchanged"):
+        assert rows.get(cls, 0) > 0, cls
+
+
+def test_kmv_sketch_python_replica(spark):
+    """Estimates must equal the hashlib replica ((k−1)/u_k over exact
+    52-bit uniforms of the distinct-user set), and the relative error
+    must sit inside the ~4/sqrt(k) ballpark KMV theory predicts."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_in_pthreads_spark.operators.advanced import (
+        KMV_K, KMV_POW52, kmv_distinct_sketch)
+
+    t = pq.read_table(f"{SF_CORRECT}/events.parquet",
+                      columns=["event_type", "user_id"])
+    by_type: defaultdict = defaultdict(set)
+    for et, uid in zip(t["event_type"].to_pylist(),
+                       t["user_id"].to_pylist()):
+        by_type[et].add(uid)
+
+    rows = kmv_distinct_sketch(spark, SF_CORRECT).collect()
+    assert {r["event_type"] for r in rows} == set(by_type)
+    for row in rows:
+        users = by_type[row["event_type"]]
+        n = len(users)
+        assert row["n_exact"] == n
+        us = sorted((int(_md5hex(u)[:13], 16) + 1) / KMV_POW52
+                    for u in users)
+        est = n if n < KMV_K else (KMV_K - 1) / us[KMV_K - 1]
+        assert row["ndv_estimate"] == pytest.approx(est, abs=1e-5)
+        assert abs(row["rel_error"]) <= 4 / math.sqrt(KMV_K)
+
+
+def test_conformal_coverage_python_replica(spark):
+    """τ and coverage must equal the hashlib replica of the split
+    (exact ceil rank, ties by event_id), and the empirical coverage
+    must honor the marginal ≥ 1−α guarantee within finite-sample
+    slack."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_in_pthreads_spark.operators.advanced import (
+        CONF_ALPHA_DEN, CONF_ALPHA_NUM, CONF_CAL_HEX,
+        conformal_interval_coverage)
+
+    t = pq.read_table(f"{SF_CORRECT}/events.parquet",
+                      columns=["event_type", "event_id", "value"])
+    cal: defaultdict = defaultdict(list)
+    test: defaultdict = defaultdict(list)
+    for et, eid, v in zip(t["event_type"].to_pylist(),
+                          t["event_id"].to_pylist(),
+                          t["value"].to_pylist()):
+        (cal if _md5hex(eid)[0] in CONF_CAL_HEX else test)[et] \
+            .append((eid, v))
+
+    from decimal import Decimal
+    rows = conformal_interval_coverage(spark, SF_CORRECT).collect()
+    assert {r["event_type"] for r in rows} == set(cal)
+    for row in rows:
+        et = row["event_type"]
+        n_cal = len(cal[et])
+        dec = sum(Decimal(str(round(v, 4))) for _, v in cal[et])
+        mu = float(dec) / n_cal
+        scores = sorted((abs(v - mu), eid) for eid, v in cal[et])
+        k = min(((n_cal + 1) * CONF_ALPHA_NUM + CONF_ALPHA_DEN - 1)
+                // CONF_ALPHA_DEN, n_cal)
+        tau = scores[k - 1][0]
+        covered = sum(abs(v - mu) <= tau for _, v in test[et])
+        assert row["n_cal"] == n_cal
+        assert row["n_test"] == len(test[et])
+        assert row["tau"] == pytest.approx(tau, abs=1e-12)
+        assert row["n_covered"] == covered
+        assert row["coverage"] == pytest.approx(covered / len(test[et]),
+                                                abs=1e-12)
+        assert row["coverage"] >= (CONF_ALPHA_NUM / CONF_ALPHA_DEN) - 0.05
+
+
+def test_lsh_planner_python_replica(spark):
+    """Expected candidate yields must equal a full hashlib replica of
+    the minhash → band → candidate → Jaccard-histogram → S-curve
+    pipeline, and OR-amplification must be monotone: more bands (same
+    8 hashes) ⇒ strictly higher expected yield on a non-degenerate
+    histogram."""
+    from mapreduce_in_pthreads_spark.operators.dedup import (
+        HASH_FAMILY, LSH_PLAN_BINS, P_MINHASH, _lsh_s_curve,
+        lsh_parameter_planner)
+
+    docs = _documents(SF_CORRECT, ["doc_id", "text"])
+    shsets = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        shsets[doc_id] = {" ".join(toks[i:i + 3])
+                          for i in range(len(toks) - 2)}
+    sigs = {}
+    for doc_id, sh in shsets.items():
+        hs = [int(_md5hex(s)[:15], 16) % P_MINHASH for s in sh]
+        sigs[doc_id] = tuple(min((a * h + b) % P_MINHASH for h in hs)
+                             for a, b in HASH_FAMILY) if hs else None
+    buckets: defaultdict = defaultdict(set)
+    for doc_id, sig in sigs.items():
+        if sig is None:
+            continue
+        for band in range(4):
+            buckets[(band, sig[2 * band], sig[2 * band + 1])].add(doc_id)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                cand.add((a, b))
+    hist: Counter = Counter()
+    for a, b in cand:
+        inter = len(shsets[a] & shsets[b])
+        j = inter / (len(shsets[a]) + len(shsets[b]) - inter)
+        hist[min(int(j * LSH_PLAN_BINS), LSH_PLAN_BINS - 1)] += 1
+    curve = _lsh_s_curve()
+    want = {}
+    for bands in {c[0] for c in curve}:
+        exp = sum(round(hist[i] * p, 6)
+                  for b, r, i, p in curve if b == bands)
+        want[bands] = (sum(hist.values()), exp)
+
+    rows = lsh_parameter_planner(spark, SF_CORRECT).collect()
+    assert {r["n_bands"] for r in rows} == set(want)
+    for row in rows:
+        n_pairs, exp = want[row["n_bands"]]
+        assert row["n_pairs_binned"] == n_pairs
+        assert row["expected_candidates"] == pytest.approx(exp, abs=1e-6)
+        assert row["expected_rate"] == pytest.approx(exp / n_pairs,
+                                                     abs=1e-9)
+    by_bands = sorted((r["n_bands"], r["expected_candidates"])
+                      for r in rows)
+    for (b1, e1), (b2, e2) in zip(by_bands, by_bands[1:]):
+        assert e1 < e2, "OR-amplification must be monotone in bands"
