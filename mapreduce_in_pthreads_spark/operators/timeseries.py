@@ -2930,3 +2930,283 @@ SELECT event_type, n_hours, mu, sigma,
        CAST(ct AS DOUBLE) > {CUSUM_H_SIGMA} * sigma AS alarm
 FROM ranked WHERE rnk = 1
 """
+
+
+# --- Kaplan-Meier survival + log-rank test ------------------------------------
+
+KM_HOUR_US = 3_600_000_000
+
+
+def _censored_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, h, event) — hour-bucketed first-view→first-purchase
+    conversion latency per user, RIGHT-CENSORED at the corpus horizon:
+    a user with a first view and no later purchase contributes their
+    observed (horizon − first_view) exposure with event = 0. This is
+    the survival-analysis view of ``time_to_convert`` (which reports
+    order statistics over CONVERTED users only — the estimate KM
+    exists to de-bias, since dropping censored users overstates
+    conversion speed)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.min(F.when(F.col("event_type") == "view",
+                                  F.col("ts"))).alias("first_view")))
+    first_purch = (ev.filter(F.col("event_type") == "purchase")
+                   .join(per_user, "user_id")
+                   .filter(F.col("ts") > F.col("first_view"))
+                   .groupBy("user_id")
+                   .agg(F.min("ts").alias("first_purchase")))
+    horizon = ev.agg(F.max("ts").alias("horizon"))
+    return (per_user.filter(F.col("first_view").isNotNull())
+            .join(first_purch, "user_id", "left")
+            .crossJoin(F.broadcast(horizon))
+            .select(
+                "user_id",
+                (F.when(F.col("first_purchase").isNotNull(),
+                        F.unix_micros("first_purchase")
+                        - F.unix_micros("first_view"))
+                 .otherwise(F.unix_micros("horizon")
+                            - F.unix_micros("first_view"))
+                 / F.lit(KM_HOUR_US)).cast("bigint").alias("h"),
+                F.col("first_purchase").isNotNull().cast("long")
+                .alias("event")))
+
+
+_CENSORED_DUR_SQL = f"""
+WITH per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+    FROM events GROUP BY user_id
+), first_purch AS (
+    SELECT e.user_id, min(e.ts) AS first_purchase
+    FROM events e JOIN per_user u ON e.user_id = u.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > u.first_view
+    GROUP BY e.user_id
+), horizon AS (SELECT max(ts) AS horizon FROM events
+), dur AS (
+    SELECT u.user_id,
+           CAST((CASE WHEN p.first_purchase IS NOT NULL
+                      THEN epoch_us(p.first_purchase)
+                           - epoch_us(u.first_view)
+                      ELSE epoch_us(h.horizon) - epoch_us(u.first_view)
+                 END) // {KM_HOUR_US} AS BIGINT) AS h,
+           CASE WHEN p.first_purchase IS NOT NULL THEN 1 ELSE 0 END
+               AS event
+    FROM per_user u
+    LEFT JOIN first_purch p ON u.user_id = p.user_id, horizon h
+    WHERE u.first_view IS NOT NULL
+)"""
+
+
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve (Kaplan & Meier 1958) of the
+    view→purchase conversion process, right-censored at the corpus
+    horizon: at each event hour, Ŝ(t) = Π_{t_i ≤ t} (1 − d_i/n_i)
+    with d_i conversions and n_i the at-risk count — the estimator
+    that uses censored users' partial exposure instead of dropping
+    them (``time_to_convert``'s converted-only order statistics are
+    the biased view this corrects). Output rows are the event times;
+    censor-only hours participate through the at-risk accounting.
+
+    Exactness: d_i, c_i and the at-risk prefix sums are exact
+    integers; each factor is one exact-operand division; ln(factor)
+    is round(·,10)-pinned → DECIMAL(25,10) so the cumulative log-sum
+    is order-exact, and the final exp is rounded to 6 (absorbing any
+    last-ulp libm exp divergence — the fleet ln/exp convention). A
+    time where d_i = n_i (everyone at risk converts) drives survival
+    exactly to 0 via a cumulative flag, never through ln(0).
+
+    Scale: one per-user conditional aggregate collapses the corpus;
+    everything after runs on the |distinct hours|-bounded life table
+    (the documented reduced-relation window class) — at any corpus
+    size the life table is horizon-bounded, not user-bounded.
+    """
+    from ..functions.lineage import truncate_lineage
+
+    dur = _censored_durations(spark, sf_dir)
+    # MATERIALIZED: the horizon-bounded life table feeds two branches
+    # (the total and the at-risk window) — without the cut each branch
+    # re-plans the whole per-user collapse.
+    lt = truncate_lineage(
+        dur.groupBy("h")
+        .agg(F.sum("event").alias("d"),
+             F.sum(F.lit(1) - F.col("event")).alias("c")))
+    total = lt.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
+    w = Window.orderBy("h")
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    upto = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = (lt.crossJoin(F.broadcast(total))
+            .withColumn("n_risk",
+                        F.col("n_total")
+                        - F.coalesce(F.sum(F.col("d") + F.col("c"))
+                                     .over(before), F.lit(0))))
+    lf = F.when(F.col("d") < F.col("n_risk"),
+                F.round(F.log(F.lit(1.0)
+                              - F.col("d").cast("double")
+                              / F.col("n_risk").cast("double")), 10)
+                .cast("decimal(25,10)")) \
+        .otherwise(F.lit(0).cast("decimal(25,10)"))
+    curve = (risk.withColumn("lf", lf)
+             .withColumn("dead", (F.col("d") == F.col("n_risk"))
+                         .cast("int"))
+             .withColumn("logsum", F.sum("lf").over(upto))
+             .withColumn("anydead", F.max("dead").over(upto)))
+    surv = F.when(F.col("anydead") == 1, F.lit(0.0)) \
+        .otherwise(F.exp(F.col("logsum").cast("double")))
+    return (curve.filter(F.col("d") >= 1)
+            .select(F.col("h").alias("duration_h"), "n_risk",
+                    F.col("d").alias("n_events"),
+                    F.col("c").alias("n_censored"),
+                    F.round(surv, 6).alias("survival")))
+
+
+KAPLAN_MEIER_SQL = f"""{_CENSORED_DUR_SQL},
+lt AS (
+    SELECT h, CAST(sum(event) AS BIGINT) AS d,
+           CAST(sum(1 - event) AS BIGINT) AS c
+    FROM dur GROUP BY h
+), total AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM lt
+), risk AS (
+    SELECT lt.*, t.n_total
+           - COALESCE(sum(d + c) OVER (ORDER BY h ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+    FROM lt, total t
+), curve AS (
+    SELECT *,
+           sum(CASE WHEN d < n_risk
+                    THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+                                          / CAST(n_risk AS DOUBLE)), 10)
+                              AS DECIMAL(25,10))
+                    ELSE CAST(0 AS DECIMAL(25,10)) END)
+               OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS logsum,
+           max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS anydead
+    FROM risk
+)
+SELECT h AS duration_h, n_risk, d AS n_events, c AS n_censored,
+       round(CASE WHEN anydead = 1 THEN 0.0
+                  ELSE exp(CAST(logsum AS DOUBLE)) END, 6) AS survival
+FROM curve WHERE d >= 1
+"""
+
+
+def logrank_conversion_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel 1966) comparing the conversion survival
+    curves of the deterministic md5 50/50 user split — the CENSORED-
+    data A/B test that ``ab_split_welch_ttest`` (means) and
+    ``mann_whitney_auc`` (ranks) cannot run, because a user who
+    hasn't converted yet is information, not a missing value. At each
+    event hour: observed arm-A conversions vs the hypergeometric
+    expectation d·n₁/n given the at-risk sets, variance
+    d·(n₁/n)(1−n₁/n)(n−d)/(n−1); z = (O−E)/√ΣV.
+
+    Exactness: every count and at-risk prefix sum is an exact
+    integer; each E/V term is fixed arithmetic over them,
+    round(·,6)-pinned → DECIMAL(25,6) for the order-insensitive sums;
+    z rounds at 6. No ln, no exp — the statistic is rational.
+
+    Scale: same corpus collapse as the KM curve; the life table is
+    horizon-bounded and the test a 1-row reduction over it.
+    """
+    dur = _censored_durations(spark, sf_dir)
+    arm_a = F.substring(
+        F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1) \
+        .isin(*list("01234567"))
+    from ..functions.lineage import truncate_lineage
+
+    tagged = dur.select("h", "event", arm_a.cast("long").alias("a"))
+    lt = truncate_lineage(
+        tagged.groupBy("h")
+        .agg(F.sum(F.col("a") * F.col("event")).alias("d1"),
+               F.sum(F.col("a") * (F.lit(1) - F.col("event")))
+               .alias("c1"),
+               F.sum((F.lit(1) - F.col("a")) * F.col("event"))
+               .alias("d2"),
+               F.sum((F.lit(1) - F.col("a"))
+                     * (F.lit(1) - F.col("event"))).alias("c2")))
+    tot = lt.agg(F.sum(F.col("d1") + F.col("c1")).alias("t1"),
+                 F.sum(F.col("d2") + F.col("c2")).alias("t2"))
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (lt.crossJoin(F.broadcast(tot))
+            .withColumn("n1", F.col("t1")
+                        - F.coalesce(F.sum(F.col("d1") + F.col("c1"))
+                                     .over(w), F.lit(0)))
+            .withColumn("n2", F.col("t2")
+                        - F.coalesce(F.sum(F.col("d2") + F.col("c2"))
+                                     .over(w), F.lit(0))))
+    n = F.col("n1") + F.col("n2")
+    d = F.col("d1") + F.col("d2")
+    e1 = d.cast("double") * F.col("n1").cast("double") / n.cast("double")
+    v = (d.cast("double")
+         * (F.col("n1").cast("double") / n.cast("double"))
+         * (F.lit(1.0) - F.col("n1").cast("double") / n.cast("double"))
+         * (n - d).cast("double") / (n - F.lit(1)).cast("double"))
+    dec6 = "decimal(25,6)"
+    terms = (risk.filter((d >= 1) & (n > 1))
+             .select("d1",
+                     F.round(e1, 6).cast(dec6).alias("e1"),
+                     F.round(v, 6).cast(dec6).alias("v")))
+    agg = terms.agg(F.sum("d1").alias("o_a"),
+                    F.sum("e1").cast("double").alias("e_a"),
+                    F.sum("v").cast("double").alias("var_a"))
+    z = (F.col("o_a").cast("double") - F.col("e_a")) / F.sqrt("var_a")
+    return (agg.crossJoin(F.broadcast(tot))
+            .select(F.col("t1").alias("n_users_a"),
+                    F.col("t2").alias("n_users_b"),
+                    "o_a", F.round("e_a", 6).alias("e_a"),
+                    F.round("var_a", 6).alias("var_a"),
+                    F.round(z, 6).alias("z_score")))
+
+
+LOGRANK_SQL = f"""{_CENSORED_DUR_SQL},
+tagged AS (
+    SELECT h, event,
+           CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                     IN ('0','1','2','3','4','5','6','7')
+                THEN 1 ELSE 0 END AS a
+    FROM dur
+), lt AS (
+    SELECT h,
+           CAST(sum(a * event) AS BIGINT) AS d1,
+           CAST(sum(a * (1 - event)) AS BIGINT) AS c1,
+           CAST(sum((1 - a) * event) AS BIGINT) AS d2,
+           CAST(sum((1 - a) * (1 - event)) AS BIGINT) AS c2
+    FROM tagged GROUP BY h
+), tot AS (
+    SELECT CAST(sum(d1 + c1) AS BIGINT) AS t1,
+           CAST(sum(d2 + c2) AS BIGINT) AS t2
+    FROM lt
+), risk AS (
+    SELECT lt.*, t.t1, t.t2,
+           t.t1 - COALESCE(sum(d1 + c1) OVER (ORDER BY h ROWS BETWEEN
+                           UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n1,
+           t.t2 - COALESCE(sum(d2 + c2) OVER (ORDER BY h ROWS BETWEEN
+                           UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n2
+    FROM lt, tot t
+), terms AS (
+    SELECT d1,
+           CAST(round(CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                      / CAST(n1 + n2 AS DOUBLE), 6)
+                AS DECIMAL(25,6)) AS e1,
+           CAST(round(CAST(d1 + d2 AS DOUBLE)
+                      * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                      * (1.0 - CAST(n1 AS DOUBLE)
+                               / CAST(n1 + n2 AS DOUBLE))
+                      * CAST(n1 + n2 - d1 - d2 AS DOUBLE)
+                      / CAST(n1 + n2 - 1 AS DOUBLE), 6)
+                AS DECIMAL(25,6)) AS v
+    FROM risk
+    WHERE d1 + d2 >= 1 AND n1 + n2 > 1
+)
+SELECT t.t1 AS n_users_a, t.t2 AS n_users_b,
+       CAST(x.o_a AS BIGINT) AS o_a,
+       round(x.e_a, 6) AS e_a, round(x.var_a, 6) AS var_a,
+       round((CAST(x.o_a AS DOUBLE) - x.e_a) / sqrt(x.var_a), 6)
+           AS z_score
+FROM (SELECT sum(d1) AS o_a, CAST(sum(e1) AS DOUBLE) AS e_a,
+             CAST(sum(v) AS DOUBLE) AS var_a
+      FROM terms) x, tot t
+"""

@@ -1225,6 +1225,23 @@ register("rbo_ranker_agreement", ta.rbo_ranker_agreement,
          "the production ranker-swap gate beside Spearman's "
          "equal-weight pool agreement; depth weights inlined as "
          "identical literals, terms decimal-pinned")
+register("kaplan_meier_conversion", ts.kaplan_meier_conversion,
+         ts.KAPLAN_MEIER_SQL,
+         "Kaplan-Meier survival curve (1958) of view->purchase "
+         "conversion, right-censored at the corpus horizon: "
+         "S(t) = prod(1 - d_i/n_i) on the hour-bucketed life table — "
+         "uses censored users' partial exposure instead of dropping "
+         "them (the bias time_to_convert's converted-only stats "
+         "carry); decimal-pinned log-sums, d=n drives S to 0 via a "
+         "flag never ln(0)")
+register("logrank_conversion_arms", ts.logrank_conversion_arms,
+         ts.LOGRANK_SQL,
+         "log-rank test (Mantel 1966) between the md5 50/50 arms' "
+         "conversion curves — the censored-data A/B test Welch and "
+         "Mann-Whitney cannot run: per event hour, observed arm-A "
+         "conversions vs the hypergeometric expectation given the "
+         "at-risk sets; all-integer life table, rational statistic, "
+         "no ln/exp")
 register("snapshot_diff_audit", lay.snapshot_diff_audit,
          lay.SNAPSHOT_DIFF_SQL,
          "table-version diff (Datafold/data-diff pattern): v1 vs a "
@@ -1358,19 +1375,20 @@ register("markov_temporal_holdout", ts.markov_temporal_holdout,
 # negative_sampling_weights, direct_standardization_rates,
 # rbo_ranker_agreement, markov_temporal_holdout — each 3-SF
 # oracle-green + vanilla-probed + replica-pinned on landing day).
-# UPDATED by session 3 (registry now 316): the 12 session-3 additions
+# UPDATED by session 3 (registry now 318): the 14 session-3 additions
 # (readability_forcast, mann_whitney_auc, data_expectations_audit,
 # broadcast_join_advisor, t_closeness_audit, adamic_adar_links,
 # acf_correlogram, cusum_changepoint, snapshot_diff_audit,
 # kmv_distinct_sketch, conformal_interval_coverage,
-# lsh_parameter_planner — each 3-SF oracle-green, vanilla-probed,
+# lsh_parameter_planner, kaplan_meier_conversion,
+# logrank_conversion_arms — each 3-SF oracle-green, vanilla-probed,
 # replica-pinned on landing day) join the never-adjudicated pool, so
-# the endgame is now 112 = 50 (this round's window) + 50 (round 8)
-# + 12 (round 9): round 8's window is the 50-entry backlog EXACTLY
+# the endgame is now 114 = 50 (this round's window) + 50 (round 8)
+# + 14 (round 9): round 8's window is the 50-entry backlog EXACTLY
 # (flagship fully displaced — it will carry 7 consecutive green
 # rounds; regenerate with `python tools/next_window.py`, zero slack,
 # so round 8 should not add entries before its window runs), and
-# round 9 leads with the session-3 twelve plus filler. Full-registry
+# round 9 leads with the session-3 fourteen plus filler. Full-registry
 # adjudication completes in round 9 of 20 — comfortable margin.
 # Validate with `--check`.
 _ADJUDICATION_FIRST: tuple[str, ...] = (

@@ -507,3 +507,117 @@ def test_lsh_planner_python_replica(spark):
                       for r in rows)
     for (b1, e1), (b2, e2) in zip(by_bands, by_bands[1:]):
         assert e1 < e2, "OR-amplification must be monotone in bands"
+
+
+def _censored_replica(sf_dir: str):
+    """{user: (h, event)} replica of the shared censored-durations
+    relation (hour-bucketed first-view→first-purchase, right-censored
+    at the corpus max ts)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_type", "ts"])
+    ts_us = t["ts"].cast("int64").to_pylist()
+    horizon = max(ts_us)
+    first_view: dict = {}
+    purch: defaultdict = defaultdict(list)
+    for u, et, ts in zip(t["user_id"].to_pylist(),
+                         t["event_type"].to_pylist(), ts_us):
+        if et == "view":
+            first_view[u] = min(first_view.get(u, ts), ts)
+        elif et == "purchase":
+            purch[u].append(ts)
+    out = {}
+    for u, fv in first_view.items():
+        later = [p for p in purch.get(u, []) if p > fv]
+        if later:
+            out[u] = ((min(later) - fv) // 3_600_000_000, 1)
+        else:
+            out[u] = ((horizon - fv) // 3_600_000_000, 0)
+    return out
+
+
+def test_kaplan_meier_python_replica(spark):
+    """The life table and survival curve must equal the textbook
+    product-limit replica, survival must be monotone non-increasing,
+    and must sit strictly above the converted-only empirical CDF
+    complement at the last event time (the censoring-bias direction
+    the estimator exists to fix)."""
+    from mapreduce_in_pthreads_spark.operators.timeseries import (
+        kaplan_meier_conversion)
+
+    dur = _censored_replica(SF_CORRECT)
+    lt: defaultdict = defaultdict(lambda: [0, 0])
+    for h, ev in dur.values():
+        lt[h][ev == 0] += 1
+    total = len(dur)
+    s = 1.0
+    seen = 0
+    want = {}
+    for h in sorted(lt):
+        d, c = lt[h]
+        n_risk = total - seen
+        seen += d + c
+        if d < n_risk:
+            s *= 1.0 - d / n_risk
+        else:
+            s = 0.0
+        if d >= 1:
+            want[h] = (n_risk, d, c, s)
+
+    rows = kaplan_meier_conversion(spark, SF_CORRECT).collect()
+    assert {r["duration_h"] for r in rows} == set(want)
+    prev = 1.0
+    for row in sorted(rows, key=lambda r: r["duration_h"]):
+        n_risk, d, c, s = want[row["duration_h"]]
+        assert row["n_risk"] == n_risk
+        assert row["n_events"] == d
+        assert row["n_censored"] == c
+        assert row["survival"] == pytest.approx(s, abs=1e-5)
+        assert row["survival"] <= prev + 1e-12
+        prev = row["survival"]
+    # censoring-bias direction: KM survival >= converted-only
+    # complement (dropping censored users overstates conversion)
+    last = max(want)
+    conv = [h for h, ev in dur.values() if ev == 1]
+    naive = 1.0 - sum(h <= last for h in conv) / len(conv)
+    assert want[last][3] >= naive - 1e-12
+
+
+def test_logrank_python_replica(spark):
+    """O/E/V/z must equal the Mantel replica over the same life
+    table, and the deterministic md5 50/50 arms must be exchangeable:
+    |z| inside a generous null band."""
+    from mapreduce_in_pthreads_spark.operators.timeseries import (
+        logrank_conversion_arms)
+
+    dur = _censored_replica(SF_CORRECT)
+    lt: defaultdict = defaultdict(lambda: [0, 0, 0, 0])
+    t1 = t2 = 0
+    for u, (h, ev) in dur.items():
+        a = _md5hex(u)[0] in "01234567"
+        t1 += a
+        t2 += not a
+        lt[h][(0 if ev else 1) + (0 if a else 2)] += 1
+    o = e = v = 0.0
+    seen1 = seen2 = 0
+    for h in sorted(lt):
+        d1, c1, d2, c2 = lt[h]
+        n1, n2 = t1 - seen1, t2 - seen2
+        seen1 += d1 + c1
+        seen2 += d2 + c2
+        d, n = d1 + d2, n1 + n2
+        if d >= 1 and n > 1:
+            o += d1
+            e += round(d * n1 / n, 6)
+            v += round(d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1),
+                       6)
+    z = (o - e) / math.sqrt(v)
+
+    [row] = logrank_conversion_arms(spark, SF_CORRECT).collect()
+    assert (row["n_users_a"], row["n_users_b"]) == (t1, t2)
+    assert row["o_a"] == o
+    assert row["e_a"] == pytest.approx(e, abs=1e-6)
+    assert row["var_a"] == pytest.approx(v, abs=1e-6)
+    assert row["z_score"] == pytest.approx(z, abs=1e-5)
+    assert abs(row["z_score"]) < 5.0, "md5 arms must be exchangeable"
