@@ -986,3 +986,267 @@ JOIN tau x ON t.event_type = x.event_type
 WHERE NOT t.cal
 GROUP BY t.event_type
 """
+
+
+# --- Wilson score intervals ---------------------------------------------------
+
+WILSON_Z = 1.959963984540054  # Phi^-1(0.975), frozen 16-digit literal
+WILSON_LONG_CHARS = 256
+
+
+def wilson_ci_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval (Wilson 1927) for each
+    source's long-document rate — the interval that behaves at the
+    boundaries (rate 0 or 1, tiny n) where the naive Wald interval
+    p̂ ± z√(p̂(1−p̂)/n) collapses or escapes [0,1]; the per-source
+    league table with honest uncertainty that ``eb_shrinkage_rates``
+    then shrinks. z is a frozen 16-digit literal (the repo's RBO
+    convention), not a runtime Φ⁻¹.
+
+    Exactness: k and n are exact integers; center and half-width are
+    fixed identical-order double arithmetic over them and the z
+    literal, round 6 on display.
+
+    Scale: ONE combinable conditional-count aggregation; the interval
+    math runs on the |sources|-row relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    agg = (docs.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("n_chars") > WILSON_LONG_CHARS)
+                      .cast("long")).alias("k")))
+    z = F.lit(WILSON_Z)
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    denom = F.lit(1.0) + z * z / n
+    center = (p + z * z / (F.lit(2.0) * n)) / denom
+    half = (z * F.sqrt(p * (F.lit(1.0) - p) / n
+                       + z * z / (F.lit(4.0) * n * n))) / denom
+    return agg.select(
+        "source", "n", "k", F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"))
+
+
+WILSON_SQL = f"""
+WITH agg AS (
+    SELECT source, count(*) AS n,
+           CAST(sum(CASE WHEN n_chars > {WILSON_LONG_CHARS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS k
+    FROM documents GROUP BY source
+)
+SELECT source, n, k,
+       round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+       round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+              + {WILSON_Z!r} * {WILSON_Z!r} / (2.0 * CAST(n AS DOUBLE)))
+             / (1.0 + {WILSON_Z!r} * {WILSON_Z!r} / CAST(n AS DOUBLE))
+             - {WILSON_Z!r} * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                   * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(n AS DOUBLE)
+                   + {WILSON_Z!r} * {WILSON_Z!r}
+                     / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / (1.0 + {WILSON_Z!r} * {WILSON_Z!r}
+                        / CAST(n AS DOUBLE)), 6) AS ci_lo,
+       round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+              + {WILSON_Z!r} * {WILSON_Z!r} / (2.0 * CAST(n AS DOUBLE)))
+             / (1.0 + {WILSON_Z!r} * {WILSON_Z!r} / CAST(n AS DOUBLE))
+             + {WILSON_Z!r} * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                   * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(n AS DOUBLE)
+                   + {WILSON_Z!r} * {WILSON_Z!r}
+                     / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / (1.0 + {WILSON_Z!r} * {WILSON_Z!r}
+                        / CAST(n AS DOUBLE)), 6) AS ci_hi
+FROM agg
+"""
+
+
+# --- capture-recapture population estimate ------------------------------------
+
+CR_SAMPLE_A, CR_SAMPLE_B = "click", "view"
+
+
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen capture-recapture population estimate
+    (Chapman 1951 bias-corrected form): treat the users who ever
+    click and the users who ever view as two capture samples; from
+    (n₁, n₂, overlap m) estimate the TOTAL user population
+    N̂ = (n₁+1)(n₂+1)/(m+1) − 1 — the ecology estimator data teams
+    reuse to size a population neither source covers fully (total
+    users from two partial logs, total dupes from two dedup passes).
+    Reported against the true distinct-user count with the relative
+    error, in the KMV/bloom self-audit tradition.
+
+    Exactness: set sizes and the overlap are exact integers; the
+    estimate is one fixed-order double expression, round 6.
+
+    Scale: three combinable distinct-aggregations (each one exchange
+    over the user key); the estimator is a 1-row reduction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ua = (ev.filter(F.col("event_type") == CR_SAMPLE_A)
+          .select("user_id").distinct())
+    ub = (ev.filter(F.col("event_type") == CR_SAMPLE_B)
+          .select("user_id").distinct())
+    m = ua.join(ub, "user_id").agg(F.count(F.lit(1)).alias("m"))
+    n1 = ua.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = ub.agg(F.count(F.lit(1)).alias("n2"))
+    truth = ev.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_true"))
+    est = ((F.col("n1") + 1).cast("double")
+           * (F.col("n2") + 1).cast("double")
+           / (F.col("m") + 1).cast("double") - F.lit(1.0))
+    return (n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
+            .crossJoin(F.broadcast(truth))
+            .select("n1", "n2", "m", "n_true",
+                    F.round(est, 6).alias("n_estimate"),
+                    F.round((est - F.col("n_true").cast("double"))
+                            / F.col("n_true").cast("double"), 6)
+                    .alias("rel_error")))
+
+
+CAPTURE_RECAPTURE_SQL = f"""
+WITH ua AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = '{CR_SAMPLE_A}'),
+ub AS (SELECT DISTINCT user_id FROM events
+       WHERE event_type = '{CR_SAMPLE_B}'),
+s AS (
+    SELECT (SELECT count(*) FROM ua) AS n1,
+           (SELECT count(*) FROM ub) AS n2,
+           (SELECT count(*) FROM ua JOIN ub USING (user_id)) AS m,
+           (SELECT count(DISTINCT user_id) FROM events) AS n_true
+)
+SELECT n1, n2, m, n_true,
+       round(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+             / CAST(m + 1 AS DOUBLE) - 1.0, 6) AS n_estimate,
+       round((CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+              / CAST(m + 1 AS DOUBLE) - 1.0
+              - CAST(n_true AS DOUBLE)) / CAST(n_true AS DOUBLE), 6)
+           AS rel_error
+FROM s
+"""
+
+
+# --- delete-one-group jackknife -----------------------------------------------
+
+JK_GROUPS = 16
+
+
+def jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife (Tukey 1958; the survey-statistics
+    replicate-weights workhorse) for a RATIO statistic — chars per
+    token over the corpus — where the naive per-row variance formula
+    is wrong because a ratio of sums is not a mean of rows: split
+    docs into 16 deterministic md5 groups, recompute the ratio with
+    each group deleted from the group-sum table, and report
+    se²_jack = (G−1)/G · Σ(R_g − R̄)². This is the BLB's cheap
+    sibling: replicate cost is G group-sum subtractions, never a
+    resample — the distributed uncertainty recipe for any
+    sum-over-sum KPI.
+
+    Exactness: char and token sums are exact integers per group;
+    each leave-one-out ratio is ONE exact-operand division,
+    round(·,6)-pinned → DECIMAL(25,6) so R̄ and the squared-deviation
+    sum are order-exact; the final se is one sqrt.
+
+    Scale: one combinable 16-group aggregation collapses the corpus;
+    all replicate math runs on the 16-row group relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = (F.conv(F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
+        16, 10).cast("bigint") % JK_GROUPS).alias("g")
+    from ..functions.lineage import truncate_lineage
+
+    # MATERIALIZED: the 16-row group-sum relation feeds three
+    # branches (total, leave-one-out, deviations) — cut the lineage
+    # so the corpus collapse runs once.
+    grp = truncate_lineage(
+        docs.select(g, "n_chars",
+                    F.size(F.split("text", " ")).alias("n_tok"))
+        .groupBy("g")
+        .agg(F.sum("n_chars").alias("sc"),
+             F.sum("n_tok").alias("st")))
+    tot = grp.agg(F.sum("sc").alias("tc"), F.sum("st").alias("tt"),
+                  F.count(F.lit(1)).alias("n_groups"))
+    dec6 = "decimal(25,6)"
+    loo = (grp.crossJoin(F.broadcast(tot))
+           .select("n_groups", "tc", "tt",
+                   F.round((F.col("tc") - F.col("sc")).cast("double")
+                           / (F.col("tt") - F.col("st")).cast("double"),
+                           6).cast(dec6).alias("rg")))
+    base = loo.groupBy("n_groups", "tc", "tt").agg(
+        F.sum("rg").alias("sum_rg"))
+    rbar = F.col("sum_rg").cast("double") / F.col("n_groups").cast("double")
+    dev = (loo.join(F.broadcast(base.select(
+        "n_groups", "sum_rg").withColumnRenamed("n_groups", "ng")),
+        F.col("n_groups") == F.col("ng"))
+        .select("n_groups", "tc", "tt",
+                F.round((F.col("rg").cast("double")
+                         - F.col("sum_rg").cast("double")
+                         / F.col("n_groups").cast("double"))
+                        * (F.col("rg").cast("double")
+                           - F.col("sum_rg").cast("double")
+                           / F.col("n_groups").cast("double")), 10)
+                .cast("decimal(25,10)").alias("d2")))
+    out = dev.groupBy("n_groups", "tc", "tt").agg(
+        F.sum("d2").alias("ss"))
+    gd = F.col("n_groups").cast("double")
+    se = F.sqrt((gd - F.lit(1.0)) / gd * F.col("ss").cast("double"))
+    r = F.col("tc").cast("double") / F.col("tt").cast("double")
+    return out.select(
+        F.col("n_groups"), F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("jackknife_se"),
+        F.round(r - F.lit(WILSON_Z) * se, 6).alias("ci_lo"),
+        F.round(r + F.lit(WILSON_Z) * se, 6).alias("ci_hi"))
+
+
+JACKKNIFE_SQL = f"""
+WITH grp AS (
+    SELECT (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                ::BIGINT) % {JK_GROUPS} AS g,
+           CAST(sum(n_chars) AS BIGINT) AS sc,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS st
+    FROM documents GROUP BY 1
+), tot AS (
+    SELECT CAST(sum(sc) AS BIGINT) AS tc, CAST(sum(st) AS BIGINT) AS tt,
+           count(*) AS n_groups
+    FROM grp
+), loo AS (
+    SELECT t.n_groups, t.tc, t.tt,
+           CAST(round(CAST(t.tc - g.sc AS DOUBLE)
+                      / CAST(t.tt - g.st AS DOUBLE), 6)
+                AS DECIMAL(25,6)) AS rg
+    FROM grp g, tot t
+), base AS (
+    SELECT n_groups, tc, tt, sum(rg) AS sum_rg
+    FROM loo GROUP BY 1, 2, 3
+), dev AS (
+    SELECT l.n_groups, l.tc, l.tt,
+           CAST(round((CAST(l.rg AS DOUBLE)
+                       - CAST(b.sum_rg AS DOUBLE)
+                         / CAST(l.n_groups AS DOUBLE))
+                      * (CAST(l.rg AS DOUBLE)
+                         - CAST(b.sum_rg AS DOUBLE)
+                           / CAST(l.n_groups AS DOUBLE)), 10)
+                AS DECIMAL(25,10)) AS d2
+    FROM loo l JOIN base b ON l.n_groups = b.n_groups
+), out AS (
+    SELECT n_groups, tc, tt, sum(d2) AS ss
+    FROM dev GROUP BY 1, 2, 3
+)
+SELECT n_groups,
+       round(CAST(tc AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS ratio,
+       round(sqrt((CAST(n_groups AS DOUBLE) - 1.0)
+                  / CAST(n_groups AS DOUBLE)
+                  * CAST(ss AS DOUBLE)), 6) AS jackknife_se,
+       round(CAST(tc AS DOUBLE) / CAST(tt AS DOUBLE)
+             - {WILSON_Z!r} * sqrt((CAST(n_groups AS DOUBLE) - 1.0)
+                   / CAST(n_groups AS DOUBLE) * CAST(ss AS DOUBLE)), 6)
+           AS ci_lo,
+       round(CAST(tc AS DOUBLE) / CAST(tt AS DOUBLE)
+             + {WILSON_Z!r} * sqrt((CAST(n_groups AS DOUBLE) - 1.0)
+                   / CAST(n_groups AS DOUBLE) * CAST(ss AS DOUBLE)), 6)
+           AS ci_hi
+FROM out
+"""

@@ -2559,3 +2559,82 @@ SELECT lang, source, max(n_class) AS n_docs,
            <= {T_CLOSE_MAX} AS passed
 FROM cum GROUP BY lang, source
 """
+
+
+# --- empirical-Bayes shrinkage league table -----------------------------------
+
+EB_PRIOR_STRENGTH = 20   # pseudo-doc count pulled from the pooled rate
+EB_LONG_CHARS = 256
+
+
+def eb_shrinkage_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrunk league table (the Efron-Morris batting-
+    average move, fixed-strength form): each source's long-doc rate
+    is shrunk toward the POOLED rate by ``EB_PRIOR_STRENGTH`` pseudo-
+    docs — p_eb = (k + M·p̄)/(n + M) — and the table reports both
+    rankings and every source's rank movement. This is the number a
+    curation league table should sort by: a 30-doc source at rate 1.0
+    must not outrank a 3000-doc source at 0.9 (the small-sample
+    leader the raw ranking crowns); fixed M keeps the estimator
+    exact-arithmetic — the hierarchical-variance upgrade is a
+    one-line swap documented here. Companions: ``wilson_ci_rates``
+    (uncertainty), ``direct_standardization_rates`` (confounding).
+
+    Exactness: k, n exact integers; p̄ = Σk/Σn one exact-operand
+    division; p_eb is fixed identical-order double arithmetic; both
+    rank columns are row_number under (metric DESC, source) — total
+    orders, no float tie hazard beyond the deterministic metric.
+
+    Scale: one combinable conditional count; ranking windows run on
+    the |sources|-row relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    agg = (docs.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("n_chars") > EB_LONG_CHARS)
+                      .cast("long")).alias("k")))
+    pool = agg.agg(F.sum("k").alias("tk"), F.sum("n").alias("tn"))
+    pbar = F.col("tk").cast("double") / F.col("tn").cast("double")
+    m = F.lit(float(EB_PRIOR_STRENGTH))
+    p_raw = F.col("k").cast("double") / F.col("n").cast("double")
+    p_eb = (F.col("k").cast("double") + m * pbar) \
+        / (F.col("n").cast("double") + m)
+    scored = (agg.crossJoin(F.broadcast(pool))
+              .select("source", "n", "k",
+                      F.round(p_raw, 6).alias("rate_raw"),
+                      F.round(p_eb, 6).alias("rate_eb")))
+    w_raw = Window.orderBy(F.col("rate_raw").desc(), "source")
+    w_eb = Window.orderBy(F.col("rate_eb").desc(), "source")
+    return (scored
+            .withColumn("rank_raw", F.row_number().over(w_raw))
+            .withColumn("rank_eb", F.row_number().over(w_eb))
+            .withColumn("rank_delta",
+                        F.col("rank_raw") - F.col("rank_eb")))
+
+
+EB_SHRINKAGE_SQL = f"""
+WITH agg AS (
+    SELECT source, count(*) AS n,
+           CAST(sum(CASE WHEN n_chars > {EB_LONG_CHARS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS k
+    FROM documents GROUP BY source
+), pool AS (
+    SELECT CAST(sum(k) AS BIGINT) AS tk, CAST(sum(n) AS BIGINT) AS tn
+    FROM agg
+), scored AS (
+    SELECT source, n, k,
+           round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate_raw,
+           round((CAST(k AS DOUBLE)
+                  + {float(EB_PRIOR_STRENGTH)!r}
+                    * (CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)))
+                 / (CAST(n AS DOUBLE) + {float(EB_PRIOR_STRENGTH)!r}),
+                 6) AS rate_eb
+    FROM agg, pool
+)
+SELECT source, n, k, rate_raw, rate_eb,
+       row_number() OVER (ORDER BY rate_raw DESC, source) AS rank_raw,
+       row_number() OVER (ORDER BY rate_eb DESC, source) AS rank_eb,
+       row_number() OVER (ORDER BY rate_raw DESC, source)
+       - row_number() OVER (ORDER BY rate_eb DESC, source) AS rank_delta
+FROM scored
+"""

@@ -1225,6 +1225,34 @@ register("rbo_ranker_agreement", ta.rbo_ranker_agreement,
          "the production ranker-swap gate beside Spearman's "
          "equal-weight pool agreement; depth weights inlined as "
          "identical literals, terms decimal-pinned")
+register("wilson_ci_rates", adv.wilson_ci_rates, adv.WILSON_SQL,
+         "Wilson score 95% CI (1927) for each source's long-doc rate "
+         "— boundary-safe where Wald collapses; z frozen as a "
+         "16-digit literal; one conditional-count agg, interval math "
+         "on the sources relation")
+register("capture_recapture_users", adv.capture_recapture_users,
+         adv.CAPTURE_RECAPTURE_SQL,
+         "Lincoln-Petersen / Chapman capture-recapture population "
+         "estimate from the click-users and view-users samples, "
+         "reported against the true distinct-user count — the "
+         "ecology estimator for sizing a population neither partial "
+         "log covers; three distinct-aggs + a 1-row estimator")
+register("jackknife_ratio_variance", adv.jackknife_ratio_variance,
+         adv.JACKKNIFE_SQL,
+         "delete-one-group jackknife (Tukey 1958) for the chars-per-"
+         "token RATIO: 16 md5 groups, leave-one-out ratios from "
+         "group-sum subtraction (never a resample), "
+         "(G-1)/G-weighted deviation sum — the survey-statistics "
+         "replicate-variance recipe for sum-over-sum KPIs; all "
+         "replicate math on the 16-row group relation")
+register("eb_shrinkage_rates", cu.eb_shrinkage_rates,
+         cu.EB_SHRINKAGE_SQL,
+         "Efron-Morris empirical-Bayes shrunk league table "
+         "(fixed-strength form): per-source rates pulled toward the "
+         "pooled rate by M=20 pseudo-docs, raw vs shrunk rankings + "
+         "rank movement — kills the small-sample leader a raw "
+         "ranking crowns; beside wilson_ci_rates and "
+         "direct_standardization_rates")
 register("kaplan_meier_conversion", ts.kaplan_meier_conversion,
          ts.KAPLAN_MEIER_SQL,
          "Kaplan-Meier survival curve (1958) of view->purchase "
@@ -1375,20 +1403,22 @@ register("markov_temporal_holdout", ts.markov_temporal_holdout,
 # negative_sampling_weights, direct_standardization_rates,
 # rbo_ranker_agreement, markov_temporal_holdout — each 3-SF
 # oracle-green + vanilla-probed + replica-pinned on landing day).
-# UPDATED by session 3 (registry now 318): the 14 session-3 additions
+# UPDATED by session 3 (registry now 322): the 18 session-3 additions
 # (readability_forcast, mann_whitney_auc, data_expectations_audit,
 # broadcast_join_advisor, t_closeness_audit, adamic_adar_links,
 # acf_correlogram, cusum_changepoint, snapshot_diff_audit,
 # kmv_distinct_sketch, conformal_interval_coverage,
 # lsh_parameter_planner, kaplan_meier_conversion,
-# logrank_conversion_arms — each 3-SF oracle-green, vanilla-probed,
+# logrank_conversion_arms, wilson_ci_rates, capture_recapture_users,
+# jackknife_ratio_variance, eb_shrinkage_rates — each 3-SF
+# oracle-green, vanilla-probed,
 # replica-pinned on landing day) join the never-adjudicated pool, so
-# the endgame is now 114 = 50 (this round's window) + 50 (round 8)
-# + 14 (round 9): round 8's window is the 50-entry backlog EXACTLY
+# the endgame is now 118 = 50 (this round's window) + 50 (round 8)
+# + 18 (round 9): round 8's window is the 50-entry backlog EXACTLY
 # (flagship fully displaced — it will carry 7 consecutive green
 # rounds; regenerate with `python tools/next_window.py`, zero slack,
 # so round 8 should not add entries before its window runs), and
-# round 9 leads with the session-3 fourteen plus filler. Full-registry
+# round 9 leads with the session-3 eighteen plus filler. Full-registry
 # adjudication completes in round 9 of 20 — comfortable margin.
 # Validate with `--check`.
 _ADJUDICATION_FIRST: tuple[str, ...] = (

@@ -621,3 +621,134 @@ def test_logrank_python_replica(spark):
     assert row["var_a"] == pytest.approx(v, abs=1e-6)
     assert row["z_score"] == pytest.approx(z, abs=1e-5)
     assert abs(row["z_score"]) < 5.0, "md5 arms must be exchangeable"
+
+
+# --- batch 3 (same session): Wilson, capture-recapture, jackknife, EB ------
+
+
+def test_wilson_ci_python_replica(spark):
+    """Intervals must equal the textbook Wilson replica, stay inside
+    [0,1] (the property Wald lacks), and contain the point rate."""
+    from mapreduce_in_pthreads_spark.operators.advanced import (
+        WILSON_LONG_CHARS, WILSON_Z, wilson_ci_rates)
+
+    agg: defaultdict = defaultdict(lambda: [0, 0])
+    for src, nc in _documents(SF_CORRECT, ["source", "n_chars"]):
+        agg[src][0] += 1
+        agg[src][1] += nc > WILSON_LONG_CHARS
+
+    rows = wilson_ci_rates(spark, SF_CORRECT).collect()
+    assert {r["source"] for r in rows} == set(agg)
+    z = WILSON_Z
+    for row in rows:
+        n, k = agg[row["source"]]
+        p = k / n
+        denom = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = z * math.sqrt(p * (1 - p) / n
+                             + z * z / (4 * n * n)) / denom
+        assert (row["n"], row["k"]) == (n, k)
+        assert row["rate"] == pytest.approx(p, abs=1e-6)
+        assert row["ci_lo"] == pytest.approx(center - half, abs=1e-5)
+        assert row["ci_hi"] == pytest.approx(center + half, abs=1e-5)
+        assert 0.0 <= row["ci_lo"] <= row["rate"] <= row["ci_hi"] <= 1.0
+
+
+def test_capture_recapture_python_replica(spark):
+    """n1/n2/m and the Chapman estimate must equal the set replica;
+    under near-independent capture the estimate should land within
+    25% of the truth on this corpus."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_in_pthreads_spark.operators.advanced import (
+        CR_SAMPLE_A, CR_SAMPLE_B, capture_recapture_users)
+
+    t = pq.read_table(f"{SF_CORRECT}/events.parquet",
+                      columns=["user_id", "event_type"])
+    ua, ub, allu = set(), set(), set()
+    for u, et in zip(t["user_id"].to_pylist(),
+                     t["event_type"].to_pylist()):
+        allu.add(u)
+        if et == CR_SAMPLE_A:
+            ua.add(u)
+        elif et == CR_SAMPLE_B:
+            ub.add(u)
+    n1, n2, m = len(ua), len(ub), len(ua & ub)
+    est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+
+    [row] = capture_recapture_users(spark, SF_CORRECT).collect()
+    assert (row["n1"], row["n2"], row["m"]) == (n1, n2, m)
+    assert row["n_true"] == len(allu)
+    assert row["n_estimate"] == pytest.approx(est, abs=1e-5)
+    assert abs(row["rel_error"]) < 0.25
+
+
+def test_jackknife_python_replica(spark):
+    """Leave-one-group ratios, R̄, and the jackknife se must equal
+    the hashlib replica (round-6 pinned replicates, scaled-decimal
+    deviation sums), and the CI must contain the full-sample ratio."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_in_pthreads_spark.operators.advanced import (
+        JK_GROUPS, WILSON_Z, jackknife_ratio_variance)
+
+    t = pq.read_table(f"{SF_CORRECT}/documents.parquet",
+                      columns=["doc_id", "text", "n_chars"])
+    sc = [0] * JK_GROUPS
+    st = [0] * JK_GROUPS
+    for did, text, nc in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist(),
+                             t["n_chars"].to_pylist()):
+        g = int(_md5hex(did)[:15], 16) % JK_GROUPS
+        sc[g] += nc
+        st[g] += len(text.split(" "))
+    tc, tt = sum(sc), sum(st)
+    rg = [round((tc - sc[g]) / (tt - st[g]), 6)
+          for g in range(JK_GROUPS)]
+    rbar = sum(rg) / JK_GROUPS
+    ss = sum(round((x - rbar) ** 2, 10) for x in rg)
+    se = math.sqrt((JK_GROUPS - 1) / JK_GROUPS * ss)
+
+    [row] = jackknife_ratio_variance(spark, SF_CORRECT).collect()
+    assert row["n_groups"] == JK_GROUPS
+    assert row["ratio"] == pytest.approx(tc / tt, abs=1e-6)
+    assert row["jackknife_se"] == pytest.approx(se, abs=1e-5)
+    assert row["ci_lo"] == pytest.approx(tc / tt - WILSON_Z * se,
+                                         abs=1e-4)
+    assert row["ci_hi"] == pytest.approx(tc / tt + WILSON_Z * se,
+                                         abs=1e-4)
+    assert row["ci_lo"] <= row["ratio"] <= row["ci_hi"]
+
+
+def test_eb_shrinkage_python_replica(spark):
+    """Shrunk rates must equal the pseudo-count replica, shrinkage
+    must strictly contract every source toward the pooled rate, and
+    small sources must move MORE than large ones."""
+    from mapreduce_in_pthreads_spark.operators.curation import (
+        EB_LONG_CHARS, EB_PRIOR_STRENGTH, eb_shrinkage_rates)
+
+    agg: defaultdict = defaultdict(lambda: [0, 0])
+    for src, nc in _documents(SF_CORRECT, ["source", "n_chars"]):
+        agg[src][0] += 1
+        agg[src][1] += nc > EB_LONG_CHARS
+    tn = sum(n for n, _ in agg.values())
+    tk = sum(k for _, k in agg.values())
+    pbar = tk / tn
+
+    rows = eb_shrinkage_rates(spark, SF_CORRECT).collect()
+    assert {r["source"] for r in rows} == set(agg)
+    for row in rows:
+        n, k = agg[row["source"]]
+        p_eb = (k + EB_PRIOR_STRENGTH * pbar) / (n + EB_PRIOR_STRENGTH)
+        assert (row["n"], row["k"]) == (n, k)
+        assert row["rate_raw"] == pytest.approx(k / n, abs=1e-6)
+        assert row["rate_eb"] == pytest.approx(p_eb, abs=1e-6)
+        # contraction: shrunk rate strictly between raw and pooled
+        lo, hi = sorted((k / n, pbar))
+        assert lo - 1e-9 <= row["rate_eb"] <= hi + 1e-9
+        assert row["rank_delta"] == row["rank_raw"] - row["rank_eb"]
+    # both rank columns are permutations of 1..|sources|
+    assert sorted(r["rank_raw"] for r in rows) == \
+        list(range(1, len(rows) + 1))
+    assert sorted(r["rank_eb"] for r in rows) == \
+        list(range(1, len(rows) + 1))
