@@ -1434,3 +1434,92 @@ WITH pts AS (
 SELECT p.doc_id, p.c AS n_chars, p.t AS n_distinct_tokens
 FROM pts p JOIN frontier f ON p.c = f.c AND p.t = f.gmax
 """
+
+
+# --- decile lift table ----------------------------------------------------------
+
+LIFT_LONG_CHARS = 256
+LIFT_DECILES = 10
+
+
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — the model-evaluation readout a targeting /
+    quality-ranking model ships with: rank all docs by the score
+    (distinct-token richness), cut into 10 ntile deciles, and report
+    each decile's long-doc rate plus the CUMULATIVE lift over the
+    base rate — "the top 10% of the ranking captures X× its share of
+    positives", the business-facing cousin of ROC-AUC
+    (``mann_whitney_auc``) and calibration
+    (``lang_confidence_calibration``).
+
+    Exactness: ntile over the total order (score DESC, doc_id) is
+    pure rank arithmetic with identical semantics in both engines;
+    per-decile and cumulative counts are exact integers; rates and
+    lifts are exact-operand divisions, round 6 on display.
+
+    Scale: the global ntile is the documented reduced-relation
+    single-partition window (``unigram_logprob_filter`` class) — at
+    cluster scale swap it for decile bounds from approx quantiles of
+    the score, which changes no output column.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pts = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " "))).alias("score"),
+        (F.col("n_chars") > LIFT_LONG_CHARS).cast("long").alias("pos"))
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    tiled = pts.withColumn("decile", F.ntile(LIFT_DECILES).over(w))
+    per = (tiled.groupBy("decile")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("pos").alias("n_pos")))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    tot = per.agg(F.sum("n_docs").alias("tn"), F.sum("n_pos").alias("tp"))
+    cum = (per.crossJoin(F.broadcast(tot))
+           .withColumn("cum_n", F.sum("n_docs").over(wc))
+           .withColumn("cum_p", F.sum("n_pos").over(wc)))
+    rate = F.col("n_pos").cast("double") / F.col("n_docs").cast("double")
+    base = F.col("tp").cast("double") / F.col("tn").cast("double")
+    cum_rate = F.col("cum_p").cast("double") / F.col("cum_n").cast("double")
+    return cum.select(
+        "decile", "n_docs",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.round(rate, 6).alias("rate"),
+        F.round(cum_rate / base, 6).alias("cum_lift"))
+
+
+DECILE_LIFT_SQL = f"""
+WITH pts AS (
+    SELECT doc_id,
+           len(list_distinct(string_split(text, ' '))) AS score,
+           CASE WHEN n_chars > {LIFT_LONG_CHARS} THEN 1 ELSE 0 END
+               AS pos
+    FROM documents
+), tiled AS (
+    SELECT *, ntile({LIFT_DECILES})
+               OVER (ORDER BY score DESC, doc_id) AS decile
+    FROM pts
+), per AS (
+    SELECT decile, count(*) AS n_docs,
+           CAST(sum(pos) AS BIGINT) AS n_pos
+    FROM tiled GROUP BY decile
+), tot AS (
+    SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+           CAST(sum(n_pos) AS BIGINT) AS tp
+    FROM per
+), cum AS (
+    SELECT p.*, t.tn, t.tp,
+           sum(n_docs) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS cum_n,
+           sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS cum_p
+    FROM per p, tot t
+)
+SELECT decile, n_docs, n_pos,
+       round(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+           AS rate,
+       round((CAST(cum_p AS DOUBLE) / CAST(cum_n AS DOUBLE))
+             / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6)
+           AS cum_lift
+FROM cum
+"""

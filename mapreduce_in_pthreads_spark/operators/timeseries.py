@@ -3329,3 +3329,121 @@ FROM s_stat s
 JOIN ties t ON s.event_type = t.event_type
 JOIN ts_slope x ON s.event_type = x.event_type
 """
+
+
+# --- Gumbel block-maxima return levels ------------------------------------------
+
+GUMBEL_SQRT6_PI = 0.779696801233676     # sqrt(6)/pi, frozen literal
+GUMBEL_GAMMA = 0.5772156649015329       # Euler-Mascheroni, frozen
+GUMBEL_K30 = 3.3842944934992527         # -ln(-ln(1 - 1/30)), frozen
+GUMBEL_K365 = 5.8985259242227315        # -ln(-ln(1 - 1/365)), frozen
+
+
+def gumbel_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value capacity planning per event_type: fit a Gumbel
+    distribution to the DAILY MAXIMA of hourly event counts by the
+    method of moments (β̂ = s·√6/π, μ̂ = m̄ − γβ̂ — the classical
+    block-maxima recipe from Gumbel 1958) and report the 30-day and
+    365-day return levels x_T = μ̂ + β̂·(−ln(−ln(1−1/T))) — "the
+    hourly load exceeded once a month / once a year", the number a
+    capacity planner provisions against, which mean+kσ under-states
+    because extremes aren't Gaussian. Every transcendental constant
+    (√6/π, γ, the two −ln(−ln·) factors) is a FROZEN Python literal
+    inlined into both engines — the statistic itself is moment
+    arithmetic plus one sqrt.
+
+    Exactness: daily maxima, Σm and Σm² are exact integers; mean and
+    the sample variance are exact-operand arithmetic; s is one sqrt;
+    everything after is fixed-order doubles with frozen literals,
+    round 6 on display.
+
+    Scale: the corpus collapses to the dense (type, hour) grid, then
+    to |types|×|days| maxima, then to |types| moment rows — each step
+    one combinable aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dense = dense_hourly(hourly_counts(ev)).select(
+        "event_type", (F.col("h") / 24).cast("bigint").alias("day"), "y")
+    daily_max = (dense.groupBy("event_type", "day")
+                 .agg(F.max("y").alias("m")))
+    mom = (daily_max.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_days"),
+                F.sum("m").alias("sm"),
+                F.sum(F.col("m") * F.col("m")).alias("smm")))
+    nd = F.col("n_days").cast("double")
+    mean = F.col("sm").cast("double") / nd
+    var = (F.col("smm").cast("double")
+           - F.col("sm").cast("double") * F.col("sm").cast("double")
+           / nd) / (nd - F.lit(1.0))
+    beta = F.sqrt(var) * F.lit(GUMBEL_SQRT6_PI)
+    mu = mean - F.lit(GUMBEL_GAMMA) * beta
+    return mom.select(
+        "event_type", "n_days",
+        F.round(mu, 6).alias("loc_mu"),
+        F.round(beta, 6).alias("scale_beta"),
+        F.round(mu + beta * F.lit(GUMBEL_K30), 6).alias("rl_30d"),
+        F.round(mu + beta * F.lit(GUMBEL_K365), 6).alias("rl_365d"))
+
+
+GUMBEL_SQL = f"""
+WITH counts AS (
+    SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS c
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT min(h) AS hmin, max(h) AS hmax FROM counts
+), dense AS (
+    SELECT g.event_type, g.h // 24 AS day, COALESCE(c.c, 0) AS y
+    FROM (SELECT t.event_type, u.h
+          FROM (SELECT DISTINCT event_type FROM counts) t,
+               bounds b,
+               LATERAL (SELECT unnest(generate_series(b.hmin, b.hmax))
+                        AS h) u) g
+    LEFT JOIN counts c ON g.event_type = c.event_type AND g.h = c.h
+), daily_max AS (
+    SELECT event_type, day, max(y) AS m
+    FROM dense GROUP BY event_type, day
+), mom AS (
+    SELECT event_type, count(*) AS n_days,
+           CAST(sum(m) AS BIGINT) AS sm,
+           CAST(sum(m * m) AS BIGINT) AS smm
+    FROM daily_max GROUP BY event_type
+)
+SELECT event_type, n_days,
+       round(CAST(sm AS DOUBLE) / CAST(n_days AS DOUBLE)
+             - {GUMBEL_GAMMA!r}
+               * (sqrt((CAST(smm AS DOUBLE)
+                        - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                          / CAST(n_days AS DOUBLE))
+                       / (CAST(n_days AS DOUBLE) - 1.0))
+                  * {GUMBEL_SQRT6_PI!r}), 6) AS loc_mu,
+       round(sqrt((CAST(smm AS DOUBLE)
+                   - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                     / CAST(n_days AS DOUBLE))
+                  / (CAST(n_days AS DOUBLE) - 1.0))
+             * {GUMBEL_SQRT6_PI!r}, 6) AS scale_beta,
+       round(CAST(sm AS DOUBLE) / CAST(n_days AS DOUBLE)
+             - {GUMBEL_GAMMA!r}
+               * (sqrt((CAST(smm AS DOUBLE)
+                        - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                          / CAST(n_days AS DOUBLE))
+                       / (CAST(n_days AS DOUBLE) - 1.0))
+                  * {GUMBEL_SQRT6_PI!r})
+             + sqrt((CAST(smm AS DOUBLE)
+                     - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                       / CAST(n_days AS DOUBLE))
+                    / (CAST(n_days AS DOUBLE) - 1.0))
+               * {GUMBEL_SQRT6_PI!r} * {GUMBEL_K30!r}, 6) AS rl_30d,
+       round(CAST(sm AS DOUBLE) / CAST(n_days AS DOUBLE)
+             - {GUMBEL_GAMMA!r}
+               * (sqrt((CAST(smm AS DOUBLE)
+                        - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                          / CAST(n_days AS DOUBLE))
+                       / (CAST(n_days AS DOUBLE) - 1.0))
+                  * {GUMBEL_SQRT6_PI!r})
+             + sqrt((CAST(smm AS DOUBLE)
+                     - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                       / CAST(n_days AS DOUBLE))
+                    / (CAST(n_days AS DOUBLE) - 1.0))
+               * {GUMBEL_SQRT6_PI!r} * {GUMBEL_K365!r}, 6) AS rl_365d
+FROM mom
+"""

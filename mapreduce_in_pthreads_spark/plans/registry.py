@@ -1225,6 +1225,21 @@ register("rbo_ranker_agreement", ta.rbo_ranker_agreement,
          "the production ranker-swap gate beside Spearman's "
          "equal-weight pool agreement; depth weights inlined as "
          "identical literals, terms decimal-pinned")
+register("gumbel_return_levels", ts.gumbel_return_levels,
+         ts.GUMBEL_SQL,
+         "extreme-value capacity planning (Gumbel 1958 block "
+         "maxima, method of moments): per-type 30-day and 365-day "
+         "return levels of hourly load from daily maxima — the "
+         "provisioning number mean+k*sigma under-states; every "
+         "transcendental constant a frozen Python literal in both "
+         "engines")
+register("decile_lift_table", adv.decile_lift_table,
+         adv.DECILE_LIFT_SQL,
+         "decile lift table for the richness-ranks-length model: "
+         "ntile(10) over the total order, per-decile positive rate + "
+         "cumulative lift over base rate — the business-facing "
+         "cousin of ROC-AUC; exact rank arithmetic, approx-quantile "
+         "bound swap documented for cluster scale")
 register("kruskal_wallis_sources", adv.kruskal_wallis_sources,
          adv.KRUSKAL_WALLIS_SQL,
          "Kruskal-Wallis H (1952) across ALL sources' length "
@@ -1432,7 +1447,7 @@ register("markov_temporal_holdout", ts.markov_temporal_holdout,
 # negative_sampling_weights, direct_standardization_rates,
 # rbo_ranker_agreement, markov_temporal_holdout — each 3-SF
 # oracle-green + vanilla-probed + replica-pinned on landing day).
-# UPDATED by session 3 (registry now 326): the 22 session-3 additions
+# UPDATED by session 3 (registry now 328): the 24 session-3 additions
 # (readability_forcast, mann_whitney_auc, data_expectations_audit,
 # broadcast_join_advisor, t_closeness_audit, adamic_adar_links,
 # acf_correlogram, cusum_changepoint, snapshot_diff_audit,
@@ -1441,14 +1456,15 @@ register("markov_temporal_holdout", ts.markov_temporal_holdout,
 # logrank_conversion_arms, wilson_ci_rates, capture_recapture_users,
 # jackknife_ratio_variance, eb_shrinkage_rates,
 # kruskal_wallis_sources, trend_mann_kendall, mcnemar_dedup_methods,
-# skyline_pareto_docs — each 3-SF oracle-green, vanilla-probed,
+# skyline_pareto_docs, gumbel_return_levels, decile_lift_table —
+# each 3-SF oracle-green, vanilla-probed,
 # replica-pinned on landing day) join the never-adjudicated pool, so
-# the endgame is now 122 = 50 (this round's window) + 50 (round 8)
-# + 22 (round 9): round 8's window is the 50-entry backlog EXACTLY
+# the endgame is now 124 = 50 (this round's window) + 50 (round 8)
+# + 24 (round 9): round 8's window is the 50-entry backlog EXACTLY
 # (flagship fully displaced — it will carry 7 consecutive green
 # rounds; regenerate with `python tools/next_window.py`, zero slack,
 # so round 8 should not add entries before its window runs), and
-# round 9 leads with the session-3 twenty-two plus filler. Full-registry
+# round 9 leads with the session-3 twenty-four plus filler. Full-registry
 # adjudication completes in round 9 of 20 — comfortable margin.
 # Validate with `--check`.
 _ADJUDICATION_FIRST: tuple[str, ...] = (

@@ -879,3 +879,83 @@ def test_skyline_python_replica(spark):
     for r in rows:
         assert (r["n_chars"], r["n_distinct_tokens"]) == pts[r["doc_id"]]
     assert 1 <= len(got) < len(pts)
+
+
+# --- batch 5 (same session): Gumbel return levels, decile lift --------------
+
+
+def test_gumbel_python_replica(spark):
+    """Moment fit and return levels must equal the replica, and the
+    ordering invariants must hold: rl_365d > rl_30d > loc_mu, and
+    both return levels exceed the observed mean daily max."""
+    from mapreduce_in_pthreads_spark.operators.timeseries import (
+        GUMBEL_GAMMA, GUMBEL_K30, GUMBEL_K365, GUMBEL_SQRT6_PI,
+        gumbel_return_levels)
+
+    _, dense = _hourly_dense(SF_CORRECT)
+    rows = {r["event_type"]: r
+            for r in gumbel_return_levels(spark, SF_CORRECT).collect()}
+    assert set(rows) == set(dense)
+    for et, ys in dense.items():
+        # daily maxima over the dense grid (day = h_abs // 24 — the
+        # operator buckets absolute epoch-hours, so replicate that)
+        maxima: defaultdict = defaultdict(int)
+        hmin = _hourly_dense(SF_CORRECT)[0]
+        for i, y in enumerate(ys):
+            maxima[(hmin + i) // 24] = max(maxima[(hmin + i) // 24], y)
+        m = list(maxima.values())
+        n = len(m)
+        mean = sum(m) / n
+        var = (sum(v * v for v in m) - sum(m) ** 2 / n) / (n - 1)
+        beta = math.sqrt(var) * GUMBEL_SQRT6_PI
+        mu = mean - GUMBEL_GAMMA * beta
+        row = rows[et]
+        assert row["n_days"] == n
+        assert row["loc_mu"] == pytest.approx(mu, abs=1e-5)
+        assert row["scale_beta"] == pytest.approx(beta, abs=1e-5)
+        assert row["rl_30d"] == pytest.approx(mu + beta * GUMBEL_K30,
+                                              abs=1e-4)
+        assert row["rl_365d"] == pytest.approx(mu + beta * GUMBEL_K365,
+                                               abs=1e-4)
+        assert row["rl_365d"] > row["rl_30d"] > row["loc_mu"]
+        assert row["rl_30d"] > mean
+
+
+def test_decile_lift_python_replica(spark):
+    """Decile cells and cumulative lifts must equal the sorted
+    replica (ntile semantics: earlier deciles get the extra rows),
+    decile-1 lift must be the maximum, and the final cumulative lift
+    must be exactly 1."""
+    from mapreduce_in_pthreads_spark.operators.advanced import (
+        LIFT_DECILES, LIFT_LONG_CHARS, decile_lift_table)
+
+    pts = [(len(set(text.split(" "))), did, nc > LIFT_LONG_CHARS)
+           for did, text, nc in _documents(
+               SF_CORRECT, ["doc_id", "text", "n_chars"])]
+    pts.sort(key=lambda p: (-p[0], p[1]))
+    n = len(pts)
+    q, r = divmod(n, LIFT_DECILES)
+    want = {}
+    idx = 0
+    for d in range(1, LIFT_DECILES + 1):
+        size = q + (1 if d <= r else 0)
+        chunk = pts[idx:idx + size]
+        idx += size
+        want[d] = (size, sum(p[2] for p in chunk))
+    base = sum(p[2] for p in pts) / n
+
+    rows = sorted(decile_lift_table(spark, SF_CORRECT).collect(),
+                  key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    cn = cp = 0
+    for row in rows:
+        size, pos = want[row["decile"]]
+        cn += size
+        cp += pos
+        assert row["n_docs"] == size
+        assert row["n_pos"] == pos
+        assert row["rate"] == pytest.approx(pos / size, abs=1e-6)
+        assert row["cum_lift"] == pytest.approx((cp / cn) / base,
+                                                abs=1e-5)
+    assert rows[0]["cum_lift"] == max(r["cum_lift"] for r in rows)
+    assert rows[-1]["cum_lift"] == pytest.approx(1.0, abs=1e-9)
