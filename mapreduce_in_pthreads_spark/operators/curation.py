@@ -1673,8 +1673,9 @@ WITH groups AS (
            count(*) AS k, count(DISTINCT source) AS l
     FROM documents GROUP BY 1, 2
 )
-SELECT lang, count(*) AS n_groups, sum(k) AS n_docs, min(l) AS min_l,
-       sum(CASE WHEN l < {LDIV_L} THEN k ELSE 0 END)
+SELECT lang, count(*) AS n_groups,
+       CAST(sum(k) AS BIGINT) AS n_docs, min(l) AS min_l,
+       CAST(sum(CASE WHEN l < {LDIV_L} THEN k ELSE 0 END) AS BIGINT)
            AS docs_low_diversity,
        round(CAST(sum(CASE WHEN l < {LDIV_L} THEN k ELSE 0 END)
                   AS DOUBLE) / sum(k), 10) AS low_diversity_frac
@@ -1833,7 +1834,7 @@ FROM sub_rows
 UNION ALL
 SELECT 'BLB',
        (SELECT count(*) FROM documents),
-       sum(n_replicates),
+       CAST(sum(n_replicates) AS BIGINT),
        (SELECT CAST(sum(n_chars) AS DOUBLE) / count(*)
         FROM documents),
        CAST(sum(CAST(round(ci_lo, 10) AS DECIMAL(25,10))) AS DOUBLE)
@@ -2010,9 +2011,9 @@ WITH per_order AS (
       ON o_orderkey = l_orderkey
 )
 SELECT order_year, count(*) AS n_orders,
-       sum(CASE WHEN abs(book_micro - calc_micro)
+       CAST(sum(CASE WHEN abs(book_micro - calc_micro)
                  <= {RECON_TOL_CENTS * 10000}
-                THEN 1 ELSE 0 END) AS n_reconciled,
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
        round(CAST(count(*) - sum(CASE WHEN abs(book_micro - calc_micro)
                  <= {RECON_TOL_CENTS * 10000} THEN 1 ELSE 0 END)
              AS DOUBLE) / count(*), 10)

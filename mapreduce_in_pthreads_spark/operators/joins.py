@@ -511,12 +511,12 @@ WITH members AS (
     WHERE l_suppkey NOT IN (SELECT s_suppkey FROM members)
 ), hits AS (
     SELECT count(*) AS n_nonmembers,
-           sum(CASE WHEN
+           CAST(sum(CASE WHEN
                  {_bloom_pos_sql('key', '1')}
                      IN (SELECT bit FROM bits)
                  AND {_bloom_pos_sql('key', '2')}
                      IN (SELECT bit FROM bits)
-               THEN 1 ELSE 0 END) AS n_false_positives
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives
     FROM nonmember
 )
 SELECT (SELECT count(*) FROM members) AS n_keys,

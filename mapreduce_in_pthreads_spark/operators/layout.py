@@ -221,7 +221,7 @@ def _enc_sql_branch(colname: str, card: str, runs: str,
     bw = f"length(bin({card} - 1))"
     return f"""
   SELECT day, n, '{colname}' AS column_name,
-         {card} AS card, {runs} AS runs,
+         {card} AS card, CAST({runs} AS BIGINT) AS runs,
          CAST({bw} AS BIGINT) AS code_bits,
          CAST({plain} AS BIGINT) AS plain_bytes,
          CAST({dict_entries}
@@ -342,8 +342,8 @@ WITH per_shard AS (
            count(*) AS n_docs, sum(n_chars) AS bytes
     FROM documents GROUP BY 1, 2
 ), per_lang AS (
-    SELECT lang, sum(n_docs) AS n_docs,
-           sum(bytes) AS total_bytes,
+    SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
            count(*) AS current_files,
            greatest(CAST(floor((sum(bytes) + {COMPACT_TARGET_BYTES} - 1)
                                / {COMPACT_TARGET_BYTES}) AS BIGINT), 1)

@@ -193,7 +193,8 @@ WITH tok AS (
     SELECT scheme, part, count(*) AS rows
     FROM routed GROUP BY 1, 2
 )
-SELECT scheme, count(*) AS n_parts, sum(rows) AS total_rows,
+SELECT scheme, count(*) AS n_parts,
+       CAST(sum(rows) AS BIGINT) AS total_rows,
        max(rows) AS max_part_rows,
        round(CAST(max(rows) AS DOUBLE) / sum(rows), 10)
            AS max_part_share,

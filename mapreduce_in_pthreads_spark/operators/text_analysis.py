@@ -3521,11 +3521,11 @@ WITH g AS (
 )
 SELECT doc_id, n_tokens, len(grams) AS n_grams,
        len(rep) AS n_repeated,
-       CASE WHEN len(rep) = 0 THEN 0
+       CAST(CASE WHEN len(rep) = 0 THEN 0
             ELSE {MASK_N} + COALESCE(list_sum(list_transform(
                      range(2, len(rep) + 1),
                      i -> least({MASK_N}, rep[i] - rep[i - 1]))), 0)
-       END AS masked_tokens,
+       END AS BIGINT) AS masked_tokens,
        round(CAST(CASE WHEN len(rep) = 0 THEN 0
             ELSE {MASK_N} + COALESCE(list_sum(list_transform(
                      range(2, len(rep) + 1),
@@ -3666,10 +3666,11 @@ WITH words AS (
            count(*) AS c
     FROM words GROUP BY 1
 )
-SELECT sum(c) AS n_terms,
+SELECT CAST(sum(c) AS BIGINT) AS n_terms,
        {FEATHASH_M} AS m_buckets,
        count(*) AS buckets_used,
-       sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS colliding_terms,
+       CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+           AS colliding_terms,
        max(c) AS max_bucket_load,
        round(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
              / sum(c), 10) AS collision_term_frac,
@@ -3873,8 +3874,9 @@ WITH tf AS (
     SELECT doc_id, w, count(*) AS tf FROM tf GROUP BY 1, 2
 ), per_term AS (
     SELECT w, count(*) AS df,
-           sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS df2,
-           sum(tf) AS tf_total
+           CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df2,
+           CAST(sum(tf) AS BIGINT) AS tf_total
     FROM tf2 GROUP BY w
 ), n AS (SELECT count(*) AS n_docs FROM documents)
 SELECT w, df, df2, tf_total,
@@ -4187,7 +4189,7 @@ WITH counts AS (
 ), fof AS (
     SELECT r, count(*) AS n_r FROM counts GROUP BY r
 ), total AS (
-    SELECT sum(r * n_r) AS n_total FROM fof
+    SELECT CAST(sum(r * n_r) AS BIGINT) AS n_total FROM fof
 )
 SELECT CAST(f.r AS BIGINT) AS r,
        f.n_r AS n_r,

@@ -1212,9 +1212,9 @@ WITH first_seen AS (
     FROM events GROUP BY 1
 )
 SELECT day, n_active, COALESCE(n_new, 0) AS n_new,
-       sum(COALESCE(n_new, 0)) OVER (ORDER BY day
+       CAST(sum(COALESCE(n_new, 0)) OVER (ORDER BY day
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       AS cum_users
+           AS BIGINT) AS cum_users
 FROM active LEFT JOIN new_users USING (day)
 """
 
@@ -2135,8 +2135,8 @@ WITH trans AS (
 )
 SELECT t.v AS current_event, max(r.predicted) AS predicted,
        count(*) AS n_test,
-       sum(CASE WHEN t.w = r.predicted THEN 1 ELSE 0 END)
-           AS n_correct,
+       CAST(sum(CASE WHEN t.w = r.predicted THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_correct,
        round(CAST(sum(CASE WHEN t.w = r.predicted THEN 1 ELSE 0 END)
                   AS DOUBLE) / count(*), 10) AS top1_accuracy
 FROM t2 t LEFT JOIN rules r ON t.v = r.v
@@ -3066,9 +3066,10 @@ lt AS (
     FROM dur GROUP BY h
 ), total AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM lt
 ), risk AS (
-    SELECT lt.*, t.n_total
+    SELECT lt.*, CAST(t.n_total
            - COALESCE(sum(d + c) OVER (ORDER BY h ROWS BETWEEN
-                      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+                      UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
     FROM lt, total t
 ), curve AS (
     SELECT *,

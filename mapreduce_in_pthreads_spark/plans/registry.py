@@ -1416,76 +1416,37 @@ register("markov_temporal_holdout", ts.markov_temporal_holdout,
 # NOT listed keep their thematic order after the window — nothing is
 # ever dropped from queries()/oracle_sql().
 #
-# Round-6 window (VERDICT r4 item 2 / r5 ADVICE follow-through):
-# flagship 6 (always re-proven), then the 12 --must entries whose code
-# changed this round (the descending-sequence bigram/edge fix touched
-# bigram_counts, contamination_check, repetition_ratios,
-# gopher_quality_gate, bigram_logprob_interpolated,
-# kneser_ney_bigram_logprob, pagerank_word_graph,
-# word_graph_distances, hits_hubs_authorities; the quantizer SQL/memo
-# refactor touched ann_ivf_trained_topk + hard_negatives_mining; the
-# p95 ceil-rank fix touched watermark_lateness_profile), then 32
-# never-adjudicated entries in thematic order. Generated by
-# `python tools/next_window.py --must <the 12>`; validated with
-# `--check --must <the 12>`. 53 leftovers fit rounds 7-8.
-#
-# ROUND-7 WINDOW (registry at 304: 288 entering the round + the 6
-# session-1 additions VERDICT r6 item 2 budgeted + 10 session-2
-# additions placed BEHIND the window; 204 ever adjudicated, 100
-# never): the plain `python tools/next_window.py` proposal's 44
-# never-adjudicated entries in thematic order, with the 6 round-7
-# session-1 additions (winnowing_fingerprints,
-# prefix_filter_jaccard_join, split_leakage_audit,
-# psi_drift_by_source, heaps_law_fit, dedup_token_impact — each
-# 3-SF oracle-green + pin-tested before entering the window) taking
-# the slots the flagship six would have re-spent (the flagship carry
-# 6 consecutive green rounds and unchanged code). Endgame stays
-# intact: 50 never-adjudicated entries remain (40 backlog + the 10
-# session-2 additions good_turing_discounts, seasonal_naive_mase,
-# session_overlap_pairs, table_stats_profile,
-# sessionization_sensitivity, hourly_seasonality_strength,
-# negative_sampling_weights, direct_standardization_rates,
-# rbo_ranker_agreement, markov_temporal_holdout — each 3-SF
-# oracle-green + vanilla-probed + replica-pinned on landing day).
-# UPDATED by session 3 (registry now 328): the 24 session-3 additions
-# (readability_forcast, mann_whitney_auc, data_expectations_audit,
-# broadcast_join_advisor, t_closeness_audit, adamic_adar_links,
-# acf_correlogram, cusum_changepoint, snapshot_diff_audit,
-# kmv_distinct_sketch, conformal_interval_coverage,
-# lsh_parameter_planner, kaplan_meier_conversion,
-# logrank_conversion_arms, wilson_ci_rates, capture_recapture_users,
-# jackknife_ratio_variance, eb_shrinkage_rates,
-# kruskal_wallis_sources, trend_mann_kendall, mcnemar_dedup_methods,
-# skyline_pareto_docs, gumbel_return_levels, decile_lift_table —
-# each 3-SF oracle-green, vanilla-probed,
-# replica-pinned on landing day) join the never-adjudicated pool, so
-# the endgame is now 124 = 50 (this round's window) + 50 (round 8)
-# + 24 (round 9): round 8's window is the 50-entry backlog EXACTLY
-# (flagship fully displaced — it will carry 7 consecutive green
-# rounds; regenerate with `python tools/next_window.py`, zero slack,
-# so round 8 should not add entries before its window runs), and
-# round 9 leads with the session-3 twenty-four plus filler. Full-registry
-# adjudication completes in round 9 of 20 — comfortable margin.
-# Validate with `--check`.
+# ROUND-8 WINDOW (registry at 328; 254 ever adjudicated, 74 never,
+# per CORRECTNESS_r01..r07): the plain `python tools/next_window.py`
+# proposal verbatim — `user_growth_curve` leads (its oracle's
+# cum_users window sum gained the fleet-convention CAST AS BIGINT
+# this round, see tools/next_window.py MUST and VERDICT r7 item 1),
+# then 49 never-adjudicated entries in thematic order. The flagship
+# six are fully displaced (they carry 6 consecutive green rounds on
+# unchanged code; a backlog slot is worth more than a seventh row).
+# Endgame: 25 backlog entries remain (gumbel_return_levels ..
+# markov_temporal_holdout) + any round-8 additions placed BEHIND the
+# window, so round 9's window = those 25 + round-8 additions +
+# flagship re-proof + stale filler completes FULL-registry
+# adjudication in round 9 of 20. Validate with `--check`.
 _ADJUDICATION_FIRST: tuple[str, ...] = (
-    "winnowing_fingerprints", "prefix_filter_jaccard_join",
-    "split_leakage_audit", "psi_drift_by_source",
-    "heaps_law_fit", "dedup_token_impact",
-    "incremental_rollup_merge", "transpose_metrics", "stat_crosstab",
-    "xpath_roundtrip", "number_format_roundtrip", "window_navigation",
-    "range_frame_revenue", "rank_distribution", "ewma_user_activity",
-    "mad_outlier_events", "assoc_rules_events", "user_growth_curve",
-    "winsorized_stats", "cohort_ltv_matrix", "ab_test_proportions",
-    "hapax_ttr_per_lang", "burstiness_fano", "point_in_time_tier_join",
-    "time_to_convert", "query_likelihood_dirichlet", "rocchio_prf_expansion",
-    "hybrid_search_rrf", "bpe_train_merges", "mmr_diversified_rerank",
-    "label_knn_agreement", "pca_power_iteration", "bloom_prefilter_semi_join",
-    "benford_first_digit", "silhouette_cells", "ks_drift_by_source",
-    "bpe_apply_encode", "gini_key_skew", "simhash_hamming_dedup",
-    "winsorized_robust_stats", "kcenter_seeds", "join_fanout_profile",
-    "forget_customer_purge_audit", "dunning_llr_collocations", "cross_source_duplication",
-    "bbit_minwise_estimate", "time_weighted_avg_value", "cluster_canonical_by_quality",
-    "chi2_independence_lang_source", "ctfidf_cluster_terms",
+    "user_growth_curve", "reshard_movement_audit", "ab_split_welch_ttest",
+    "ndcg_eval_ivf", "dedup_method_agreement", "kl_divergence_by_source",
+    "rfm_segmentation", "ranker_rank_correlation", "edit_distance_name_pairs",
+    "embedding_centroid_drift", "wand_upper_bound_pruning", "cohens_kappa_lang",
+    "lang_confidence_calibration", "weighted_sample_aes", "jl_projection_recall",
+    "aspect_ratio_bucketing", "minhash_band_sweep", "suffix_prefix_overlap",
+    "reciprocal_nn_pairs", "zorder_pruning_audit", "encoding_size_census",
+    "late_interaction_maxsim", "repeated_ngram_span_mask", "rag_chunk_windows",
+    "holt_linear_forecast", "bloom_fp_rate_audit", "neyman_allocation_sample",
+    "sql_modern_surface", "feature_hash_collision_audit", "pandas_grouped_agg_gini",
+    "small_files_compaction_plan", "heldout_bigram_perplexity", "l_diversity_audit",
+    "blb_mean_ci", "salting_effectiveness_audit", "md5_uniformity_audit",
+    "attribution_first_last_touch", "order_total_reconciliation", "markov_heldout_accuracy",
+    "metric_choice_agreement", "word_burstiness_adaptation", "good_turing_discounts",
+    "seasonal_naive_mase", "session_overlap_pairs", "table_stats_profile",
+    "sessionization_sensitivity", "hourly_seasonality_strength", "negative_sampling_weights",
+    "direct_standardization_rates", "rbo_ranker_agreement",
 )
 
 # ROUND-6 PREP: the window above covers 43 never-adjudicated entries +

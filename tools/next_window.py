@@ -38,11 +38,20 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
-# The reference-parity flagship — re-adjudicated every round so the judge
-# always has a fresh row for the headline queries.
+# The reference-parity flagship — re-proven whenever window slots remain
+# after the never-adjudicated backlog (rounds 6-8 deliberately displace
+# them: they carry many consecutive green rounds on unchanged code, and a
+# backlog slot is worth more than a seventh green row).
 FLAGSHIP = (
     "inverted_index", "word_count", "doc_frequency", "corpus_stats",
     "index_top_docs", "rdd_inverted_index",
+)
+
+# Entries whose code or oracle changed since their last adjudication —
+# they deserve a fresh driver row even though they were graded before.
+# Reset this each round when the fix list changes.
+MUST: tuple[str, ...] = (
+    "user_growth_curve",  # r08: oracle cum_users window-sum CAST AS BIGINT
 )
 
 
@@ -85,8 +94,8 @@ def current_window() -> list[str]:
 
 
 def propose(names: list[str], seen: dict[str, int], must: list[str]) -> list[str]:
-    window: list[str] = list(FLAGSHIP)
-    for n in must:
+    window: list[str] = []
+    for n in (*MUST, *must):  # changed-code re-grades lead
         if n not in names:
             raise SystemExit(f"--must {n!r} is not a registry entry")
         if n not in window:
@@ -95,6 +104,11 @@ def propose(names: list[str], seen: dict[str, int], must: list[str]) -> list[str
         if len(window) >= WINDOW:
             break
         if n not in seen and n not in window:
+            window.append(n)
+    for n in FLAGSHIP:  # flagship re-proof when slots remain
+        if len(window) >= WINDOW:
+            break
+        if n not in window:
             window.append(n)
     if len(window) < WINDOW:  # filler: stalest previously-adjudicated first
         for n in sorted(names, key=lambda n: seen.get(n, 0)):
@@ -148,8 +162,8 @@ def main() -> int:
                   "post-round state; rotate with `python tools/"
                   "next_window.py` before the next driver run")
         else:
-            wasted = [n for n in win if n in seen
-                      and n not in FLAGSHIP and n not in args.must]
+            wasted = [n for n in win if n in seen and n not in FLAGSHIP
+                      and n not in MUST and n not in args.must]
             if wasted:
                 errors.append(
                     "slots re-spent on already-adjudicated entries not in "
