@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import sql_dsum
+from ..functions.numeric import DEC, SQL_DEC, sql_dsum
 from ..sources.tables import load_table
 
 DEC = "decimal(25,4)"
@@ -1522,4 +1522,162 @@ SELECT decile, n_docs, n_pos,
              / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6)
            AS cum_lift
 FROM cum
+"""
+
+
+# --- grouped OLS line fit -------------------------------------------------
+
+
+def grouped_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ordinary-least-squares line fit of event value
+    against hour-of-day — the grouped closed-form regression every
+    metrics warehouse ships (does value drift across the day, and
+    which event types disagree?). slope = (nΣxy − ΣxΣy)/(nΣxx −
+    (Σx)²), intercept = (Σy − slope·Σx)/n, from sufficient moments
+    only — no per-row residual pass.
+
+    Exactness: the float moments are PRODUCT-FREE by construction —
+    the engine first collapses to the (type, hour) grid with n_h and
+    the decimal-pinned Σy_h (raw values, the safe dsum case), then
+    Σxy = Σ h·S_h and Σxx = Σ h²·n_h are EXACT integer×decimal
+    products over ≤24 rows per group (casting a float PRODUCT to
+    decimal is the known cross-engine tie hazard — structurally
+    avoided); the closed form is fixed-order double arithmetic over
+    identical operands, round 8.
+
+    Scale: two combinable aggregations (fact → 24·|types| grid →
+    |types| moments); nothing else moves.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    grid = (ev.select(
+        "event_type",
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("h"),
+        F.col("value"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n_h"),
+             F.sum(F.col("value").cast(DEC)).alias("s_h")))
+    mom = grid.groupBy("event_type").agg(
+        F.sum("n_h").alias("n"),
+        F.sum(F.col("n_h") * F.col("h")).alias("sx"),
+        F.sum(F.col("n_h") * F.col("h") * F.col("h")).alias("sxx"),
+        F.sum("s_h").alias("sy"),
+        F.sum(F.col("h") * F.col("s_h")).alias("sxy"))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return mom.select(
+        "event_type", "n",
+        F.round(slope, 8).alias("slope"),
+        F.round((sy - slope * sx) / n, 8).alias("intercept"))
+
+
+GROUPED_OLS_SQL = f"""
+WITH grid AS (
+    SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS h,
+           count(*) AS n_h,
+           sum(CAST(value AS {SQL_DEC})) AS s_h
+    FROM events GROUP BY 1, 2
+), mom AS (
+    SELECT event_type,
+           CAST(sum(n_h) AS BIGINT) AS n,
+           CAST(sum(n_h * h) AS BIGINT) AS sx,
+           CAST(sum(n_h * h * h) AS BIGINT) AS sxx,
+           sum(s_h) AS sy,
+           sum(h * s_h) AS sxy
+    FROM grid GROUP BY 1
+)
+SELECT event_type, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8)
+           AS slope,
+       round((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 8)
+           AS intercept
+FROM mom
+"""
+
+
+# --- Hill tail-index estimator --------------------------------------------
+
+HILL_KS = (5, 10, 25, 50, 100)
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index (Hill 1975) of the
+    per-user activity distribution — α̂(k) = k / Σ_{i≤k} ln(x_(i) /
+    x_(k+1)) over the k largest user event counts — at the
+    conventional ladder of k values. This is the quantitative form of
+    'how heavy is the power-user tail': α near 1 means the top users
+    dominate total volume (plan for skew-salting and per-key caps),
+    large α means the tail is benign. The k-ladder IS the standard
+    Hill-plot diagnostic (read α where the ladder stabilizes); rungs
+    with fewer than k+1 users are absent by construction.
+
+    Exactness: order statistics come from a row_number over the exact
+    (count DESC, user_id) total order; each ln term is ln of one
+    exact integer ratio (division of identical operands is correctly
+    rounded in both engines), pinned at round 10 and summed as
+    DECIMAL(25,10) — order-insensitive; α is one division, round 6.
+
+    Scale: the corpus collapses to the per-user count relation in one
+    combinable aggregation; the ranking window runs on that reduced
+    relation (|users| rows, not |events|) — at 100 TB you first
+    pre-filter to counts above a coarse threshold so the window input
+    is the tail candidate set, which preserves the top-(k+1) order
+    statistics exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy(F.desc("x"), F.asc("user_id"))
+    ranked = (counts.withColumn(
+        "i", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("i") <= max(HILL_KS) + 1))
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in HILL_KS])).alias("k"))
+    thresh = (ks.join(ranked, ks.k + 1 == ranked.i)
+              .select("k", F.col("x").alias("x_k1")))
+    terms = (thresh.join(ranked, F.col("i") <= F.col("k"))
+             .select("k", "x_k1",
+                     F.round(F.log(F.col("x") / F.col("x_k1")), 10)
+                     .cast("decimal(25,10)").alias("t")))
+    return (terms.groupBy("k", "x_k1")
+            .agg(F.sum("t").alias("s"))
+            .select(F.col("k").cast("bigint").alias("k"), "x_k1",
+                    F.round(F.col("k") / F.col("s").cast("double"), 6)
+                    .alias("alpha")))
+
+
+_HILL_KS_SQL = ", ".join(str(k) for k in HILL_KS)
+
+HILL_TAIL_SQL = f"""
+WITH counts AS (
+    SELECT user_id, count(*) AS x FROM events GROUP BY 1
+), ranked AS (
+    SELECT x, row_number() OVER (ORDER BY x DESC, user_id) AS i
+    FROM counts
+    QUALIFY i <= {max(HILL_KS) + 1}
+), ks AS (
+    SELECT unnest([{_HILL_KS_SQL}]) AS k
+), thresh AS (
+    SELECT k, r.x AS x_k1
+    FROM ks JOIN ranked r ON k + 1 = r.i
+), terms AS (
+    SELECT k, x_k1,
+           CAST(round(ln(r.x / CAST(x_k1 AS DOUBLE)), 10)
+                AS DECIMAL(25,10)) AS t
+    FROM thresh JOIN ranked r ON r.i <= k
+)
+SELECT CAST(k AS BIGINT) AS k, x_k1,
+       round(k / CAST(sum(t) AS DOUBLE), 6) AS alpha
+FROM terms GROUP BY k, x_k1
 """

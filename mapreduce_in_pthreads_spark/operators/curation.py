@@ -2639,3 +2639,79 @@ SELECT source, n, k, rate_raw, rate_eb,
        - row_number() OVER (ORDER BY rate_eb DESC, source) AS rank_delta
 FROM scored
 """
+
+
+# --- curriculum interleave schedule ---------------------------------------
+
+CURRICULUM_DECILES = 10
+
+
+def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered training schedule audit: per language,
+    documents are split into length deciles (the difficulty proxy),
+    each decile is shuffled deterministically (md5 order), and the
+    training order round-robins across deciles so every consecutive
+    run of 10 examples spans the whole difficulty spectrum — the
+    anti-curriculum-collapse interleave a pre-training data loader
+    applies so a batch never comes from one difficulty stratum. The
+    output is the per-(lang, decile) placement audit: population,
+    first/last schedule position, and the mean inter-example gap —
+    round-robin is proven by mean_gap ≈ number of deciles.
+
+    Exactness: ntile/row_number are total orders (doc_id tie-breaks);
+    positions are exact integers; the one ratio is a single division,
+    round 10.
+
+    Scale: all three windows are PARTITIONED BY lang (per-partition
+    state = one language's catalog, never a global sort); at 100 TB
+    swap the in-partition ntile for approx_percentile cutpoints +
+    map-side CASE (the documented `equi_depth_deciles` escape hatch).
+    The audit output is |langs|×10 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w_dec = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    staged = docs.select(
+        "doc_id", "lang", "n_chars", md5.alias("h"),
+        F.ntile(CURRICULUM_DECILES).over(w_dec).cast("bigint")
+        .alias("decile"))
+    w_shuf = Window.partitionBy("lang", "decile").orderBy("h", "doc_id")
+    ranked = staged.withColumn(
+        "r", F.row_number().over(w_shuf).cast("bigint"))
+    w_pos = Window.partitionBy("lang").orderBy("r", "decile")
+    sched = ranked.withColumn(
+        "pos", F.row_number().over(w_pos).cast("bigint"))
+    return (sched.groupBy("lang", "decile")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("pos").alias("first_pos"),
+                 F.max("pos").alias("last_pos"))
+            .select("lang", "decile", "n_docs", "first_pos", "last_pos",
+                    F.when(F.col("n_docs") > 1,
+                           F.round((F.col("last_pos")
+                                    - F.col("first_pos"))
+                                   / (F.col("n_docs") - 1), 10))
+                    .alias("mean_gap")))
+
+
+CURRICULUM_INTERLEAVE_SQL = f"""
+WITH staged AS (
+    SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h,
+           ntile({CURRICULUM_DECILES}) OVER (
+               PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+    FROM documents
+), ranked AS (
+    SELECT *, row_number() OVER (
+               PARTITION BY lang, decile ORDER BY h, doc_id) AS r
+    FROM staged
+), sched AS (
+    SELECT *, row_number() OVER (
+               PARTITION BY lang ORDER BY r, decile) AS pos
+    FROM ranked
+)
+SELECT lang, CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+       min(pos) AS first_pos, max(pos) AS last_pos,
+       CASE WHEN count(*) > 1
+            THEN round(CAST(max(pos) - min(pos) AS DOUBLE)
+                       / (count(*) - 1), 10) END AS mean_gap
+FROM sched GROUP BY lang, decile
+"""

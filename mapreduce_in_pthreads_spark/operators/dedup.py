@@ -1756,3 +1756,144 @@ SELECT n_both, b_only_minhash, c_only_simhash,
                               AS DOUBLE) END, 6) AS mcnemar_chi2
 FROM agg
 """
+
+
+# --- Fellegi-Sunter probabilistic record linkage --------------------------
+
+# Fixed m-probabilities (P(field agrees | pair is a true match)) — the
+# standard hand-set starting values of a Fellegi-Sunter model before EM
+# refinement (Fellegi & Sunter 1969, JASA 64). Frozen literals so both
+# engines inline the identical doubles.
+FS_M_SOURCE = 0.95
+FS_M_PREFIX = 0.90
+FS_M_SUFFIX = 0.85
+FS_LEN_BAND = 50      # blocking: same lang + same n_chars // 50 band
+FS_AFFIX = 4          # prefix/suffix agreement length
+
+
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over the document
+    catalog: blocked candidate pairs are scored by the classic
+    log-likelihood match weight Σ_f ln(m_f/u_f) (field agrees) +
+    ln((1−m_f)/(1−u_f)) (field disagrees), and the output is the
+    AGREEMENT-PATTERN census — one row per (source, prefix, suffix)
+    agreement vector with its pair count and weight — the table a
+    linkage practitioner reads to place the upper/lower thresholds
+    (Fellegi & Sunter 1969). m-probabilities are frozen literals; the
+    u-probabilities (P(agree | random non-match)) are ESTIMATED FROM
+    THE DATA as the collision probability Σ_v (n_v/N)² of each field's
+    empirical value distribution — the standard frequency-based u
+    (Winkler 1988) and an exact integer computation here.
+
+    Exactness: u is a ratio of exact integer sums; each weight is a
+    fixed-shape expression of ln over exact doubles, round 6; pattern
+    counts are exact integers.
+
+    Scale: candidates come from an EQUI-join on (lang, length-band) —
+    never all-pairs, and the blocking key is the practitioner's knob:
+    at 100 TB you widen it (add an affix hash) so block populations
+    stay bounded, exactly as the prefix-filter / simhash-band entries
+    do adaptively; each u is one combinable aggregation over a
+    value-frequency relation; the pattern census is an 8-row result.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars",
+        F.substring("text", 1, FS_AFFIX).alias("pre"),
+        F.expr(f"right(text, {FS_AFFIX})").alias("suf"),
+        (F.col("n_chars") / FS_LEN_BAND).cast("long").alias("band"))
+
+    n = docs.count()  # scalar: drives the u-probability denominators
+
+    def u_prob(col: str):
+        # collision probability of the field's value distribution:
+        # sum over values of (n_v/N)^2, exact integers until one division
+        freq = docs.groupBy(col).agg(F.count(F.lit(1)).alias("nv"))
+        return (freq.agg(F.sum(F.col("nv") * F.col("nv")).alias("ss"))
+                .select((F.col("ss") / F.lit(n * n)).alias("u")))
+
+    u_src = u_prob("source").select(F.col("u").alias("u_source"))
+    u_pre = u_prob("pre").select(F.col("u").alias("u_prefix"))
+    u_suf = u_prob("suf").select(F.col("u").alias("u_suffix"))
+
+    a = docs.select(*[F.col(c).alias(c + "_a")
+                      for c in ("doc_id", "lang", "source", "pre",
+                                "suf", "band")])
+    b = docs.select(*[F.col(c).alias(c + "_b")
+                      for c in ("doc_id", "lang", "source", "pre",
+                                "suf", "band")])
+    pairs = (a.join(b, (F.col("lang_a") == F.col("lang_b"))
+                    & (F.col("band_a") == F.col("band_b"))
+                    & (F.col("doc_id_a") < F.col("doc_id_b")))
+             .select(
+                 (F.col("source_a") == F.col("source_b"))
+                 .cast("int").alias("ag_source"),
+                 (F.col("pre_a") == F.col("pre_b"))
+                 .cast("int").alias("ag_prefix"),
+                 (F.col("suf_a") == F.col("suf_b"))
+                 .cast("int").alias("ag_suffix")))
+    census = pairs.groupBy("ag_source", "ag_prefix", "ag_suffix").agg(
+        F.count(F.lit(1)).alias("n_pairs"))
+
+    def w(ag: str, m: float, u_col: str):
+        # agreement: ln(m/u); disagreement: ln((1-m)/(1-u))
+        return F.when(F.col(ag) == 1,
+                      F.log(F.lit(m) / F.col(u_col))).otherwise(
+            F.log(F.lit(1.0 - m) / (F.lit(1.0) - F.col(u_col))))
+
+    return (census.crossJoin(F.broadcast(u_src))
+            .crossJoin(F.broadcast(u_pre))
+            .crossJoin(F.broadcast(u_suf))
+            .select("ag_source", "ag_prefix", "ag_suffix", "n_pairs",
+                    F.round(w("ag_source", FS_M_SOURCE, "u_source")
+                            + w("ag_prefix", FS_M_PREFIX, "u_prefix")
+                            + w("ag_suffix", FS_M_SUFFIX, "u_suffix"),
+                            6).alias("match_weight")))
+
+
+FELLEGI_SUNTER_SQL = f"""
+WITH docs AS (
+    SELECT doc_id, lang, source, n_chars,
+           substring(text, 1, {FS_AFFIX}) AS pre,
+           right(text, {FS_AFFIX}) AS suf,
+           n_chars // {FS_LEN_BAND} AS band
+    FROM documents
+), n AS (SELECT count(*) AS n FROM docs
+), u_src AS (
+    SELECT CAST(sum(nv * nv) AS BIGINT) / CAST(n.n * n.n AS DOUBLE)
+           AS u_source
+    FROM (SELECT source, count(*) AS nv FROM docs GROUP BY 1), n
+    GROUP BY n.n
+), u_pre AS (
+    SELECT CAST(sum(nv * nv) AS BIGINT) / CAST(n.n * n.n AS DOUBLE)
+           AS u_prefix
+    FROM (SELECT pre, count(*) AS nv FROM docs GROUP BY 1), n
+    GROUP BY n.n
+), u_suf AS (
+    SELECT CAST(sum(nv * nv) AS BIGINT) / CAST(n.n * n.n AS DOUBLE)
+           AS u_suffix
+    FROM (SELECT suf, count(*) AS nv FROM docs GROUP BY 1), n
+    GROUP BY n.n
+), pairs AS (
+    SELECT CAST(a.source = b.source AS INT) AS ag_source,
+           CAST(a.pre = b.pre AS INT) AS ag_prefix,
+           CAST(a.suf = b.suf AS INT) AS ag_suffix
+    FROM docs a JOIN docs b
+      ON a.lang = b.lang AND a.band = b.band
+     AND a.doc_id < b.doc_id
+), census AS (
+    SELECT ag_source, ag_prefix, ag_suffix, count(*) AS n_pairs
+    FROM pairs GROUP BY 1, 2, 3
+)
+SELECT ag_source, ag_prefix, ag_suffix, n_pairs,
+       round(CASE WHEN ag_source = 1
+                  THEN ln({FS_M_SOURCE!r} / u_source)
+                  ELSE ln({1.0 - FS_M_SOURCE!r} / (1.0 - u_source)) END
+           + CASE WHEN ag_prefix = 1
+                  THEN ln({FS_M_PREFIX!r} / u_prefix)
+                  ELSE ln({1.0 - FS_M_PREFIX!r} / (1.0 - u_prefix)) END
+           + CASE WHEN ag_suffix = 1
+                  THEN ln({FS_M_SUFFIX!r} / u_suffix)
+                  ELSE ln({1.0 - FS_M_SUFFIX!r} / (1.0 - u_suffix)) END,
+             6) AS match_weight
+FROM census, u_src, u_pre, u_suf
+"""

@@ -35,7 +35,7 @@ the per-iteration aggregation, unrolling does not).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.lineage import truncate_lineage
@@ -938,4 +938,84 @@ SELECT u AS word_a, w AS word_b, n_common,
 FROM cand
 ORDER BY aa_dec DESC, u, w
 LIMIT {AA_TOP_K}
+"""
+
+
+# --- one synchronous label-propagation round ------------------------------
+
+LPA_TOP = 20
+
+
+def label_propagation_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous label-propagation round (Raghavan et al. 2007)
+    over the undirected bigram co-occurrence word graph, from the
+    canonical every-node-is-its-own-label start: each word adopts the
+    neighbor label with the greatest total edge weight (ties to the
+    lexicographically smallest — the deterministic variant), and the
+    output is the TOP-20 emergent communities by member count. The
+    first LPA round IS the heaviest-neighbor map — later rounds reuse
+    the identical join shape, so one round is the honest unit of this
+    iterative family (`pagerank_word_graph` proves the loop plumbing).
+
+    Exactness: weights and member counts are exact integers; both
+    argmax and the top-20 are row_number over total orders.
+
+    Scale: the argmax window is PARTITIONED BY word (per-partition
+    state = one adjacency list); the only global window runs on the
+    post-aggregation community relation (≤ |labels| rows), and the
+    symmetrized edge list is one map-side union ahead of a single
+    combinable (src, dst) count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = (docs.select(F.explode(adjacent_pairs(toks)).alias("e"))
+             .select("e.src", "e.dst"))
+    und = pairs.union(pairs.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    nbr = und.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+    w_arg = Window.partitionBy("src").orderBy(
+        F.desc("weight"), F.asc("dst"))
+    lab = (nbr.withColumn("rn", F.row_number().over(w_arg))
+           .filter(F.col("rn") == 1)
+           .select(F.col("src").alias("word"),
+                   F.col("dst").alias("new_label")))
+    comm = lab.groupBy("new_label").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    w_top = Window.orderBy(F.desc("n_members"), F.asc("new_label"))
+    return (comm.withColumn(
+        "rk", F.row_number().over(w_top).cast("bigint"))
+        .filter(F.col("rk") <= LPA_TOP)
+        .select("rk", "new_label", "n_members"))
+
+
+LABEL_PROPAGATION_SQL = f"""
+WITH g0 AS (
+    SELECT list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> struct_pack(src := string_split(text, ' ')[i],
+                                dst := string_split(text, ' ')[i + 1]))
+               AS lst
+    FROM documents
+), pairs AS (
+    SELECT unnest(lst, recursive := true) FROM g0
+), und AS (
+    SELECT src, dst FROM pairs
+    UNION ALL
+    SELECT dst, src FROM pairs
+), nbr AS (
+    SELECT src, dst, count(*) AS weight FROM und GROUP BY 1, 2
+), lab AS (
+    SELECT src AS word, dst AS new_label
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY src ORDER BY weight DESC, dst) AS rn
+          FROM nbr)
+    WHERE rn = 1
+), comm AS (
+    SELECT new_label, count(*) AS n_members FROM lab GROUP BY 1
+)
+SELECT rk, new_label, n_members
+FROM (SELECT *, row_number() OVER (
+          ORDER BY n_members DESC, new_label) AS rk
+      FROM comm)
+WHERE rk <= {LPA_TOP}
 """

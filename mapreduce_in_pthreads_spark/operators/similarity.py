@@ -1137,3 +1137,132 @@ SELECT qid AS query_id, count(*) AS n_candidates,
          AS DOUBLE) / {METRIC_TOP} AS overlap_dot_l2
 FROM ranked GROUP BY qid
 """
+
+
+# --- grid-blocked DBSCAN core-point census --------------------------------
+
+DBSCAN_EPS = 0.08     # 2D eps; grid cell width = eps => 3x3 probe is exact
+DBSCAN_MINPTS = 5
+
+
+def dbscan_grid_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density classification (Ester et al. 1996) of the
+    embedding cloud projected to its first two coordinates: every
+    point is labeled core (≥ minPts neighbors within eps), border
+    (non-core with a core neighbor), or noise, and the output is the
+    per-label census — the density sanity check run before trusting a
+    clustering of the space. Neighbor search is GRID-BLOCKED: with
+    cell width = eps, all eps-neighbors of a point live in its 3×3
+    cell patch, so candidate generation is an EQUI-join of each
+    point's 9 probe cells against cell-assigned points — lossless,
+    like the simhash bands, and never an all-pairs comparison.
+
+    Exactness: the 3×3 patch is geometrically complete for radius
+    eps; dist² = (Δx)² + (Δy)² is one fixed double expression
+    compared to the literal eps² in both engines; counts are exact
+    integers.
+
+    Scale: pair fan-out is Σ_cell |cell|·|patch| — bounded by local
+    density, not n²; the census is a |labels|-row combinable
+    aggregation; a hot cell is AQE skew-split territory, not a plan
+    change.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    eps = float(DBSCAN_EPS)
+    pts = emb.select(
+        "vec_id", "label",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+        F.floor(F.col("embedding").getItem(0).cast("double") / eps)
+        .alias("cx"),
+        F.floor(F.col("embedding").getItem(1).cast("double") / eps)
+        .alias("cy"))
+    left = (pts.select(
+        F.col("vec_id").alias("id_a"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"), "cx", "cy",
+        F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dx"))
+        .select("id_a", "xa", "ya", "cx", "cy", "dx",
+                F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dy"))
+        .select("id_a", "xa", "ya",
+                (F.col("cx") + F.col("dx")).alias("pcx"),
+                (F.col("cy") + F.col("dy")).alias("pcy")))
+    right = pts.select(
+        F.col("vec_id").alias("id_b"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"), F.col("cx").alias("pcx"),
+        F.col("cy").alias("pcy"))
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    pairs = truncate_lineage(
+        left.join(right, ["pcx", "pcy"])
+        .filter((F.col("id_a") != F.col("id_b"))
+                & (d2 <= F.lit(eps * eps)))
+        .select("id_a", "id_b"))
+    ncnt = pairs.groupBy("id_a").agg(F.count(F.lit(1)).alias("n_nbr"))
+    flagged = (pts.join(ncnt, pts.vec_id == ncnt.id_a, "left")
+               .select("vec_id", "label",
+                       (F.coalesce("n_nbr", F.lit(0))
+                        >= DBSCAN_MINPTS).alias("is_core")))
+    core_b = flagged.filter("is_core").select(
+        F.col("vec_id").alias("id_b"))
+    near_core = (pairs.join(core_b, "id_b")
+                 .select(F.col("id_a").alias("vec_id")).distinct()
+                 .withColumn("near_core", F.lit(True)))
+    status = (flagged.join(near_core, "vec_id", "left")
+              .select("label",
+                      F.when(F.col("is_core"), "core")
+                      .when(F.col("near_core").isNotNull(), "border")
+                      .otherwise("noise").alias("status")))
+    return (status.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.sum(F.when(F.col("status") == "core", 1)
+                       .otherwise(0)).alias("n_core"),
+                 F.sum(F.when(F.col("status") == "border", 1)
+                       .otherwise(0)).alias("n_border"),
+                 F.sum(F.when(F.col("status") == "noise", 1)
+                       .otherwise(0)).alias("n_noise")))
+
+
+DBSCAN_GRID_SQL = f"""
+WITH pts AS (
+    SELECT vec_id, label,
+           CAST(embedding[1] AS DOUBLE) AS x,
+           CAST(embedding[2] AS DOUBLE) AS y,
+           floor(CAST(embedding[1] AS DOUBLE) / {DBSCAN_EPS!r}) AS cx,
+           floor(CAST(embedding[2] AS DOUBLE) / {DBSCAN_EPS!r}) AS cy
+    FROM embeddings
+), pairs AS MATERIALIZED (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM (SELECT p.*, cx + dx.o AS pcx, cy + dy.o AS pcy
+          FROM pts p,
+               unnest(generate_series(-1, 1)) AS dx(o),
+               unnest(generate_series(-1, 1)) AS dy(o)) a
+    JOIN pts b ON a.pcx = b.cx AND a.pcy = b.cy
+    WHERE a.vec_id <> b.vec_id
+      AND (a.x - b.x) * (a.x - b.x)
+          + (a.y - b.y) * (a.y - b.y) <= {DBSCAN_EPS * DBSCAN_EPS!r}
+), ncnt AS (
+    SELECT id_a, count(*) AS n_nbr FROM pairs GROUP BY 1
+), flagged AS MATERIALIZED (
+    SELECT p.vec_id, p.label,
+           COALESCE(n.n_nbr, 0) >= {DBSCAN_MINPTS} AS is_core
+    FROM pts p LEFT JOIN ncnt n ON p.vec_id = n.id_a
+), near_core AS (
+    SELECT DISTINCT pr.id_a AS vec_id
+    FROM pairs pr JOIN flagged f ON pr.id_b = f.vec_id
+    WHERE f.is_core
+), status AS (
+    SELECT f.label,
+           CASE WHEN f.is_core THEN 'core'
+                WHEN nc.vec_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS status
+    FROM flagged f LEFT JOIN near_core nc ON f.vec_id = nc.vec_id
+)
+SELECT label, count(*) AS n_points,
+       CAST(sum(CASE WHEN status = 'core' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_core,
+       CAST(sum(CASE WHEN status = 'border' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_border,
+       CAST(sum(CASE WHEN status = 'noise' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_noise
+FROM status GROUP BY label
+"""

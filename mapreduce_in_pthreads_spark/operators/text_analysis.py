@@ -4498,3 +4498,124 @@ SELECT lang, count(*) AS n_docs,
            AS accessible_share
 FROM per_doc GROUP BY lang
 """
+
+
+# --- RAKE keyphrase extraction --------------------------------------------
+
+# RAKE's stopword list is the practitioner's knob (Rose et al. 2010 use
+# SMART/Fox lists); on this corpus the analogous choice is the frozen
+# high-frequency function-word set below — both engines inline the
+# identical literals.
+RAKE_STOPWORDS = ("the", "a", "data", "line", "row", "value",
+                  "small", "fast")
+RAKE_TOP = 20
+
+
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) as a pure
+    relational program: token streams are split into candidate
+    phrases at stopword boundaries, each word is scored deg(w)/
+    freq(w) — degree counts co-membership in phrases, so words that
+    appear inside long multi-word phrases outrank equally-frequent
+    loners — and a phrase scores the sum of its word scores. Output
+    is the top-20 phrases by score with their occurrence counts, the
+    classic unsupervised keyword table.
+
+    Exactness: phrase segmentation is a per-document running count of
+    stopwords (window over a total order); deg/freq is one exact
+    double division rounded to 10 (the fleet's df-ratio convention);
+    the phrase score is a DECIMAL(25,10) sum of those pinned ratios —
+    order-insensitive by construction; top-20 is a row_number over a
+    total order.
+
+    Scale: the phrase-id window is PARTITIONED BY doc_id; word scores
+    are one combinable aggregation over the token relation; the only
+    global window ranks the post-aggregation distinct-phrase relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    is_stop = F.col("w").isin(*RAKE_STOPWORDS)
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    marked = toks.select(
+        "doc_id", "pos", "w", is_stop.alias("is_stop"),
+        F.sum(is_stop.cast("int")).over(w_run).alias("pid"))
+    body = marked.filter(~F.col("is_stop"))
+    w_ph = Window.partitionBy("doc_id", "pid")
+    plens = body.withColumn("plen", F.count(F.lit(1)).over(w_ph))
+    scores = (plens.groupBy("w")
+              .agg(F.count(F.lit(1)).alias("freq"),
+                   F.sum("plen").alias("deg"))
+              .select("w", F.round(F.col("deg") / F.col("freq"), 10)
+                      .alias("score_w")))
+    phrases = (body.groupBy("doc_id", "pid")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", "w"))),
+                       lambda s: s["w"]), " ").alias("phrase")))
+    occ = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences"))
+    ph_words = occ.select(
+        "phrase", "n_occurrences",
+        F.explode(F.split("phrase", " ")).alias("w"))
+    scored = (ph_words.join(scores, "w")
+              .groupBy("phrase", "n_occurrences")
+              .agg(F.count(F.lit(1)).alias("n_words"),
+                   F.sum(F.col("score_w").cast("decimal(25,10)"))
+                   .alias("sdec"))
+              .select("phrase", "n_words", "n_occurrences",
+                      F.col("sdec").cast("double").alias("score")))
+    w_top = Window.orderBy(F.desc("score"), F.asc("phrase"))
+    return (scored.withColumn(
+        "rk", F.row_number().over(w_top).cast("bigint"))
+        .filter(F.col("rk") <= RAKE_TOP)
+        .select("rk", "phrase", "n_words", "n_occurrences", "score"))
+
+
+_RAKE_STOPS_SQL = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+
+RAKE_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, ws[i] AS w, i AS pos,
+           ws[i] IN ({_RAKE_STOPS_SQL}) AS is_stop
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents),
+         unnest(range(1, len(ws) + 1)) AS t(i)
+), marked AS (
+    SELECT doc_id, pos, w, is_stop,
+           sum(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY pos) AS pid
+    FROM toks
+), body AS (
+    SELECT doc_id, pos, w, pid FROM marked WHERE NOT is_stop
+), plens AS (
+    SELECT *, count(*) OVER (PARTITION BY doc_id, pid) AS plen
+    FROM body
+), scores AS (
+    SELECT w, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg,
+           round(CAST(sum(plen) AS BIGINT) / CAST(count(*) AS DOUBLE),
+                 10) AS score_w
+    FROM plens GROUP BY w
+), phrases AS (
+    SELECT doc_id, pid, string_agg(w, ' ' ORDER BY pos) AS phrase
+    FROM body GROUP BY doc_id, pid
+), occ AS (
+    SELECT phrase, count(*) AS n_occurrences FROM phrases GROUP BY 1
+), ph_words AS (
+    SELECT phrase, n_occurrences,
+           unnest(string_split(phrase, ' ')) AS w
+    FROM occ
+), scored AS (
+    SELECT phrase, n_occurrences, count(*) AS n_words,
+           CAST(sum(CAST(score_w AS DECIMAL(25,10))) AS DOUBLE)
+               AS score
+    FROM ph_words JOIN scores USING (w)
+    GROUP BY phrase, n_occurrences
+)
+SELECT rk, phrase, n_words, n_occurrences, score
+FROM (SELECT *, row_number() OVER (
+          ORDER BY score DESC, phrase) AS rk
+      FROM scored)
+WHERE rk <= {RAKE_TOP}
+"""

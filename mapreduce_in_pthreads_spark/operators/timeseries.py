@@ -3448,3 +3448,81 @@ SELECT event_type, n_days,
                * {GUMBEL_SQRT6_PI!r} * {GUMBEL_K365!r}, 6) AS rl_365d
 FROM mom
 """
+
+
+# --- sliding-window DAU/WAU ----------------------------------------------
+
+DAU_WINDOW_DAYS = 7
+
+
+def sliding_window_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day (WAU) beside the
+    daily actives (DAU) and the DAU/WAU "stickiness" ratio — the
+    canonical engagement panel. Windowed COUNT(DISTINCT) is not
+    expressible as a window function in either engine, so this uses
+    the scale-correct expand-to-bucket plan: dedup to (user, day)
+    FIRST, then each user-day contributes to the ≤7 window-end days it
+    can be visible in (a map-side explode whose fan-out is the window
+    length, NOT a self-join), dedup contributions, and count per end
+    day.
+
+    Exactness: day is the integer epoch-day; everything is exact
+    integer counts; the one ratio is a single division, round 10.
+
+    Scale: the explode factor is the constant window length — the
+    standard sliding-distinct recipe (used over sessions instead of a
+    user_id×day range join whose fan-out would be data-dependent);
+    both aggregations are hash-partitioned on their group keys and
+    map-side combinable after the first dedup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    user_days = (ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .distinct())
+    return dau_finish(user_days)
+
+
+def dau_finish(user_days: DataFrame) -> DataFrame:
+    """DAU/WAU finishing over a distinct (user_id, day) relation —
+    shared verbatim by the batch operator above and the streaming twin
+    (``streaming/foreach_batch.run_sliding_dau_stream`` runs it per
+    trigger over the accumulated complete-mode user-day state)."""
+    days = user_days.select("day").distinct()
+    contribs = (user_days.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("day"),
+            F.col("day") + F.lit(DAU_WINDOW_DAYS - 1))).alias("d"))
+        .distinct())
+    dau7 = (contribs.join(days.withColumnRenamed("day", "d"), "d")
+            .groupBy("d").agg(F.count(F.lit(1)).alias("dau7"))
+            .withColumnRenamed("d", "day"))
+    dau1 = user_days.groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau1"))
+    return (dau1.join(dau7, "day")
+            .select("day", "dau1", "dau7",
+                    F.round(F.col("dau1") / F.col("dau7"), 10)
+                    .alias("stickiness")))
+
+
+SLIDING_DAU_SQL = f"""
+WITH user_days AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+    FROM events
+), days AS (SELECT DISTINCT day FROM user_days
+), contribs AS (
+    SELECT DISTINCT user_id, day + o AS d
+    FROM user_days, unnest(generate_series(0, {DAU_WINDOW_DAYS - 1}))
+         AS t(o)
+), dau7 AS (
+    SELECT d.day, count(*) AS dau7
+    FROM contribs c JOIN days d ON c.d = d.day
+    GROUP BY d.day
+), dau1 AS (
+    SELECT day, count(*) AS dau1 FROM user_days GROUP BY day
+)
+SELECT day, dau1, dau7,
+       round(CAST(dau1 AS DOUBLE) / dau7, 10) AS stickiness
+FROM dau1 JOIN dau7 USING (day)
+"""

@@ -226,3 +226,41 @@ def run_cusum_stream(spark: SparkSession, sf_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def run_sliding_dau_stream(spark: SparkSession, sf_dir: str,
+                           checkpoint_dir: str, holder: dict) -> None:
+    """Streaming twin of ``timeseries.sliding_window_dau`` — the
+    seventh instance of the "streaming ingest, batch finish per
+    trigger" pattern, this one for the session/engagement family: the
+    distinct (user_id, day) visit relation accumulates as a
+    complete-mode streaming aggregation (state bounded by users ×
+    days, the already-deduplicated engagement grid, NOT raw events);
+    the non-incremental finishing — the trailing-7-day expand-to-
+    bucket distinct count, whose every output row can change when a
+    new (user, day) arrives — re-runs per trigger via the SAME
+    ``dau_finish`` the batch operator calls. This is how a live
+    DAU/WAU/stickiness dashboard actually runs: each micro-batch
+    refreshes the whole trailing-window panel from the visit state.
+    """
+    from ..operators.timeseries import dau_finish
+
+    ev = _read_event_stream(spark, sf_dir)
+    user_days = (ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n")))
+
+    def finish(batch_df: DataFrame, batch_id: int) -> None:
+        holder["rows"] = dau_finish(
+            batch_df.select("user_id", "day")).collect()
+        holder["n_triggers"] = holder.get("n_triggers", 0) + 1
+
+    q = (user_days.writeStream
+         .foreachBatch(finish)
+         .outputMode("complete")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

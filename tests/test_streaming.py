@@ -417,3 +417,23 @@ def test_streaming_cusum_parity(spark, sf_dir, tmp_path):
     want = _rows(REGISTRY["cusum_changepoint"].fn(spark, sf_dir),
                  cols)
     assert got == want
+
+
+def test_streaming_sliding_dau_parity(spark, sf_dir, tmp_path):
+    """Streaming ingest + per-trigger DAU/WAU finishing (foreachBatch)
+    equals the batch sliding_window_dau exactly — the distinct
+    (user, day) visit grid accumulates as a complete-mode streaming
+    agg, the trailing-7-day expand-to-bucket distinct count re-runs
+    per trigger via the SAME dau_finish helper."""
+    from mapreduce_in_pthreads_spark.streaming.foreach_batch import (
+        run_sliding_dau_stream)
+
+    holder: dict = {}
+    run_sliding_dau_stream(spark, sf_dir, str(tmp_path / "ckpt"),
+                           holder)
+    assert holder.get("n_triggers", 0) >= 1
+    cols = ["day", "dau1", "dau7", "stickiness"]
+    got = sorted(tuple(r[c] for c in cols) for r in holder["rows"])
+    want = _rows(REGISTRY["sliding_window_dau"].fn(spark, sf_dir),
+                 cols)
+    assert got == want
