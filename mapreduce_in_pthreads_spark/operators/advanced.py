@@ -1681,3 +1681,191 @@ SELECT CAST(k AS BIGINT) AS k, x_k1,
        round(k / CAST(sum(t) AS DOUBLE), 6) AS alpha
 FROM terms GROUP BY k, x_k1
 """
+
+
+# --- median-of-means robust estimator -------------------------------------
+
+MOM_BUCKETS = 16
+
+
+def median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means robust mean estimator (Nemirovsky & Yudin 1983;
+    the sub-Gaussian workhorse of modern robust statistics): event
+    values are md5-routed into 16 deterministic buckets, each bucket's
+    mean is computed, and the estimate is the rank-exact MEDIAN of the
+    bucket means — one adversarial bucket can move MoM by at most one
+    rank position where it moves the plain mean unboundedly. Output is
+    the one-row comparison panel: n, buckets, MoM, plain mean, and
+    the |shift| between them (large shift ⇒ heavy-tail / outlier
+    contamination; cf. `mad_outlier_events`, `winsorized_stats`).
+
+    Exactness: bucket sums are decimal-pinned (the dsum rule); each
+    bucket mean is one division; the median is the average of the two
+    middle order statistics under a total (mean, bucket) order —
+    rank-selected, not averaged floats.
+
+    Scale: one combinable 16-group aggregation over the fact table;
+    the median runs on 16 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sub = (F.conv(F.substring(
+        F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % MOM_BUCKETS).alias("b")
+    means = (ev.select(sub, F.col("value"))
+             .groupBy("b")
+             .agg(F.count(F.lit(1)).alias("n_b"),
+                  (F.sum(F.col("value").cast(DEC)).cast("double")
+                   / F.count(F.lit(1))).alias("m")))
+    w = Window.orderBy("m", "b")
+    ranked = means.withColumn("r", F.row_number().over(w))
+    lo = MOM_BUCKETS // 2
+    hi = lo + 1
+    med = (ranked.filter(F.col("r").isin(lo, hi))
+           .agg((F.sum("m") / F.lit(2.0)).alias("mom"),
+                F.sum("n_b").alias("n_med")))
+    overall = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("value").cast(DEC)).cast("double")
+         / F.count(F.lit(1))).alias("plain_mean"))
+    return (overall.crossJoin(F.broadcast(med))
+            .select("n", F.lit(MOM_BUCKETS).alias("n_buckets"),
+                    F.round(F.col("mom"), 10).alias("mom"),
+                    F.round(F.col("plain_mean"), 10).alias("plain_mean"),
+                    F.round(F.abs(F.col("mom")
+                                  - F.col("plain_mean")), 10)
+                    .alias("abs_shift")))
+
+
+MEDIAN_OF_MEANS_SQL = f"""
+WITH means AS (
+    SELECT ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))
+               ::BIGINT % {MOM_BUCKETS} AS b,
+           count(*) AS n_b,
+           CAST(sum(CAST(value AS {SQL_DEC})) AS DOUBLE) / count(*)
+               AS m
+    FROM events GROUP BY 1
+), ranked AS (
+    SELECT *, row_number() OVER (ORDER BY m, b) AS r FROM means
+), med AS (
+    SELECT CAST(sum(m) AS DOUBLE) / 2.0 AS mom
+    FROM ranked
+    WHERE r IN ({MOM_BUCKETS // 2}, {MOM_BUCKETS // 2 + 1})
+), overall AS (
+    SELECT count(*) AS n,
+           CAST(sum(CAST(value AS {SQL_DEC})) AS DOUBLE) / count(*)
+               AS plain_mean
+    FROM events
+)
+SELECT n, {MOM_BUCKETS} AS n_buckets,
+       round(mom, 10) AS mom,
+       round(plain_mean, 10) AS plain_mean,
+       round(abs(mom - plain_mean), 10) AS abs_shift
+FROM overall, med
+"""
+
+
+# --- A/B power analysis / minimal detectable effect -----------------------
+
+# Frozen normal quantiles (z_{alpha/2} at alpha=0.05 two-sided; z_beta at
+# 80% power) — literals so both engines inline identical doubles; the
+# repo never evaluates an inverse normal CDF at runtime.
+MDE_Z_ALPHA = 1.959963984540054
+MDE_Z_BETA = 0.8416212335729143
+
+
+def power_mde_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-sizing readout for the engine's A/B family: given
+    the md5-deterministic 50/50 user split and the measured baseline
+    conversion rate, the MINIMAL DETECTABLE EFFECT the current sample
+    supports at α=0.05 / 80% power — MDE = (z_{α/2}+z_β)·√(p(1−p)·
+    (1/n₁+1/n₂)) (the standard two-proportion approximation, e.g.
+    Cohen 1988) — in absolute and relative form, plus the per-arm n
+    needed to detect a 1-point absolute lift. This is the pre-test
+    companion the post-hoc tests (`ab_test_proportions`,
+    `ab_split_welch_ttest`, `logrank_conversion_arms`) assume was
+    read first: an experiment whose MDE exceeds the plausible effect
+    is dead before launch.
+
+    Exactness: arm sizes and conversions are exact integers; p and
+    the MDE are fixed-shape double expressions over frozen quantile
+    literals, round 6.
+
+    Scale: one combinable per-user aggregation, then a 2-row arm
+    rollup; the planner output is one row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                           .otherwise(0)).alias("converted")))
+    arm = (F.conv(F.substring(
+        F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 2).alias("arm")
+    arms = (per_user.select(arm, "converted")
+            .groupBy("arm")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("converted").alias("conv")))
+    wide = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n2"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv"))).alias("c1"),
+        F.sum(F.col("conv")).alias("c_all"),
+        F.sum(F.col("n")).alias("n_all"))
+    p = F.col("c_all").cast("double") / F.col("n_all").cast("double")
+    zsum = F.lit(MDE_Z_ALPHA + MDE_Z_BETA)
+    mde = zsum * F.sqrt(p * (F.lit(1.0) - p)
+                        * (F.lit(1.0) / F.col("n1").cast("double")
+                           + F.lit(1.0) / F.col("n2").cast("double")))
+    n_needed = (zsum * zsum) * (F.lit(2.0) * p * (F.lit(1.0) - p)) \
+        / F.lit(1e-4)
+    return wide.select(
+        "n1", "n2",
+        F.round(p, 10).alias("p_pooled"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / p, 6).alias("mde_rel"),
+        F.ceil(n_needed).cast("bigint").alias("n_per_arm_for_1pt"))
+
+
+POWER_MDE_SQL = f"""
+WITH per_user AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+    FROM events GROUP BY 1
+), arms AS (
+    SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS arm,
+           count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+    FROM per_user GROUP BY 1
+), wide AS (
+    SELECT CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n2,
+           CAST(sum(conv) AS BIGINT) AS c_all,
+           CAST(sum(n) AS BIGINT) AS n_all
+    FROM arms
+)
+SELECT n1, n2,
+       round(CAST(c_all AS DOUBLE) / CAST(n_all AS DOUBLE), 10)
+           AS p_pooled,
+       round(({MDE_Z_ALPHA!r} + {MDE_Z_BETA!r})
+             * sqrt((CAST(c_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+                    * (1.0 - CAST(c_all AS DOUBLE)
+                             / CAST(n_all AS DOUBLE))
+                    * (1.0 / CAST(n1 AS DOUBLE)
+                       + 1.0 / CAST(n2 AS DOUBLE))), 6) AS mde_abs,
+       round((({MDE_Z_ALPHA!r} + {MDE_Z_BETA!r})
+              * sqrt((CAST(c_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+                     * (1.0 - CAST(c_all AS DOUBLE)
+                              / CAST(n_all AS DOUBLE))
+                     * (1.0 / CAST(n1 AS DOUBLE)
+                        + 1.0 / CAST(n2 AS DOUBLE))))
+             / (CAST(c_all AS DOUBLE) / CAST(n_all AS DOUBLE)), 6)
+           AS mde_rel,
+       CAST(ceil((({MDE_Z_ALPHA!r} + {MDE_Z_BETA!r})
+                  * ({MDE_Z_ALPHA!r} + {MDE_Z_BETA!r}))
+                 * (2.0 * (CAST(c_all AS DOUBLE)
+                           / CAST(n_all AS DOUBLE))
+                    * (1.0 - CAST(c_all AS DOUBLE)
+                             / CAST(n_all AS DOUBLE)))
+                 / 0.0001) AS BIGINT) AS n_per_arm_for_1pt
+FROM wide
+"""

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.lineage import truncate_lineage
 from ..sources.tables import load_table
 from .iterative import connected_components_dedup, CONNECTED_COMPONENTS_SQL
 
@@ -2714,4 +2715,216 @@ SELECT lang, CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
             THEN round(CAST(max(pos) - min(pos) AS DOUBLE)
                        / (count(*) - 1), 10) END AS mean_gap
 FROM sched GROUP BY lang, decile
+"""
+
+
+# --- data-constrained token budget planner --------------------------------
+
+BUDGET_TARGET_TOKENS = 10_000_000
+BUDGET_MAX_EPOCHS = 4.0   # repeated-data value decays sharply past ~4
+                          # epochs (Muennighoff et al. 2023)
+
+
+def token_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained pre-training budget audit (Muennighoff et al.
+    2023): given the √n-tempered source mix (the
+    `mixture_sampling_weights` recipe) and a frozen target token
+    budget, how many EPOCHS of each source does the mix demand, which
+    sources blow the ~4-epoch repeated-data ceiling, and what token
+    deficit the cap leaves to redistribute. This is the planner a
+    data-constrained training run reads before committing a mixture:
+    quota under the mix, epochs = quota/available, the over-ceiling
+    flag, the capped grant, and the unmet deficit.
+
+    Exactness: token counts are exact integers; the weight is one
+    sqrt per source; the mix denominator is the fleet's proven
+    RUNNING-sum idiom (sequential left fold, identical in both
+    engines) with total = max(cum); epochs/quota/deficit are
+    fixed-order doubles, round 6 / floored to integer tokens.
+
+    Scale: one combinable per-source aggregation; the planner runs on
+    the |sources|-row manifest.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
+    weight = F.sqrt(F.col("n_tokens").cast("double"))
+    w_run = (Window.orderBy("source")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow))
+    w_all = (Window.orderBy("source")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    with_cum = (per_src.withColumn("weight", weight)
+                .withColumn("cum", F.sum("weight").over(w_run)))
+    total = F.max("cum").over(w_all)
+    quota = F.floor(F.lit(float(BUDGET_TARGET_TOKENS))
+                    * F.col("weight") / total).cast("bigint")
+    staged = with_cum.select(
+        "source", "n_tokens", quota.alias("token_quota"))
+    epochs = (F.col("token_quota").cast("double")
+              / F.col("n_tokens").cast("double"))
+    capped = F.least(
+        F.col("token_quota"),
+        F.floor(F.lit(BUDGET_MAX_EPOCHS)
+                * F.col("n_tokens").cast("double")).cast("bigint"))
+    return staged.select(
+        "source", "n_tokens", "token_quota",
+        F.round(epochs, 6).alias("epochs"),
+        (epochs > F.lit(BUDGET_MAX_EPOCHS)).alias("over_ceiling"),
+        capped.alias("granted_tokens"),
+        (F.col("token_quota") - capped).alias("deficit_tokens"))
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH per_src AS (
+    SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS n_tokens
+    FROM documents GROUP BY source
+), with_cum AS (
+    SELECT source, n_tokens,
+           sqrt(CAST(n_tokens AS DOUBLE)) AS weight,
+           sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (
+               ORDER BY source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+    FROM per_src
+), staged AS (
+    SELECT source, n_tokens,
+           CAST(floor({float(BUDGET_TARGET_TOKENS)!r} * weight
+                      / max(cum) OVER ()) AS BIGINT) AS token_quota
+    FROM with_cum
+)
+SELECT source, n_tokens, token_quota,
+       round(CAST(token_quota AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+             6) AS epochs,
+       CAST(token_quota AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           > {BUDGET_MAX_EPOCHS!r} AS over_ceiling,
+       least(token_quota,
+             CAST(floor({BUDGET_MAX_EPOCHS!r}
+                        * CAST(n_tokens AS DOUBLE)) AS BIGINT))
+           AS granted_tokens,
+       token_quota - least(token_quota,
+             CAST(floor({BUDGET_MAX_EPOCHS!r}
+                        * CAST(n_tokens AS DOUBLE)) AS BIGINT))
+           AS deficit_tokens
+FROM staged
+"""
+
+
+# --- Cramer's V association matrix ----------------------------------------
+
+CRAMER_LEN_BAND = 200   # n_chars // 200 discretizes length for the matrix
+
+
+def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association matrix (Cramér 1946) over every pair of
+    the document catalog's categorical axes — (lang, source), (lang,
+    length-band), (source, length-band): V = √(χ²/(n·min(r−1, c−1)))
+    normalizes `chi2_independence_lang_source`'s raw statistic onto
+    [0, 1] so the three pairs are COMPARABLE — the one-table answer
+    to "which metadata axes are entangled" that decides whether
+    stratified sampling must cross them (cf.
+    `direct_standardization_rates`' Simpson guard).
+
+    Exactness: each χ² cell term rides the proven round-10 decimal
+    pin; V adds one division and sqrt over identical operands,
+    round 6.
+
+    Scale: three dense contingency grids, each |levels_a|×|levels_b|
+    rows after one combinable count aggregation; output is 3 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source",
+        (F.col("n_chars") / CRAMER_LEN_BAND).cast("long")
+        .alias("len_band"))
+
+    def pair(a: str, b: str) -> DataFrame:
+        # materialized once per pair: rows/cols/n and the grid join all
+        # branch from the contingency relation — without the cut each
+        # branch would re-scan the catalog
+        obs = truncate_lineage(
+            docs.groupBy(a, b).agg(F.count(F.lit(1)).alias("o")))
+        rows_ = obs.groupBy(a).agg(F.sum("o").alias("r"))
+        cols_ = obs.groupBy(b).agg(F.sum("o").alias("c"))
+        n_ = obs.agg(F.sum("o").alias("n"))
+        grid = (rows_.crossJoin(F.broadcast(cols_))
+                .crossJoin(F.broadcast(n_))
+                .join(obs, [a, b], "left")
+                .select("r", "c", "n",
+                        F.coalesce("o", F.lit(0)).alias("o"),
+                        F.col(a).alias("la"), F.col(b).alias("lb")))
+        e = F.col("r") * F.col("c") / F.col("n").cast("double")
+        term = (F.col("o") - e) * (F.col("o") - e) / e
+        agg = grid.agg(
+            F.sum(F.round(term, 10).cast("decimal(25,10)")).alias("s"),
+            F.countDistinct("la").alias("ra"),
+            F.countDistinct("lb").alias("ca"),
+            F.max("n").alias("n"))
+        mind = F.least(F.col("ra") - 1, F.col("ca") - 1)
+        return agg.select(
+            F.lit(f"{a}~{b}").alias("pair"),
+            F.col("n").alias("n_docs"),
+            F.col("ra").alias("levels_a"),
+            F.col("ca").alias("levels_b"),
+            F.round(F.col("s").cast("double"), 6).alias("chi2"),
+            ((F.col("ra") - 1).cast("bigint")
+             * (F.col("ca") - 1).cast("bigint")).alias("dof"),
+            F.round(F.sqrt(F.col("s").cast("double")
+                           / (F.col("n") * mind).cast("double")), 6)
+            .alias("cramers_v"))
+
+    return (pair("lang", "source")
+            .unionAll(pair("lang", "len_band"))
+            .unionAll(pair("source", "len_band")))
+
+
+def _cram_block(i: int, a: str, b: str) -> str:
+    return f"""obs{i} AS (
+    SELECT {a} AS la, {b} AS lb, count(*) AS o
+    FROM cdocs GROUP BY 1, 2
+), rows{i} AS (
+    SELECT la, CAST(sum(o) AS BIGINT) AS r FROM obs{i} GROUP BY la
+), cols{i} AS (
+    SELECT lb, CAST(sum(o) AS BIGINT) AS c FROM obs{i} GROUP BY lb
+), nn{i} AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs{i}
+), agg{i} AS (
+    SELECT sum(CAST(round((COALESCE(o.o, 0)
+                           - r.r * c.c / CAST(nn.n AS DOUBLE))
+                          * (COALESCE(o.o, 0)
+                             - r.r * c.c / CAST(nn.n AS DOUBLE))
+                          / (r.r * c.c / CAST(nn.n AS DOUBLE)), 10)
+                    AS DECIMAL(25,10))) AS s,
+           count(DISTINCT r.la) AS ra,
+           count(DISTINCT c.lb) AS ca,
+           max(nn.n) AS n
+    FROM rows{i} r CROSS JOIN cols{i} c CROSS JOIN nn{i} nn
+    LEFT JOIN obs{i} o ON o.la = r.la AND o.lb = c.lb
+)"""
+
+
+def _cram_select(i: int, name: str) -> str:
+    return f"""SELECT '{name}' AS pair, n AS n_docs,
+       ra AS levels_a, ca AS levels_b,
+       round(CAST(s AS DOUBLE), 6) AS chi2,
+       CAST(ra - 1 AS BIGINT) * CAST(ca - 1 AS BIGINT) AS dof,
+       round(sqrt(CAST(s AS DOUBLE)
+                  / CAST(n * least(ra - 1, ca - 1) AS DOUBLE)), 6)
+           AS cramers_v
+FROM agg{i}"""
+
+
+CRAMERS_V_SQL = f"""
+WITH cdocs AS (
+    SELECT lang, source, n_chars // {CRAMER_LEN_BAND} AS len_band
+    FROM documents
+), {_cram_block(1, 'lang', 'source')},
+{_cram_block(2, 'lang', 'len_band')},
+{_cram_block(3, 'source', 'len_band')}
+{_cram_select(1, 'lang~source')}
+UNION ALL
+{_cram_select(2, 'lang~len_band')}
+UNION ALL
+{_cram_select(3, 'source~len_band')}
 """

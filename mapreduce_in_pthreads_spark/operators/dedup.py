@@ -1897,3 +1897,157 @@ SELECT ag_source, ag_prefix, ag_suffix, n_pairs,
              6) AS match_weight
 FROM census, u_src, u_pre, u_suf
 """
+
+
+# --- Fleiss' kappa across dedup raters ------------------------------------
+
+
+def fleiss_kappa_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) treating the engine's three dedup
+    detectors — exact md5, MinHash-LSH, SimHash — as three RATERS
+    each judging every document 'duplicate or not': chance-corrected
+    multi-rater agreement κ = (P̄ − P̄ₑ)/(1 − P̄ₑ), completing the
+    agreement ladder (`cohens_kappa_lang` is two raters,
+    `mcnemar_dedup_methods` is the paired two-rater disagreement
+    test, `dedup_method_agreement` is each-vs-truth). Output is the
+    one-row panel: per-rater flag counts, the 0..3-votes histogram,
+    P̄, P̄ₑ and κ.
+
+    Exactness: every vote count is an exact integer; P̄ and P̄ₑ come
+    from integer moments (Σk and Σ[k² + (3−k)²]) with one final
+    fixed-order double expression, round 6.
+
+    Scale: the two pair relations are the registry's own band-join
+    plans (never all-pairs); flag sets are distinct-projections of
+    those; the kappa arithmetic runs on a 4-row histogram.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text")
+    dup_fp = (docs.groupBy(F.md5("text").alias("fp"))
+              .agg(F.count(F.lit(1)).alias("nc"))
+              .filter(F.col("nc") >= 2).select("fp"))
+    ex_ids = (docs.withColumn("fp", F.md5("text"))
+              .join(F.broadcast(dup_fp), "fp")
+              .select("doc_id").distinct()
+              .withColumn("e", F.lit(1)))
+
+    def pair_ids(pairs: DataFrame, flag: str) -> DataFrame:
+        return (pairs.select(F.col("doc_a").alias("doc_id"))
+                .union(pairs.select(F.col("doc_b").alias("doc_id")))
+                .distinct().withColumn(flag, F.lit(1)))
+
+    mh_ids = pair_ids(
+        minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b"), "m")
+    sh_ids = pair_ids(
+        simhash_hamming_dedup(spark, sf_dir).select("doc_a", "doc_b"),
+        "s")
+    votes = (docs.select("doc_id")
+             .join(ex_ids, "doc_id", "left")
+             .join(mh_ids, "doc_id", "left")
+             .join(sh_ids, "doc_id", "left")
+             .select((F.coalesce("e", F.lit(0))
+                      + F.coalesce("m", F.lit(0))
+                      + F.coalesce("s", F.lit(0))).alias("k")))
+    agg = votes.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("k") == 0, 1).otherwise(0)).alias("n_k0"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).alias("n_k1"),
+        F.sum(F.when(F.col("k") == 2, 1).otherwise(0)).alias("n_k2"),
+        F.sum(F.when(F.col("k") == 3, 1).otherwise(0)).alias("n_k3"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k") * F.col("k")
+              + (F.lit(3) - F.col("k"))
+              * (F.lit(3) - F.col("k"))).alias("sq"))
+    n = F.col("n_docs").cast("double")
+    pbar = (F.col("sq").cast("double") - 3.0 * n) / (6.0 * n)
+    p = F.col("sk").cast("double") / (3.0 * n)
+    pe = p * p + (F.lit(1.0) - p) * (F.lit(1.0) - p)
+    return agg.select(
+        "n_docs", "n_k0", "n_k1", "n_k2", "n_k3",
+        F.round(pbar, 10).alias("p_bar"),
+        F.round(pe, 10).alias("p_e"),
+        F.when(pe < 1.0,
+               F.round((pbar - pe) / (F.lit(1.0) - pe), 6))
+        .alias("fleiss_kappa"))
+
+
+FLEISS_KAPPA_SQL = f"""
+WITH ex_ids AS (
+    SELECT DISTINCT doc_id, 1 AS e
+    FROM documents d
+    JOIN (SELECT md5(text) AS fp FROM documents
+          GROUP BY 1 HAVING count(*) >= 2) g
+      ON md5(d.text) = g.fp
+), mh_ids AS (
+    SELECT DISTINCT doc_id, 1 AS m FROM (
+        SELECT doc_a AS doc_id FROM ({MINHASH_LSH_SQL}) x
+        UNION ALL
+        SELECT doc_b FROM ({MINHASH_LSH_SQL}) y) u
+), sh_ids AS (
+    SELECT DISTINCT doc_id, 1 AS s FROM (
+        SELECT doc_a AS doc_id FROM ({SIMHASH_HAMMING_SQL}) x
+        UNION ALL
+        SELECT doc_b FROM ({SIMHASH_HAMMING_SQL}) y) u
+), votes AS (
+    SELECT COALESCE(e, 0) + COALESCE(m, 0) + COALESCE(s, 0) AS k
+    FROM documents d
+    LEFT JOIN ex_ids USING (doc_id)
+    LEFT JOIN mh_ids USING (doc_id)
+    LEFT JOIN sh_ids USING (doc_id)
+), agg AS (
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_k0,
+           CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_k1,
+           CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_k2,
+           CAST(sum(CASE WHEN k = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_k3,
+           CAST(sum(k) AS BIGINT) AS sk,
+           CAST(sum(k * k + (3 - k) * (3 - k)) AS BIGINT) AS sq
+    FROM votes
+)
+SELECT n_docs, n_k0, n_k1, n_k2, n_k3,
+       round((CAST(sq AS DOUBLE) - 3.0 * CAST(n_docs AS DOUBLE))
+             / (6.0 * CAST(n_docs AS DOUBLE)), 10) AS p_bar,
+       round((CAST(sk AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))
+             * (CAST(sk AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))
+             + (1.0 - CAST(sk AS DOUBLE)
+                      / (3.0 * CAST(n_docs AS DOUBLE)))
+               * (1.0 - CAST(sk AS DOUBLE)
+                        / (3.0 * CAST(n_docs AS DOUBLE))), 10)
+           AS p_e,
+       CASE WHEN (CAST(sk AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))
+                 * (CAST(sk AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)))
+                 + (1.0 - CAST(sk AS DOUBLE)
+                          / (3.0 * CAST(n_docs AS DOUBLE)))
+                   * (1.0 - CAST(sk AS DOUBLE)
+                            / (3.0 * CAST(n_docs AS DOUBLE))) < 1.0
+            THEN round(((CAST(sq AS DOUBLE)
+                         - 3.0 * CAST(n_docs AS DOUBLE))
+                        / (6.0 * CAST(n_docs AS DOUBLE))
+                        - ((CAST(sk AS DOUBLE)
+                            / (3.0 * CAST(n_docs AS DOUBLE)))
+                           * (CAST(sk AS DOUBLE)
+                              / (3.0 * CAST(n_docs AS DOUBLE)))
+                           + (1.0 - CAST(sk AS DOUBLE)
+                                    / (3.0 * CAST(n_docs AS DOUBLE)))
+                             * (1.0 - CAST(sk AS DOUBLE)
+                                      / (3.0
+                                         * CAST(n_docs AS DOUBLE)))))
+                       / (1.0 - ((CAST(sk AS DOUBLE)
+                                  / (3.0 * CAST(n_docs AS DOUBLE)))
+                                 * (CAST(sk AS DOUBLE)
+                                    / (3.0 * CAST(n_docs AS DOUBLE)))
+                                 + (1.0 - CAST(sk AS DOUBLE)
+                                          / (3.0
+                                             * CAST(n_docs AS DOUBLE)))
+                                   * (1.0 - CAST(sk AS DOUBLE)
+                                            / (3.0
+                                               * CAST(n_docs
+                                                      AS DOUBLE))))),
+                       6)
+       END AS fleiss_kappa
+FROM agg
+"""

@@ -1325,3 +1325,128 @@ FROM (
     FROM scored
 ) WHERE rnk <= {CTFIDF_TOP}
 """
+
+
+# --- k-means coreset sensitivity weights ----------------------------------
+
+CORESET_M = 64   # coreset size the share column is denominated in
+
+
+def kmeans_coreset_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell k-means SSE decomposition + coreset sensitivity
+    shares (the lightweight-coreset construction of Bachem, Lucic &
+    Krause 2018, with the trained quantizer cells as the anchor): each
+    cell's share of the total within-cluster squared error, blended
+    half-and-half with its population share — q(cell) = ½·SSE_cell/
+    SSE_tot + ½·n_cell/n — and the number of draws a CORESET_M-point
+    importance sample would take from it. The table that says WHERE a
+    compressed training sample must spend its points (high-SSE cells
+    are under-described by their centroid; uniform mass keeps small
+    clean cells represented).
+
+    Exactness: SSE is computed in EXACT INTEGER arithmetic — per
+    vector Σ_d (m·x_d − s_d)² with m the cell count and s the per-dim
+    integer code sums, so SSE_cell = Σ/m² divides exact integers and
+    NO float ever accumulates; the K-term total and shares use the
+    fleet's running-sum idiom over the K-row cell relation.
+
+    Scale: assignment is the proven broadcast-centroid map-side plan;
+    the integer-sum relation is K×(D+1) scalars; everything after is
+    K rows.
+    """
+    coded, cents_prev, _cents_final, _counts = _train(spark, sf_dir)
+    assign = _assign(coded, cents_prev)
+    stats = (assign.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("m"),
+        *[F.sum(F.element_at(F.col("codes"), d + 1)).alias(f"s{d}")
+          for d in range(KM_D)])
+    ).collect()  # K rows x (D+1) scalars — the _train-proven collect
+    cells = spark.createDataFrame(
+        [(int(r["cell"]), int(r["m"]),
+          [int(r[f"s{d}"]) for d in range(KM_D)]) for r in stats],
+        "cell int, m long, s array<long>")
+    d2m2 = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("s"),
+                   lambda x, s: (F.col("m") * x - s)
+                   * (F.col("m") * x - s)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    per_cell = (assign.join(F.broadcast(cells), "cell")
+                .select("cell", "m", d2m2.alias("d2m2"))
+                .groupBy("cell", "m")
+                .agg(F.count(F.lit(1)).alias("n_vecs"),
+                     F.sum("d2m2").alias("sd2m2")))
+    sse = (F.col("sd2m2").cast("double")
+           / (F.col("m") * F.col("m")).cast("double"))
+    w_run = (Window.orderBy("cell")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow))
+    w_all = (Window.orderBy("cell")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    staged = (per_cell.withColumn("sse", sse)
+              .withColumn("cum_sse", F.sum("sse").over(w_run))
+              .withColumn("cum_n", F.sum("n_vecs").over(w_run)))
+    tot_sse = F.max("cum_sse").over(w_all)
+    tot_n = F.max("cum_n").over(w_all)
+    share = (F.lit(0.5) * F.col("sse") / tot_sse
+             + F.lit(0.5) * F.col("n_vecs").cast("double")
+             / tot_n.cast("double"))
+    return staged.select(
+        F.col("cell").cast("bigint").alias("cell"), "n_vecs",
+        F.round(F.col("sse"), 6).alias("sse"),
+        F.round(share, 10).alias("sens_share"),
+        F.floor(F.lit(float(CORESET_M)) * share).cast("bigint")
+        .alias("coreset_draws"))
+
+
+KMEANS_CORESET_SQL = f"""{_PREFIX_SQL},
+sums AS (
+    SELECT cell, CAST(any_value(n) AS BIGINT) AS m,
+           list(sd ORDER BY d) AS s
+    FROM (
+        SELECT a.cell, t.d, CAST(sum(a.codes[t.d]) AS BIGINT) AS sd,
+               any_value(cnt.n) AS n
+        FROM a{KM_ITERS} a
+        JOIN (SELECT cell, count(*) AS n FROM a{KM_ITERS}
+              GROUP BY cell) cnt USING (cell)
+        CROSS JOIN range(1, {KM_D + 1}) t(d)
+        GROUP BY a.cell, t.d
+    ) GROUP BY cell
+), pv AS (
+    SELECT a.cell, s.m,
+           list_reduce(
+               list_transform(range(1, {KM_D + 1}),
+                   i -> (s.m * a.codes[i] - s.s[i])
+                        * (s.m * a.codes[i] - s.s[i])),
+               (x, y) -> x + y) AS d2m2
+    FROM a{KM_ITERS} a JOIN sums s USING (cell)
+), per_cell AS (
+    SELECT cell, m, count(*) AS n_vecs,
+           CAST(sum(d2m2) AS BIGINT) AS sd2m2
+    FROM pv GROUP BY cell, m
+), staged AS (
+    SELECT cell, n_vecs,
+           CAST(sd2m2 AS DOUBLE) / CAST(m * m AS DOUBLE) AS sse,
+           sum(CAST(sd2m2 AS DOUBLE) / CAST(m * m AS DOUBLE)) OVER (
+               ORDER BY cell
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_sse,
+           sum(n_vecs) OVER (
+               ORDER BY cell
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_n
+    FROM per_cell
+)
+SELECT CAST(cell AS BIGINT) AS cell, n_vecs,
+       round(sse, 6) AS sse,
+       round(0.5 * sse / max(cum_sse) OVER ()
+             + 0.5 * CAST(n_vecs AS DOUBLE)
+               / CAST(max(cum_n) OVER () AS DOUBLE), 10)
+           AS sens_share,
+       CAST(floor({float(CORESET_M)!r}
+                  * (0.5 * sse / max(cum_sse) OVER ()
+                     + 0.5 * CAST(n_vecs AS DOUBLE)
+                       / CAST(max(cum_n) OVER () AS DOUBLE)))
+            AS BIGINT) AS coreset_draws
+FROM staged
+"""

@@ -4619,3 +4619,132 @@ FROM (SELECT *, row_number() OVER (
       FROM scored)
 WHERE rk <= {RAKE_TOP}
 """
+
+
+# --- Burrows' Delta stylometry --------------------------------------------
+
+DELTA_TOP_WORDS = 20
+
+
+def burrows_delta_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta (Burrows 2002), the standard authorship-
+    attribution distance, between every pair of sources: each
+    source's relative frequencies of the corpus's top-20 words are
+    z-scored against the across-source mean/σ of that word, and
+    Δ(a,b) = mean_w |z_{w,a} − z_{w,b}| — the drift companion to
+    `psi_drift_by_source`/`kl_divergence_by_source` that reads STYLE
+    (function-word profile) rather than content, and the table a
+    contamination hunt ranks source pairs by.
+
+    Exactness: relative frequencies are exact divisions pinned at
+    round 10 and accumulated as exact decimals (sums AND sums of
+    decimal squares — no float ever accumulates); mean/σ/z and the
+    |z|-difference means are fixed-order doubles over identical
+    operands, with |z| diffs re-pinned at 10 before the decimal pair
+    sum; σ=0 words contribute z=0 by convention.
+
+    Scale: one (word, source) count aggregation; the top-K ranking
+    and everything after run on vocab- and |sources|²-sized
+    relations.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source",
+                       F.explode(F.split("text", " ")).alias("w"))
+    # materialized once: totals, the top-K ranking, the dense grid and
+    # both z-join sides all branch from this relation — without the cut
+    # each branch would re-scan and re-shuffle the token stream
+    ws = truncate_lineage(toks.groupBy("w", "source").agg(
+        F.count(F.lit(1)).alias("c")))
+    totals = ws.groupBy("source").agg(F.sum("c").alias("tot"))
+    vocab = ws.groupBy("w").agg(F.sum("c").alias("cw"))
+    topk = (vocab.withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.desc("cw"), F.asc("w"))))
+        .filter(F.col("rk") <= DELTA_TOP_WORDS).select("w"))
+    grid = (topk.crossJoin(totals)
+            .join(ws, ["w", "source"], "left")
+            .select("w", "source",
+                    F.round(F.coalesce("c", F.lit(0)).cast("double")
+                            / F.col("tot").cast("double"), 10)
+                    .cast("decimal(12,10)").alias("f")))
+    mom = grid.groupBy("w").agg(
+        F.count(F.lit(1)).alias("s"),
+        F.sum("f").alias("sf"),
+        F.sum(F.col("f") * F.col("f")).alias("sff"))
+    sd = F.sqrt((F.col("sff").cast("double")
+                 - F.col("sf").cast("double")
+                 * F.col("sf").cast("double")
+                 / F.col("s").cast("double"))
+                / (F.col("s").cast("double") - 1.0))
+    z = truncate_lineage(grid.join(mom, "w")
+         .select("w", "source",
+                 F.when(sd > 0,
+                        (F.col("f").cast("double")
+                         - F.col("sf").cast("double")
+                         / F.col("s").cast("double")) / sd)
+                 .otherwise(F.lit(0.0)).alias("z")))
+    a = z.select(F.col("w").alias("w"),
+                 F.col("source").alias("source_a"),
+                 F.col("z").alias("z_a"))
+    b = z.select(F.col("w").alias("wb"),
+                 F.col("source").alias("source_b"),
+                 F.col("z").alias("z_b"))
+    pairs = (a.join(b, (F.col("w") == F.col("wb"))
+                    & (F.col("source_a") < F.col("source_b")))
+             .select("source_a", "source_b",
+                     F.round(F.abs(F.col("z_a") - F.col("z_b")), 10)
+                     .cast("decimal(25,10)").alias("az")))
+    return (pairs.groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("k_words"),
+                 F.round(F.sum("az").cast("double")
+                         / F.count(F.lit(1)), 6).alias("delta")))
+
+
+BURROWS_DELTA_SQL = f"""
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS w
+    FROM documents
+), ws AS (
+    SELECT w, source, count(*) AS c FROM toks GROUP BY 1, 2
+), totals AS (
+    SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM ws GROUP BY 1
+), topk AS (
+    SELECT w
+    FROM (SELECT w, row_number() OVER (
+              ORDER BY sum(c) DESC, w) AS rk
+          FROM ws GROUP BY w)
+    WHERE rk <= {DELTA_TOP_WORDS}
+), grid AS (
+    SELECT t.w, s.source,
+           CAST(round(CAST(COALESCE(ws.c, 0) AS DOUBLE)
+                      / CAST(s.tot AS DOUBLE), 10)
+                AS DECIMAL(12,10)) AS f
+    FROM topk t CROSS JOIN totals s
+    LEFT JOIN ws ON ws.w = t.w AND ws.source = s.source
+), mom AS (
+    SELECT w, count(*) AS s, sum(f) AS sf, sum(f * f) AS sff
+    FROM grid GROUP BY w
+), z AS (
+    SELECT g.w, g.source,
+           CASE WHEN sqrt((CAST(sff AS DOUBLE)
+                           - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE)
+                             / CAST(s AS DOUBLE))
+                          / (CAST(s AS DOUBLE) - 1.0)) > 0
+                THEN (CAST(f AS DOUBLE)
+                      - CAST(sf AS DOUBLE) / CAST(s AS DOUBLE))
+                     / sqrt((CAST(sff AS DOUBLE)
+                             - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE)
+                               / CAST(s AS DOUBLE))
+                            / (CAST(s AS DOUBLE) - 1.0))
+                ELSE 0.0 END AS z
+    FROM grid g JOIN mom USING (w)
+), pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(round(abs(a.z - b.z), 10) AS DECIMAL(25,10)) AS az
+    FROM z a JOIN z b
+      ON a.w = b.w AND a.source < b.source
+)
+SELECT source_a, source_b, count(*) AS k_words,
+       round(CAST(sum(az) AS DOUBLE) / count(*), 6) AS delta
+FROM pairs GROUP BY 1, 2
+"""

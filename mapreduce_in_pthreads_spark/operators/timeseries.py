@@ -3526,3 +3526,434 @@ SELECT day, dau1, dau7,
        round(CAST(dau1 AS DOUBLE) / dau7, 10) AS stickiness
 FROM dau1 JOIN dau7 USING (day)
 """
+
+
+# --- Nelson-Aalen cumulative hazard ---------------------------------------
+
+
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator (Nelson 1972, Aalen
+    1978) over the same right-censored view→purchase life table as
+    `kaplan_meier_conversion`: Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ, with the
+    Fleming-Harrington survival Ŝ = exp(−Ĥ) beside it — the additive
+    companion to KM's product-limit curve (hazard increments ADD, so
+    this is the form you difference to read instantaneous risk, and
+    the one that stays stable when at-risk counts get small).
+
+    Exactness: each increment dᵢ/nᵢ is one exact integer division,
+    pinned at round 10 and cumulated as a DECIMAL(25,10) running
+    window sum (DuckDB's segment-tree window order never matters on
+    exact decimals); exp is applied to identical doubles.
+
+    Scale: identical to KM — one combinable life-table aggregation,
+    one ordered window over the |distinct hours| relation.
+    """
+    dur = _censored_durations(spark, sf_dir)
+    lt = (dur.groupBy("h")
+          .agg(F.sum("event").alias("d"),
+               F.sum(F.lit(1) - F.col("event")).alias("c")))
+    total = lt.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
+    w = Window.orderBy("h")
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    upto = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = (lt.crossJoin(F.broadcast(total))
+            .withColumn("n_risk",
+                        F.col("n_total")
+                        - F.coalesce(F.sum(F.col("d") + F.col("c"))
+                                     .over(before), F.lit(0))))
+    inc = F.round(F.col("d").cast("double")
+                  / F.col("n_risk").cast("double"), 10) \
+        .cast("decimal(25,10)")
+    curve = (risk.withColumn("inc", inc)
+             .withColumn("cum", F.sum("inc").over(upto)))
+    return (curve.filter(F.col("d") >= 1)
+            .select(F.col("h").alias("duration_h"), "n_risk",
+                    F.col("d").alias("n_events"),
+                    F.col("inc").cast("double").alias("hazard_inc"),
+                    F.col("cum").cast("double").alias("cum_hazard"),
+                    F.round(F.exp(-F.col("cum").cast("double")), 6)
+                    .alias("na_survival")))
+
+
+NELSON_AALEN_SQL = f"""{_CENSORED_DUR_SQL},
+lt AS (
+    SELECT h, CAST(sum(event) AS BIGINT) AS d,
+           CAST(sum(1 - event) AS BIGINT) AS c
+    FROM dur GROUP BY h
+), total AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM lt
+), risk AS (
+    SELECT lt.*, CAST(t.n_total
+           - COALESCE(sum(d + c) OVER (ORDER BY h ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+    FROM lt, total t
+), curve AS (
+    SELECT *,
+           CAST(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 10)
+                AS DECIMAL(25,10)) AS inc,
+           sum(CAST(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE),
+                          10) AS DECIMAL(25,10)))
+               OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cum
+    FROM risk
+)
+SELECT h AS duration_h, n_risk, d AS n_events,
+       CAST(inc AS DOUBLE) AS hazard_inc,
+       CAST(cum AS DOUBLE) AS cum_hazard,
+       round(exp(-CAST(cum AS DOUBLE)), 6) AS na_survival
+FROM curve
+WHERE d >= 1
+"""
+
+
+# --- Wald-Wolfowitz runs test ---------------------------------------------
+
+
+def runs_test_updown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (1940) for randomness of each event
+    type's daily-count movements: successive days are classified
+    up/down (ties dropped, the standard treatment), the number of
+    sign RUNS is counted, and z = (R − E[R])/√V[R] with the exact
+    two-category moments E = 1 + 2n₁n₂/n and V = 2n₁n₂(2n₁n₂ − n)/
+    (n²(n−1)) — too FEW runs means trending/sticky days, too many
+    means oscillation; |z| ≲ 2 is consistent with random. The
+    nonparametric cousin of `acf_correlogram`'s lag-1 reading and the
+    sign-based complement to `trend_mann_kendall`.
+
+    Exactness: run counting is integer window arithmetic over total
+    orders; E and V are fixed-shape double expressions of exact
+    integers; z is one division + sqrt, round 6.
+
+    Scale: the corpus collapses to the per-(type, day) grid in one
+    combinable aggregation; both windows are PARTITIONED BY
+    event_type over the manifest-sized daily relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    signs = (daily.withColumn(
+        "s", F.signum(F.col("y") - F.lag("y").over(w)))
+        .filter(F.col("s").isNotNull() & (F.col("s") != 0)))
+    w2 = Window.partitionBy("event_type").orderBy("day")
+    runs = signs.withColumn(
+        "new_run",
+        F.when(F.lag("s").over(w2).isNull()
+               | (F.lag("s").over(w2) != F.col("s")), 1).otherwise(0))
+    agg = runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_moves"),
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).alias("n_up"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0)).alias("n_down"),
+        F.sum("new_run").alias("n_runs"))
+    n1 = F.col("n_up").cast("double")
+    n2 = F.col("n_down").cast("double")
+    n = n1 + n2
+    e_r = F.lit(1.0) + 2.0 * n1 * n2 / n
+    v_r = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n)) / (n * n * (n - 1.0))
+    return agg.select(
+        "event_type", "n_moves", "n_up", "n_down", "n_runs",
+        F.when((F.col("n_up") > 0) & (F.col("n_down") > 0)
+               & (F.col("n_moves") > 1),
+               F.round((F.col("n_runs") - e_r) / F.sqrt(v_r), 6))
+        .alias("z"))
+
+
+RUNS_TEST_SQL = """
+WITH daily AS (
+    SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           count(*) AS y
+    FROM events GROUP BY 1, 2
+), signs AS (
+    SELECT * FROM (
+        SELECT event_type, day,
+               sign(y - lag(y) OVER (PARTITION BY event_type
+                                     ORDER BY day)) AS s
+        FROM daily)
+    WHERE s IS NOT NULL AND s <> 0
+), runs AS (
+    SELECT event_type, s,
+           CASE WHEN lag(s) OVER (PARTITION BY event_type
+                                  ORDER BY day) IS NULL
+                  OR lag(s) OVER (PARTITION BY event_type
+                                  ORDER BY day) <> s
+                THEN 1 ELSE 0 END AS new_run
+    FROM signs
+), agg AS (
+    SELECT event_type, count(*) AS n_moves,
+           CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_up,
+           CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_down,
+           CAST(sum(new_run) AS BIGINT) AS n_runs
+    FROM runs GROUP BY event_type
+)
+SELECT event_type, n_moves, n_up, n_down, n_runs,
+       CASE WHEN n_up > 0 AND n_down > 0 AND n_moves > 1 THEN
+         round((n_runs - (1.0 + 2.0 * CAST(n_up AS DOUBLE)
+                          * CAST(n_down AS DOUBLE)
+                          / (CAST(n_up AS DOUBLE)
+                             + CAST(n_down AS DOUBLE))))
+               / sqrt((2.0 * CAST(n_up AS DOUBLE)
+                       * CAST(n_down AS DOUBLE)
+                       * (2.0 * CAST(n_up AS DOUBLE)
+                          * CAST(n_down AS DOUBLE)
+                          - (CAST(n_up AS DOUBLE)
+                             + CAST(n_down AS DOUBLE))))
+                      / ((CAST(n_up AS DOUBLE)
+                          + CAST(n_down AS DOUBLE))
+                         * (CAST(n_up AS DOUBLE)
+                            + CAST(n_down AS DOUBLE))
+                         * (CAST(n_up AS DOUBLE)
+                            + CAST(n_down AS DOUBLE) - 1.0))), 6)
+       END AS z
+FROM agg
+"""
+
+
+# --- Markov entropy rate --------------------------------------------------
+
+
+def entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the within-session clickstream (Shannon 1948):
+    H = −Σ_ij π̂_i P̂_ij ln P̂_ij = −Σ_ij (n_ij/N)·ln(n_ij/n_i) over
+    the SAME session transition counts `session_path_transitions`
+    reports, with π̂ the empirical from-state distribution — one
+    number (nats/step, with its perplexity twin exp(H)) for "how
+    predictable is the next user action", the summary the per-cell
+    transition matrix decomposes. Alongside: the maximum ln|S| for
+    the observed state count, and the predictability ratio
+    1 − H/ln|S|.
+
+    Exactness: every term is (n_ij/N)·ln(n_ij/n_i) — two exact
+    integer divisions, one ln, one product, fixed shape — pinned at
+    round 10 and summed as DECIMAL(25,10); the scalars after are
+    fixed-order doubles, round 6.
+
+    Scale: the transition-count relation is ≤ |event_type|² rows
+    after one user_id-partitioned window pass (the proven
+    session-family single exchange); everything downstream is
+    manifest-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+           >= 30 * 60 * 1_000_000), 1).otherwise(0)
+    sessioned = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(new_sess).over(wc).alias("session_id"))
+    trans = (
+        sessioned
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .withColumn("to_sess", F.lead("session_id").over(w))
+        .filter(F.col("to_sess") == F.col("session_id"))
+        .select(F.col("event_type").alias("from_type"), "to_type"))
+    counts = trans.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_ij"))
+    row_tot = F.sum("n_ij").over(Window.partitionBy("from_type"))
+    terms = counts.select(
+        "from_type", "to_type", "n_ij",
+        F.round((F.col("n_ij").cast("double")
+                 / F.sum("n_ij").over(Window.partitionBy(F.lit(1)))
+                 .cast("double"))
+                * F.log(F.col("n_ij").cast("double")
+                        / row_tot.cast("double")), 10)
+        .cast("decimal(25,10)").alias("t"))
+    agg = terms.agg(
+        F.sum("n_ij").alias("n_transitions"),
+        F.countDistinct("from_type").alias("n_states"),
+        F.sum("t").alias("s"))
+    h = -F.col("s").cast("double")
+    hmax = F.log(F.col("n_states").cast("double"))
+    return agg.select(
+        "n_transitions", "n_states",
+        F.round(h, 6).alias("entropy_rate_nats"),
+        F.round(F.exp(h), 6).alias("perplexity"),
+        F.round(F.lit(1.0) - h / hmax, 6).alias("predictability"))
+
+
+ENTROPY_RATE_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     >= 30 * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_session) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING)
+               AS session_id
+    FROM flagged
+), trans AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER w AS to_type,
+           lead(session_id) OVER w AS to_sess, session_id
+    FROM sessioned
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), counts AS (
+    SELECT from_type, to_type, count(*) AS n_ij
+    FROM trans WHERE to_sess = session_id
+    GROUP BY 1, 2
+), terms AS (
+    SELECT n_ij,
+           from_type,
+           CAST(round((CAST(n_ij AS DOUBLE)
+                       / CAST(sum(n_ij) OVER () AS DOUBLE))
+                      * ln(CAST(n_ij AS DOUBLE)
+                           / CAST(sum(n_ij) OVER (
+                                 PARTITION BY from_type) AS DOUBLE)),
+                      10) AS DECIMAL(25,10)) AS t
+    FROM counts
+), agg AS (
+    SELECT CAST(sum(n_ij) AS BIGINT) AS n_transitions,
+           count(DISTINCT from_type) AS n_states,
+           sum(t) AS s
+    FROM terms
+)
+SELECT n_transitions, n_states,
+       round(-CAST(s AS DOUBLE), 6) AS entropy_rate_nats,
+       round(exp(-CAST(s AS DOUBLE)), 6) AS perplexity,
+       round(1.0 - (-CAST(s AS DOUBLE))
+                   / ln(CAST(n_states AS DOUBLE)), 6)
+           AS predictability
+FROM agg
+"""
+
+
+# --- Wald SPRT sequential A/B ---------------------------------------------
+
+# Wald (1945) SPRT of H1: p = 0.25 vs H0: p = 0.20 at alpha = beta =
+# 0.05. The per-trial log-likelihood increments ln(p1/p0) and
+# ln((1-p1)/(1-p0)) and the boundary ln(19) are FROZEN 10-dp decimal
+# string literals (HALF_UP of the exact values), so the running LLR is
+# EXACT integer-scaled decimal arithmetic in both engines — no float
+# accumulates anywhere.
+SPRT_LA = "0.2231435513"     # success increment,  ln(0.25/0.20)
+SPRT_LB = "-0.0645385211"    # failure increment,  ln(0.75/0.80)
+SPRT_BOUND = "2.9444389792"  # ln((1-beta)/alpha) = ln(19)
+
+
+def sprt_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test (Wald 1945) run over
+    each md5 arm's event stream in arrival order: every event is a
+    Bernoulli trial (purchase = success), the running LLR walks up by
+    ln(p1/p0) per success and down by |ln((1−p1)/(1−p0))| per
+    failure, and the test STOPS at the first crossing of ±ln(19) —
+    the early-stopping design that needs ~half the samples of the
+    fixed-n z-test (`ab_test_proportions`) at the same error rates.
+    Output per arm: trials, successes, the final LLR, the first
+    crossing index and the decision — 'accept_h1' / 'accept_h0' /
+    'continue'.
+
+    Exactness: the LLR is a running DECIMAL(25,10) sum of two frozen
+    decimal literals — exact integer arithmetic end-to-end; crossing
+    detection compares exact decimals; only the displayed final LLR
+    is cast to double.
+
+    Scale: one window pass PARTITIONED BY arm in event-time order
+    (the sequential semantics ARE per-arm ordered — same shape as the
+    session family's per-user windows), then a 2-row rollup joined
+    back to the crossing trial.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.conv(F.substring(
+        F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 2).alias("arm")
+    x = (F.col("event_type") == "purchase").cast("int").alias("x")
+    trials = ev.select(arm, x, "ts", "event_id")
+    w = Window.partitionBy("arm").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    la = F.lit(SPRT_LA).cast("decimal(25,10)")
+    lb = F.lit(SPRT_LB).cast("decimal(25,10)")
+    bound = F.lit(SPRT_BOUND).cast("decimal(25,10)")
+    walked = (trials
+              .withColumn("idx", F.row_number().over(w).cast("bigint"))
+              .withColumn("llr", F.sum(
+                  F.when(F.col("x") == 1, la).otherwise(lb)).over(wc)))
+    crossed = walked.withColumn(
+        "cross_idx",
+        F.when((F.col("llr") >= bound) | (F.col("llr") <= -bound),
+               F.col("idx")))
+    summary = crossed.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_trials"),
+        F.sum("x").alias("n_success"),
+        F.min("cross_idx").alias("first_cross_idx"))
+    final_llr = (walked.groupBy("arm")
+                 .agg(F.max(F.struct("idx", "llr")).alias("last"))
+                 .select("arm", F.col("last.llr").alias("llr_final")))
+    at_cross = (crossed.select(F.col("arm").alias("c_arm"),
+                               F.col("idx").alias("c_idx"),
+                               F.col("llr").alias("c_llr")))
+    return (summary
+            .join(final_llr, "arm")
+            .join(at_cross,
+                  (F.col("arm") == F.col("c_arm"))
+                  & (F.col("first_cross_idx") == F.col("c_idx")),
+                  "left")
+            .select(
+                "arm", "n_trials", "n_success",
+                F.round(F.col("llr_final").cast("double"), 10)
+                .alias("llr_final"),
+                "first_cross_idx",
+                F.when(F.col("c_llr") >= bound, "accept_h1")
+                .when(F.col("c_llr") <= -bound, "accept_h0")
+                .otherwise("continue").alias("decision")))
+
+
+SPRT_SQL = f"""
+WITH trials AS (
+    SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS arm,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+           ts, event_id
+    FROM events
+), walked AS (
+    SELECT arm, x,
+           row_number() OVER w AS idx,
+           sum(CASE WHEN x = 1
+                    THEN CAST('{SPRT_LA}' AS DECIMAL(25,10))
+                    ELSE CAST('{SPRT_LB}' AS DECIMAL(25,10)) END)
+               OVER (PARTITION BY arm ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS llr
+    FROM trials
+    WINDOW w AS (PARTITION BY arm ORDER BY ts, event_id)
+), crossed AS (
+    SELECT *,
+           CASE WHEN llr >= CAST('{SPRT_BOUND}' AS DECIMAL(25,10))
+                  OR llr <= -CAST('{SPRT_BOUND}' AS DECIMAL(25,10))
+                THEN idx END AS cross_idx
+    FROM walked
+), summary AS (
+    SELECT arm, count(*) AS n_trials,
+           CAST(sum(x) AS BIGINT) AS n_success,
+           min(cross_idx) AS first_cross_idx
+    FROM crossed GROUP BY arm
+), final_llr AS (
+    SELECT arm, llr AS llr_final
+    FROM (SELECT arm, llr, row_number() OVER (
+              PARTITION BY arm ORDER BY idx DESC) AS rn FROM walked)
+    WHERE rn = 1
+)
+SELECT s.arm, s.n_trials, s.n_success,
+       round(CAST(f.llr_final AS DOUBLE), 10) AS llr_final,
+       s.first_cross_idx,
+       CASE WHEN c.llr >= CAST('{SPRT_BOUND}' AS DECIMAL(25,10))
+            THEN 'accept_h1'
+            WHEN c.llr <= -CAST('{SPRT_BOUND}' AS DECIMAL(25,10))
+            THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM summary s
+JOIN final_llr f ON s.arm = f.arm
+LEFT JOIN crossed c
+  ON s.arm = c.arm AND s.first_cross_idx = c.idx
+"""
