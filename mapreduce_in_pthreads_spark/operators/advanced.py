@@ -1807,7 +1807,6 @@ def power_mde_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = arms.agg(
         F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("n1"),
         F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n2"),
-        F.sum(F.when(F.col("arm") == 0, F.col("conv"))).alias("c1"),
         F.sum(F.col("conv")).alias("c_all"),
         F.sum(F.col("n")).alias("n_all"))
     p = F.col("c_all").cast("double") / F.col("n_all").cast("double")
