@@ -500,19 +500,20 @@ WITH agg AS (
     FROM orders
 )
 SELECT 'completeness_o_custkey' AS constraint,
-       CAST(nn_cust AS DOUBLE) / n AS metric, 1.0 AS threshold,
+       CAST(nn_cust AS DOUBLE) / n AS metric,
+       CAST(1.0 AS DOUBLE) AS threshold,
        CAST(nn_cust AS DOUBLE) / n >= 1.0 AS passed FROM agg
 UNION ALL
-SELECT 'uniqueness_o_orderkey', CAST(ndv_key AS DOUBLE) / n, 1.0,
+SELECT 'uniqueness_o_orderkey', CAST(ndv_key AS DOUBLE) / n, CAST(1.0 AS DOUBLE),
        CAST(ndv_key AS DOUBLE) / n >= 1.0 FROM agg
 UNION ALL
-SELECT 'membership_o_orderstatus', CAST(status_ok AS DOUBLE) / n, 1.0,
+SELECT 'membership_o_orderstatus', CAST(status_ok AS DOUBLE) / n, CAST(1.0 AS DOUBLE),
        CAST(status_ok AS DOUBLE) / n >= 1.0 FROM agg
 UNION ALL
-SELECT 'non_negative_o_totalprice', CAST(price_pos AS DOUBLE) / n, 1.0,
+SELECT 'non_negative_o_totalprice', CAST(price_pos AS DOUBLE) / n, CAST(1.0 AS DOUBLE),
        CAST(price_pos AS DOUBLE) / n >= 1.0 FROM agg
 UNION ALL
-SELECT 'range_o_orderdate', CAST(date_ok AS DOUBLE) / n, 1.0,
+SELECT 'range_o_orderdate', CAST(date_ok AS DOUBLE) / n, CAST(1.0 AS DOUBLE),
        CAST(date_ok AS DOUBLE) / n >= 1.0 FROM agg
 """
 

@@ -3983,7 +3983,8 @@ SELECT doc_id, n_grams, n_windows,
        CASE WHEN n_windows > 0
             THEN round(len(list_distinct(sel))
                        / CAST(n_windows AS DOUBLE), 10) END AS density,
-       {round(2.0 / (WINNOW_W + 1), 10)!r} AS expected_density
+       CAST({round(2.0 / (WINNOW_W + 1), 10)!r} AS DOUBLE)
+           AS expected_density
 FROM w
 """
 

@@ -25,7 +25,7 @@ from .oracle import duck_con
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF001_DIR", "/root/testdata/sf0.001")
 
-BANNED = {"HUGEINT", "UHUGEINT"}
+BANNED_PREFIXES = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
 
 @pytest.fixture(scope="module")
@@ -41,9 +41,11 @@ def _oracle_names():
 def test_oracle_output_types_are_driver_safe(con, name):
     rel = con.sql(REGISTRY[name].oracle)  # lazy: binds, does not execute
     bad = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
-           if str(t).upper() in BANNED]
+           if str(t).upper().startswith(BANNED_PREFIXES)]
     assert not bad, (
-        f"{name}: oracle output column(s) {bad} are HUGEINT — wrap the "
-        "final integer aggregate in CAST(... AS BIGINT) (fleet "
+        f"{name}: oracle output column(s) {bad} are HUGEINT/DECIMAL — "
+        "wrap the final integer aggregate in CAST(... AS BIGINT) and "
+        "any decimal literal/accumulator in CAST(... AS DOUBLE) (fleet "
         "convention; see cross-engine gotchas / CORRECTNESS_r07 "
-        "user_growth_curve)")
+        "user_growth_curve; Spark returns long/double, so a DECIMAL-"
+        "typed oracle column rides a different driver fetch path)")

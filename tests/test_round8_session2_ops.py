@@ -424,3 +424,43 @@ def test_cramers_v_python_replica(spark):
         assert r["chi2"] == pytest.approx(chi2, abs=1e-5)
         assert r["cramers_v"] == pytest.approx(v, abs=1e-6)
         assert 0.0 <= r["cramers_v"] <= 1.0 + 1e-9
+
+
+def test_median_of_means_resists_poisoned_bucket(spark, tmp_path):
+    """The docstring's robustness CLAIM, demonstrated: poisoning every
+    event md5-routed to ONE of the 16 buckets with a huge value drags
+    the plain mean far away but moves the median of bucket means only
+    within the clean buckets' spread."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import shutil
+
+    from mapreduce_in_pthreads_spark.operators.advanced import (
+        MOM_BUCKETS, median_of_means)
+
+    n = 4000
+    ids = list(range(1, n + 1))
+    vals = [float(1 + (i % 7)) for i in ids]          # clean: mean ~4
+    poison = 1_000_000.0
+    vals = [poison if _md5_mod(i, MOM_BUCKETS) == 0 else v
+            for i, v in zip(ids, vals)]
+    ts = pa.array([0] * n, type=pa.timestamp("us"))
+    tbl = pa.table({
+        "event_id": pa.array(ids, type=pa.int64()),
+        "ts": ts,
+        "user_id": pa.array(ids, type=pa.int64()),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array(vals, type=pa.float64()),
+        "props": pa.array(["{}"] * n),
+    })
+    sf_dir = tmp_path / "poisoned"
+    sf_dir.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        shutil.copy(f"{SF_CORRECT}/{t}.parquet",
+                    sf_dir / f"{t}.parquet")
+    pq.write_table(tbl, sf_dir / "events.parquet")
+    [r] = median_of_means(spark, str(sf_dir)).collect()
+    assert r["plain_mean"] > 10_000      # dragged by the poison bucket
+    assert r["mom"] < 10                 # the median barely notices
+    assert r["abs_shift"] > 10_000
