@@ -1403,8 +1403,11 @@ def chi2_independence_lang_source(spark: SparkSession,
     broadcast margins cross join, never a corpus re-scan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    obs = docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("o"))
+    # materialized once: rows/cols/n and the dense grid all branch from
+    # the contingency relation (the cramers_v_matrix lesson, 13->9
+    # exchanges)
+    obs = truncate_lineage(docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("o")))
     rows_ = obs.groupBy("lang").agg(F.sum("o").alias("r"))
     cols_ = obs.groupBy("source").agg(F.sum("o").alias("c"))
     n_ = obs.agg(F.sum("o").alias("n"))
