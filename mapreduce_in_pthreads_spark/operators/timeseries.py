@@ -3634,6 +3634,14 @@ def runs_test_updown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(ts) div 86400000000").alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("y")))
+    return runs_finish(daily)
+
+
+def runs_finish(daily: DataFrame) -> DataFrame:
+    """Runs-test finishing over a (event_type, day, y) relation —
+    shared verbatim by the batch operator above and the streaming twin
+    (``streaming/foreach_batch.run_runs_test_stream`` re-runs it per
+    trigger over the accumulated complete-mode daily counts)."""
     w = Window.partitionBy("event_type").orderBy("day")
     signs = (daily.withColumn(
         "s", F.signum(F.col("y") - F.lag("y").over(w)))

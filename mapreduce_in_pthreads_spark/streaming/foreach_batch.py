@@ -264,3 +264,38 @@ def run_sliding_dau_stream(spark: SparkSession, sf_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def run_runs_test_stream(spark: SparkSession, sf_dir: str,
+                         checkpoint_dir: str, holder: dict) -> None:
+    """Streaming twin of ``timeseries.runs_test_updown`` — the eighth
+    "streaming ingest, batch finish per trigger" instance, this one a
+    live RANDOMNESS monitor: per-(event_type, day) counts accumulate
+    as a complete-mode streaming aggregation (state bounded by types ×
+    days), and the non-incremental finishing — the up/down sign
+    sequence, run counting and the Wald-Wolfowitz z, all of which can
+    change at ANY prefix when a day's count grows — re-runs per
+    trigger via the SAME ``runs_finish`` the batch operator calls.
+    This is how a drift dashboard watches "have daily volumes stopped
+    looking random" next to `run_cusum_stream`'s level-shift alarm.
+    """
+    from ..operators.timeseries import runs_finish
+
+    ev = _read_event_stream(spark, sf_dir)
+    daily = (ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y")))
+
+    def finish(batch_df: DataFrame, batch_id: int) -> None:
+        holder["rows"] = runs_finish(batch_df).collect()
+        holder["n_triggers"] = holder.get("n_triggers", 0) + 1
+
+    q = (daily.writeStream
+         .foreachBatch(finish)
+         .outputMode("complete")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

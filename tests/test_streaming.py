@@ -437,3 +437,21 @@ def test_streaming_sliding_dau_parity(spark, sf_dir, tmp_path):
     want = _rows(REGISTRY["sliding_window_dau"].fn(spark, sf_dir),
                  cols)
     assert got == want
+
+
+def test_streaming_runs_test_parity(spark, sf_dir, tmp_path):
+    """Streaming ingest + per-trigger runs-test finishing
+    (foreachBatch) equals the batch runs_test_updown exactly — daily
+    counts accumulate as a complete-mode streaming agg, the sign/run
+    windows re-run per trigger via the SAME runs_finish helper."""
+    from mapreduce_in_pthreads_spark.streaming.foreach_batch import (
+        run_runs_test_stream)
+
+    holder: dict = {}
+    run_runs_test_stream(spark, sf_dir, str(tmp_path / "ckpt"),
+                         holder)
+    assert holder.get("n_triggers", 0) >= 1
+    cols = ["event_type", "n_moves", "n_up", "n_down", "n_runs", "z"]
+    got = sorted(tuple(r[c] for c in cols) for r in holder["rows"])
+    want = _rows(REGISTRY["runs_test_updown"].fn(spark, sf_dir), cols)
+    assert got == want
