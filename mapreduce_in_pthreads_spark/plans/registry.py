@@ -1517,46 +1517,37 @@ register("cramers_v_matrix", cu.cramers_v_matrix,
 # NOT listed keep their thematic order after the window — nothing is
 # ever dropped from queries()/oracle_sql().
 #
-# ROUND-8 WINDOW (registry at 328; 254 ever adjudicated, 74 never,
-# per CORRECTNESS_r01..r07): the plain `python tools/next_window.py`
-# proposal verbatim — `user_growth_curve` leads (its oracle's
-# cum_users window sum gained the fleet-convention CAST AS BIGINT
-# this round, see tools/next_window.py MUST and VERDICT r7 item 1),
-# then 49 never-adjudicated entries in thematic order. The flagship
-# six are fully displaced (they carry 6 consecutive green rounds on
-# unchanged code; a backlog slot is worth more than a seventh row).
-# Endgame: 25 backlog entries remain (gumbel_return_levels ..
-# markov_temporal_holdout) + the 19 round-8 additions placed BEHIND
-# the window (sliding_window_dau, fellegi_sunter_linkage,
-# curriculum_interleave, label_propagation_round, grouped_ols_fit,
-# dbscan_grid_core, rake_keyphrases, hill_tail_index,
-# nelson_aalen_hazard, runs_test_updown, entropy_rate_markov,
-# median_of_means, power_mde_planner, sprt_sequential_ab,
-# burrows_delta_stylometry, fleiss_kappa_dedup, token_budget_planner,
-# kmeans_coreset_weights, cramers_v_matrix — each 3-SF oracle-green,
-# vanilla-probed, replica-pinned on landing day), so round 9's window
-# = 25 + 19 + the flagship six = 50 EXACTLY (zero filler slack —
-# round 9 should add NO entries before its window runs) and
-# FULL-registry adjudication completes in round 9 of 20. Validate
-# with `--check`.
+# ROUND-9 WINDOW (registry at 347; 303 ever adjudicated, 44 never,
+# per CORRECTNESS_r01..r08): the plain `python tools/next_window.py`
+# proposal verbatim — all 44 never-adjudicated entries in thematic
+# order (the 25-entry round-7 backlog `gumbel_return_levels` ..
+# `markov_temporal_holdout` plus the 19 round-8 additions
+# `sliding_window_dau` .. `cramers_v_matrix`), then the flagship six
+# re-proof (`inverted_index` .. `rdd_inverted_index`, displaced since
+# round 6 and due a fresh row). 44 + 6 = 50 EXACTLY, zero filler —
+# consuming this window completes FULL-REGISTRY adjudication: every
+# one of the 347 entries driver-graded at least once. Because the
+# math has zero slack, round 9 registers NO new entries ahead of the
+# driver run (any round-9 additions land BEHIND the window, after
+# this tuple, and wait for round 10). Validate with `--check`.
 _ADJUDICATION_FIRST: tuple[str, ...] = (
-    "user_growth_curve", "reshard_movement_audit", "ab_split_welch_ttest",
-    "ndcg_eval_ivf", "dedup_method_agreement", "kl_divergence_by_source",
-    "rfm_segmentation", "ranker_rank_correlation", "edit_distance_name_pairs",
-    "embedding_centroid_drift", "wand_upper_bound_pruning", "cohens_kappa_lang",
-    "lang_confidence_calibration", "weighted_sample_aes", "jl_projection_recall",
-    "aspect_ratio_bucketing", "minhash_band_sweep", "suffix_prefix_overlap",
-    "reciprocal_nn_pairs", "zorder_pruning_audit", "encoding_size_census",
-    "late_interaction_maxsim", "repeated_ngram_span_mask", "rag_chunk_windows",
-    "holt_linear_forecast", "bloom_fp_rate_audit", "neyman_allocation_sample",
-    "sql_modern_surface", "feature_hash_collision_audit", "pandas_grouped_agg_gini",
-    "small_files_compaction_plan", "heldout_bigram_perplexity", "l_diversity_audit",
-    "blb_mean_ci", "salting_effectiveness_audit", "md5_uniformity_audit",
-    "attribution_first_last_touch", "order_total_reconciliation", "markov_heldout_accuracy",
-    "metric_choice_agreement", "word_burstiness_adaptation", "good_turing_discounts",
-    "seasonal_naive_mase", "session_overlap_pairs", "table_stats_profile",
-    "sessionization_sensitivity", "hourly_seasonality_strength", "negative_sampling_weights",
-    "direct_standardization_rates", "rbo_ranker_agreement",
+    "gumbel_return_levels", "decile_lift_table", "kruskal_wallis_sources",
+    "trend_mann_kendall", "mcnemar_dedup_methods", "skyline_pareto_docs",
+    "wilson_ci_rates", "capture_recapture_users", "jackknife_ratio_variance",
+    "eb_shrinkage_rates", "kaplan_meier_conversion", "logrank_conversion_arms",
+    "snapshot_diff_audit", "kmv_distinct_sketch", "conformal_interval_coverage",
+    "lsh_parameter_planner", "readability_forcast", "mann_whitney_auc",
+    "data_expectations_audit", "broadcast_join_advisor", "t_closeness_audit",
+    "adamic_adar_links", "acf_correlogram", "cusum_changepoint",
+    "markov_temporal_holdout", "sliding_window_dau", "fellegi_sunter_linkage",
+    "curriculum_interleave", "label_propagation_round", "grouped_ols_fit",
+    "dbscan_grid_core", "rake_keyphrases", "hill_tail_index",
+    "nelson_aalen_hazard", "runs_test_updown", "entropy_rate_markov",
+    "median_of_means", "power_mde_planner", "sprt_sequential_ab",
+    "burrows_delta_stylometry", "fleiss_kappa_dedup", "token_budget_planner",
+    "kmeans_coreset_weights", "cramers_v_matrix", "inverted_index",
+    "word_count", "doc_frequency", "corpus_stats",
+    "index_top_docs", "rdd_inverted_index",
 )
 
 # ROUND-6 PREP: the window above covers 43 never-adjudicated entries +

@@ -51,7 +51,8 @@ FLAGSHIP = (
 # they deserve a fresh driver row even though they were graded before.
 # Reset this each round when the fix list changes.
 MUST: tuple[str, ...] = (
-    "user_growth_curve",  # r08: oracle cum_users window-sum CAST AS BIGINT
+    # (empty for round 9 — the r08 user_growth_curve re-grade is consumed;
+    # round 9's window is the full never-adjudicated backlog + flagship.)
 )
 
 
