@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 from ..functions.numeric import DEC, SQL_DEC, sql_dsum
 from ..sources.tables import load_table
 
-DEC = "decimal(25,4)"
 MOD = 1_000_000_007
 
 
@@ -1721,8 +1720,7 @@ def median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = MOM_BUCKETS // 2
     hi = lo + 1
     med = (ranked.filter(F.col("r").isin(lo, hi))
-           .agg((F.sum("m") / F.lit(2.0)).alias("mom"),
-                F.sum("n_b").alias("n_med")))
+           .agg((F.sum("m") / F.lit(2.0)).alias("mom")))
     overall = ev.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum(F.col("value").cast(DEC)).cast("double")

@@ -2840,8 +2840,7 @@ def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "lang", "source",
-        (F.col("n_chars") / CRAMER_LEN_BAND).cast("long")
-        .alias("len_band"))
+        F.expr(f"n_chars div {CRAMER_LEN_BAND}").alias("len_band"))
 
     def pair(a: str, b: str) -> DataFrame:
         # materialized once per pair: rows/cols/n and the grid join all

@@ -1800,7 +1800,7 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars",
         F.substring("text", 1, FS_AFFIX).alias("pre"),
         F.expr(f"right(text, {FS_AFFIX})").alias("suf"),
-        (F.col("n_chars") / FS_LEN_BAND).cast("long").alias("band"))
+        F.expr(f"n_chars div {FS_LEN_BAND}").alias("band"))
 
     n = docs.count()  # scalar: drives the u-probability denominators
 
@@ -1808,8 +1808,12 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         # collision probability of the field's value distribution:
         # sum over values of (n_v/N)^2, exact integers until one division
         freq = docs.groupBy(col).agg(F.count(F.lit(1)).alias("nv"))
+        # denominator as double(n)*n, not int n*n: the squared BIGINT
+        # count overflows int64 past ~3e9 docs; double is exact for the
+        # tested SFs (n < 2^26) and identical in both engines
         return (freq.agg(F.sum(F.col("nv") * F.col("nv")).alias("ss"))
-                .select((F.col("ss") / F.lit(n * n)).alias("u")))
+                .select((F.col("ss")
+                         / (F.lit(float(n)) * F.lit(n))).alias("u")))
 
     u_src = u_prob("source").select(F.col("u").alias("u_source"))
     u_pre = u_prob("pre").select(F.col("u").alias("u_prefix"))
@@ -1859,17 +1863,17 @@ WITH docs AS (
     FROM documents
 ), n AS (SELECT count(*) AS n FROM docs
 ), u_src AS (
-    SELECT CAST(sum(nv * nv) AS BIGINT) / CAST(n.n * n.n AS DOUBLE)
+    SELECT CAST(sum(nv * nv) AS BIGINT) / (CAST(n.n AS DOUBLE) * n.n)
            AS u_source
     FROM (SELECT source, count(*) AS nv FROM docs GROUP BY 1), n
     GROUP BY n.n
 ), u_pre AS (
-    SELECT CAST(sum(nv * nv) AS BIGINT) / CAST(n.n * n.n AS DOUBLE)
+    SELECT CAST(sum(nv * nv) AS BIGINT) / (CAST(n.n AS DOUBLE) * n.n)
            AS u_prefix
     FROM (SELECT pre, count(*) AS nv FROM docs GROUP BY 1), n
     GROUP BY n.n
 ), u_suf AS (
-    SELECT CAST(sum(nv * nv) AS BIGINT) / CAST(n.n * n.n AS DOUBLE)
+    SELECT CAST(sum(nv * nv) AS BIGINT) / (CAST(n.n AS DOUBLE) * n.n)
            AS u_suffix
     FROM (SELECT suf, count(*) AS nv FROM docs GROUP BY 1), n
     GROUP BY n.n
