@@ -14,12 +14,14 @@ Timing methodology:
   stages from count() shortcuts;
 - explicit GC between timed queries so one query's cleanup debt
   (JVM garbage + Spark ContextCleaner work) never bills the next;
-- each query is timed THREE times and the MIN is reported: this host
-  is a VM with bursty CPU steal (~5%+ spikes), and min-of-N estimates
-  "time the plan needs" rather than "time the noisy neighbor took"
-  (measured: the same suite swung 21s → 40s run-to-run under steal
-  without this; BENCH_r03's q1 1.96s-vs-1.37s phantom regression got
-  through min-of-2, hence the third rep);
+- each query is timed THREE times and the MEDIAN is reported, with
+  the raw per-run times kept under "runs" so the round-over-round
+  artifact shows each query's run-to-run spread directly (VERDICT r8
+  item 5: rounds kept re-litigating ±25% phantom swings on sub-second
+  queries — `word_count` +25% r7→r8 on unchanged code — because the
+  artifact held a single number with no spread). This host is a VM
+  with bursty CPU steal (~5%+ spikes); median-of-3 rejects a single
+  stolen run while not understating the way min-of-N can;
 - value = sum of per-query steady-state wall-clock seconds.
 """
 
@@ -71,19 +73,21 @@ def main() -> None:
         run_noop(REGISTRY[name].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         # GC between queries: JVM garbage + Spark's GC-driven
         # ContextCleaner (old shuffle/broadcast state) otherwise
         # accumulate across the suite and bill later queries for
         # earlier queries' cleanup debt (measured: 10s → 170s+ drift
         # on the allocation-heavy LSH query without this).
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(3):
             jvm_gc()
             t0 = time.perf_counter()
             run_noop(REGISTRY[name].fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(round(time.perf_counter() - t0, 4))
+        raw_runs[name] = runs
+        timings[name] = sorted(runs)[1]  # median of 3
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({
@@ -91,6 +95,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": raw_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
