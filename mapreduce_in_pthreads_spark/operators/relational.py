@@ -16,7 +16,7 @@ TakeOrderedAndProject — per-partition heaps, no global sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import davg, dsum, money, one, rate, sql_davg, sql_dsum
@@ -159,17 +159,47 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+APPROX_DISTINCT_BOUND = 0.05  # documented |HLL++ − exact|/exact at rsd=0.02
+
+
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the sketch the reference
     could never afford to skip (it kept every occurrence in memory,
-    mapreduce.c:170-174). Approximate ⇒ no SQL oracle; the driver
-    records the rows-only check, and the unit test bounds the error
-    against the exact count."""
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-             F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
-    )
+    mapreduce.c:170-174) — reported as a BOUNDED-ERROR AUDIT: the
+    sketch estimates are engine-internal (DuckDB's HLL registers differ
+    bit-for-bit from Spark's, so the raw estimates can never hash-match
+    an oracle), so the OUTPUT is the exact NDVs plus within-bound flags
+    asserting |approx − exact|/exact ≤ 5% (the unit-test band for
+    rsd=0.02, deterministic: HLL++ is hash-based, no RNG). The oracle
+    pins the exact counts and flags=1, upgrading this entry from the
+    driver's rows-only check to a real driver-adjudicated error-bound
+    check (VERDICT r8 item 7). At 100 TB the sketch is the product and
+    the exact distinct is the audit you run on a sampled partition.
+    """
+    agg = load_table(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("a_ord"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("a_part"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"))
+
+    def ok(a: str, e: str) -> Column:
+        rel = (F.abs(F.col(a).cast("double") - F.col(e).cast("double"))
+               / F.col(e).cast("double"))
+        return (rel <= APPROX_DISTINCT_BOUND).cast("long")
+
+    return agg.select(
+        "exact_orders", "exact_parts",
+        ok("a_ord", "exact_orders").alias("orders_within_bound"),
+        ok("a_part", "exact_parts").alias("parts_within_bound"))
+
+
+APPROX_DISTINCT_SQL = """
+SELECT count(DISTINCT l_orderkey) AS exact_orders,
+       count(DISTINCT l_partkey)  AS exact_parts,
+       CAST(1 AS BIGINT) AS orders_within_bound,
+       CAST(1 AS BIGINT) AS parts_within_bound
+FROM lineitem
+"""
 
 
 def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -194,16 +194,63 @@ FROM events
 """
 
 
+APPROX_Q_ACCURACY = 1000  # GK sketch accuracy: rank error <= n/accuracy
+
+
 def approx_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile sketch (the bounded-memory quantile path for
-    100 TB — exact percentiles need a full sort/collect per group).
-    Approximate ⇒ rows-only; the unit test bounds the error against
-    the exact quantiles."""
+    100 TB — exact percentiles need a full sort per group) — reported
+    as a BOUNDED-ERROR AUDIT against the sketch's OWN guarantee: the
+    Greenwald-Khanna summary promises a returned element whose rank is
+    within n/accuracy of the target p·n, so the audit joins the sketch
+    answers back to the group (4-row broadcast) and checks that the
+    answer's true rank interval [count(<a)+1, count(≤a)] comes within
+    n/accuracy + 1 of p·n. A VALUE bound would be wrong here — the
+    sketch returns an actual element while an exact percentile
+    interpolates, and at small groups the top-gap makes any relative
+    value band arbitrary (measured: p99 off by >5% at sf0.001 with
+    n≈190 while the rank was EXACT). The OUTPUT is group counts plus
+    the rank-bound flags the oracle pins to 1 (VERDICT r8 item 7:
+    rows-only → driver-adjudicated error bound); deterministic — GK
+    has no RNG. At 100 TB: one combinable sketch pass + one broadcast
+    re-scan for the audit."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_percentile("value", 0.5, 1000).alias("approx_median"),
-        F.approx_percentile("value", 0.99, 1000).alias("approx_p99"),
-    )
+    sk = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.approx_percentile("value", 0.5, APPROX_Q_ACCURACY)
+        .alias("a_med"),
+        F.approx_percentile("value", 0.99, APPROX_Q_ACCURACY)
+        .alias("a_p99"))
+    ranks = (ev.join(F.broadcast(sk), "event_type")
+             .groupBy("event_type", "n_values")
+             .agg(*[agg for q in ("med", "p99") for agg in (
+                 F.sum((F.col("value") < F.col(f"a_{q}")).cast("long"))
+                 .alias(f"lo_{q}"),
+                 F.sum((F.col("value") <= F.col(f"a_{q}")).cast("long"))
+                 .alias(f"hi_{q}"))]))
+
+    def ok(q: str, p: float):
+        n = F.col("n_values").cast("double")
+        tol = n / F.lit(float(APPROX_Q_ACCURACY)) + F.lit(1.0)
+        target = F.lit(p) * n
+        # true rank set of the answer is [lo+1, hi]; the guarantee
+        # holds iff that interval reaches within tol of target
+        return ((F.col(f"lo_{q}").cast("double") + 1 <= target + tol)
+                & (F.col(f"hi_{q}").cast("double") >= target - tol)
+                ).cast("long")
+
+    return ranks.select(
+        "event_type", "n_values",
+        ok("med", 0.5).alias("median_within_bound"),
+        ok("p99", 0.99).alias("p99_within_bound"))
+
+
+APPROX_QUANTILES_SQL = """
+SELECT event_type, count(*) AS n_values,
+       CAST(1 AS BIGINT) AS median_within_bound,
+       CAST(1 AS BIGINT) AS p99_within_bound
+FROM events GROUP BY event_type
+"""
 
 
 MERGE_CUTOFF = "2024-01-16"
@@ -370,6 +417,9 @@ GROUP BY a.day
 """
 
 
+HLL_EST_BOUND = 0.05  # |estimate − exact| / exact, default lgConfigK
+
+
 def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: per-event-type HLL sketches
     of user_id, plus an 'ALL' row whose estimate comes from UNIONING
@@ -378,22 +428,47 @@ def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts at 100 TB: sketches combine map-side, re-aggregate across
     days/partitions, and the union costs bytes, not a scan.
 
-    Approximate ⇒ rows-only; the unit test bounds the estimates
-    against exact counts and checks union ≥ max(per-type).
+    Reported as a BOUNDED-ERROR AUDIT (VERDICT r8 item 7, rows-only →
+    driver-adjudicated): the Datasketches registers are
+    engine-internal, so the OUTPUT is the exact distinct per type (and
+    globally, for the union row) plus a flag asserting
+    |estimate − exact|/exact ≤ 5% — deterministic (hash-based sketch,
+    no RNG). The oracle pins the exact counts and flags=1; the union
+    row's exactness check is the strong one: the SKETCH-merged
+    estimate must land within 5% of the true GLOBAL distinct the
+    sketches never saw together.
     """
     ev = load_table(spark, sf_dir, "events")
     sketches = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.countDistinct("user_id").alias("exact_users"))
     per_type = sketches.select(
-        "event_type",
-        F.hll_sketch_estimate("sk").alias("est_users"),
-        "exact_users")
-    overall = sketches.agg(
+        "event_type", "exact_users",
+        F.hll_sketch_estimate("sk").alias("est"))
+    overall = (sketches.agg(
         F.lit("ALL").alias("event_type"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
-        F.lit(None).cast("bigint").alias("exact_users"))
-    return per_type.unionByName(overall)
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .crossJoin(F.broadcast(
+            ev.agg(F.countDistinct("user_id").alias("exact_users"))))
+        .select("event_type", "exact_users", "est"))
+    rel = (F.abs(F.col("est").cast("double")
+                 - F.col("exact_users").cast("double"))
+           / F.col("exact_users").cast("double"))
+    return (per_type.unionByName(overall)
+            .select("event_type", "exact_users",
+                    (rel <= HLL_EST_BOUND).cast("long")
+                    .alias("est_within_bound")))
+
+
+HLL_SKETCH_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       CAST(1 AS BIGINT) AS est_within_bound
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS event_type, count(DISTINCT user_id) AS exact_users,
+       CAST(1 AS BIGINT) AS est_within_bound
+FROM events
+"""
 
 
 def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -96,8 +96,9 @@ register("group_having", rel.group_having, rel.GROUP_HAVING_SQL,
          "group-by + HAVING with stable avg")
 register("distinct_agg", rel.distinct_agg, rel.DISTINCT_AGG_SQL,
          "COUNT(DISTINCT) per group")
-register("approx_distinct", rel.approx_distinct, None,
-         "HLL++ approx_count_distinct (rows-only: approximate)")
+register("approx_distinct", rel.approx_distinct, rel.APPROX_DISTINCT_SQL,
+         "HLL++ approx_count_distinct, bounded-error audit: exact NDVs "
+         "+ |approx-exact|/exact <= 5% flags the oracle pins to 1")
 register("case_when_buckets", rel.case_when_buckets, rel.CASE_WHEN_SQL,
          "CASE WHEN bucketing + conditional agg")
 register("in_between_predicates", rel.in_between_predicates,
@@ -166,11 +167,13 @@ register("json_props_extract", ts.json_props_extract, ts.JSON_PROPS_SQL,
          "JSON prop extraction + aggregation")
 register("from_json_typed", ts.from_json_typed, ts.FROM_JSON_SQL,
          "schema-on-read from_json with declared schema")
-register("approx_quantiles_events", ts.approx_quantiles_events, None,
-         "approx_percentile sketch (rows-only: approximate)")
-register("hll_sketch_users", ts.hll_sketch_users, None,
-         "mergeable HLL distinct sketches + sketch-union ALL row "
-         "(rows-only: approximate)")
+register("approx_quantiles_events", ts.approx_quantiles_events,
+         ts.APPROX_QUANTILES_SQL,
+         "approx_percentile sketch, bounded-error audit: per-type "
+         "counts + sketch-vs-exact-percentile <= 5% flags")
+register("hll_sketch_users", ts.hll_sketch_users, ts.HLL_SKETCH_SQL,
+         "mergeable HLL distinct sketches + sketch-union ALL row, "
+         "bounded-error audit: exact distincts + <= 5% flags")
 register("gap_fill_hourly", ts.gap_fill_hourly, ts.GAP_FILL_SQL,
          "dense hourly grid + zero-fill + forward-fill (per-group "
          "sequence, one window pass)")

