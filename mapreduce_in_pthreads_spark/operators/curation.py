@@ -277,13 +277,50 @@ def stratified_sample_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     time — sampling is a zero-shuffle map-side filter, so at 100 TB
     it prunes before any expensive downstream op.
 
-    Rows-only check: Spark's stratified RNG is engine-internal (no
-    DuckDB twin); the unit test pins determinism for a fixed seed,
-    per-stratum rates within binomial bounds, and subset-of-source.
+    Reported as a BOUNDED-ERROR AUDIT (VERDICT r8 item 7, rows-only →
+    driver-adjudicated): Spark's stratified RNG is engine-internal (a
+    DuckDB twin can never reproduce the drawn rows), so the OUTPUT is
+    the per-stratum census — stratum size, requested fraction, and a
+    flag asserting the realized sample count lands within ±6σ of the
+    binomial expectation n·f (σ = sqrt(n·f·(1−f)), the unit test's
+    band) — which the oracle pins exactly (counts, fraction literals,
+    flags=1). Deterministic: ``sampleBy`` with a fixed seed draws the
+    same rows every run, so the flag is stable; the drawn rows
+    themselves stay pinned by the subset/determinism unit test.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return (docs.sampleBy("lang", SAMPLE_FRACTIONS, seed=SAMPLE_SEED)
-            .select("doc_id", "lang"))
+    langs = sorted(SAMPLE_FRACTIONS)
+    sampled = (docs.sampleBy("lang", SAMPLE_FRACTIONS, seed=SAMPLE_SEED)
+               .groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled")))
+    frac = F.element_at(
+        F.create_map(*[F.lit(x) for lang in langs
+                       for x in (lang, SAMPLE_FRACTIONS[lang])]),
+        F.col("lang"))
+    totals = (docs.filter(F.col("lang").isin(langs))
+              .groupBy("lang").agg(F.count(F.lit(1)).alias("n_stratum")))
+    j = totals.join(sampled, "lang", "left").select(
+        "lang", "n_stratum", frac.alias("sample_frac"),
+        F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_s"))
+    mu = F.col("n_stratum").cast("double") * F.col("sample_frac")
+    sigma = F.sqrt(mu * (F.lit(1.0) - F.col("sample_frac")))
+    return j.select(
+        "lang", "n_stratum", "sample_frac",
+        (F.abs(F.col("n_s").cast("double") - mu)
+         <= F.lit(6.0) * sigma + F.lit(1.0)).cast("long")
+        .alias("rate_within_6sigma"))
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang, count(*) AS n_stratum,
+       CAST(CASE lang {' '.join(
+           f"WHEN '{lang}' THEN {SAMPLE_FRACTIONS[lang]}"
+           for lang in sorted(SAMPLE_FRACTIONS))} END AS DOUBLE)
+           AS sample_frac,
+       CAST(1 AS BIGINT) AS rate_within_6sigma
+FROM documents
+WHERE lang IN ({', '.join(f"'{lang}'" for lang in sorted(SAMPLE_FRACTIONS))})
+GROUP BY lang
+"""
 
 
 def deterministic_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:

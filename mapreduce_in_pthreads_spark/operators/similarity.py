@@ -204,12 +204,16 @@ def ann_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
       dominates; the gap widens with candidates × dimension — BLAS is
       the right kernel when the score matrix is the actual cost).
 
-    Rows-only for the driver: numpy's pairwise summation order differs
-    from the expression kernel's left fold, so the last float ulp can
-    differ from the SQL twin — correctness is pinned against the
-    bruteforce path instead. The query matrix is collected ONCE
-    (``N_QUERIES`` rows, bounded by design — the broadcast pattern,
-    not a data collect)."""
+    Reported as an AGREEMENT AUDIT (VERDICT r8 item 7, rows-only →
+    driver-adjudicated): numpy's pairwise summation order differs from
+    the expression kernel's left fold, so the raw cos_sim can differ
+    in the last ulp from any SQL twin — instead the OUTPUT is the
+    per-query panel (top-k size, neighbor-set-equality flag vs the
+    expression-kernel bruteforce computed in the same job, and a
+    sims-within-1e-9 flag), which the oracle pins exactly. Both paths
+    are deterministic, so the flags are stable. The query matrix is
+    collected ONCE (``N_QUERIES`` rows, bounded by design — the
+    broadcast pattern, not a data collect)."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -237,11 +241,36 @@ def ann_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_batches, "query_id bigint, vec_id bigint, cos_sim double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id"))
-    return (
+    blas = (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", "cos_sim", "rank")
+        .select("query_id", "vec_id", F.col("cos_sim").alias("c_blas"))
     )
+    expr = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "vec_id", F.col("cos_sim").alias("c_expr"))
+    j = blas.join(expr, ["query_id", "vec_id"], "full_outer")
+    both = (F.col("c_blas").isNotNull()
+            & F.col("c_expr").isNotNull()).cast("long")
+    return (j.groupBy("query_id").agg(
+        F.sum(both).alias("n_both"),
+        F.count(F.lit(1)).alias("n_union"),
+        F.max(F.abs(F.col("c_blas") - F.col("c_expr"))).alias("maxdiff"))
+        .select(
+            "query_id", F.col("n_both").alias("n_topk"),
+            (F.col("n_both") == F.col("n_union")).cast("long")
+            .alias("set_matches_expression"),
+            F.when(F.col("maxdiff").isNull(), F.lit(0))
+            .otherwise((F.col("maxdiff") <= F.lit(1e-9)).cast("int"))
+            .cast("long").alias("sims_within_tolerance")))
+
+
+ANN_TOPK_BLAS_SQL = f"""
+SELECT vec_id AS query_id,
+       CAST({TOP_K} AS BIGINT) AS n_topk,
+       CAST(1 AS BIGINT) AS set_matches_expression,
+       CAST(1 AS BIGINT) AS sims_within_tolerance
+FROM embeddings WHERE vec_id < {N_QUERIES}
+"""
 
 
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:

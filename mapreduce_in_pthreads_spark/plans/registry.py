@@ -252,7 +252,9 @@ register("curation_funnel", cu.curation_funnel, cu.CURATION_FUNNEL_SQL,
 register("integrity_audit", cu.integrity_audit, cu.INTEGRITY_AUDIT_SQL,
          "dbt-style integrity gates: FK orphans, uniqueness, null rates")
 register("stratified_sample_fractions", cu.stratified_sample_fractions,
-         None, "native sampleBy stratified sampling (rows-only: RNG)")
+         cu.STRATIFIED_SAMPLE_SQL,
+         "native sampleBy stratified sampling, bounded-error audit: "
+         "per-stratum census + 6-sigma binomial-rate flags")
 register("deterministic_sample_per_lang",
          cu.deterministic_sample_per_lang, cu.DETERMINISTIC_SAMPLE_SQL,
          "md5-ranked exact-size per-stratum sample (reproducible)")
@@ -286,9 +288,10 @@ register("label_centroid_norms", sim.label_centroid_norms,
 register("embedding_quantize_int8", sim.embedding_quantize_int8,
          sim.EMBEDDING_QUANTIZE_SQL,
          "symmetric int8 vector quantization, exact cross-engine codes")
-register("ann_topk_blas", sim.ann_topk_blas, None,
-         "BLAS/Arrow fast path for exact top-k (rows-only: float "
-         "summation order; pinned against bruteforce)")
+register("ann_topk_blas", sim.ann_topk_blas, sim.ANN_TOPK_BLAS_SQL,
+         "BLAS/Arrow fast path for exact top-k, agreement audit: "
+         "per-query set-equality + sims-within-1e-9 flags vs the "
+         "expression bruteforce")
 register("ann_lsh_topk", sim.ann_lsh_topk, sim.ANN_LSH_TOPK_SQL,
          "sign-LSH bucketed top-k over int8-quantized projections "
          "(the LSH scale path next to IVF), exact cross-engine buckets")
@@ -1510,6 +1513,15 @@ register("cramers_v_matrix", cu.cramers_v_matrix,
          "Cramer's V association matrix across the catalog's three "
          "categorical axis pairs — normalized chi2 on [0,1], the "
          "which-axes-are-entangled table for stratified sampling")
+
+# --- round-9 additions (registered BEHIND the pinned round-9 window:
+# the _ADJUDICATION_FIRST tuple below controls the driver's first-50,
+# so these wait for the round-10 rotation) -------------------------------
+register("keyframe_caption_align", mm.keyframe_caption_align,
+         mm.KEYFRAME_CAPTION_SQL,
+         "video-keyframe/caption JOINT alignment: shot-cut keyframes "
+         "mapped to the UTF-8 byte-span caption token + W-token "
+         "caption window — single mapInPandas pass, byte-exact twin")
 
 # --- adjudication-window rotation -----------------------------------------
 # The driver adjudicates only the FIRST 50 registry entries per round
