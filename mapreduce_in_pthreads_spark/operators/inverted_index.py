@@ -225,6 +225,16 @@ def rdd_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute one semantics. Python-per-row by construction; kept OFF the
     bench headline (the DataFrame flagship is the hot path, this is the
     API-parity demonstration).
+
+    Two RDD-specific scale hazards are handled explicitly (the round-9
+    sf1.0 probe caught both as a 40-minute single-core straggler):
+    the combiner MUTATES its accumulator (``acc.append`` — the
+    ``acc + [occ]`` idiom re-copies the list per element, quadratic in
+    postings-per-key, fatal on a small-vocabulary corpus), and
+    ``aggregateByKey`` gets an explicit ``defaultParallelism`` reducer
+    count — an RDD inherits the scan's file-split partitioning (2
+    parts for one 40 MB parquet), and unlike DataFrame shuffles there
+    is no AQE to re-spread it.
     """
     import re
 
@@ -237,14 +247,21 @@ def rdd_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             if w:
                 yield w, (row.doc_id, pos0 + 1)
 
+    def upsert(acc, occ):                          # uthash upsert-append
+        acc.append(occ)
+        return acc
+
+    def merge(a, b):                               # partition merge
+        a.extend(b)
+        return a
+
     docs = load_table(spark, sf_dir, "documents")
     postings = (
         docs.select("doc_id", "text").rdd
         .flatMap(tokenize)
         .aggregateByKey(
-            [],
-            lambda acc, occ: acc + [occ],          # uthash upsert-append
-            lambda a, b: a + b,                    # partition merge
+            [], upsert, merge,
+            numPartitions=spark.sparkContext.defaultParallelism,
         )
         .map(lambda kv: (
             kv[0],
