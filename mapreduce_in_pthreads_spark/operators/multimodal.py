@@ -1039,3 +1039,145 @@ SELECT bucket, count(*) AS n_images,
            AS mean_aspect
 FROM per_img GROUP BY bucket
 """
+
+
+CAPTION_W = 8  # caption window: tokens [k, k+W) around the aligned token
+
+
+def keyframe_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-keyframe ↔ caption-text JOINT operator — the multimodal
+    alignment step a video-pretraining pipeline runs after shot
+    segmentation: select each clip's keyframes (frame 0 plus every
+    ``frame_shot_boundaries`` cut), map each keyframe's byte position
+    back to the caption token whose UTF-8 byte span contains it, and
+    emit the ``CAPTION_W``-token caption window starting there — the
+    (frame, text-snippet) training pairs contrastive video-text models
+    consume. Documents play the clips under the module's convention:
+    payload = encode(text), 1 frame per ``FRAME_BYTES`` bytes; the
+    caption is the document's own token stream, so the alignment is
+    byte-faithful rather than synthetic.
+
+    Everything is exact integer/byte arithmetic: frame intensities and
+    deltas are byte sums (the ``frame_shot_boundaries`` detector);
+    token spans are cumulative ``octet_length(token) + 1`` offsets
+    (UTF-8-correct for multi-byte scripts — char offsets would
+    misalign zh); every keyframe byte position lands in exactly one
+    span because the spans tile [0, nbytes]. The DuckDB twin
+    re-derives all of it — bytes from the hex dump, spans from
+    string_split — and matches exactly.
+
+    Scale: single mapInPandas pass (the module's declared Python demo
+    class) — frames, spans and the alignment all live inside one
+    payload's batch row, so the operator is stateless per document,
+    zero-shuffle, and embarrassingly parallel; output is bounded by
+    keyframes per clip (cuts + 1), not frames × tokens — the naive
+    relational form would pay a per-doc frames×tokens range join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "text",
+                      F.encode("text", "UTF-8").alias("payload"))
+
+    def align_batches(
+            batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "byte_pos": [],
+                   "intensity": [], "token_idx": [], "caption": []}
+            for doc_id, text, payload in zip(
+                    pdf["doc_id"], pdf["text"], pdf["payload"]):
+                n_frames = max(len(payload) // FRAME_BYTES, 1)
+                keyframes = []          # (frame_idx, intensity)
+                prev = None
+                for f in range(n_frames):
+                    chunk = payload[f * FRAME_BYTES:(f + 1) * FRAME_BYTES]
+                    inten = sum(chunk)
+                    if f == 0 or (prev is not None
+                                  and abs(inten - prev)
+                                  >= SHOT_DELTA_THRESH):
+                        keyframes.append((f, inten))
+                    prev = inten
+                tokens = text.split(" ")
+                # spans[k] = first byte of token k; trailing space
+                # attaches to its token so spans tile [0, nbytes]
+                spans = [0]
+                for tok in tokens:
+                    spans.append(spans[-1]
+                                 + len(tok.encode("utf-8")) + 1)
+                k = 0
+                for f, inten in keyframes:   # frames ascend, spans too
+                    pos = f * FRAME_BYTES
+                    while spans[k + 1] <= pos:
+                        k += 1
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["byte_pos"].append(pos)
+                    out["intensity"].append(inten)
+                    out["token_idx"].append(k)
+                    out["caption"].append(
+                        " ".join(tokens[k:k + CAPTION_W]))
+            yield _pd.DataFrame(out)
+
+    return src.mapInPandas(
+        align_batches,
+        "doc_id bigint, frame_idx bigint, byte_pos bigint, "
+        "intensity bigint, token_idx bigint, caption string")
+
+
+def _keyframe_caption_sql() -> str:
+    nib = ("(strpos('0123456789abcdef', substr(hx, 2*j + {off}, 1)) - 1)")
+    byte = f"({nib.format(off=1)} * 16 + {nib.format(off=2)})"
+    return f"""
+WITH b AS (
+    SELECT doc_id, text, lower(hex(encode(text))) AS hx,
+           octet_length(encode(text)) AS nbytes
+    FROM documents
+), fr AS (
+    SELECT doc_id, text, hx, nbytes,
+           unnest(range(greatest(nbytes // {FRAME_BYTES}, 1)))
+               AS frame_idx
+    FROM b
+), inten AS (
+    SELECT doc_id, text, frame_idx,
+           CAST(list_sum(list_transform(
+               range(frame_idx * {FRAME_BYTES},
+                     least(nbytes, (frame_idx + 1) * {FRAME_BYTES})),
+               j -> {byte})) AS BIGINT) AS intensity
+    FROM fr
+), kf AS (
+    SELECT doc_id, text, frame_idx, intensity,
+           frame_idx * {FRAME_BYTES} AS byte_pos
+    FROM (
+        SELECT *, abs(intensity - lag(intensity) OVER (
+                   PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+        FROM inten
+    )
+    WHERE frame_idx = 0 OR delta >= {SHOT_DELTA_THRESH}
+), toks AS (
+    SELECT doc_id, string_split(text, ' ') AS tl FROM b
+), spans AS (
+    SELECT doc_id, k - 1 AS token_idx,
+           sum(octet_length(encode(tl[k])) + 1)
+               OVER (PARTITION BY doc_id ORDER BY k
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS off_start,
+           sum(octet_length(encode(tl[k])) + 1)
+               OVER (PARTITION BY doc_id ORDER BY k) AS off_end
+    FROM (SELECT doc_id, tl,
+                 unnest(range(1, len(tl) + 1)) AS k
+          FROM toks)
+)
+SELECT kf.doc_id, kf.frame_idx, kf.byte_pos, kf.intensity,
+       CAST(s.token_idx AS BIGINT) AS token_idx,
+       array_to_string(list_slice(t.tl, s.token_idx + 1,
+                                  s.token_idx + {CAPTION_W}), ' ')
+           AS caption
+FROM kf
+JOIN spans s ON s.doc_id = kf.doc_id
+            AND coalesce(s.off_start, 0) <= kf.byte_pos
+            AND kf.byte_pos < s.off_end
+JOIN toks t ON t.doc_id = kf.doc_id
+"""
+
+
+KEYFRAME_CAPTION_SQL = _keyframe_caption_sql()

@@ -71,6 +71,7 @@ def test_no_python_in_relational_hot_paths(spark, sf_dir):
                  "audio_rms_windows", "image_channel_stats",
                  "image_phash_groups", "audio_silence_runs",
                  "frame_shot_boundaries", "pandas_grouped_agg_gini",
+                 "keyframe_caption_align",
                  # RDD-API parity demo: Python by construction (the
                  # plan shows Scan ExistingRDD, not EvalPython)
                  "rdd_inverted_index"}
