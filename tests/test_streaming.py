@@ -455,3 +455,36 @@ def test_streaming_runs_test_parity(spark, sf_dir, tmp_path):
     got = sorted(tuple(r[c] for c in cols) for r in holder["rows"])
     want = _rows(REGISTRY["runs_test_updown"].fn(spark, sf_dir), cols)
     assert got == want
+
+
+def test_wordline_stream_stream_join_parity(spark, tmp_path):
+    """Adjacent-word pairs built by the stream-stream SELF-join over
+    the wordline source (files arriving one per micro-batch,
+    unwatermarked — per-file ordinals restart at 1, so an ordinal
+    watermark would drop later files' pairs) must equal the identical
+    logical plan in batch, multiset-exact — and must be non-trivial (pairs exist, and every
+    pair is line-adjacent with both words nonempty)."""
+    import os
+    from mapreduce_in_pthreads_spark.streaming import wordline_index as wi
+
+    corpus = "/root/reference/testfiles"
+    if not os.path.isdir(corpus):
+        pytest.skip("reference corpus not present")
+
+    q = (wi.streaming_adjacent_word_pairs(spark, corpus)
+         .writeStream.format("memory")
+         .queryName("mem_wordline_pairs").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_pairs"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = sorted(map(tuple,
+                         spark.table("mem_wordline_pairs").collect()))
+    finally:
+        q.stop()
+
+    want = sorted(map(tuple,
+                      wi.batch_adjacent_word_pairs(spark, corpus)
+                      .collect()))
+    assert len(got) > 1000
+    assert got == want
