@@ -169,11 +169,16 @@ def probe(names: list[str], big_dir: str) -> None:
         fn = REGISTRY[name].fn
         fn(spark, BASE).write.mode("overwrite").format("noop").save()  # warm
         t_small = _time_query(spark, fn, BASE)
-        fn(spark, big_dir).write.mode("overwrite").format("noop").save()
-        t_big = _time_query(spark, fn, big_dir)
+        if t_small < 5.0:
+            fn(spark, big_dir).write.mode("overwrite").format("noop").save()
+            t_big = _time_query(spark, fn, big_dir)
+        else:
+            # long enough that fixed overheads are noise: one timed run
+            # (the plan's codegen is already warm from the sf0.1 passes)
+            t_big = _time_query(spark, fn, big_dir, reps=1)
         rows.append((name, t_small, t_big, t_big / t_small))
         print(f"  {name}: sf0.1 {t_small:.3f}s  sf1.0 {t_big:.3f}s  "
-              f"ratio {t_big / t_small:.2f}x")
+              f"ratio {t_big / t_small:.2f}x", flush=True)
     print("\n| query | t(sf0.1) s | t(sf1.0) s | ratio |")
     print("| --- | --- | --- | --- |")
     for name, a, b, r in rows:
