@@ -51,8 +51,16 @@ FLAGSHIP = (
 # they deserve a fresh driver row even though they were graded before.
 # Reset this each round when the fix list changes.
 MUST: tuple[str, ...] = (
-    # (empty for round 9 — the r08 user_growth_curve re-grade is consumed;
-    # round 9's window is the full never-adjudicated backlog + flagship.)
+    # r09: the five former rows-only entries were rebuilt as audit
+    # panels WITH oracles (new output schemas) — their last driver
+    # rows grade the old shapes, so round 10 re-adjudicates them.
+    # (keyframe_caption_align, also new in r09, is never-adjudicated
+    # and enters the round-10 proposal automatically.)
+    "approx_distinct",
+    "approx_quantiles_events",
+    "hll_sketch_users",
+    "stratified_sample_fractions",
+    "ann_topk_blas",
 )
 
 
