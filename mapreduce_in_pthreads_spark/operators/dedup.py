@@ -505,7 +505,12 @@ WHERE {_HAMMING_TERMS_SQL} <= {SIMHASH_HAMMING_MAX}
 # blocked by coarse cell (the IVF quantizer stand-in), trading recall
 # for an equi-join plan — the same candidate-pruning shape as
 # minhash_lsh_dedup's band buckets.
-EMBEDDING_EXACT_MAX_ROWS = 50_000
+# Gate sized from the round-9 measured probe: the exact path is
+# n²/2 pairs × a D-dim expression cosine, so 5k rows ≈ 12.5M pairs
+# (tens of seconds); the previous 50k admitted 1.25G pairs — at the
+# probe's 20k-row sf1.0 it produced 200M pairs on the scan's 2
+# file-split partitions and ran >25 min as a single straggler task.
+EMBEDDING_EXACT_MAX_ROWS = 5_000
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

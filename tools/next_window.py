@@ -61,6 +61,9 @@ MUST: tuple[str, ...] = (
     "hll_sketch_users",
     "stratified_sample_fractions",
     "ann_topk_blas",
+    # r09: exact-vs-blocked gate re-sized (50k -> 5k) after the scale
+    # probe's straggler; output unchanged at test SFs, re-grade anyway.
+    "embedding_near_dup",
 )
 
 
