@@ -267,6 +267,7 @@ FROM staged GROUP BY lang
 
 SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.3, "es": 0.3, "fr": 0.2, "zh": 0.1}
 SAMPLE_SEED = 42
+SAMPLE_SIGMA_BAND = 6.0  # ±6σ binomial audit band on the realized rate
 SAMPLE_K = 25
 
 
@@ -306,8 +307,8 @@ def stratified_sample_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "lang", "n_stratum", "sample_frac",
         (F.abs(F.col("n_s").cast("double") - mu)
-         <= F.lit(6.0) * sigma + F.lit(1.0)).cast("long")
-        .alias("rate_within_6sigma"))
+         <= F.lit(float(SAMPLE_SIGMA_BAND)) * sigma + F.lit(1.0))
+        .cast("long").alias("rate_within_6sigma"))
 
 
 STRATIFIED_SAMPLE_SQL = f"""

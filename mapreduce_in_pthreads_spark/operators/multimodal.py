@@ -1139,10 +1139,13 @@ WITH b AS (
     FROM b
 ), inten AS (
     SELECT doc_id, text, frame_idx,
-           CAST(list_sum(list_transform(
+           -- coalesce: list_sum over an empty range is NULL in DuckDB
+           -- while the Spark/Python side sums to 0 (only reachable on a
+           -- zero-length payload; pinned same-total anyway — r9 ADVICE)
+           CAST(coalesce(list_sum(list_transform(
                range(frame_idx * {FRAME_BYTES},
                      least(nbytes, (frame_idx + 1) * {FRAME_BYTES})),
-               j -> {byte})) AS BIGINT) AS intensity
+               j -> {byte})), 0) AS BIGINT) AS intensity
     FROM fr
 ), kf AS (
     SELECT doc_id, text, frame_idx, intensity,

@@ -39,7 +39,21 @@ from ..functions.lineage import truncate_lineage
 from ..functions.vectors import dot, l2_norm
 from ..sources.tables import load_table
 
-KM_K = 8        # coarse cells
+# Coarse-cell count scales with the corpus: K = clamp(n // KM_TARGET_CELL,
+# KM_K_MIN, KM_K_MAX). A FIXED K is the one measured super-linear scaling
+# trap in this fleet (round-9 scale probe: Σ|cell|² pair work inside
+# semdedup_prune / label_knn_agreement grew ~quadratically when cells were
+# not re-trained as n grew — 41.8× / 61× under 10× data). With |cell| held
+# near KM_TARGET_CELL, within-cell pair stages do Σ|cell|² ≈ n·target work
+# — linear in n. The count is exact and deterministic, so the DuckDB twins
+# derive the SAME K from `count(*) // KM_TARGET_CELL` (Python `//` and
+# DuckDB `//` agree on non-negative integers) and stay bit-identical.
+# KM_K_MAX bounds the broadcast-literal centroid matrix in the plan; past
+# it (n > 64k vectors here) the production move is a two-level (coarse ×
+# residual) quantizer, not a bigger flat codebook.
+KM_K_MIN = 8         # floor = the original fixed K (sf<=0.01 unchanged)
+KM_K_MAX = 512       # plan-size guard for the centroid literal matrix
+KM_TARGET_CELL = 125  # aim |cell| ~= 125 so pair stages stay ~n*target
 KM_ITERS = 3    # Lloyd iterations
 KM_D = 64       # embedding dims
 N_QUERIES = 10  # vec_id < 10 serve as the query set (same as similarity.py)
@@ -51,16 +65,36 @@ _CODES_SQL = (
     "y -> abs(y))) AS DOUBLE))) AS BIGINT))")
 
 
+def km_k(n: int) -> int:
+    """Corpus-proportional coarse-cell count (see the KM_K_MIN block
+    comment). Mirrored verbatim by the oracle's scalar subquery."""
+    return max(KM_K_MIN, min(KM_K_MAX, n // KM_TARGET_CELL))
+
+
 def _coded(emb: DataFrame) -> DataFrame:
     """vec_id, embedding, int64 codes (embedding_quantize_int8 formula
     — Spark round() and DuckDB round() agree on doubles, proven by that
-    entry's green oracle)."""
+    entry's green oracle).
+
+    The relation is round-robin repartitioned to the session's
+    parallelism BEFORE the compute-heavy per-row stages: every
+    downstream consumer evaluates a K×D distance fold per row (the
+    nearest-centroid assignment — interpreted, higher-order functions
+    don't enter codegen), so inheriting the scan's file-split layout
+    (a single-file embeddings table = 1-2 partitions regardless of
+    core count) serializes exactly the stage K ∝ n makes heavier. The
+    same hazard class as round 9's RDD 2-partition reduce; measured on
+    the 10× probe. The shuffle moves vec-count rows of ~300 B — bytes-
+    trivial — and every result is order-independent (per-row maps into
+    keyed aggregations/windows)."""
     absmax = F.array_max(F.transform("embedding", F.abs))
     scale = F.lit(127.0) / absmax
     codes = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * scale)
         .cast("long"))
-    return emb.select("vec_id", "embedding", codes.alias("codes"))
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    return (emb.repartition(par)
+            .select("vec_id", "embedding", codes.alias("codes")))
 
 
 def _dist(centroid: list[float]) -> F.Column:
@@ -74,17 +108,141 @@ def _dist(centroid: list[float]) -> F.Column:
         F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _score_array(centroids: list[tuple[int, list[float]]]) -> F.Column:
+    """array<struct<dist,cell>> of code↔centroid distances, built as
+    TWO constant-foldable literal arrays (cell ids, K×D matrix) and ONE
+    shared fold lambda over the centroid index — instead of K inlined
+    copies of the 64-literal fold expression. Same float semantics (the
+    per-centroid sequential ``_dist`` fold, struct tie-break on cell);
+    ~K× smaller plan tree, which matters now that K scales with the
+    corpus (at K=160 the inlined form pushed Catalyst analysis + codegen
+    into minutes per job — measured on the 10× probe)."""
+    cells = F.array(*[F.lit(int(cell)) for cell, _ in centroids])
+    matrix = F.array(*[
+        F.array(*[F.lit(float(v)) for v in c]) for _, c in centroids])
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    return F.transform(idx, lambda i: F.struct(
+        F.aggregate(
+            F.zip_with(F.col("codes").cast("array<double>"),
+                       F.element_at(matrix, i + F.lit(1)),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x).alias("dist"),
+        F.element_at(cells, i + F.lit(1)).alias("cell")))
+
+
+# Kernel gate for the nearest-centroid assignment. Up to this many
+# cells the assignment is a pure JVM expression (zero Python in the
+# plan — the committed SFs all train K ≤ 16, so every budget-pinned
+# plan stays on this path). Beyond it the K×D distance work is dense
+# linear algebra that Spark's expression layer executes INTERPRETED
+# (higher-order lambdas never enter codegen: measured ~ms/row at
+# K=160 = minutes per pass at 20k rows; the lambda-free expansion
+# instead breaks janino's 64 KB method limit), so large K switches to
+# a vectorized Arrow kernel — the same adaptive-kernel move as
+# `embedding_near_dup`'s exact-vs-blocked gate, and the production
+# answer (FAISS assignment is a BLAS kernel, not a relational op).
+# Bit-exactness across the gate is guaranteed by construction — the
+# kernel accumulates dimension-sequentially, replaying the fold's
+# (((0+t1)+t2)+…) IEEE order — and pinned by
+# tests/test_quantizer.py::test_arrow_assignment_matches_expression.
+KM_EXPR_MAX_K = 32
+
+
+def _assign_arrow(coded: DataFrame,
+                  centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Vectorized Arrow twin of the expression assignment: per batch,
+    accumulate squared-distance terms dimension-by-dimension (the exact
+    float-op sequence of the ``_dist`` fold, vectorized across rows ×
+    cells), then argmin — numpy's first-minimum tie-break equals the
+    oracle's ORDER BY dist, cell because ``centroids`` is sorted by
+    cell id."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cells = [int(c) for c, _ in centroids]
+    assert cells == sorted(cells), "tie-break needs cell-sorted centroids"
+    matrix = [[float(v) for v in c] for _, c in centroids]
+    # copy — StructType.add MUTATES the DataFrame's cached schema object
+    schema = StructType(list(coded.schema.fields)
+                        + [StructField("cell", IntegerType())])
+
+    def batches(it):
+        import numpy as _np
+
+        C = _np.asarray(matrix, dtype="float64")          # K×D
+        cl = _np.asarray(cells, dtype="int64")
+        for pdf in it:
+            if not len(pdf):
+                continue
+            E = _np.asarray([_np.asarray(x, dtype="float64")
+                             for x in pdf["codes"]])      # b×D
+            acc = _np.zeros((len(E), len(cl)))
+            for k in range(C.shape[1]):
+                d = E[:, k, None] - C[None, :, k]
+                acc += d * d  # same (((0+t1)+t2)+…) order as the fold
+            pdf = pdf.copy()
+            pdf["cell"] = cl[acc.argmin(axis=1)].astype("int32")
+            yield pdf
+
+    return coded.mapInPandas(batches, schema)
+
+
 def _assign(coded: DataFrame,
             centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """Nearest-centroid assignment: broadcast the K×D centroid matrix
     as literals, argmin via array_min over (dist, cell) structs —
     struct comparison tie-breaks on cell exactly like the oracle's
-    ORDER BY dist, cell."""
-    scores = F.array(*[
-        F.struct(_dist(c).alias("dist"), F.lit(int(cell)).alias("cell"))
-        for cell, c in centroids
-    ])
-    return coded.withColumn("cell", F.array_min(scores)["cell"])
+    ORDER BY dist, cell. Above ``KM_EXPR_MAX_K`` cells the same math
+    runs in the vectorized Arrow kernel (see the gate comment)."""
+    if len(centroids) <= KM_EXPR_MAX_K:
+        return coded.withColumn(
+            "cell", F.array_min(_score_array(centroids))["cell"])
+    return _assign_arrow(coded, centroids)
+
+
+def _silhouette_arrow(coded: DataFrame,
+                      centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Large-K Arrow twin of the silhouette distance columns: own cell
+    (argmin, same tie-break as ``_assign_arrow``), da = sqrt(dist to
+    own centroid), db = sqrt(nearest OTHER centroid) — same
+    dimension-sequential accumulation, np.sqrt is the same IEEE-
+    correctly-rounded sqrt as F.sqrt."""
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
+
+    cells = [int(c) for c, _ in centroids]
+    assert cells == sorted(cells), "tie-break needs cell-sorted centroids"
+    matrix = [[float(v) for v in c] for _, c in centroids]
+    schema = StructType(list(coded.schema.fields)
+                        + [StructField("own", IntegerType()),
+                           StructField("da", DoubleType()),
+                           StructField("db", DoubleType())])
+
+    def batches(it):
+        import numpy as _np
+
+        C = _np.asarray(matrix, dtype="float64")
+        cl = _np.asarray(cells, dtype="int64")
+        for pdf in it:
+            if not len(pdf):
+                continue
+            E = _np.asarray([_np.asarray(x, dtype="float64")
+                             for x in pdf["codes"]])
+            acc = _np.zeros((len(E), len(cl)))
+            for k in range(C.shape[1]):
+                d = E[:, k, None] - C[None, :, k]
+                acc += d * d
+            idx = acc.argmin(axis=1)
+            rows = _np.arange(len(E))
+            da2 = acc[rows, idx]
+            acc[rows, idx] = _np.inf  # db = nearest OTHER centroid
+            db2 = acc.min(axis=1)
+            pdf = pdf.copy()
+            pdf["own"] = cl[idx].astype("int32")
+            pdf["da"] = _np.sqrt(da2)
+            pdf["db"] = _np.sqrt(db2)
+            yield pdf
+
+    return coded.mapInPandas(batches, schema)
 
 
 # Trained-artifact memo (a tiny in-process model registry): training
@@ -122,10 +280,13 @@ def _train(spark: SparkSession, sf_dir: str):
     if key in _TRAIN_MEMO:
         cents_prev, cents, counts = _TRAIN_MEMO[key]
         return coded, cents_prev, cents, counts
+    # K scales with the corpus (one exact metadata-cheap count, memoized
+    # with the trained centroids) — the round-9 probe's fixed-K fix.
+    k = km_k(emb.count())
     seeds = (
         coded.withColumn(
             "r", F.md5(F.col("vec_id").cast("string").cast("binary")))
-        .orderBy("r", "vec_id").limit(KM_K).select("codes").collect())
+        .orderBy("r", "vec_id").limit(k).select("codes").collect())
     cents = [(i, [float(v) for v in row.codes])
              for i, row in enumerate(seeds)]
     cents_prev = cents
@@ -361,7 +522,10 @@ cents0 AS (
                                   vec_id) AS rn,
                list_transform(codes, x -> CAST(x AS DOUBLE)) AS c
         FROM coded
-    ) WHERE rn <= {KM_K}
+    ) WHERE rn <= (SELECT greatest({KM_K_MIN},
+                                   least({KM_K_MAX},
+                                         count(*) // {KM_TARGET_CELL}))
+                   FROM coded)
 ),{_iteration_ctes()}
 """
 
@@ -692,9 +856,7 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded, _, cents_final, _ = _train(spark, sf_dir)
     assigned = _assign(coded, cents_final).withColumn(
         "nrm", l2_norm("embedding"))
-    scores = F.array_sort(F.array(*[
-        F.struct(_dist(c).alias("dist"), F.lit(int(cell)).alias("cell"))
-        for cell, c in cents_final]))
+    scores = F.array_sort(_score_array(cents_final))
     probes = F.transform(F.slice(scores, 1, NPROBE), lambda s: s["cell"])
     q = (coded.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"),
@@ -1011,16 +1173,17 @@ def silhouette_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. The degenerate max(a,b)=0 guard (a vector EQUAL to two
     centroids) returns 0 identically on both engines."""
     coded, cents_prev, _, _ = _train(spark, sf_dir)
-    scores = F.array(*[
-        F.struct(_dist(c).alias("dist"), F.lit(int(cell)).alias("cell"))
-        for cell, c in cents_prev
-    ])
-    best = F.array_min(scores)
-    rows = (coded.withColumn("own", best["cell"])
-            .withColumn("da", F.sqrt(best["dist"]))
-            .withColumn("db", F.sqrt(F.array_min(
-                F.filter(scores,
-                         lambda s: s["cell"] != F.col("own")))["dist"]))
+    if len(cents_prev) <= KM_EXPR_MAX_K:
+        scores = _score_array(cents_prev)
+        best = F.array_min(scores)
+        rows = (coded.withColumn("own", best["cell"])
+                .withColumn("da", F.sqrt(best["dist"]))
+                .withColumn("db", F.sqrt(F.array_min(
+                    F.filter(scores,
+                             lambda s: s["cell"] != F.col("own")))["dist"])))
+    else:  # large-K: the gated Arrow kernel (KM_EXPR_MAX_K comment)
+        rows = _silhouette_arrow(coded, cents_prev)
+    rows = (rows
             .withColumn("s", F.when(
                 F.greatest("da", "db") > 0,
                 F.round((F.col("db") - F.col("da"))

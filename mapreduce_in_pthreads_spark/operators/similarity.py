@@ -188,6 +188,9 @@ FROM per_dim GROUP BY label
 """
 
 
+BLAS_SIM_TOL = 1e-9  # |blas − expression| agreement band (ulp-order)
+
+
 def ann_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k again, on the FAST scoring path: Arrow batches into
     numpy, one BLAS matrix multiply per batch against the broadcast
@@ -260,7 +263,8 @@ def ann_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_both") == F.col("n_union")).cast("long")
             .alias("set_matches_expression"),
             F.when(F.col("maxdiff").isNull(), F.lit(0))
-            .otherwise((F.col("maxdiff") <= F.lit(1e-9)).cast("int"))
+            .otherwise((F.col("maxdiff") <= F.lit(float(BLAS_SIM_TOL)))
+                       .cast("int"))
             .cast("long").alias("sims_within_tolerance")))
 
 

@@ -195,6 +195,7 @@ FROM events
 
 
 APPROX_Q_ACCURACY = 1000  # GK sketch accuracy: rank error <= n/accuracy
+APPROX_Q_SLACK = 1.0      # +1-rank slack on the audit band (boundary ties)
 
 
 def approx_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,7 +232,8 @@ def approx_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ok(q: str, p: float):
         n = F.col("n_values").cast("double")
-        tol = n / F.lit(float(APPROX_Q_ACCURACY)) + F.lit(1.0)
+        tol = (n / F.lit(float(APPROX_Q_ACCURACY))
+               + F.lit(float(APPROX_Q_SLACK)))
         target = F.lit(p) * n
         # true rank set of the answer is [lo+1, hi]; the guarantee
         # holds iff that interval reaches within tol of target

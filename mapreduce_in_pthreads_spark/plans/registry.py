@@ -1532,57 +1532,52 @@ register("keyframe_caption_align", mm.keyframe_caption_align,
 # NOT listed keep their thematic order after the window — nothing is
 # ever dropped from queries()/oracle_sql().
 #
-# ROUND-9 WINDOW (registry at 347; 303 ever adjudicated, 44 never,
-# per CORRECTNESS_r01..r08): the plain `python tools/next_window.py`
-# proposal verbatim — all 44 never-adjudicated entries in thematic
-# order (the 25-entry round-7 backlog `gumbel_return_levels` ..
-# `markov_temporal_holdout` plus the 19 round-8 additions
-# `sliding_window_dau` .. `cramers_v_matrix`), then the flagship six
-# re-proof (`inverted_index` .. `rdd_inverted_index`, displaced since
-# round 6 and due a fresh row). 44 + 6 = 50 EXACTLY, zero filler —
-# consuming this window completes FULL-REGISTRY adjudication: every
-# one of the 347 entries driver-graded at least once. Because the
-# math has zero slack, round 9 registers NO new entries ahead of the
-# driver run (any round-9 additions land BEHIND the window, after
-# this tuple, and wait for round 10). Validate with `--check`.
+# ROUND-10 WINDOW (registry at 348; 347 ever adjudicated, 1 never, per
+# CORRECTNESS_r01..r09): the plain `python tools/next_window.py`
+# proposal verbatim — the 6 MUST re-grades first (the five former
+# rows-only entries rebuilt as oracle-pinned audit panels in round 9,
+# whose last driver rows grade the OLD shapes: `approx_distinct`,
+# `approx_quantiles_events`, `hll_sketch_users`,
+# `stratified_sample_fractions`, `ann_topk_blas`; plus
+# `embedding_near_dup`, whose exact-path gate was resized 50k->5k
+# after its round-9 grade), then the one never-adjudicated entry
+# (`keyframe_caption_align`, round 9's addition), then 43 filler slots
+# chosen OLDEST-GRADE-FIRST (all r01/r02 grades — the new age-based
+# rotation policy in tools/next_window.py; flagship re-proof now rides
+# the same age schedule instead of consuming slots every round, having
+# just gone green in r09). Consuming this window restores
+# zero-verification-debt: every entry graded on its CURRENT shape.
+# Validate with `--check`.
 _ADJUDICATION_FIRST: tuple[str, ...] = (
-    "gumbel_return_levels", "decile_lift_table", "kruskal_wallis_sources",
-    "trend_mann_kendall", "mcnemar_dedup_methods", "skyline_pareto_docs",
-    "wilson_ci_rates", "capture_recapture_users", "jackknife_ratio_variance",
-    "eb_shrinkage_rates", "kaplan_meier_conversion", "logrank_conversion_arms",
-    "snapshot_diff_audit", "kmv_distinct_sketch", "conformal_interval_coverage",
-    "lsh_parameter_planner", "readability_forcast", "mann_whitney_auc",
-    "data_expectations_audit", "broadcast_join_advisor", "t_closeness_audit",
-    "adamic_adar_links", "acf_correlogram", "cusum_changepoint",
-    "markov_temporal_holdout", "sliding_window_dau", "fellegi_sunter_linkage",
-    "curriculum_interleave", "label_propagation_round", "grouped_ols_fit",
-    "dbscan_grid_core", "rake_keyphrases", "hill_tail_index",
-    "nelson_aalen_hazard", "runs_test_updown", "entropy_rate_markov",
-    "median_of_means", "power_mde_planner", "sprt_sequential_ab",
-    "burrows_delta_stylometry", "fleiss_kappa_dedup", "token_budget_planner",
-    "kmeans_coreset_weights", "cramers_v_matrix", "inverted_index",
-    "word_count", "doc_frequency", "corpus_stats",
-    "index_top_docs", "rdd_inverted_index",
+    "approx_distinct", "approx_quantiles_events", "hll_sketch_users",
+    "stratified_sample_fractions", "ann_topk_blas", "embedding_near_dup",
+    "keyframe_caption_align", "q1_pricing_summary", "q6_forecast_revenue",
+    "top_k_orders", "group_having", "distinct_agg",
+    "case_when_buckets", "in_between_predicates", "scalar_string_fns",
+    "date_functions", "rollup_status_priority", "cube_flag_status",
+    "set_union_all", "set_intersect", "set_except",
+    "set_intersect_all", "set_except_all", "revenue_by_nation",
+    "customer_order_stats", "customers_with_big_orders", "customers_without_orders",
+    "orders_with_heavy_items", "self_join_part_pairs", "top_orders_per_customer",
+    "running_customer_spend", "moving_avg_spend", "nation_share_of_region",
+    "map_functions", "explode_outer_rare_words", "purchases_with_prior_clicks",
+    "event_lag_lead", "tumbling_hourly", "sliding_2h_1h",
+    "session_windows_30m", "dedup_events_in_window", "json_props_extract",
+    "from_json_typed", "gap_fill_hourly", "merge_upsert_latest",
+    "value_histogram", "modal_event_type", "weekly_retention",
+    "variant_props_extract", "exact_dedup",
 )
 
-# ROUND-6 PREP: the window above covers 43 never-adjudicated entries +
-# simhash_fingerprints; ~81 never-adjudicated remain at 247 entries
-# (sql_surface / advanced / stats leftovers plus the 15 round-5
-# session additions: gini_key_skew, simhash_hamming_dedup,
-# winsorized_robust_stats, kcenter_seeds, embedding_centroid_drift,
-# edit_distance_name_pairs, ranker_rank_correlation, rfm_segmentation,
-# kl_divergence_by_source, dedup_method_agreement,
-# hard_negatives_mining, ndcg_eval_ivf, ab_split_welch_ttest,
-# join_fanout_profile, forget_customer_purge_audit — all contract-green at sf0.001/0.01/0.1).  Do
-# NOT hand-curate the next rotation from comments — run
+# ROTATION POLICY (since round 10, full-registry adjudication done):
+# do NOT hand-curate this tuple — run
 #     python tools/next_window.py --must <entries whose code changed>
 # which derives coverage debt from the committed CORRECTNESS_r*.json
-# files and the registry itself, proposes the next 50-name tuple, and
-# (with --check) validates whatever is pasted here: exactly 50 names,
-# no duplicates, no typos, no slot wasted on an already-adjudicated
-# entry outside the flagship/--must set.  The leftovers now exceed one
-# round: drop the flagship from the round-6 window (it will have had 5
-# consecutive green rounds) and finish the tail in round 7.
+# files and the registry itself: MUST re-grades lead, then any
+# never-adjudicated entries, then OLDEST-GRADE-FIRST filler, so every
+# entry re-proves within ~ceil(348/50) = 7 rounds.  `--check` validates
+# whatever is pasted here (exactly 50 names, no duplicates, no typos,
+# no entry outside the window staler than non-MUST filler inside it)
+# and prints the fleet's max staleness.
 
 
 def _reorder_for_adjudication(first: tuple[str, ...]) -> None:

@@ -11,9 +11,10 @@ import math
 
 import numpy as np
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from mapreduce_in_pthreads_spark.operators.quantizer import (
-    KM_ITERS, KM_K, ann_ivf_trained_topk, kmeans_quantizer_cells)
+    KM_ITERS, ann_ivf_trained_topk, km_k, kmeans_quantizer_cells)
 from mapreduce_in_pthreads_spark.plans.registry import REGISTRY
 
 from .conftest import SF_SMOKE
@@ -40,7 +41,7 @@ def _train_reference(codes: dict[int, np.ndarray]):
         }
 
     seeds = sorted(codes, key=lambda vid: (
-        hashlib.md5(str(vid).encode()).hexdigest(), vid))[:KM_K]
+        hashlib.md5(str(vid).encode()).hexdigest(), vid))[:km_k(len(codes))]
     cents = [(i, codes[vid].astype(np.float64)) for i, vid in
              enumerate(seeds)]
     assign: dict[int, int] = {}
@@ -59,7 +60,7 @@ def _train_reference_prev(codes: dict[int, np.ndarray]) -> dict:
     (iteration KM_ITERS-1's update) — what the quantizer module hands
     out as ``cents_prev`` and silhouette_cells measures against."""
     seeds = sorted(codes, key=lambda vid: (
-        hashlib.md5(str(vid).encode()).hexdigest(), vid))[:KM_K]
+        hashlib.md5(str(vid).encode()).hexdigest(), vid))[:km_k(len(codes))]
     cents = [(i, codes[vid].astype(np.float64)) for i, vid in
              enumerate(seeds)]
     for _ in range(KM_ITERS - 1):
@@ -193,6 +194,38 @@ def test_pq_adc_tracks_code_space_exact(spark):
     approx, true = np.array(approx), np.array(true)
     assert np.corrcoef(approx, true)[0, 1] > 0.4  # measured ~0.60
     assert float(np.mean(np.abs(approx - true) / true)) < 0.6  # ~0.36
+
+
+def test_arrow_assignment_matches_expression(spark, monkeypatch):
+    """The large-K Arrow kernel must be BIT-IDENTICAL to the JVM
+    expression assignment (same dimension-sequential IEEE fold, same
+    argmin tie-break): force the Arrow path at the smoke SF and compare
+    every (vec_id, cell) row, plus the silhouette distance columns."""
+    from mapreduce_in_pthreads_spark.operators import quantizer as qz
+
+    coded, cents_prev, cents_final, _ = qz._train(spark, SF_SMOKE)
+    expr = {r.vec_id: r.cell
+            for r in qz._assign(coded, cents_final)
+            .select("vec_id", "cell").collect()}
+    monkeypatch.setattr(qz, "KM_EXPR_MAX_K", 0)  # force the Arrow kernel
+    arrow = {r.vec_id: r.cell
+             for r in qz._assign(coded, cents_final)
+             .select("vec_id", "cell").collect()}
+    assert expr == arrow
+
+    sil = {r.vec_id: (r.own, r.da, r.db)
+           for r in qz._silhouette_arrow(coded, cents_prev)
+           .select("vec_id", "own", "da", "db").collect()}
+    scores = qz._score_array(cents_prev)
+    best = F.array_min(scores)
+    ref = {r.vec_id: (r.own, r.da, r.db) for r in
+           coded.withColumn("own", best["cell"])
+           .withColumn("da", F.sqrt(best["dist"]))
+           .withColumn("db", F.sqrt(F.array_min(
+               F.filter(scores,
+                        lambda s: s["cell"] != F.col("own")))["dist"]))
+           .select("vec_id", "own", "da", "db").collect()}
+    assert sil == ref  # exact float equality, not approx
 
 
 def test_train_memo_equals_fresh_training(spark):

@@ -35,16 +35,22 @@ def test_current_window_is_valid():
     paths = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
     if paths and set(json.load(open(paths[-1]))) == set(win):
         return
-    # No slot is wasted: every entry is flagship, a MUST re-grade
-    # (code/oracle changed since its last adjudication), or has never
-    # faced the driver. (The flagship six need not LEAD the window —
-    # rounds 7-8 deliberately spend their slots on backlog, per
-    # VERDICT r6 item 2 / r7 item 1 — but any already-adjudicated
-    # non-flagship non-MUST entry in the window is burned coverage.)
+    # Age-rotation invariant (policy since round 10, full-registry
+    # adjudication done): never-adjudicated entries are always in, and
+    # no entry OUTSIDE the window may have a strictly older grade than
+    # a non-MUST filler entry INSIDE it — the tools/next_window.py
+    # --check rule, re-asserted here so the suite catches a hand-edited
+    # rotation that burns coverage.
+    # (never-adjudicated entries outside are exempt: new operators land
+    # BEHIND a pinned mid-round window by design and lead the next
+    # rotation via propose()).
     seen = nw.adjudication_history()
-    wasted = [n for n in win if n in seen
-              and n not in nw.FLAGSHIP and n not in nw.MUST]
-    assert not wasted
+    inside = {n: seen.get(n, 0) for n in win if n not in nw.MUST}
+    outside = {n: seen[n] for n in names if n not in win and n in seen}
+    if inside and outside:
+        assert min(outside.values()) >= max(inside.values()), (
+            "graded entries outside the window are staler than filler "
+            "inside")
 
 
 def test_registry_order_matches_source():
@@ -63,9 +69,18 @@ def test_proposal_fills_window_without_waste():
     assert len(win) == nw.WINDOW
     assert len(set(win)) == nw.WINDOW
     never = [n for n in names if n not in seen]
-    # every non-flagship non-MUST slot goes to never-adjudicated work
-    # while any remains
-    non_flag = [n for n in win
-                if n not in nw.FLAGSHIP and n not in nw.MUST]
-    if len(never) >= len(non_flag):
-        assert all(n in never for n in non_flag)
+    # every non-MUST slot goes to never-adjudicated work while any
+    # remains; after that, filler is oldest-grade-first
+    non_must = [n for n in win if n not in nw.MUST]
+    if len(never) >= len(non_must):
+        assert all(n in never for n in non_must)
+    else:
+        assert all(n in non_must for n in never), (
+            "never-adjudicated entries must always be proposed")
+        filler = [n for n in non_must if n in seen]
+        if filler:
+            newest_in = max(seen[n] for n in filler)
+            outside = [seen[n] for n in names
+                       if n not in win and n in seen]
+            if outside:
+                assert min(outside) >= newest_in

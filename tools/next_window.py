@@ -11,10 +11,14 @@ tool derives everything from the committed artifacts:
     thing the driver sees, so typos are impossible);
   * adjudication history    — union of every ``CORRECTNESS_r*.json`` at the
     repo root, keeping the LATEST round each entry was seen;
-  * the proposed window     — flagship entries first (always re-proven),
-    then ``--must`` names (code changed this round — deserves a fresh row),
-    then never-adjudicated entries in registry-thematic order, then the
-    stalest previously-green entries as filler.
+  * the proposed window     — ``--must`` names first (code changed this
+    round — deserves a fresh row), then never-adjudicated entries in
+    registry-thematic order, then OLDEST-GRADE-FIRST filler: every
+    remaining slot goes to the entry whose last driver grade is stalest
+    (ties broken by registry order).  With a 348-entry registry and a
+    50-slot window this guarantees every entry re-proves within ~7
+    rounds; flagship entries rotate back in on the same age schedule
+    rather than consuming a slot every round.
 
 Usage:
     python tools/next_window.py                  # report + proposed window
@@ -22,8 +26,10 @@ Usage:
     python tools/next_window.py --must simhash_fingerprints ...
 
 ``--check`` exits non-zero if the current ``_ADJUDICATION_FIRST`` contains a
-duplicate, is not exactly WINDOW entries, or wastes a slot on an entry that
-is neither flagship, never-adjudicated, nor listed in ``--must``.
+duplicate, is not exactly WINDOW entries, or violates the age rotation: an
+entry outside the window has a strictly older grade than a non-MUST filler
+entry inside it.  It also prints the fleet's maximum staleness (rounds since
+the oldest grade) so rotation health is visible at a glance.
 """
 
 from __future__ import annotations
@@ -37,15 +43,6 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
-
-# The reference-parity flagship — re-proven whenever window slots remain
-# after the never-adjudicated backlog (rounds 6-8 deliberately displace
-# them: they carry many consecutive green rounds on unchanged code, and a
-# backlog slot is worth more than a seventh green row).
-FLAGSHIP = (
-    "inverted_index", "word_count", "doc_frequency", "corpus_stats",
-    "index_top_docs", "rdd_inverted_index",
-)
 
 # Entries whose code or oracle changed since their last adjudication —
 # they deserve a fresh driver row even though they were graded before.
@@ -117,12 +114,9 @@ def propose(names: list[str], seen: dict[str, int], must: list[str]) -> list[str
             break
         if n not in seen and n not in window:
             window.append(n)
-    for n in FLAGSHIP:  # flagship re-proof when slots remain
-        if len(window) >= WINDOW:
-            break
-        if n not in window:
-            window.append(n)
-    if len(window) < WINDOW:  # filler: stalest previously-adjudicated first
+    # Filler: oldest grade first (stable on registry order for ties), so
+    # every entry re-proves within ceil(len(names)/WINDOW) rounds.
+    if len(window) < WINDOW:
         for n in sorted(names, key=lambda n: seen.get(n, 0)):
             if len(window) >= WINDOW:
                 break
@@ -174,16 +168,39 @@ def main() -> int:
                   "post-round state; rotate with `python tools/"
                   "next_window.py` before the next driver run")
         else:
-            wasted = [n for n in win if n in seen and n not in FLAGSHIP
-                      and n not in MUST and n not in args.must]
-            if wasted:
-                errors.append(
-                    "slots re-spent on already-adjudicated entries not in "
-                    f"--must: {wasted}")
+            # Age-rotation invariant: no GRADED entry OUTSIDE the window
+            # may be strictly staler than a non-MUST filler entry INSIDE
+            # it. MUST entries are exempt (a code change outranks age);
+            # never-adjudicated entries outside the window are exempt
+            # too — new operators land BEHIND a pinned mid-round window
+            # by design (the registry's round-N additions convention)
+            # and lead the very next rotation via propose().
+            inside = {n: seen.get(n, 0) for n in win
+                      if n not in MUST and n not in args.must}
+            outside = {n: seen[n] for n in names
+                       if n not in win and n in seen}
+            if inside and outside:
+                newest_in = max(inside.values())
+                stalest_out = min(outside.values())
+                if stalest_out < newest_in:
+                    displaced = sorted(
+                        n for n, r in outside.items() if r < newest_in)
+                    errors.append(
+                        "age rotation violated: entries outside the window "
+                        f"have older grades (r{stalest_out}) than filler "
+                        f"inside it (r{newest_in}); displaced: {displaced}")
         covered = [n for n in win if n not in seen]
         print(f"current window: {len(win)} entries, "
               f"{len(covered)} never-adjudicated covered, "
               f"{len(never) - len(covered)} left for later rounds")
+        if seen:
+            latest_rnd = max(seen.values())
+            graded = {n: seen[n] for n in names if n in seen}
+            oldest_rnd = min(graded.values())
+            oldest = sorted(n for n, r in graded.items() if r == oldest_rnd)
+            print(f"max staleness: {latest_rnd - oldest_rnd} rounds "
+                  f"(oldest grade r{oldest_rnd:02d} on {len(oldest)} "
+                  f"entries, e.g. {oldest[:4]})")
         for e in errors:
             print(f"ERROR: {e}")
         return 1 if errors else 0

@@ -97,8 +97,15 @@ def synth(out: str) -> None:
                     event_type, value, props
              FROM {t['events']}, {rep}""", "events")
 
-    n_docs = con.execute(
-        f"SELECT count(*) FROM {t['documents']}").fetchone()[0]
+    n_docs, min_id, max_id = con.execute(
+        f"SELECT count(*), min(doc_id), max(doc_id) "
+        f"FROM {t['documents']}").fetchone()
+    # The splice partner join below computes (doc_id + 37i) % n_docs and
+    # INNER-joins it back to doc_id — it silently drops rows unless
+    # doc_id is exactly the contiguous range 0..n_docs-1 (r9 ADVICE).
+    assert (min_id, max_id) == (0, n_docs - 1), (
+        f"documents.doc_id must be contiguous 0..n-1 for the splice "
+        f"(got min={min_id}, max={max_id}, n={n_docs})")
     copy(f"""
         WITH spliced AS (
             SELECT a.doc_id + rep.i * {STRIDE} AS doc_id,
@@ -145,6 +152,11 @@ def rank(top: int) -> None:
     from mapreduce_in_pthreads_spark.plans.registry import REGISTRY
 
     spark = _bench_session()
+    # Warm the JVM/codegen/IO stack before the timed sweep (bench.py's
+    # warm-up discipline) — otherwise the first entries absorb session
+    # startup and the "slowest N" ranking is biased (r9 ADVICE).
+    warm = next(iter(REGISTRY.values()))
+    warm.fn(spark, BASE).write.mode("overwrite").format("noop").save()
     times: dict[str, float] = {}
     for name, q in REGISTRY.items():
         try:
