@@ -1184,3 +1184,168 @@ JOIN toks t ON t.doc_id = kf.doc_id
 
 
 KEYFRAME_CAPTION_SQL = _keyframe_caption_sql()
+
+
+# --- audio-fingerprint retrieval (round 10) --------------------------------
+# Landmark parameters. A fingerprint is built from each CONSECUTIVE pair
+# of full AUDIO_WIN-sample analysis windows (the audio_rms_windows PCM
+# convention): fp = band(peak_1) · 2^9  +  band(peak_2) · 2^4  +
+# Δpos/4, where band(v) = (v + 32768) >> FP_BAND_SHIFT quantizes the
+# int16 peak into 32 energy bands and Δpos is the peak-position offset
+# modulo AUDIO_WIN — the Shazam-style (anchor, target, time-delta)
+# landmark hash, all-integer so both engines agree bit-exactly.
+FP_MAX_WIN = 4       # fingerprint at most the first 4 full windows
+FP_BAND_SHIFT = 11   # peak band = (pv + 32768) >> 11 ∈ [0, 32)
+FP_DPOS_SHIFT = 2    # Δpos bucket = ((pp2-pp1) mod WIN) >> 2 ∈ [0, 16)
+N_AUDIO_QUERIES = 8  # doc_id < 8 form the query clip set
+FP_TOP_K = 5         # matches reported per query clip
+
+
+def audio_fingerprint_retrieval(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval by AUDIO fingerprint — the second half of
+    the multimodal alignment pair (``keyframe_caption_align`` aligns
+    video keyframes to caption text; this aligns audio clips to the
+    documents that contain matching audio): each payload is read as the
+    module's PCM int16-LE stream (``audio_rms_windows`` convention),
+    per-window peak landmarks are hashed into Shazam-style
+    (band₁, band₂, Δpos) fingerprints, and query clips (doc_id <
+    ``N_AUDIO_QUERIES``) retrieve their top-``FP_TOP_K`` matching
+    documents by shared-fingerprint count — the audio-dedup /
+    find-the-source primitive a multimodal curation pipeline runs
+    before pairing transcripts with clips.
+
+    Everything is exact integer arithmetic: samples are parsed from the
+    payload's hex dump with pure JVM expressions (``conv`` on two-nibble
+    substrings — deliberately NO Python in this plan, demonstrating
+    that even the byte-level feature extraction the mapInPandas demos
+    do in numpy can stay JVM-side), peaks tie-break to the FIRST
+    position via ``array_position``, and the landmark hash packs three
+    small non-negative integers, so the DuckDB twin (same hex-nibble
+    parse, ``list_position`` has identical first-match semantics)
+    matches bit-for-bit.
+
+    Scale: extraction is per-row expression work at scan speed (zero
+    shuffle); the fingerprint relation is lineage-cut ONCE because it
+    feeds both join sides (the simhash/band-join discipline); matching
+    is an equi-join on the fingerprint value — the inverted-index
+    retrieval shape, never all-pairs — with the bounded query side
+    (≤ N_AUDIO_QUERIES · (FP_MAX_WIN−1) rows) broadcast, so the
+    corpus never shuffles for the join; scoring is one combinable
+    aggregation and the top-k window partitions by query clip. At
+    100 TB the fingerprint posting lists are the sharding unit, exactly
+    like the flagship inverted index (mapreduce.c:117's one exchange).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.lineage import truncate_lineage
+
+    docs = load_table(spark, sf_dir, "documents")
+    pay = F.encode("text", "UTF-8")
+    hx = F.lower(F.hex(pay))
+    n_win = F.least(F.shiftright(F.shiftright(F.length(pay), 1),
+                                 6),  # full 64-sample windows only
+                    F.lit(FP_MAX_WIN))
+
+    def sample(k: F.Column) -> F.Column:
+        lo = F.conv(F.substring(hx, k * 4 + 1, 2), 16, 10).cast("long")
+        hi = F.conv(F.substring(hx, k * 4 + 3, 2), 16, 10).cast("long")
+        u = lo + F.lit(256) * hi
+        return F.when(u >= 32768, u - 65536).otherwise(u)
+
+    def peak(w: F.Column) -> F.Column:
+        vals = F.transform(
+            F.sequence(w * AUDIO_WIN, w * AUDIO_WIN + AUDIO_WIN - 1),
+            sample)
+        pv = F.array_max(vals)
+        return F.struct(pv.alias("pv"),
+                        (F.array_position(vals, pv) - 1).alias("pp"))
+
+    # empty-safe windows (functions/tokens.py pattern): slice of a
+    # CONSTANT ascending sequence — no descending-sequence hazard
+    peaks = F.transform(
+        F.slice(F.sequence(F.lit(0), F.lit(FP_MAX_WIN - 1)), 1, n_win),
+        peak)
+    m = F.greatest(F.size(peaks) - 1, F.lit(0))
+    fps = F.zip_with(
+        F.slice(peaks, 1, m), F.slice(peaks, 2, m),
+        lambda a, b:
+            F.shiftright(a["pv"] + 32768, FP_BAND_SHIFT) * 512
+            + F.shiftright(b["pv"] + 32768, FP_BAND_SHIFT) * 16
+            + F.shiftright((b["pp"] - a["pp"] + AUDIO_WIN) % AUDIO_WIN,
+                           FP_DPOS_SHIFT))
+
+    rel = truncate_lineage(
+        docs.select("doc_id", F.explode(fps).alias("fp")).distinct())
+    queries = (rel.filter(F.col("doc_id") < N_AUDIO_QUERIES)
+               .select(F.col("doc_id").alias("q_doc"),
+                       F.col("fp").alias("qfp")))
+    scored = (rel.join(F.broadcast(queries), F.col("fp") == F.col("qfp"))
+              .filter(F.col("doc_id") != F.col("q_doc"))
+              .groupBy("q_doc", "doc_id")
+              .agg(F.count("*").alias("shared_fps")))
+    w = Window.partitionBy("q_doc").orderBy(
+        F.desc("shared_fps"), F.asc("doc_id"))
+    return (scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= FP_TOP_K)
+        .select("q_doc", F.col("doc_id").alias("match_doc"),
+                "rank", "shared_fps"))
+
+
+def _audio_fingerprint_sql() -> str:
+    """DuckDB twin: identical hex-nibble int16-LE parse as
+    ``_audio_rms_sql``, ``list_position`` = first-match like Spark's
+    ``array_position``, and the same all-integer landmark packing."""
+    nib = ("(strpos('0123456789abcdef', substr(hx, 4*k + {off}, 1)) - 1)")
+    u = (f"(({nib.format(off=1)} * 16 + {nib.format(off=2)})"
+         f" + 256 * ({nib.format(off=3)} * 16 + {nib.format(off=4)}))")
+    return f"""
+WITH b AS (
+    SELECT doc_id, lower(hex(encode(text))) AS hx,
+           octet_length(encode(text)) // 2 AS n
+    FROM documents
+), w AS (
+    SELECT doc_id, hx,
+           unnest(range(least(n // {AUDIO_WIN}, {FP_MAX_WIN}))) AS w
+    FROM b
+), vals AS (
+    SELECT doc_id, w,
+           list_transform(range(w * {AUDIO_WIN}, (w + 1) * {AUDIO_WIN}),
+               k -> CASE WHEN {u} >= 32768 THEN {u} - 65536
+                         ELSE {u} END) AS vs
+    FROM w
+), pk AS (
+    SELECT doc_id, w, list_max(vs) AS pv,
+           list_position(vs, list_max(vs)) - 1 AS pp
+    FROM vals
+), pr AS (
+    SELECT doc_id, pv, pp,
+           lead(pv) OVER (PARTITION BY doc_id ORDER BY w) AS pv2,
+           lead(pp) OVER (PARTITION BY doc_id ORDER BY w) AS pp2
+    FROM pk
+), fp AS (
+    SELECT DISTINCT doc_id,
+           ((pv + 32768) // {1 << FP_BAND_SHIFT}) * 512
+           + ((pv2 + 32768) // {1 << FP_BAND_SHIFT}) * 16
+           + (((pp2 - pp + {AUDIO_WIN}) % {AUDIO_WIN})
+              // {1 << FP_DPOS_SHIFT}) AS fp
+    FROM pr WHERE pv2 IS NOT NULL
+), scored AS (
+    SELECT q.doc_id AS q_doc, c.doc_id AS match_doc,
+           count(*) AS shared_fps
+    FROM fp q JOIN fp c ON c.fp = q.fp AND c.doc_id <> q.doc_id
+    WHERE q.doc_id < {N_AUDIO_QUERIES}
+    GROUP BY 1, 2
+)
+SELECT q_doc, match_doc, CAST(rank AS BIGINT) AS rank,
+       CAST(shared_fps AS BIGINT) AS shared_fps
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_doc
+               ORDER BY shared_fps DESC, match_doc) AS rank
+    FROM scored
+) WHERE rank <= {FP_TOP_K}
+"""
+
+
+AUDIO_FINGERPRINT_SQL = _audio_fingerprint_sql()

@@ -1523,6 +1523,16 @@ register("keyframe_caption_align", mm.keyframe_caption_align,
          "mapped to the UTF-8 byte-span caption token + W-token "
          "caption window — single mapInPandas pass, byte-exact twin")
 
+# --- round-10 additions (registered BEHIND the pinned round-10 window:
+# the _ADJUDICATION_FIRST tuple below controls the driver's first-50,
+# so these wait for the round-11 rotation) -------------------------------
+register("audio_fingerprint_retrieval", mm.audio_fingerprint_retrieval,
+         mm.AUDIO_FINGERPRINT_SQL,
+         "cross-modal audio retrieval completing the alignment pair: "
+         "Shazam-style (band, band, delta-pos) landmark fingerprints "
+         "over the PCM int16 convention, pure-JVM hex parse, "
+         "broadcast query side, top-k by shared-fingerprint count")
+
 # --- adjudication-window rotation -----------------------------------------
 # The driver adjudicates only the FIRST 50 registry entries per round
 # (CORRECTNESS_r{N}.json); everything else gets no correctness row. The
