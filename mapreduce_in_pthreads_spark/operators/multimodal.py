@@ -1220,9 +1220,10 @@ def audio_fingerprint_retrieval(spark: SparkSession,
     substrings — deliberately NO Python in this plan, demonstrating
     that even the byte-level feature extraction the mapInPandas demos
     do in numpy can stay JVM-side), peaks tie-break to the FIRST
-    position via ``array_position``, and the landmark hash packs three
-    small non-negative integers, so the DuckDB twin (same hex-nibble
-    parse, ``list_position`` has identical first-match semantics)
+    position (struct ``array_max`` over (value, −index) — one pass per
+    window), and the landmark hash packs three small non-negative
+    integers, so the DuckDB twin (same hex-nibble parse;
+    ``list_position`` on the max has identical first-match semantics)
     matches bit-for-bit.
 
     Scale: extraction is per-row expression work at scan speed (zero
@@ -1248,35 +1249,57 @@ def audio_fingerprint_retrieval(spark: SparkSession,
                     F.lit(FP_MAX_WIN))
 
     def sample(k: F.Column) -> F.Column:
-        lo = F.conv(F.substring(hx, k * 4 + 1, 2), 16, 10).cast("long")
-        hi = F.conv(F.substring(hx, k * 4 + 3, 2), 16, 10).cast("long")
-        u = lo + F.lit(256) * hi
+        """int16-LE sample k from ONE 4-hex-char substring: conv parses
+        the two bytes big-endian (lo·256 + hi), an integer byte-swap
+        restores little-endian, then sign. One substring + one conv —
+        interpreted-expression cost is per-operator-node, so halving
+        the string ops halves the hot loop."""
+        be = F.conv(F.substring(hx, k * 4 + 1, 4), 16, 10).cast("long")
+        u = F.shiftright(be, 8) + F.shiftleft(be % 256, 8)
         return F.when(u >= 32768, u - 65536).otherwise(u)
 
     def peak(w: F.Column) -> F.Column:
-        vals = F.transform(
+        """ONE pass per window: argmax folded into a struct array_max —
+        max by (value, w·WIN − k), so ties break to the SMALLEST k
+        (first max). A separate ``array_position`` lookup would make
+        Catalyst re-evaluate the whole 64-sample parse per reference
+        (higher-order expressions are interpreted and never CSE'd —
+        the first cut of this operator did exactly that and ranked as
+        the fleet's slowest query, 204 s at sf0.1)."""
+        return F.array_max(F.transform(
             F.sequence(w * AUDIO_WIN, w * AUDIO_WIN + AUDIO_WIN - 1),
-            sample)
-        pv = F.array_max(vals)
-        return F.struct(pv.alias("pv"),
-                        (F.array_position(vals, pv) - 1).alias("pp"))
+            lambda k: F.struct(sample(k).alias("pv"),
+                               (w * AUDIO_WIN - k).alias("nk"))))
 
     # empty-safe windows (functions/tokens.py pattern): slice of a
     # CONSTANT ascending sequence — no descending-sequence hazard
     peaks = F.transform(
         F.slice(F.sequence(F.lit(0), F.lit(FP_MAX_WIN - 1)), 1, n_win),
         peak)
-    m = F.greatest(F.size(peaks) - 1, F.lit(0))
-    fps = F.zip_with(
-        F.slice(peaks, 1, m), F.slice(peaks, 2, m),
-        lambda a, b:
-            F.shiftright(a["pv"] + 32768, FP_BAND_SHIFT) * 512
-            + F.shiftright(b["pv"] + 32768, FP_BAND_SHIFT) * 16
-            + F.shiftright((b["pp"] - a["pp"] + AUDIO_WIN) % AUDIO_WIN,
-                           FP_DPOS_SHIFT))
-
+    # posexplode is a GENERATOR: `peaks` (the whole 256-sample parse)
+    # is evaluated exactly ONCE per document — an array zip_with of
+    # two slices would evaluate it once per slice reference (no CSE
+    # across higher-order lambdas; measured 2× = 28 s at sf0.1).
+    # Consecutive-window pairing then rides a lead() window over the
+    # tiny (doc, window, peak) relation — the oracle's own shape.
+    # The docs relation is round-robin repartitioned first: the
+    # single-file documents table scans as 1-2 partitions regardless
+    # of core count, which would serialize the interpreted per-row
+    # parse on one core (the round-9 RDD-reduce / quantizer `_coded`
+    # hazard class — measured 14 s single-task vs ~1 s spread).
+    par = spark.sparkContext.defaultParallelism
+    win_rows = docs.repartition(par).select(
+        "doc_id", F.posexplode(peaks).alias("w", "pk"))
+    wspec = Window.partitionBy("doc_id").orderBy("w")
+    nxt = F.lead("pk").over(wspec)
+    fp = (F.shiftright(F.col("pk")["pv"] + 32768, FP_BAND_SHIFT) * 512
+          + F.shiftright(nxt["pv"] + 32768, FP_BAND_SHIFT) * 16
+          # pp = −nk, so Δpos = pp₂ − pp₁ = nk₁ − nk₂
+          + F.shiftright((F.col("pk")["nk"] - nxt["nk"] + AUDIO_WIN)
+                         % AUDIO_WIN, FP_DPOS_SHIFT))
     rel = truncate_lineage(
-        docs.select("doc_id", F.explode(fps).alias("fp")).distinct())
+        win_rows.select("doc_id", fp.alias("fp"))
+        .filter(F.col("fp").isNotNull()).distinct())
     queries = (rel.filter(F.col("doc_id") < N_AUDIO_QUERIES)
                .select(F.col("doc_id").alias("q_doc"),
                        F.col("fp").alias("qfp")))
