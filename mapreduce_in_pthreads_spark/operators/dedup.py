@@ -520,10 +520,13 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta join — the expression chain is bit-exact with DuckDB's
     list_cosine_similarity on DOUBLE[], so the oracle check compares
     the full answer. Larger inputs are automatically routed through
-    cell-blocked candidate generation: only pairs sharing a coarse
-    quantizer cell (the ``label`` column; a deployment swaps in k-means
-    ids) are scored, turning the O(n²) cartesian into an equi-join
-    whose pair space shrinks by ~#cells. Recall < 1 on the blocked
+    cell-blocked candidate generation: only pairs sharing a TRAINED
+    coarse-quantizer cell (``quantizer._train``, K ∝ n — since round
+    10; the earlier fixed ``label`` blocking kept ~constant cell
+    count, so cell populations and within-cell pair work grew
+    quadratically with the corpus, the reciprocal_nn_pairs bug class)
+    are scored, turning the O(n²) cartesian into an equi-join whose
+    pair space stays ≈ n·KM_TARGET_CELL. Recall < 1 on the blocked
     path by design — identical to every production near-dup system
     (candidate generation + exact verify).
 
@@ -536,24 +539,34 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import table_row_count_hint
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n_rows = table_row_count_hint(sf_dir, "embeddings")
+    if n_rows is not None and n_rows <= EMBEDDING_EXACT_MAX_ROWS:
+        src = emb.select("vec_id", "embedding")
+    else:  # scale path: train + assign the K ∝ n coarse quantizer
+        from .quantizer import _assign, _train
+
+        coded, _, cents_final, _ = _train(spark, sf_dir)
+        src = _assign(coded, cents_final).select(
+            "vec_id", "embedding", "cell")
     # Per-row norm computed once per SIDE, not once per pair — at n
     # candidates per vector that deletes 2n of the 3n aggregations
     # (identical doubles: same expressions, same multiply order).
-    a = emb.select(F.col("vec_id").alias("vec_a"),
+    a = src.select(F.col("vec_id").alias("vec_a"),
                    F.col("embedding").alias("ea"),
-                   F.col("label").alias("cell_a"),
+                   *([F.col("cell").alias("cell_a")]
+                     if "cell" in src.columns else []),
                    l2_norm("embedding").alias("nrm_a"))
-    b = emb.select(F.col("vec_id").alias("vec_b"),
+    b = src.select(F.col("vec_id").alias("vec_b"),
                    F.col("embedding").alias("eb"),
-                   F.col("label").alias("cell_b"),
+                   *([F.col("cell").alias("cell_b")]
+                     if "cell" in src.columns else []),
                    l2_norm("embedding").alias("nrm_b"))
-    n_rows = table_row_count_hint(sf_dir, "embeddings")
-    if n_rows is not None and n_rows <= EMBEDDING_EXACT_MAX_ROWS:
-        pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    else:
+    if "cell" in src.columns:
         pairs = a.join(
             b, (F.col("cell_a") == F.col("cell_b"))
             & (F.col("vec_a") < F.col("vec_b")))
+    else:
+        pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     return (
         pairs
         .withColumn("cos_sim",
@@ -1405,6 +1418,18 @@ MINHASH_BAND_SWEEP_SQL = (
 # --- crawl-shard continuation stitching ------------------------------------
 
 STITCH_MIN_K = 2   # boundary n-gram width that blocks candidate pairs
+# Absolute df cap on the boundary-bigram join key, per SIDE (docs
+# ENDING with the gram / docs STARTING with it). The bigram space is
+# vocabulary-bounded — it does NOT grow with the corpus — so without a
+# cap every bucket's population grows linearly in n and the candidate
+# join quadratically: the round-10 probe measured 110× wall under 10×
+# data. A gram shared by more than this many documents on either side
+# is generic filler (boilerplate openers/closers), not a
+# truncation-split signature; capping bounds per-gram fan-out at
+# STITCH_DF_CAP² exactly like duplicate_spans' SPAN_DF_CAP. Max df at
+# every committed SF is 15 (measured), so the cap is inert at test
+# scales and the oracle mirrors it bit-exactly.
+STITCH_DF_CAP = 64
 
 
 def suffix_prefix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1422,12 +1447,18 @@ def suffix_prefix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     are [a-z0-9]*, so the separator is unambiguous); overlap_k is an
     integer array_max over slice-equality tests — no floats at all.
 
-    Scale: the blocking join is the trick — pair fan-out is bounded
-    by the boundary-bigram collision rate, and a production run caps
-    hot boundary grams by df exactly like ``containment_dedup`` caps
-    postings; the slice comparison is per-candidate-row expression
+    Scale: the blocking join is the trick — per-gram fan-out is
+    bounded by ``STITCH_DF_CAP²`` (hot boundary grams dropped by an
+    absolute per-side df cap, the ``duplicate_spans``/
+    ``containment_dedup`` discipline — see the cap's block comment for
+    the measured 110× failure without it); each side's df rides a
+    count window PARTITIONED BY its own join key, so Catalyst shares
+    the candidate join's existing exchange — the cap costs zero extra
+    shuffles; the slice comparison is per-candidate-row expression
     work.
     """
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     t = docs.select(
@@ -1435,12 +1466,18 @@ def suffix_prefix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(toks, F.size(toks) - 1, 2))
         .alias("last2"),
         F.concat_ws(" ", F.slice(toks, 1, 2)).alias("first2"))
-    a = t.select(F.col("doc_id").alias("doc_a"),
-                 F.col("toks").alias("ta"), F.col("n").alias("na"),
-                 F.col("last2").alias("k_a"))
-    b = t.select(F.col("doc_id").alias("doc_b"),
-                 F.col("toks").alias("tb"), F.col("n").alias("nb"),
-                 F.col("first2").alias("k_b"))
+    a = (t.select(F.col("doc_id").alias("doc_a"),
+                  F.col("toks").alias("ta"), F.col("n").alias("na"),
+                  F.col("last2").alias("k_a"))
+         .withColumn("df_a", F.count(F.lit(1)).over(
+             Window.partitionBy("k_a")))
+         .filter(F.col("df_a") <= STITCH_DF_CAP))
+    b = (t.select(F.col("doc_id").alias("doc_b"),
+                  F.col("toks").alias("tb"), F.col("n").alias("nb"),
+                  F.col("first2").alias("k_b"))
+         .withColumn("df_b", F.count(F.lit(1)).over(
+             Window.partitionBy("k_b")))
+         .filter(F.col("df_b") <= STITCH_DF_CAP))
     cand = a.join(b, (F.col("k_a") == F.col("k_b"))
                   & (F.col("doc_a") != F.col("doc_b")))
     ks = F.filter(
@@ -1459,13 +1496,27 @@ WITH t AS (
            array_to_string(string_split(text, ' ')[-2:], ' ') AS last2,
            array_to_string(string_split(text, ' ')[1:2], ' ') AS first2
     FROM documents
+),
+ta AS (
+    SELECT * FROM (
+        SELECT doc_id, toks, n, last2,
+               count(*) OVER (PARTITION BY last2) AS df
+        FROM t
+    ) WHERE df <= {STITCH_DF_CAP}
+),
+tb AS (
+    SELECT * FROM (
+        SELECT doc_id, toks, n, first2,
+               count(*) OVER (PARTITION BY first2) AS df
+        FROM t
+    ) WHERE df <= {STITCH_DF_CAP}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(list_max(list_filter(
                 range({STITCH_MIN_K}, least(a.n, b.n) + 1),
                 k -> a.toks[a.n - k + 1:a.n] = b.toks[1:k]))
             AS BIGINT) AS overlap_k
-FROM t a JOIN t b
+FROM ta a JOIN tb b
   ON a.last2 = b.first2 AND a.doc_id <> b.doc_id
 """
 

@@ -997,26 +997,37 @@ def reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b is a's — the classic high-precision pairing primitive (it
     drives reciprocal-NN agglomerative clustering and image-dup
     mining) because mutuality filters out hub vectors that are
-    'nearest' to everything. Neighbors are computed WITHIN the coarse
-    cell (the ``label`` column — the same IVF blocking
-    ``embedding_near_dup`` rides), so pair work is Σ|cell|², never
-    n²; the mutual check is a self-join of the tiny (vec, nn)
-    relation on the reversed key.
+    'nearest' to everything. Neighbors are computed WITHIN the
+    TRAINED coarse-quantizer cell (``quantizer._train``, K ∝ n), so
+    pair work is Σ|cell|² ≈ n·KM_TARGET_CELL — linear in n; the
+    mutual check is a self-join of the tiny (vec, nn) relation on the
+    reversed key.
+
+    Blocking on the fixed ``label`` column (the pre-round-10 form)
+    was the fleet's worst measured scale bug: labels don't multiply
+    with the corpus, so every label cell grew 10× under the 10×
+    probe and the within-cell pair work grew 100× — measured 132.9×
+    wall (SCALE.md round-10 table). Trained cells re-probed at 1.1×.
 
     Exactness: cosine rides the proven kernel (identical doubles both
-    engines); top-1 is a (cos DESC, vec_id) row_number; output pairs
-    are canonicalized vec_a < vec_b with the pinned cosine.
+    engines); the oracle replays the full k-means training via the
+    quantizer's CTE prefix (bit-exact per that module's contract);
+    top-1 is a (cos DESC, vec_id) row_number; output pairs are
+    canonicalized vec_a < vec_b with the pinned cosine.
 
-    Scale: one label equi-join + one per-vector window + one
+    Scale: one cell equi-join + one per-vector window + one
     nn-relation self-join — each exchange is on an already-reduced
     relation; hub suppression comes free from the mutuality test.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select("vec_id", "label", "embedding")
-    b = emb.select(F.col("vec_id").alias("nb_id"),
-                   F.col("label").alias("nb_label"),
-                   F.col("embedding").alias("nb_emb"))
-    scored = (a.join(b, (F.col("label") == F.col("nb_label"))
+    from .quantizer import _assign, _train
+
+    coded, _, cents_final, _ = _train(spark, sf_dir)
+    assigned = _assign(coded, cents_final)
+    a = assigned.select("vec_id", "cell", "embedding")
+    b = assigned.select(F.col("vec_id").alias("nb_id"),
+                        F.col("cell").alias("nb_cell"),
+                        F.col("embedding").alias("nb_emb"))
+    scored = (a.join(b, (F.col("cell") == F.col("nb_cell"))
                      & (F.col("vec_id") != F.col("nb_id")))
               .withColumn(
                   "cos_sim",
@@ -1038,14 +1049,21 @@ def reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("cos_sim", 10).alias("cos_sim")))
 
 
-RECIPROCAL_NN_SQL = """
-WITH scored AS (
+def _reciprocal_nn_sql() -> str:
+    """Oracle twin: replays the quantizer training (the bit-exact CTE
+    prefix) and mirrors the trained-cell blocking."""
+    from .quantizer import KM_ITERS, _PREFIX_SQL, _assign_cte
+
+    return f"""{_PREFIX_SQL},{_assign_cte("afinal", f"cents{KM_ITERS}")},
+vecs AS (
+    SELECT c.vec_id, a.cell, CAST(c.embedding AS DOUBLE[]) AS e
+    FROM coded c JOIN afinal a ON c.vec_id = a.vec_id
+),
+scored AS (
     SELECT a.vec_id, b.vec_id AS nb_id,
-           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                  CAST(b.embedding AS DOUBLE[]))
-               AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id <> b.vec_id
+           list_cosine_similarity(a.e, b.e) AS cos_sim
+    FROM vecs a JOIN vecs b
+      ON a.cell = b.cell AND a.vec_id <> b.vec_id
 ),
 nn AS (
     SELECT vec_id, nb_id, cos_sim FROM (
@@ -1060,6 +1078,9 @@ SELECT x.vec_id AS vec_a, x.nb_id AS vec_b,
 FROM nn x JOIN nn y ON x.vec_id = y.nb_id AND x.nb_id = y.vec_id
 WHERE x.vec_id < x.nb_id
 """
+
+
+RECIPROCAL_NN_SQL = _reciprocal_nn_sql()
 
 
 # --- similarity-metric choice agreement -----------------------------------

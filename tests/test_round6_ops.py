@@ -54,24 +54,23 @@ def test_band_sweep_recall_monotone_in_rows(spark):
 
 
 def test_reciprocal_nn_pairs_are_mutual_and_in_cell(spark):
-    from pyspark.sql import functions as F
-
+    from mapreduce_in_pthreads_spark.operators.quantizer import (
+        _assign, _train)
     from mapreduce_in_pthreads_spark.operators.similarity import \
         reciprocal_nn_pairs
-    from mapreduce_in_pthreads_spark.sources.tables import load_table
 
     pairs = reciprocal_nn_pairs(spark, SF_CORRECT)
-    lab = load_table(spark, SF_CORRECT, "embeddings").select(
-        "vec_id", "label")
+    coded, _, cents_final, _ = _train(spark, SF_CORRECT)
+    cells = _assign(coded, cents_final).select("vec_id", "cell")
     rows = (pairs
-            .join(lab.withColumnRenamed("vec_id", "vec_a")
-                  .withColumnRenamed("label", "la"), "vec_a")
-            .join(lab.withColumnRenamed("vec_id", "vec_b")
-                  .withColumnRenamed("label", "lb"), "vec_b")).collect()
+            .join(cells.withColumnRenamed("vec_id", "vec_a")
+                  .withColumnRenamed("cell", "ca"), "vec_a")
+            .join(cells.withColumnRenamed("vec_id", "vec_b")
+                  .withColumnRenamed("cell", "cb"), "vec_b")).collect()
     assert rows
     seen = set()
     for r in rows:
-        assert r["la"] == r["lb"]              # blocked within cell
+        assert r["ca"] == r["cb"]     # blocked within the TRAINED cell
         assert r["vec_a"] < r["vec_b"]         # canonical direction
         key = (r["vec_a"], r["vec_b"])
         assert key not in seen                 # each pair once

@@ -60,7 +60,22 @@ MUST: tuple[str, ...] = (
     "ann_topk_blas",
     # r09: exact-vs-blocked gate re-sized (50k -> 5k) after the scale
     # probe's straggler; output unchanged at test SFs, re-grade anyway.
+    # (r10 additionally swapped its blocked path's label blocking for
+    # trained-quantizer cells — test-SF output still unchanged, the
+    # exact path rules there; it sits in the round-10 pinned window.)
     "embedding_near_dup",
+    # r10: the 30-query scale probe caught two fixed-blocking-key
+    # scale bugs, both fixed with semantics changes (new oracles) —
+    # round 11 must re-grade them:
+    #  * reciprocal_nn_pairs — label blocking (cells don't scale with
+    #    n) -> trained K-proportional quantizer cells; 132.9x -> 1.85x
+    #    under 10x data.
+    #  * suffix_prefix_overlap — uncapped boundary-bigram buckets
+    #    (vocabulary-bounded key space) -> absolute per-side df cap
+    #    STITCH_DF_CAP (inert at committed SFs, max df 15); 110.5x ->
+    #    8.07x.
+    "reciprocal_nn_pairs",
+    "suffix_prefix_overlap",
 )
 
 
