@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import DEC, SQL_DEC, sql_dsum
+from ..functions.numeric import (DEC, SQL_DEC, dsum, scaled_long,
+                                 split_sum, split_sum_wide, sql_dsum)
 from ..sources.tables import load_table
 
 MOD = 1_000_000_007
@@ -197,8 +198,7 @@ def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     then melted back to (status, metric, value) long form."""
     o = load_table(spark, sf_dir, "orders")
     wide = o.groupBy("o_orderstatus").agg(
-        F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
-        .alias("total_price"),
+        dsum("o_totalprice", "total_price"),
         F.count(F.lit(1)).cast("double").alias("n_orders"),
         F.max("o_totalprice").alias("max_price"),
     )
@@ -224,10 +224,14 @@ SELECT o_orderstatus, 'max_price', max_price FROM wide
 
 
 def _moments(col: str, alias_prefix: str) -> list[Column]:
-    c = F.col(col).cast(DEC)
+    # r10: exact moments on longs (numeric.py rationale) — Sx = SUM(u)/1e4,
+    # Sxx = SUM(u*u)/1e8 with u the unscaled decimal(25,4) value; the
+    # squared per-row magnitude reaches ~2^60, hence the wide split.
+    u = scaled_long(col)
     return [
-        F.sum(c).cast("double").alias(f"{alias_prefix}_s1"),
-        F.sum(c * c).cast("double").alias(f"{alias_prefix}_s2"),
+        split_sum(u, 10 ** 4).cast("double").alias(f"{alias_prefix}_s1"),
+        split_sum_wide(u * u, 10 ** 8).cast("double")
+        .alias(f"{alias_prefix}_s2"),
     ]
 
 
@@ -239,13 +243,13 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     are map-side combinable, so this is also the scalable formulation.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity").cast(DEC)
-    p = F.col("l_extendedprice").cast(DEC)
+    uq = scaled_long("l_quantity")
+    up = scaled_long("l_extendedprice")
     base = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         *_moments("l_quantity", "q"),
         *_moments("l_extendedprice", "p"),
-        F.sum(q * p).cast("double").alias("qp_s"),
+        split_sum_wide(uq * up, 10 ** 8).cast("double").alias("qp_s"),
     )
     n = F.col("n")
     var_q = (F.col("q_s2") - F.col("q_s1") * F.col("q_s1") / n) / (n - 1)
@@ -446,8 +450,7 @@ def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"),
              F.min("o_totalprice").alias("lo"),
              F.max("o_totalprice").alias("hi"),
-             F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
-             .alias("total_price")))
+             dsum("o_totalprice", "total_price")))
 
 
 EQUI_DEPTH_SQL = f"""
@@ -614,13 +617,17 @@ def ab_split_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm_a = F.substring(
         F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1) \
         .isin(*list("01234567"))
-    v = F.col("value").cast(DEC)
+    uv = scaled_long("value")
 
     def side(flag: F.Column, tag: str):
+        # r10: conditional exact moments on longs; NULL branches skip
+        # the sum exactly as the decimal form did.
         return [
             F.sum(F.when(flag, 1).otherwise(0)).alias(f"n_{tag}"),
-            F.sum(F.when(flag, v)).cast("double").alias(f"{tag}_s1"),
-            F.sum(F.when(flag, v * v)).cast("double").alias(f"{tag}_s2"),
+            split_sum(F.when(flag, uv), 10 ** 4).cast("double")
+            .alias(f"{tag}_s1"),
+            split_sum_wide(F.when(flag, uv * uv), 10 ** 8).cast("double")
+            .alias(f"{tag}_s2"),
         ]
 
     base = ev.groupBy("event_type").agg(
@@ -917,7 +924,7 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                        is_cal.alias("cal"))
     stats = (tagged.filter("cal").groupBy("event_type")
              .agg(F.count(F.lit(1)).alias("n_cal"),
-                  (F.sum(F.col("value").cast(DEC)).cast("double")
+                  (split_sum(scaled_long("value"), 10 ** 4).cast("double")
                    / F.count(F.lit(1))).alias("mu")))
     kstar = ((F.col("n_cal") + 1) * CONF_ALPHA_NUM
              + (CONF_ALPHA_DEN - 1)) \
@@ -1554,7 +1561,10 @@ def grouped_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value"))
         .groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).alias("n_h"),
-             F.sum(F.col("value").cast(DEC)).alias("s_h")))
+             # r10: corpus-level exact sum on longs; scale 6 instead of
+             # 4 downstream — every grid-level product/sum stays exact
+             # decimal, so the final double casts are unchanged.
+             split_sum(scaled_long("value"), 10 ** 4).alias("s_h")))
     mom = grid.groupBy("event_type").agg(
         F.sum("n_h").alias("n"),
         F.sum(F.col("n_h") * F.col("h")).alias("sx"),
@@ -1713,7 +1723,7 @@ def median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     means = (ev.select(sub, F.col("value"))
              .groupBy("b")
              .agg(F.count(F.lit(1)).alias("n_b"),
-                  (F.sum(F.col("value").cast(DEC)).cast("double")
+                  (split_sum(scaled_long("value"), 10 ** 4).cast("double")
                    / F.count(F.lit(1))).alias("m")))
     w = Window.orderBy("m", "b")
     ranked = means.withColumn("r", F.row_number().over(w))
@@ -1723,7 +1733,7 @@ def median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg((F.sum("m") / F.lit(2.0)).alias("mom")))
     overall = ev.agg(
         F.count(F.lit(1)).alias("n"),
-        (F.sum(F.col("value").cast(DEC)).cast("double")
+        (split_sum(scaled_long("value"), 10 ** 4).cast("double")
          / F.count(F.lit(1))).alias("plain_mean"))
     return (overall.crossJoin(F.broadcast(med))
             .select("n", F.lit(MOM_BUCKETS).alias("n_buckets"),

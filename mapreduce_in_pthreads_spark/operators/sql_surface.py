@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import DEC, dsum, sql_dsum
+from ..functions.numeric import (dsum, scaled_long, split_sum,
+                                 split_sum_wide, sql_dsum)
 from ..sources.tables import load_table
 
 
@@ -132,15 +133,17 @@ def regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form division happens on the five finished moments.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast(DEC)
-    y = F.col("l_extendedprice").cast(DEC)
+    # r10: exact moments on longs (numeric.py rationale); squared
+    # per-row magnitudes reach ~2^60, hence the wide 3-way split.
+    ux = scaled_long("l_quantity")
+    uy = scaled_long("l_extendedprice")
     base = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        split_sum(ux, 10 ** 4).cast("double").alias("sx"),
+        split_sum(uy, 10 ** 4).cast("double").alias("sy"),
+        split_sum_wide(ux * ux, 10 ** 8).cast("double").alias("sxx"),
+        split_sum_wide(uy * uy, 10 ** 8).cast("double").alias("syy"),
+        split_sum_wide(ux * uy, 10 ** 8).cast("double").alias("sxy"),
     )
     n = F.col("n")
     num = n * F.col("sxy") - F.col("sx") * F.col("sy")
@@ -542,9 +545,11 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
 
     def partial(df):
+        # r10: corpus-level exact sum on longs; the merge level sums
+        # two exact decimals per type — value unchanged.
         return df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC)).alias("s"))
+            split_sum(scaled_long("value"), 10 ** 4).alias("s"))
 
     state = partial(ev.filter(F.col("ts") < cutoff))
     delta = partial(ev.filter(F.col("ts") >= cutoff))

@@ -112,7 +112,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    # N = row count: doc_id is the documents PRIMARY KEY (one row per
+    # document at every SF — asserted by tests), so count(*) equals
+    # count(DISTINCT doc_id) while skipping the distinct's extra
+    # exchange + hash relation (r10, guide §2.4; the oracle twin keeps
+    # COUNT(DISTINCT doc_id) and pins the equality). At 100 TB the
+    # distinct would shuffle every doc_id; the count is metadata-cheap.
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
         tf.withColumn("df", F.count(F.lit(1)).over(
             Window.partitionBy("word")))

@@ -13,7 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import money, one, rate, sql_dsum
+from ..functions.numeric import (disc_rev_u, dsum, msum,
+                                 split_sum, sql_dsum)
 from ..sources.tables import load_table
 
 _DISC_SQL = ("CAST(l_extendedprice AS DECIMAL(12,2)) * "
@@ -30,12 +31,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < F.lit("1998-01-01"))
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01"))
-    revenue = money("l_extendedprice") * (one() - rate("l_discount"))
+    # r10 optimization: the exact (16,4) decimal revenue product paid
+    # a per-row BigDecimal op; cents*(100-bp)/1e4 is the same rational
+    # on longs (numeric.disc_rev_u/msum) — bit-identical output.
+    revenue_u = disc_rev_u()
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(msum(revenue_u, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
         .select("l_orderkey",
@@ -69,13 +73,14 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-04-01")))
     p = load_table(spark, sf_dir, "part")
-    revenue = money("l_extendedprice") * (one() - rate("l_discount"))
+    revenue_u = disc_rev_u()  # r10: long fixed-point, bit-identical
     joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     return joined.agg(
-        (F.sum(F.when(F.col("p_type") == "PROMO", revenue)
-               .otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+        (split_sum(F.when(F.col("p_type") == "PROMO", revenue_u)
+                   .otherwise(F.lit(0)), 10 ** 4).cast("double")
          * 100.0
-         / F.sum(revenue).cast("double")).alias("promo_revenue_pct"),
+         / split_sum(revenue_u, 10 ** 4).cast("double"))
+        .alias("promo_revenue_pct"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -99,8 +104,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     big = (li.groupBy("l_orderkey")
-           .agg(F.sum(F.col("l_quantity").cast("decimal(25,4)"))
-                .cast("double").alias("total_qty"))
+           .agg(dsum("l_quantity", "total_qty"))
            .filter(F.col("total_qty") > 300))
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
@@ -191,7 +195,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     n2 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
-    revenue = money("l_extendedprice") * (one() - rate("l_discount"))
+    revenue_u = disc_rev_u()  # r10: long fixed-point, bit-identical
     pair = (
         ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
@@ -204,7 +208,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").cast("bigint").alias("l_year"))
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(msum(revenue_u, "revenue"))
     )
 
 
@@ -233,14 +237,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    revenue = money("l_extendedprice") * (one() - rate("l_discount"))
+    revenue_u = disc_rev_u()  # r10: long fixed-point, bit-identical
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal",
                  F.col("n_name").alias("nation"))
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(msum(revenue_u, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -295,7 +299,7 @@ def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunctive pushdown doesn't fall back to a cross product."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    revenue = money("l_extendedprice") * (one() - rate("l_discount"))
+    revenue_u = disc_rev_u()  # r10: long fixed-point, bit-identical
     branch = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10))
          & (F.col("l_quantity").between(1, 15)))
@@ -306,7 +310,7 @@ def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(branch)
-        .agg(F.sum(revenue).cast("double").alias("revenue"),
+        .agg(msum(revenue_u, "revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
 

@@ -19,15 +19,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import DEC, dsum, money, one, rate, sql_dsum
+from ..functions.numeric import (davg, disc_rev_u, dsum, money_scaled,
+                                 msum, split_sum, sql_dsum)
 from ..sources.tables import load_table
 
 _DISC_SQL = ("CAST(l_extendedprice AS DECIMAL(12,2)) * "
              "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))")
 
 
-def _revenue():
-    return money("l_extendedprice") * (one() - rate("l_discount"))
+def _revenue_u():
+    # r10 optimization: the exact (16,4) decimal revenue product paid a
+    # per-row BigDecimal op; disc_rev_u() is the same rational as an
+    # unscaled long (1e-4 dollars) — summed via msum/split_sum,
+    # bit-identical output, oracle twins unchanged.
+    return disc_rev_u()
 
 
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,7 +86,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .agg(msum(_revenue_u(), "revenue"))
     )
 
 
@@ -117,8 +122,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("s_nk"),
         F.col("n_name").alias("supp_nation"))
-    rev = _revenue()
-    zero = F.lit(0).cast("decimal(18,4)")
+    rev_u = _revenue_u()
+    zero = F.lit(0)
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -129,10 +134,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
-            (F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)
-                   .otherwise(zero)).cast("double")
-             / F.sum(rev).cast("double")).alias("mkt_share"),
-            F.sum(rev).cast("double").alias("total_revenue"),
+            (split_sum(F.when(F.col("supp_nation") == "NATION_3", rev_u)
+                       .otherwise(zero), 10 ** 4).cast("double")
+             / split_sum(rev_u, 10 ** 4).cast("double")).alias("mkt_share"),
+            msum(rev_u, "total_revenue"),
         )
     )
 
@@ -167,8 +172,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    amount = (_revenue()
-              - money("p_retailprice") * F.col("l_quantity").cast("decimal(12,2)"))
+    # retail(12,2) × qty(12,2) has unscaled-4 value retail_cents ·
+    # (qty·100); amount stays scale-4 — same rational as the decimal
+    # form, on longs.
+    amount_u = (_revenue_u()
+                - money_scaled("p_retailprice")
+                * money_scaled("l_quantity"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -176,7 +185,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").cast("bigint").alias("o_year"))
-        .agg(F.sum(amount.cast(DEC)).cast("double").alias("sum_profit"))
+        .agg(msum(amount_u, "sum_profit"))
     )
 
 
@@ -211,9 +220,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
     per_part = filtered.groupBy("l_partkey").agg(
-        F.sum(_revenue()).cast("double").alias("part_value"))
+        msum(_revenue_u(), "part_value"))
     total = filtered.agg(
-        F.sum(_revenue()).cast("double").alias("total_value"))
+        msum(_revenue_u(), "total_value"))
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.col("total_value") * 0.001)
@@ -308,7 +317,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01")))
     s = load_table(spark, sf_dir, "supplier")
     revenue = (li.groupBy("l_suppkey")
-               .agg(F.sum(_revenue()).cast("double").alias("total_revenue")))
+               .agg(msum(_revenue_u(), "total_revenue")))
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.crossJoin(F.broadcast(top))
@@ -461,8 +470,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     avg_bal = (c.filter(F.col("c_acctbal") > 0)
-               .agg((F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
-                     / F.count("c_acctbal")).alias("avg_bal")))
+               .agg(davg("c_acctbal", "avg_bal")))
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))

@@ -18,9 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import scaled_long, split_sum_over
 from ..sources.tables import load_table
-
-DEC = "decimal(25,4)"
 
 
 def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,10 +59,12 @@ def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (Window.partitionBy("o_custkey")
          .orderBy("o_orderdate", "o_orderkey")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # r10: exact frame sums on longs (numeric.py rationale); the two
+    # split sums share the window spec -> still ONE Window operator.
     return o.select(
         "o_custkey", "o_orderkey",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
-        .alias("running_spend"),
+        split_sum_over(scaled_long("o_totalprice"), w, 10 ** 4)
+        .cast("double").alias("running_spend"),
         F.count(F.lit(1)).over(w).alias("order_seq"),
     )
 
@@ -113,7 +114,8 @@ def moving_avg_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(-2, 0))
     return o.select(
         "o_custkey", "o_orderkey",
-        (F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+        (split_sum_over(scaled_long("o_totalprice"), w, 10 ** 4)
+         .cast("double")
          / F.count(F.lit(1)).over(w)).alias("moving_avg_price"),
         F.min("o_totalprice").over(w).alias("frame_min"),
         F.max("o_totalprice").over(w).alias("frame_max"),
@@ -203,8 +205,8 @@ def range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rangeBetween(-3_600_000_000, 0))
     return ev.select(
         "user_id", "event_id",
-        F.sum(F.col("value").cast(DEC)).over(w).cast("double")
-        .alias("trailing_hour_value"),
+        split_sum_over(scaled_long("value"), w, 10 ** 4)
+        .cast("double").alias("trailing_hour_value"),
         F.count(F.lit(1)).over(w).alias("trailing_hour_events"),
     )
 
