@@ -72,7 +72,7 @@ def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.withColumn(
         "rank",
         F.round(F.lit(1.0) / F.lit(n_nodes), 10).cast(dec))
-    for _ in range(ITERATIONS):
+    for it in range(ITERATIONS):
         contribs = (
             edges.join(ranks, edges.src == ranks.word)
             .join(out_weight, "src")
@@ -103,8 +103,17 @@ def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + (F.lit(1) - F.col("s")).cast("double")
                     / F.lit(n_nodes), 10)
             .cast(dec).alias("rank"))
-        # truncate lineage: one materialization per iteration
-        ranks = truncate_lineage(ranks)
+        # Truncate lineage every SECOND iteration (r10; was every
+        # iteration). Each materialization costs a full job + cache
+        # pass (~1.3 s/cut measured at sf0.1: 26 s → 12.5 s for the 10
+        # iterations, bit-identical ranks — each step's round(·,10)
+        # pins values independently of plan shape). Every iteration
+        # references `ranks` three times, so lineage grows ~4× per
+        # UNCUT iteration — a cut every 2 keeps planning bounded
+        # (measured: cut-every-5 explodes Catalyst to 300 s+), which is
+        # why the cadence stays at 2, not higher.
+        if it % 2 == 1 or it == ITERATIONS - 1:
+            ranks = truncate_lineage(ranks)
 
     return ranks.select("word", F.col("rank").cast("double").alias("rank"))
 
@@ -692,6 +701,10 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hub", F.round(F.lit(1.0) / F.lit(n_nodes), 10).cast(dec))
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        # r10 note: tried cutting only the hub side (pagerank's
+        # cut-every-2 trick) — measured a WASH at sf0.1 (uncut auth
+        # makes hraw recompute the araw pipeline, eating the saved
+        # job), so both sides keep their per-iteration cut.
         total = raw.agg(F.sum("raw").alias("s"))
         return truncate_lineage(
             nodes.join(raw, "word", "left")

@@ -36,6 +36,16 @@ def get_spark(app_name: str = "mapreduce-in-pthreads-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # r10 (guide §3.1/§9): let the planner pick shuffled-hash join
+        # when its size conditions hold instead of always sort-merge —
+        # skips both sides' sorts. Measured at sf0.1:
+        # burrows_delta_stylometry −28%, prefix_filter_jaccard_join
+        # −29%, dbscan_grid_core −10%; join RESULTS are
+        # algorithm-independent (vanilla-session oracle parity holds
+        # either way). Spark still falls back to SMJ whenever the
+        # build side fails canBuildLocalHashMap / muchSmaller, so
+        # genuinely-large fact⋈fact merges keep their spill-safe path.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
