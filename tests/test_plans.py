@@ -401,10 +401,14 @@ def test_cbo_column_stats_drive_broadcast(spark, sf_dir):
     saved = {k: spark.conf.get(k) for k in (
         "spark.sql.adaptive.enabled",
         "spark.sql.cbo.enabled",
-        "spark.sql.autoBroadcastJoinThreshold")}
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.join.preferSortMergeJoin")}
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    # the session default prefers shuffled-hash; this test's "before"
+    # baseline is specifically the sort-merge plan CBO flips away from
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
     q = """SELECT o.o_orderkey, c.c_name FROM cbo_t_orders o
            JOIN cbo_t_customer c ON o.o_custkey = c.c_custkey
            WHERE c.c_acctbal BETWEEN 0 AND 100"""
