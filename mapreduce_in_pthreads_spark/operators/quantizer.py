@@ -192,11 +192,248 @@ def _assign(coded: DataFrame,
     as literals, argmin via array_min over (dist, cell) structs —
     struct comparison tie-breaks on cell exactly like the oracle's
     ORDER BY dist, cell. Above ``KM_EXPR_MAX_K`` cells the same math
-    runs in the vectorized Arrow kernel (see the gate comment)."""
+    runs in the vectorized Arrow kernel (see the gate comment). A
+    product codebook (``_ProductCents``, the past-the-K-cap regime)
+    assigns per half — O(K_h), not O(K_h²)."""
+    if isinstance(centroids, _ProductCents):
+        return _assign_imi(coded, centroids)
     if len(centroids) <= KM_EXPR_MAX_K:
         return coded.withColumn(
             "cell", F.array_min(_score_array(centroids))["cell"])
     return _assign_arrow(coded, centroids)
+
+
+# --- two-level (product / IMI) codebook past the flat-K cap ---------------
+# The flat codebook stops scaling at KM_K_MAX cells: past
+# n > KM_K_MAX * KM_TARGET_CELL vectors the clamp makes |cell| grow
+# ∝ n again, so Σ|cell|² pair work inside the 14 quantizer-backed
+# entries re-enters the quadratic regime the K ∝ n rule exists to
+# prevent — and an UNCAPPED flat K would instead make training itself
+# quadratic (KM_ITERS passes of n·K·D distance work with K ∝ n).
+# The production answer (Babenko & Lempitsky, "The Inverted
+# Multi-Index", CVPR 2012) is a PRODUCT codebook: train TWO
+# independent K_h-means over the two 32-dim halves of the code
+# vector; a cell is a PAIR (a, b) of half-cells, giving
+# K_total = K_h² cells for 2·K_h half-distance evaluations per row.
+# With K_h = ceil(sqrt(n / target)), K_total keeps tracking n
+# (|cell| ≈ target, Σ|cell|² ≈ n·target) while per-row assignment
+# work and per-half training grow only ∝ sqrt(n).
+#
+# The gate is INERT at every committed SF (n ≤ ~2k ≪ 64k): every
+# adjudicated output and oracle is byte-identical to the flat path.
+# Past the gate the oracle twins (which replay the FLAT trainer with
+# the same clamp) are not adjudicated — synthetic-scale probes are
+# perf evidence, not correctness inputs (tools/scale_probe.py
+# discipline, same as embedding_near_dup's blocked path).
+KM_IMI_MIN_N = KM_K_MAX * KM_TARGET_CELL  # 64 000 vectors
+KM_HALF_D = KM_D // 2
+
+
+def imi_kh(n: int) -> int:
+    """Per-half cell count: the smallest K_h with K_h² ≥ n / target,
+    clamped to the same [KM_K_MIN, KM_K_MAX] band as km_k — so the
+    product cell count K_h² tracks n / KM_TARGET_CELL from 64k up to
+    ~33G vectors before the next (third) level would be needed."""
+    want = max(1, n // KM_TARGET_CELL)
+    return max(KM_K_MIN, min(KM_K_MAX, math.isqrt(want - 1) + 1))
+
+
+class _ProductCents(list):
+    """Flat ``[(cell, concat-centroid)]`` view of an IMI product
+    codebook — iteration/len behave exactly like the flat list
+    (OCCUPIED product cells only, cell-sorted), so list-reading
+    consumers (norm maps, probe ranking) work unchanged. ``halves``
+    carries the per-half centroid lists ``_assign``/``_silhouette``
+    need for the O(K_h) product kernels; ``stride`` maps a half-cell
+    pair to the flat id: cell = a * stride + b."""
+
+    def __init__(self, flat, halves, stride):
+        super().__init__(flat)
+        self.halves = halves
+        self.stride = stride
+
+
+def _half_dist_matrix(E, M):
+    """b×K_h squared-distance matrix accumulated dimension-
+    sequentially — the same (((0+t1)+t2)+…) IEEE order as the
+    ``_dist`` fold and ``_assign_arrow``, applied per half."""
+    import numpy as _np
+
+    acc = _np.zeros((E.shape[0], M.shape[0]))
+    for k in range(M.shape[1]):
+        d = E[:, k, None] - M[None, :, k]
+        acc += d * d
+    return acc
+
+
+def _assign_imi(coded: DataFrame, pc: "_ProductCents") -> DataFrame:
+    """Product assignment: per-half argmin over the two 32-dim slices
+    (numpy first-minimum tie-break = lowest half-cell id, the
+    ``_assign_arrow`` convention per half), flat id a*stride + b."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    (h1, h2), stride = pc.halves, pc.stride
+    c1 = [int(c) for c, _ in h1]
+    c2 = [int(c) for c, _ in h2]
+    assert c1 == sorted(c1) and c2 == sorted(c2), \
+        "tie-break needs cell-sorted half centroids"
+    m1 = [[float(v) for v in c] for _, c in h1]
+    m2 = [[float(v) for v in c] for _, c in h2]
+    schema = StructType(list(coded.schema.fields)
+                        + [StructField("cell", IntegerType())])
+
+    def batches(it):
+        import numpy as _np
+
+        C1 = _np.asarray(m1, dtype="float64")
+        C2 = _np.asarray(m2, dtype="float64")
+        l1 = _np.asarray(c1, dtype="int64")
+        l2 = _np.asarray(c2, dtype="int64")
+        for pdf in it:
+            if not len(pdf):
+                continue
+            E = _np.asarray([_np.asarray(x, dtype="float64")
+                             for x in pdf["codes"]])
+            a = _half_dist_matrix(E[:, :KM_HALF_D], C1).argmin(axis=1)
+            b = _half_dist_matrix(E[:, KM_HALF_D:], C2).argmin(axis=1)
+            pdf = pdf.copy()
+            pdf["cell"] = (l1[a] * stride + l2[b]).astype("int32")
+            yield pdf
+
+    return coded.mapInPandas(batches, schema)
+
+
+def _silhouette_imi(coded: DataFrame, pc: "_ProductCents") -> DataFrame:
+    """Product twin of ``_silhouette_arrow``: da² = d1[a*] + d2[b*];
+    db² = nearest OTHER product cell = min(s1 + m2, m1 + s2) with
+    m/s the best/second-best per-half distances — changing BOTH
+    halves gives s1 + s2 ≥ either option, so the two single-half
+    swaps cover the true second minimum over the full product."""
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
+
+    (h1, h2), stride = pc.halves, pc.stride
+    c1 = [int(c) for c, _ in h1]
+    c2 = [int(c) for c, _ in h2]
+    assert c1 == sorted(c1) and c2 == sorted(c2)
+    assert len(c1) >= 2 and len(c2) >= 2, \
+        "product silhouette needs >=2 surviving cells per half"
+    m1 = [[float(v) for v in c] for _, c in h1]
+    m2 = [[float(v) for v in c] for _, c in h2]
+    schema = StructType(list(coded.schema.fields)
+                        + [StructField("own", IntegerType()),
+                           StructField("da", DoubleType()),
+                           StructField("db", DoubleType())])
+
+    def batches(it):
+        import numpy as _np
+
+        C1 = _np.asarray(m1, dtype="float64")
+        C2 = _np.asarray(m2, dtype="float64")
+        l1 = _np.asarray(c1, dtype="int64")
+        l2 = _np.asarray(c2, dtype="int64")
+        for pdf in it:
+            if not len(pdf):
+                continue
+            E = _np.asarray([_np.asarray(x, dtype="float64")
+                             for x in pdf["codes"]])
+            d1 = _half_dist_matrix(E[:, :KM_HALF_D], C1)
+            d2 = _half_dist_matrix(E[:, KM_HALF_D:], C2)
+            rows = _np.arange(len(E))
+            a = d1.argmin(axis=1)
+            b = d2.argmin(axis=1)
+            m1v = d1[rows, a]
+            m2v = d2[rows, b]
+            d1[rows, a] = _np.inf
+            d2[rows, b] = _np.inf
+            s1v = d1.min(axis=1)
+            s2v = d2.min(axis=1)
+            pdf = pdf.copy()
+            pdf["own"] = (l1[a] * stride + l2[b]).astype("int32")
+            pdf["da"] = _np.sqrt(m1v + m2v)
+            pdf["db"] = _np.sqrt(_np.minimum(s1v + m2v, m1v + s2v))
+            yield pdf
+
+    return coded.mapInPandas(batches, schema)
+
+
+def _imi_probe_rows(coded: DataFrame, pc: "_ProductCents"):
+    """(query_id, probe_cell) pairs: per query vector, the NPROBE
+    nearest OCCUPIED product cells by the flat concat-centroid
+    distance (dim-sequential fold over the full 64 dims via the two
+    half matrices), tie-broken by cell id — the product analogue of
+    the expression path's array_sort over (dist, cell) structs.
+    Driver-side over the ≤ N_QUERIES collected query code rows."""
+    import numpy as np
+
+    qrows = (coded.filter(F.col("vec_id") < N_QUERIES)
+             .select("vec_id", "codes").collect())
+    cells = np.asarray([c for c, _ in pc], dtype="int64")
+    M = np.asarray([v for _, v in pc], dtype="float64")
+    out = []
+    for r in sorted(qrows, key=lambda r: r.vec_id):
+        E = np.asarray([r.codes], dtype="float64")
+        d = _half_dist_matrix(E, M)[0]  # full-D fold: same math, D=64
+        order = sorted(range(len(cells)), key=lambda i: (d[i], cells[i]))
+        for i in order[:NPROBE]:
+            out.append((int(r.vec_id), int(cells[i])))
+    return out
+
+
+def _lloyd_half(coded: DataFrame, kh: int, lo: int):
+    """KM_ITERS Lloyd iterations over one 32-dim slice of the codes —
+    the flat trainer's loop verbatim, on half codes. Returns
+    (prev, final) half-centroid lists [(idx, vec)], idx from the
+    md5-ordered seed enumeration, survivors only, idx-sorted."""
+    half = coded.select(
+        "vec_id", F.slice("codes", lo + 1, KM_HALF_D).alias("codes"))
+    seeds = (
+        half.withColumn(
+            "r", F.md5(F.col("vec_id").cast("string").cast("binary")))
+        .orderBy("r", "vec_id").limit(kh).select("codes").collect())
+    cents = [(i, [float(v) for v in row.codes])
+             for i, row in enumerate(seeds)]
+    prev = cents
+    for _ in range(KM_ITERS):
+        prev = cents
+        stats = (
+            _assign(half, cents).groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.element_at(F.col("codes"), d + 1)).alias(f"s{d}")
+                  for d in range(KM_HALF_D)])
+        ).collect()  # K_h rows × (D/2+1) scalars — bounded
+        cents = sorted(
+            (int(r["cell"]),
+             [r[f"s{d}"] / r["n"] for d in range(KM_HALF_D)])
+            for r in stats)
+    return prev, cents
+
+
+def _train_imi(coded: DataFrame, n: int):
+    """Product-codebook training: two independent half Lloyd runs,
+    then ONE occupancy pass (assignment by the prev halves — the same
+    'centroids that produced the final assignment' convention as the
+    flat trainer) shared by both flat views, so every cell a consumer
+    aggregates exists in both lists (the flat path's guarantee).
+    Returns (cents_prev, cents_final, counts) with the cents as
+    ``_ProductCents``."""
+    kh = imi_kh(n)
+    h1_prev, h1_final = _lloyd_half(coded, kh, 0)
+    h2_prev, h2_final = _lloyd_half(coded, kh, KM_HALF_D)
+    stride = kh
+    occ = (_assign_imi(coded, _ProductCents([], (h1_prev, h2_prev), stride))
+           .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+           .collect())  # ≤ min(n, K_h²) rows of 2 ints — bounded
+    occupied = sorted(int(r["cell"]) for r in occ)
+    counts = {int(r["cell"]): int(r["n"]) for r in occ}
+
+    def view(halves):
+        d1, d2 = dict(halves[0]), dict(halves[1])
+        flat = [(cell, d1[cell // stride] + d2[cell % stride])
+                for cell in occupied]
+        return _ProductCents(flat, halves, stride)
+
+    return (view((h1_prev, h2_prev)), view((h1_final, h2_final)), counts)
 
 
 def _silhouette_arrow(coded: DataFrame,
@@ -282,7 +519,12 @@ def _train(spark: SparkSession, sf_dir: str):
         return coded, cents_prev, cents, counts
     # K scales with the corpus (one exact metadata-cheap count, memoized
     # with the trained centroids) — the round-9 probe's fixed-K fix.
-    k = km_k(emb.count())
+    n = emb.count()
+    if n > KM_IMI_MIN_N:  # past the flat-K cap: product codebook
+        cents_prev, cents, counts = _train_imi(coded, n)
+        _TRAIN_MEMO[key] = (cents_prev, cents, counts)
+        return coded, cents_prev, cents, counts
+    k = km_k(n)
     seeds = (
         coded.withColumn(
             "r", F.md5(F.col("vec_id").cast("string").cast("binary")))
@@ -856,13 +1098,29 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded, _, cents_final, _ = _train(spark, sf_dir)
     assigned = _assign(coded, cents_final).withColumn(
         "nrm", l2_norm("embedding"))
-    scores = F.array_sort(_score_array(cents_final))
-    probes = F.transform(F.slice(scores, 1, NPROBE), lambda s: s["cell"])
-    q = (coded.filter(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("query_emb"),
-                 l2_norm("embedding").alias("query_nrm"),
-                 F.explode(probes).alias("probe_cell")))
+    if isinstance(cents_final, _ProductCents):
+        # product regime: rank the OCCUPIED product cells per query
+        # driver-side (N_QUERIES × K_total distances over the ≤10
+        # collected query code rows — bounded driver traffic, same
+        # dim-sequential fold + (dist, cell) tie-break as the
+        # expression path) instead of a K_total-literal plan.
+        probe_rows = _imi_probe_rows(coded, cents_final)
+        probes_df = coded.sparkSession.createDataFrame(
+            probe_rows, "query_id long, probe_cell int")
+        q = (coded.filter(F.col("vec_id") < N_QUERIES)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("query_emb"),
+                     l2_norm("embedding").alias("query_nrm"))
+             .join(probes_df, "query_id"))
+    else:
+        scores = F.array_sort(_score_array(cents_final))
+        probes = F.transform(F.slice(scores, 1, NPROBE),
+                             lambda s: s["cell"])
+        q = (coded.filter(F.col("vec_id") < N_QUERIES)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("query_emb"),
+                     l2_norm("embedding").alias("query_nrm"),
+                     F.explode(probes).alias("probe_cell")))
     scored = (
         assigned.join(F.broadcast(q), assigned.cell == q.probe_cell)
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1173,7 +1431,10 @@ def silhouette_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. The degenerate max(a,b)=0 guard (a vector EQUAL to two
     centroids) returns 0 identically on both engines."""
     coded, cents_prev, _, _ = _train(spark, sf_dir)
-    if len(cents_prev) <= KM_EXPR_MAX_K:
+    if isinstance(cents_prev, _ProductCents):
+        # past-the-cap product regime: O(K_h) per-half kernel
+        rows = _silhouette_imi(coded, cents_prev)
+    elif len(cents_prev) <= KM_EXPR_MAX_K:
         scores = _score_array(cents_prev)
         best = F.array_min(scores)
         rows = (coded.withColumn("own", best["cell"])
