@@ -143,6 +143,21 @@ def test_tfidf_df_equals_window_formulation(spark):
     assert via_join == via_window
 
 
+def test_duplicate_spans_gram_exchange_reuse_fires(spark):
+    """The shuffle_hash hint exists so the two gram-join sides become
+    canonical twins and AQE materializes the gram relation ONCE —
+    without it the planner broadcasts the corpus-sized cold side and
+    re-evaluates gram generation per side."""
+    from mapreduce_in_pthreads_spark.operators.dedup import (
+        duplicate_spans)
+
+    q = duplicate_spans(spark, SF_DIRS[0])
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1
+
+
 def test_tfidf_exchange_reuse_fires(spark):
     """The whole point of the sum(when(...)) form: the df branch must
     REUSE the tf exchange at AQE runtime instead of re-scanning +
