@@ -548,10 +548,19 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import dot, l2_norm
     from ..sources.tables import table_row_count_hint
 
-    emb = load_table(spark, sf_dir, "embeddings")
     n_rows = table_row_count_hint(sf_dir, "embeddings")
     if n_rows is not None and n_rows <= EMBEDDING_EXACT_MAX_ROWS:
-        src = emb.select("vec_id", "embedding")
+        # r11 (guide §2.2, the quantizer `_coded` hazard class): the
+        # single-file embeddings scan yields 1-2 partitions, so the
+        # n²/2-pair theta join inherited ONE task regardless of core
+        # count — round-robin repartitioning first spreads the pair
+        # work (measured at sf0.1: 25.9 → 1.5 s on local[32];
+        # identical pair set, per-pair expressions, and
+        # order-insensitive output).
+        from ..sources.tables import load_embeddings_parallel
+
+        src = load_embeddings_parallel(spark, sf_dir).select(
+            "vec_id", "embedding")
     else:  # scale path: train + assign the K ∝ n coarse quantizer
         from .quantizer import _assign, _train
 

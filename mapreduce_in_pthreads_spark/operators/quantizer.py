@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.lineage import truncate_lineage
 from ..functions.vectors import dot, l2_norm
-from ..sources.tables import load_table
+from ..sources.tables import load_embeddings_parallel, load_table
 
 # Coarse-cell count scales with the corpus: K = clamp(n // KM_TARGET_CELL,
 # KM_K_MIN, KM_K_MAX). A FIXED K is the one measured super-linear scaling
@@ -1614,7 +1614,7 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     global rollup and the per-label dot consume it); everything
     downstream is |labels|×D rows.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings_parallel(spark, sf_dir)
     absmax = F.array_max(F.transform("embedding", F.abs))
     scale = F.lit(127.0) / absmax
     codes = F.transform(

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.lineage import truncate_lineage
 from ..functions.vectors import dot, l2_norm
-from ..sources.tables import load_table
+from ..sources.tables import load_embeddings_parallel, load_table
 
 N_QUERIES = 10   # vec_id < 10 serve as the query set
 TOP_K = 10
@@ -54,7 +54,7 @@ def _pair_cos() -> F.Column:
 
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors per query (self excluded)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings_parallel(spark, sf_dir)
     q = _queries(emb)
     scored = (
         _candidates(emb).crossJoin(F.broadcast(q))
@@ -94,7 +94,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinks by ~#cells — this is what makes ANN tractable when the
     candidate side is 100 TB. Cell assignment is an equi-join key, so
     Catalyst plans a plain hash join instead of a cross product."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings_parallel(spark, sf_dir)
     q = _queries(emb)
     cand = _candidates(emb)
     scored = (
@@ -146,7 +146,7 @@ def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     still agrees to 1e-7) while becoming bit-reproducible across
     engines, partitionings and releases."""
     dec = "decimal(25,10)"
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings_parallel(spark, sf_dir)
     dims = emb.select(
         "label",
         F.posexplode(F.col("embedding").cast("array<double>"))
@@ -219,7 +219,7 @@ def ann_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast pattern, not a data collect)."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings_parallel(spark, sf_dir)
     qrows = _queries(emb).collect()
     Q = np.array([r.query_emb for r in qrows], dtype=np.float64)   # (q, d)
     qids = np.array([r.query_id for r in qrows], dtype=np.int64)
@@ -292,7 +292,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot hash list cells; both engines emit identical ' '-joined
     int strings).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings_parallel(spark, sf_dir)
     absmax = F.array_max(F.transform("embedding", F.abs))
     scale = F.lit(127.0) / absmax
     codes = F.transform(
@@ -363,7 +363,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract as IVF); the final cosine runs on the full-precision
     vectors for candidates only."""
     signs = _lsh_signs()
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings_parallel(spark, sf_dir)
     absmax = F.array_max(F.transform("embedding", F.abs))
     scale = F.lit(127.0) / absmax
     codes = F.transform(
@@ -567,7 +567,7 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the expensive pair scoring — exactly why MRL prefixes exist; the
     comparison itself joins k-row-per-query id sets.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings_parallel(spark, sf_dir)
     # baseline consumed twice (hits join + query grid) — materialize
     # once, as in ann_recall_report
     bf = truncate_lineage(
@@ -670,7 +670,7 @@ def embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile at 100 TB, same documented trade as
     `unigram_logprob_filter`); every count is map-side combinable.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings_parallel(spark, sf_dir)
     de = F.col("embedding").cast("array<double>")
     checked = emb.select(
         "vec_id",
@@ -1111,7 +1111,7 @@ def metric_choice_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exchange), then a per-query rollup. The blocked pair count is
     Σ|cell|², never n².
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings_parallel(spark, sf_dir)
     q = (emb.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("qid"),
                  F.col("label").alias("qlabel"),
@@ -1221,7 +1221,7 @@ def dbscan_grid_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation; a hot cell is AQE skew-split territory, not a plan
     change.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings_parallel(spark, sf_dir)
     eps = float(DBSCAN_EPS)
     pts = emb.select(
         "vec_id", "label",

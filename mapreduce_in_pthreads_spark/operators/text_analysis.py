@@ -17,7 +17,7 @@ from ..functions.lineage import truncate_lineage
 from ..functions.numeric import davg, sql_davg
 from ..functions.tokens import adjacent_bigrams, adjacent_pairs, \
     sliding_ngrams
-from ..sources.tables import load_table
+from ..sources.tables import load_embeddings_parallel, load_table
 
 # "BPE-ish" tokenizer: letter runs, digit runs, single other non-space
 # (the regex subset that behaves identically in Java regex and RE2)
@@ -1230,7 +1230,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter(F.col("rank_lex") <= HYBRID_POOL)
            .select("query_id", "doc_id", "rank_lex"))
     qids = sorted({q for q, _ in BM25_QUERIES})
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings_parallel(spark, sf_dir)
     q = (emb.filter(F.col("vec_id").isin(qids))
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("query_emb"),

@@ -62,6 +62,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_embeddings_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings round-robin repartitioned to the session parallelism
+    BEFORE compute-heavy per-row / per-pair vector stages (r11, guide
+    §2.2 — the quantizer ``_coded`` hazard class): a single-file scan
+    yields 1-2 partitions, so every downstream distance/quantization
+    expression inherits 1-2 tasks regardless of core count. Measured
+    on the 10× probe: 2.8-17.7× per entry (embedding_near_dup
+    25.9 → 1.5 s, ann_lsh_topk 53 → 5.5 s, embedding_centroid_drift
+    5.0 → 1.0 s, quantize_int8 3.4 → 0.7 s, …) with row-identical
+    outputs — consumers are keyed aggregations/windows, order-
+    independent by construction. The shuffle moves vec-count rows of
+    ~300 B: bytes-trivial at any scale."""
+    par = spark.sparkContext.defaultParallelism
+    return load_table(spark, sf_dir, "embeddings").repartition(par)
+
+
 def _events_ts_unit(path: str) -> str | None:
     """Physical unit of ``events.ts`` from the parquet footer ('ns',
     'us', ...) via a driver-side pyarrow footer read — cheap (no data

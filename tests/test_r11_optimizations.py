@@ -143,6 +143,29 @@ def test_tfidf_df_equals_window_formulation(spark):
     assert via_join == via_window
 
 
+def test_embeddings_parallel_loader(spark):
+    """load_embeddings_parallel must spread the single-file embeddings
+    scan to the session parallelism (the per-pair/per-row vector
+    stages otherwise inherit 1-2 tasks — the r11 17.7x
+    embedding_near_dup find) while keeping rows identical."""
+    from mapreduce_in_pthreads_spark.sources.tables import (
+        load_embeddings_parallel, load_table)
+
+    par = spark.sparkContext.defaultParallelism
+    wide = load_embeddings_parallel(spark, SF_DIRS[0])
+    assert wide.rdd.getNumPartitions() == par
+    a = sorted(tuple(r) for r in wide.collect())
+    b = sorted(tuple(r) for r in
+               load_table(spark, SF_DIRS[0], "embeddings").collect())
+    assert a == b
+    # the flagship consumer really rides it: round-robin exchange in plan
+    from mapreduce_in_pthreads_spark.operators.similarity import (
+        ann_topk_bruteforce)
+    plan = (ann_topk_bruteforce(spark, SF_DIRS[0])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "roundrobin" in plan.lower(), plan[:500]
+
+
 def test_duplicate_spans_gram_exchange_reuse_fires(spark):
     """The shuffle_hash hint exists so the two gram-join sides become
     canonical twins and AQE materializes the gram relation ONCE —
